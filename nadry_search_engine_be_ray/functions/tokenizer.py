@@ -1,0 +1,117 @@
+"""Reference-faithful tokenizer (operator M5/M6 in SURVEY.md §2.2).
+
+Replicates search-engin/src/main/java/indexer/Tokenizer.java:30-97 and
+indexer/StopWordFilter.java:8-21 exactly:
+
+1. Unicode NFC normalization (Tokenizer.java:35)
+2. extract special tokens (email / url / number regexes, Tokenizer.java:18-23)
+   as ``email:<match.lower()>`` / ``url:<match.lower()>`` / ``num:<match>``,
+   appended AFTER the word tokens (Tokenizer.java:51)
+3. replace specials in the text with ``_EMAIL_`` / ``_URL_`` / ``_NUM_``
+   placeholders (Tokenizer.java:92-97), in that order
+4. lowercase, strip everything outside ``[a-z0-9_\\s]`` to spaces, collapse
+   whitespace, split (Tokenizer.java:39-43)
+5. keep tokens of length 2..50 (Tokenizer.java:46)
+6. drop the 26 stop words, except the ``_email_`` / ``_num_`` placeholders
+   which always survive (Tokenizer.java:47) — note ``_url_`` is NOT
+   exempted in the reference; it survives only because it isn't a stop word
+7. Porter2-stem tokens of length > 3; placeholders skipped
+   (Tokenizer.java:55-68)
+
+All regexes use ASCII character classes to match Java's default (non-unicode)
+``\\s`` / ``\\d`` semantics.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Iterable
+
+from .porter2 import stem
+
+# Tokenizer.java:18-23 — identical patterns, ASCII semantics
+EMAIL_PATTERN = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}", re.ASCII)
+URL_PATTERN = re.compile(r"(?:https?://|www\.)[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}[^\s]*", re.ASCII)
+NUMBER_PATTERN = re.compile(r"\b\d+(?:\.\d+)?\b", re.ASCII)
+
+_NON_TOKEN = re.compile(r"[^a-z0-9\s_]", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
+
+# StopWordFilter.java:12-16 — the fixed 26-word set
+STOP_WORDS = frozenset(
+    (
+        "a", "an", "and", "are", "as", "at", "be", "by", "for",
+        "from", "has", "he", "in", "is", "it", "its", "of", "on",
+        "that", "the", "to", "was", "were", "will", "with", "this",
+    )
+)
+
+_PLACEHOLDERS = ("_email_", "_num_")
+
+
+class Tokenizer:
+    """Callable, stateless apart from a stem cache (vocabulary is Zipfian, so
+    caching stems amortizes the pure-Python Porter2 cost per worker)."""
+
+    def __init__(self) -> None:
+        self._stem_cache: dict[str, str] = {}
+
+    def stem_token(self, token: str) -> str:
+        # Tokenizer.java:55-59 — skip stemming for len <= 3 and placeholders
+        if len(token) <= 3 or token in _PLACEHOLDERS:
+            return token
+        cached = self._stem_cache.get(token)
+        if cached is None:
+            cached = stem(token)
+            # bound the cache so pathological vocabularies can't OOM a worker
+            if len(self._stem_cache) < 1_000_000:
+                self._stem_cache[token] = cached
+        return cached
+
+    def tokenize(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+
+        text = unicodedata.normalize("NFC", text)
+
+        # the reference extracts all specials from the ORIGINAL text
+        # (Tokenizer.java:71-90) but replaces placeholders sequentially (92-97)
+        special_tokens: list[str] = []
+        for m in EMAIL_PATTERN.finditer(text):
+            special_tokens.append("email:" + m.group().lower())
+        for m in URL_PATTERN.finditer(text):
+            special_tokens.append("url:" + m.group().lower())
+        for m in NUMBER_PATTERN.finditer(text):
+            special_tokens.append("num:" + m.group())
+
+        processable = EMAIL_PATTERN.sub("_EMAIL_", text)
+        processable = URL_PATTERN.sub("_URL_", processable)
+        processable = NUMBER_PATTERN.sub("_NUM_", processable)
+
+        processable = _NON_TOKEN.sub(" ", processable.lower())
+        processable = _WS.sub(" ", processable).strip()
+
+        out: list[str] = []
+        for token in processable.split(" "):
+            if not (2 <= len(token) <= 50):
+                continue
+            if token not in _PLACEHOLDERS and token in STOP_WORDS:
+                continue
+            out.append(self.stem_token(token))
+
+        out.extend(special_tokens)
+        return out
+
+
+_GLOBAL = Tokenizer()
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Module-level convenience using a process-global cached tokenizer."""
+    return _GLOBAL.tokenize(text)
+
+
+def tokenize_many(texts: Iterable[str | None]) -> list[list[str]]:
+    tk = _GLOBAL
+    return [tk.tokenize(t) for t in texts]
