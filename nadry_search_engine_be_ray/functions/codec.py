@@ -1,0 +1,176 @@
+"""Posting-list codec: delta-gap + varint compression and block-max metadata.
+
+The reference persists postings as BSON arrays in MongoDB
+(indexer/MongoDBIndexStore.java:230-324).  Our segment format instead stores,
+per term, compressed columnar payloads (SURVEY.md §1.3, §7.1 step 3):
+
+* ``doc_ints`` — sorted uint64 doc keys, delta-gap encoded then varint packed
+* ``tfs`` — per-doc total term frequency, varint packed
+* ``weights`` — per-doc accumulated field weight (Σ occurrences × boost,
+  InvertedIndex.java:229-232 semantics), float64 little-endian
+* ``positions`` — per (doc, field) 0-based position lists
+  (IndexBuilder.java:135-139), delta encoded + varint packed with a tiny
+  per-doc header (field mask + per-field counts)
+* ``block_max`` — max weight per block of BLOCK_SIZE docs, the block-max
+  WAND pruning metadata (A9 fast path)
+
+Encode AND decode are numpy-vectorized (no per-element Python loops): varint
+encoding scatters 7-bit groups by byte-offset plane; decoding segments the
+byte stream on continuation bits with cumsum tricks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_MAX_VARINT_BYTES = 10  # 64 bits / 7
+
+
+# ---------------------------------------------------------------------------
+# vectorized varint
+# ---------------------------------------------------------------------------
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-style varint encoding of a uint64 array, fully vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    # bit_length via float log2 is unsafe near 2**53; use a shift loop (<=10)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0)
+        tmp >>= np.uint64(7)
+    del nbits, nz
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    for j in range(_MAX_VARINT_BYTES):
+        sel = nbytes > j
+        if not sel.any():
+            break
+        byte = ((v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] - 1 > j).astype(np.uint8) << 7
+        out[offsets[:-1][sel] + j] = byte | cont
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode a varint byte stream back to a uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    out = np.zeros(n, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for j in range(max_len):
+        sel = lengths > j
+        out[sel] |= (b[starts[sel] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# delta-gap helpers (doc ids must be strictly increasing)
+# ---------------------------------------------------------------------------
+
+def encode_sorted_deltas(sorted_vals: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    deltas = np.empty_like(v)
+    deltas[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    return encode_varints(deltas)
+
+
+def decode_sorted_deltas(buf: bytes) -> np.ndarray:
+    deltas = decode_varints(buf)
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# weights / block max
+# ---------------------------------------------------------------------------
+
+def encode_f64(values: np.ndarray) -> bytes:
+    return np.ascontiguousarray(values, dtype="<f8").tobytes()
+
+
+def decode_f64(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<f8")
+
+
+def block_max(weights: np.ndarray, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Max weight per block of ``block_size`` consecutive postings."""
+    w = np.asarray(weights, dtype=np.float64)
+    if w.size == 0:
+        return np.empty(0, dtype=np.float64)
+    nblocks = (w.size + block_size - 1) // block_size
+    padded = np.full(nblocks * block_size, -np.inf)
+    padded[: w.size] = w
+    return padded.reshape(nblocks, block_size).max(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# positions payload
+#
+# Layout per doc (docs in doc_int order):
+#   varint field_mask        (bit f set if field f present; fields 0=TITLE,
+#                             1=DESCRIPTION, 2=BODY)
+#   for each present field in ascending order:
+#       varint count
+#       count delta-gap varints (first absolute, positions strictly increasing
+#       per field because they are emitted in token order)
+# The whole stream is one varint sequence, so it decodes with one vectorized
+# pass; the per-doc structure is then sliced out with cumsum arithmetic.
+# ---------------------------------------------------------------------------
+
+def encode_positions(doc_fields: list[list[tuple[int, np.ndarray]]]) -> bytes:
+    """``doc_fields[i]`` = list of (field, positions asc np.int64) for doc i."""
+    stream: list[np.ndarray] = []
+    for fields in doc_fields:
+        mask = 0
+        for f, _ in fields:
+            mask |= 1 << f
+        parts = [np.array([mask], dtype=np.uint64)]
+        for f, pos in sorted(fields, key=lambda t: t[0]):
+            pos = np.asarray(pos, dtype=np.uint64)
+            deltas = np.empty(pos.size + 1, dtype=np.uint64)
+            deltas[0] = pos.size
+            if pos.size:
+                deltas[1] = pos[0]
+                np.subtract(pos[1:], pos[:-1], out=deltas[2:])
+            parts.append(deltas)
+        stream.append(np.concatenate(parts))
+    if not stream:
+        return b""
+    return encode_varints(np.concatenate(stream))
+
+
+def decode_positions(buf: bytes, n_docs: int) -> list[dict[int, np.ndarray]]:
+    """Inverse of :func:`encode_positions`; returns per-doc {field: positions}."""
+    vals = decode_varints(buf)
+    out: list[dict[int, np.ndarray]] = []
+    i = 0
+    for _ in range(n_docs):
+        mask = int(vals[i]); i += 1
+        fields: dict[int, np.ndarray] = {}
+        for f in range(3):
+            if mask & (1 << f):
+                cnt = int(vals[i]); i += 1
+                deltas = vals[i : i + cnt]; i += cnt
+                fields[f] = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+        out.append(fields)
+    return out
