@@ -1,0 +1,56 @@
+"""Engine configuration (replaces the reference's scattered constants:
+IndexerConfig.java:3-23, InvertedIndex.java:13-15, Main.java:26-27)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BuildConfig:
+    # --- shuffle layout -----------------------------------------------------
+    # segment shard = stable_hash(term) % num_shards: the partitioning key for
+    # the posting-list build AND the query-time term -> shard routing function
+    # (SURVEY.md §7.3).  Production sizing: thousands; tests: small.
+    num_shards: int = 8
+    # uniform doc-range salting: every (term, shard) group is further split by
+    # the TOP bits of doc_int into 2**salt_bits runs.  Runs are disjoint,
+    # ordered doc_int ranges, so a term's full posting list is the
+    # concatenation of its runs in salt order — skewed head terms ("import",
+    # "return") never exceed ~1/2**salt_bits of the corpus per reduce task,
+    # with no head-term detection pre-pass (SURVEY.md §4.2 skew).
+    salt_bits: int = 2
+
+    # --- execution ----------------------------------------------------------
+    tokenize_batch_size: int = 128
+    # None -> stateless tasks with a cached global tokenizer; an int builds an
+    # actor pool (map_batches(cls, concurrency=N)).
+    tokenize_concurrency: int | None = None
+    encode_batch_format: str = "pyarrow"
+
+    # --- dedup --------------------------------------------------------------
+    # "broadcast_losers": compute duplicate doc_ints (a small set when the
+    # dup-rate is modest) and broadcast-filter; "shuffle": full
+    # groupby(content_sha) shuffle keeping min doc_id.  SURVEY.md §7.3 D1/D2.
+    dedup_strategy: str = "broadcast_losers"
+    max_broadcast_losers: int = 5_000_000
+
+    # --- codec --------------------------------------------------------------
+    block_size: int = 128  # block-max metadata granularity (postings/block)
+
+    # --- pipeline control ---------------------------------------------------
+    compact_segments: bool = True
+
+    # --- bm25 ---------------------------------------------------------------
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+
+
+@dataclass
+class PageRankConfig:
+    # nadry/ranker/PageRank.java:11-13
+    damping: float = 0.85
+    tolerance: float = 1.0e-6
+    max_iter: int = 100
+    # True replicates the reference's in/out-degree quirk (SURVEY.md §2.5 A10)
+    as_implemented: bool = True

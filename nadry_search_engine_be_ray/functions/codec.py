@@ -137,10 +137,27 @@ def block_max(weights: np.ndarray, block_size: int = BLOCK_SIZE) -> np.ndarray:
 # pass; the per-doc structure is then sliced out with cumsum arithmetic.
 # ---------------------------------------------------------------------------
 
-def encode_positions(doc_fields: list[list[tuple[int, np.ndarray]]]) -> bytes:
-    """``doc_fields[i]`` = list of (field, positions asc np.int64) for doc i."""
+def _varint_nbytes(values: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(values, dtype=np.uint64).copy()
+    nbytes = np.ones(v.size, dtype=np.int64)
+    v >>= np.uint64(7)
+    while v.any():
+        nbytes += (v > 0)
+        v >>= np.uint64(7)
+    return nbytes
+
+
+def encode_positions_indexed(
+    doc_fields: list[list[tuple[int, np.ndarray]]]
+) -> tuple[bytes, np.ndarray]:
+    """Encode per-doc field/position payloads; returns (payload, offsets)
+    where ``offsets`` (int64, len n_docs+1) are byte offsets of each doc's
+    sub-stream — varint is a per-value code, so per-doc slices decode
+    independently (random access for phrase queries without decoding the
+    whole posting list)."""
     stream: list[np.ndarray] = []
-    for fields in doc_fields:
+    values_per_doc = np.empty(len(doc_fields), dtype=np.int64)
+    for i, fields in enumerate(doc_fields):
         mask = 0
         for f, _ in fields:
             mask |= 1 << f
@@ -153,10 +170,41 @@ def encode_positions(doc_fields: list[list[tuple[int, np.ndarray]]]) -> bytes:
                 deltas[1] = pos[0]
                 np.subtract(pos[1:], pos[:-1], out=deltas[2:])
             parts.append(deltas)
-        stream.append(np.concatenate(parts))
+        doc_vals = np.concatenate(parts)
+        values_per_doc[i] = doc_vals.size
+        stream.append(doc_vals)
     if not stream:
-        return b""
-    return encode_varints(np.concatenate(stream))
+        return b"", np.zeros(1, dtype=np.int64)
+    all_vals = np.concatenate(stream)
+    nb = _varint_nbytes(all_vals)
+    byte_ends = np.cumsum(nb)
+    val_ends = np.cumsum(values_per_doc)
+    offsets = np.zeros(len(doc_fields) + 1, dtype=np.int64)
+    offsets[1:] = byte_ends[val_ends - 1]
+    # docs with zero values (impossible here: mask value always present) would
+    # need special casing; every doc emits at least the mask varint.
+    return encode_varints(all_vals), offsets
+
+
+def encode_positions(doc_fields: list[list[tuple[int, np.ndarray]]]) -> bytes:
+    buf, _ = encode_positions_indexed(doc_fields)
+    return buf
+
+
+def decode_doc_positions(
+    buf: bytes | memoryview, offsets: np.ndarray, doc_index: int
+) -> dict[int, np.ndarray]:
+    """Decode one doc's {field: positions} from an indexed payload."""
+    vals = decode_varints(memoryview(buf)[offsets[doc_index] : offsets[doc_index + 1]])
+    mask = int(vals[0])
+    i = 1
+    fields: dict[int, np.ndarray] = {}
+    for f in range(3):
+        if mask & (1 << f):
+            cnt = int(vals[i]); i += 1
+            deltas = vals[i : i + cnt]; i += cnt
+            fields[f] = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+    return fields
 
 
 def decode_positions(buf: bytes, n_docs: int) -> list[dict[int, np.ndarray]]:

@@ -1,0 +1,100 @@
+"""Prep stage: doc identity, content hashing, field split, exact dedup.
+
+Replaces reference operators M2 (docId = sha256, DocumentProcessor.java:
+151-163), M1 field extraction (via stages/fieldsplit.py), and D1/D2 exact
+dedup (visited set / compact-string set, MongoJava.java:75-115) — reexpressed
+as vectorized ``map_batches`` transforms plus a shuffle- or broadcast-based
+dedup (SURVEY.md §7.3).
+
+The per-row invariant required by BASELINE.json ``input_hint`` — content
+sha256 equality end-to-end — is established here (``content_sha256`` column)
+and carried through the documents table untouched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.fieldsplit import split_fields
+
+
+def prep_batch(batch: pa.Table) -> pa.Table:
+    """Add url, doc_id (sha256 hex), doc_int (u64 prefix), content_sha256,
+    title, description columns.  Pure, stateless, batch-vectorized where the
+    kernel allows (hashing loops are C-speed hashlib calls per row)."""
+    repo = batch["repo"].to_pylist()
+    path = batch["path"].to_pylist()
+    commit = batch["commit"].to_pylist()
+    content = batch["content"].to_pylist()
+
+    n = len(repo)
+    urls = [f"{repo[i]}/{path[i]}@{commit[i]}" for i in range(n)]
+    doc_ids = [hashlib.sha256(u.encode()).hexdigest() for u in urls]
+    doc_ints = np.array(
+        [int(d[:16], 16) for d in doc_ids], dtype=np.uint64
+    )
+    content_sha = [
+        hashlib.sha256((c or "").encode()).hexdigest() for c in content
+    ]
+    titles = []
+    descriptions = []
+    for i in range(n):
+        t, d, _ = split_fields(path[i], content[i])
+        titles.append(t)
+        descriptions.append(d)
+
+    return batch.append_column("url", pa.array(urls, pa.string())) \
+        .append_column("doc_id", pa.array(doc_ids, pa.string())) \
+        .append_column("doc_int", pa.array(doc_ints, pa.uint64())) \
+        .append_column("content_sha256", pa.array(content_sha, pa.string())) \
+        .append_column("title", pa.array(titles, pa.string())) \
+        .append_column("description", pa.array(descriptions, pa.string()))
+
+
+def losers_from_group(group: pa.Table) -> pa.Table:
+    """Per content_sha256 group: emit every doc_int EXCEPT the min — the
+    deterministic keep-first rule (keep min doc_id; SURVEY.md §2.7 D2 note:
+    the reference keeps first-crawled, which is timing-dependent; we declare
+    min-doc_id order)."""
+    if group.num_rows <= 1:
+        return pa.table({"doc_int": pa.array([], pa.uint64())})
+    ints = group["doc_int"].to_numpy(zero_copy_only=False)
+    keep = ints.min()
+    return pa.table({"doc_int": pa.array(ints[ints != keep], pa.uint64())})
+
+
+def make_loser_filter(loser_doc_ints: np.ndarray):
+    """Vectorized anti-join filter: drop rows whose doc_int is a known
+    duplicate loser.  ``loser_doc_ints`` must be sorted; it is broadcast via
+    ``ray.put`` once and shared zero-copy by every task."""
+    losers = np.sort(np.asarray(loser_doc_ints, dtype=np.uint64))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        if losers.size == 0:
+            return batch
+        ints = batch["doc_int"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(losers, ints)
+        idx[idx == losers.size] = 0  # out-of-range -> compare against [0],
+        is_loser = losers[idx] == ints  # which can never equal those values
+        return batch.filter(pa.array(~is_loser))
+
+    return _filter
+
+
+def dedup_shuffle(ds):
+    """Full-shuffle exact dedup: groupby(content_sha256) keep min doc_int.
+    One all-to-all of the corpus; use when the duplicate rate is too high for
+    the broadcast strategy."""
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group
+        ints = group["doc_int"].to_numpy(zero_copy_only=False)
+        return group.take(pa.array([int(np.argmin(ints))]))
+
+    return ds.groupby("content_sha256").map_groups(
+        keep_first, batch_format="pyarrow"
+    )

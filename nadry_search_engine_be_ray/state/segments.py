@@ -1,0 +1,120 @@
+"""Segment store: query-time access to the posting-list segments.
+
+Reference analog: MongoDBIndexStore posting reads
+(MongoDBIndexStore.java:326-409, S9/S10) and the doc-details lookups
+(S11/S12).  Here each shard is a set of parquet files produced by the build;
+a reader memory-maps its shard files once (T5 analog: state loaded once per
+actor) and serves term lookups from an in-memory term -> row index.
+
+At cluster scale one ``SegmentReader`` per shard lives inside a scorer actor
+(pipelines/query.py); in tests a single reader loads all shards.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codec
+from ..stages.tokenize import term_shard
+
+
+@dataclass
+class PostingList:
+    term: str
+    docs: np.ndarray        # sorted uint64 doc_ints
+    tfs: np.ndarray         # int64 per-doc total tf
+    weights: np.ndarray     # float64 per-doc accumulated field weight
+    block_max: np.ndarray   # float64 per-block max weight
+    positions_buf: bytes
+    pos_offsets: np.ndarray  # int64 per-doc byte offsets (len = df+1)
+
+    @property
+    def df(self) -> int:
+        return int(self.docs.size)
+
+    def positions_for(self, doc_index: int) -> dict[int, np.ndarray]:
+        return codec.decode_doc_positions(
+            self.positions_buf, self.pos_offsets, doc_index
+        )
+
+
+class SegmentReader:
+    """Loads segment shard(s) and serves decoded posting lists."""
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        seg_root = os.path.join(
+            index_dir, "segments_merged" if self.stats["compacted"] else "segments"
+        )
+        self.num_shards = int(self.stats["num_shards"])
+        self.shards = shards if shards is not None else list(range(self.num_shards))
+        # term -> list[(table_idx, row)] — multiple rows only when uncompacted
+        self._term_index: dict[str, list[tuple[int, int]]] = {}
+        self._tables: list[pa.Table] = []
+        for shard in self.shards:
+            files = sorted(
+                glob.glob(os.path.join(seg_root, f"shard={shard}", "*.parquet"))
+            )
+            for fp in files:
+                t = pq.read_table(fp, memory_map=True)
+                ti = len(self._tables)
+                self._tables.append(t)
+                terms = t["term"].to_pylist()
+                salts = t["salt"].to_pylist()
+                for row, (term, salt) in enumerate(zip(terms, salts)):
+                    self._term_index.setdefault(term, []).append(
+                        (ti, row, salt)
+                    )
+        # order runs by salt so concatenation preserves doc_int order
+        for term, rows in self._term_index.items():
+            rows.sort(key=lambda r: r[2])
+
+    def has_term(self, term: str) -> bool:
+        return term in self._term_index
+
+    def terms(self):
+        return self._term_index.keys()
+
+    def postings(self, term: str) -> PostingList | None:
+        rows = self._term_index.get(term)
+        if not rows:
+            return None
+        docs_parts, tf_parts, w_parts = [], [], []
+        pos_bufs: list[bytes] = []
+        off_parts: list[np.ndarray] = []
+        shift = 0
+        for ti, row, _salt in rows:
+            t = self._tables[ti]
+            docs_parts.append(codec.decode_sorted_deltas(t["docs"][row].as_py()))
+            tf_parts.append(
+                codec.decode_varints(t["tfs"][row].as_py()).astype(np.int64)
+            )
+            w_parts.append(codec.decode_f64(t["weights"][row].as_py()))
+            buf = t["positions"][row].as_py()
+            off = np.frombuffer(t["pos_offsets"][row].as_py(), dtype="<i8")
+            pos_bufs.append(buf)
+            off_parts.append((off[1:] if shift else off) + shift)
+            shift += int(off[-1])
+        docs = np.concatenate(docs_parts)
+        weights = np.concatenate(w_parts)
+        return PostingList(
+            term=term,
+            docs=docs,
+            tfs=np.concatenate(tf_parts),
+            weights=weights,
+            block_max=codec.block_max(weights),
+            positions_buf=b"".join(pos_bufs),
+            pos_offsets=np.concatenate(off_parts),
+        )
+
+    def shard_for(self, term: str) -> int:
+        return term_shard(term, self.num_shards)

@@ -1,0 +1,123 @@
+"""End-to-end conformance: Ray-built segments vs the single-process oracle.
+
+The oracle transcribes the reference's indexer semantics row-at-a-time
+(SURVEY.md §5); the engine must reproduce the exact same postings —
+doc sets, per-doc tf, field-boosted weights, per-field positions — through
+the distributed prep → tokenize → shuffle → encode → merge path.
+"""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+
+@pytest.fixture(scope="module")
+def reader(built_index):
+    return SegmentReader(built_index)
+
+
+def _oracle_doc_int(doc_id_hex: str) -> int:
+    return int(doc_id_hex[:16], 16)
+
+
+def test_doc_counts_match(reader, oracle_index):
+    assert reader.stats["n_docs"] == len(oracle_index.documents)
+    # total_words agree globally
+    oracle_tw = sum(d["total_words"] for d in oracle_index.documents.values())
+    assert reader.stats["total_words"] == oracle_tw
+
+
+def test_term_dictionary_matches(reader, oracle_index):
+    engine_terms = set(reader.terms())
+    oracle_terms = set(oracle_index.index.keys())
+    assert engine_terms == oracle_terms
+
+
+@pytest.mark.parametrize(
+    "term",
+    ["import", "return", "def", "nation", "item", "order", "arriv",
+     "_email_", "src", "py", "num:42", "email:test@example.com"],
+)
+def test_postings_match_oracle(reader, oracle_index, term):
+    oracle_postings = oracle_index.index.get(term, {})
+    pl = reader.postings(term)
+    if not oracle_postings:
+        assert pl is None
+        return
+    assert pl is not None
+
+    expected = {
+        _oracle_doc_int(doc_id): p for doc_id, p in oracle_postings.items()
+    }
+    got_docs = pl.docs.tolist()
+    assert got_docs == sorted(expected)
+    # strictly increasing (delta-gap precondition) across merged salt runs
+    assert all(b > a for a, b in zip(got_docs, got_docs[1:]))
+
+    for i, di in enumerate(got_docs):
+        op = expected[di]
+        assert int(pl.tfs[i]) == op.frequency()
+        assert pl.weights[i] == pytest.approx(op.weight, abs=0)
+        got_fields = pl.positions_for(i)
+        exp_fields = {f: list(v) for f, v in op.field_positions.items() if v}
+        assert {f: v.tolist() for f, v in got_fields.items()} == exp_fields
+
+
+def test_block_max_dominates(reader):
+    pl = reader.postings("import")
+    assert pl is not None and pl.df > 10
+    bm = pl.block_max
+    for b in range(bm.size):
+        blk = pl.weights[b * 128 : (b + 1) * 128]
+        assert bm[b] == blk.max()
+
+
+def test_dedup_kept_min_doc_id(reader, oracle_index, built_index):
+    # duplicates existed in the corpus (1 in 50 rows); the engine and oracle
+    # must agree on the kept doc for every duplicated content sha
+    import pyarrow.dataset as pads
+
+    losers = pads.dataset(
+        os.path.join(built_index, "dup_losers"), format="parquet"
+    ).to_table()
+    assert losers.num_rows > 0
+    oracle_ints = {
+        _oracle_doc_int(d): d for d in oracle_index.documents
+    }
+    for di in losers["doc_int"].to_pylist():
+        assert di not in oracle_ints
+
+
+def test_content_sha_invariant(built_index, tiny_corpus_dir):
+    # per-row invariant (BASELINE.json input_hint): content sha256 carried
+    # through the documents table equals sha256 of the raw corpus content
+    import pyarrow.dataset as pads
+
+    prepped = pads.dataset(
+        os.path.join(built_index, "prepped"), format="parquet"
+    ).to_table(columns=["content", "content_sha256"])
+    for content, sha in zip(
+        prepped["content"].to_pylist()[:100], prepped["content_sha256"].to_pylist()[:100]
+    ):
+        assert hashlib.sha256(content.encode()).hexdigest() == sha
+
+
+def test_build_is_resumable(built_index, tiny_corpus_dir, ray_session):
+    # rerunning build_index over a completed dir must skip all phases
+    import time
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+
+    t0 = time.time()
+    manifest = build_index(tiny_corpus_dir, built_index, BuildConfig(num_shards=4, salt_bits=1))
+    assert time.time() - t0 < 5.0  # no phase re-ran
+    assert set(manifest["phases"]) >= {"prep", "losers", "postings", "segments"}
+    with open(os.path.join(built_index, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] > 0
