@@ -82,7 +82,7 @@ def _local_docstat_dedup(batch: pa.Table) -> pa.Table:
     uniq, first = np.unique(doc, return_index=True)
     return pa.table(
         {
-            "doc_int": pa.array(uniq, pa.uint64()),
+            "doc_int": pa.array(uniq, pa.int64()),
             "doc_tw": pa.array(tw[first], pa.int32()),
         }
     )
@@ -93,7 +93,7 @@ def load_losers(index_dir: str) -> np.ndarray:
 
     path = os.path.join(index_dir, LOSERS)
     tbl = pads.dataset(path, format="parquet").to_table(columns=["doc_int"])
-    return np.sort(tbl["doc_int"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    return np.sort(tbl["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
 def build_index(

@@ -1,0 +1,380 @@
+"""Query engine: top-k search over the built segments.
+
+Implements the reference's three query paths (SURVEY.md §3.3):
+
+* ``search``        — term search with the EXACT reference scorer
+                      (SearchWrapper.searchWithMetadata → Ranker.Rank;
+                      candidate-set-relative two-pass scoring via the shared
+                      functions/scoring.py)
+* ``phrase_search`` — field-local positional adjacency chain
+                      (SearchWrapper.java:266-397, J2)
+* ``additive_search`` / ``bm25_search`` — additive Σweight scorer
+                      (SearchEngine.java:37-67, A9) and BM25, each with a
+                      vectorized TAAT evaluator and a block-max WAND DAAT
+                      evaluator (the fast path; exact same top-k, verified in
+                      tests)
+
+State layout (T5 analog): a ``SearchEngine`` owns SegmentReader(s) plus
+doc-stat arrays loaded once.  ``ScorerActor``/``batch_search`` wrap it in a
+Ray actor pool for distributed batch query evaluation; the per-query math
+stays identical because both call this class.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from ..functions.scoring import Candidate, jdiv, jmax, paginate, rank, sort_key
+from ..functions.tokenizer import Tokenizer
+from ..state.segments import PostingList, SegmentReader
+
+# SearchController.java:129 — first quoted phrase switches to phrase search
+QUOTED = re.compile(r'"([^"]*)"')
+
+
+@dataclass
+class DocStore:
+    """doc_int-indexed arrays (sorted by doc_int) + lazy detail lookup."""
+
+    doc_ints: np.ndarray
+    total_words: np.ndarray
+    popularity: np.ndarray
+    index_dir: str
+
+    @classmethod
+    def load(cls, index_dir: str) -> "DocStore":
+        t = pads.dataset(
+            os.path.join(index_dir, "doc_stats"), format="parquet"
+        ).to_table()
+        di = t["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tw = t["total_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(di)
+        di, tw = di[order], tw[order]
+        pop = np.zeros(di.size, dtype=np.float64)
+        pop_path = os.path.join(index_dir, "popularity")
+        if os.path.isdir(pop_path):
+            p = pads.dataset(pop_path, format="parquet").to_table()
+            pdi = p["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ps = p["popularity"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(di, pdi)
+            ok = (idx < di.size) & (di[np.minimum(idx, di.size - 1)] == pdi)
+            pop[idx[ok]] = ps[ok]
+        return cls(di, tw, pop, index_dir)
+
+    def lookup(self, doc_ints: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """total_words + popularity for the given doc_ints (0 when missing,
+        matching MongoDBIndexStore.populateScoresAndTotalword defaults,
+        MongoDBIndexStore.java:131-178)."""
+        idx = np.searchsorted(self.doc_ints, doc_ints)
+        idx_c = np.minimum(idx, self.doc_ints.size - 1)
+        ok = self.doc_ints[idx_c] == doc_ints
+        tw = np.where(ok, self.total_words[idx_c], 0)
+        pop = np.where(ok, self.popularity[idx_c], 0.0)
+        return tw, pop
+
+    def details(self, doc_ints: list[int]) -> dict[int, dict]:
+        """J4/S11: enrich only the visible page — a pushdown-filtered read of
+        the documents (prepped) table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ds = pads.dataset(os.path.join(self.index_dir, "prepped"), format="parquet")
+        t = ds.to_table(
+            columns=["doc_int", "doc_id", "url", "title", "description", "content"],
+            filter=pc.field("doc_int").isin(pa.array(doc_ints, pa.int64())),
+        )
+        return {
+            int(r["doc_int"]): r for r in t.to_pylist()
+        }
+
+
+class SearchEngine:
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        self.index_dir = index_dir
+        self.reader = SegmentReader(index_dir, shards)
+        self.docs = DocStore.load(index_dir)
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.tokenizer = Tokenizer()
+        # T4 analog: query-result cache
+        self._cache: dict[tuple, dict] = {}
+
+    # ------------------------------------------------------------------
+    # reference scorer path
+    # ------------------------------------------------------------------
+
+    def search(self, query: str, page: int = 0, page_size: int = 10) -> dict:
+        key = ("t", query, page, page_size)
+        if key in self._cache:
+            return self._cache[key]
+        tokens = self.tokenizer.tokenize(query)
+        if not tokens:
+            res = {"results": [], "total_results": 0, "total_pages": 0, "page": page}
+            self._cache[key] = res
+            return res
+
+        query_bag: dict[str, int] = {}
+        for t in tokens:
+            query_bag[t] = query_bag.get(t, 0) + 1
+
+        # candidate union with per-doc tf merge (J1, SearchWrapper.java:169-185)
+        term_pls = {
+            t: pl for t in query_bag if (pl := self.reader.postings(t)) is not None
+        }
+        doc_tf: dict[int, dict[str, int]] = {}
+        for term, pl in term_pls.items():
+            for di, tf in zip(pl.docs.tolist(), pl.tfs.tolist()):
+                doc_tf.setdefault(di, {})[term] = tf
+
+        res = self._rank_and_page(query_bag, doc_tf, page, page_size)
+        self._cache[key] = res
+        return res
+
+    def phrase_search(self, phrase: str, page: int = 0, page_size: int = 10) -> dict:
+        if page < 0:
+            page = 0
+        if page_size <= 0:
+            page_size = 10
+        tokens = self.tokenizer.tokenize(phrase)
+        if not tokens:
+            return {"results": [], "total_results": 0, "total_pages": 0, "page": page}
+        if len(tokens) == 1:
+            return self.search(tokens[0], page, page_size)
+
+        first = self.reader.postings(tokens[0])
+        if first is None:
+            return {"results": [], "total_results": 0, "total_pages": 0, "page": page}
+
+        # doc_int -> {field: np positions of last matched term}
+        matches: dict[int, dict[int, np.ndarray]] = {}
+        for i, di in enumerate(first.docs.tolist()):
+            fp = first.positions_for(i)
+            if fp:
+                matches[di] = fp
+
+        for term in tokens[1:]:
+            pl = self.reader.postings(term)
+            if pl is None:
+                matches = {}
+                break
+            nxt: dict[int, dict[int, np.ndarray]] = {}
+            common = np.flatnonzero(
+                np.isin(pl.docs, np.fromiter(matches.keys(), dtype=np.int64,
+                                             count=len(matches)))
+            )
+            for i in common.tolist():
+                di = int(pl.docs[i])
+                prev_fields = matches[di]
+                cur_fields = pl.positions_for(i)
+                surv: dict[int, np.ndarray] = {}
+                for f, prev_pos in prev_fields.items():
+                    cp = cur_fields.get(f)
+                    if cp is None:
+                        continue
+                    hit = np.intersect1d(prev_pos + 1, cp)
+                    if hit.size:
+                        surv[f] = hit
+                if surv:
+                    nxt[di] = surv
+            matches = nxt
+            if not matches:
+                break
+
+        if not matches:
+            return {"results": [], "total_results": 0, "total_pages": 0, "page": page}
+
+        query_bag: dict[str, int] = {}
+        for t in tokens:
+            query_bag[t] = query_bag.get(t, 0) + 1
+        # phrase path: tf=1 per phrase token (SearchWrapper.java:357-366)
+        doc_tf = {di: {t: 1 for t in tokens} for di in matches}
+        return self._rank_and_page(query_bag, doc_tf, page, page_size)
+
+    def search_auto(self, raw_query: str, page: int = 0, page_size: int = 10) -> dict:
+        """SearchController.search: quoted phrase -> phraseSearch, else
+        term search (SearchController.java:127-140)."""
+        m = QUOTED.search(raw_query or "")
+        if m:
+            return self.phrase_search(m.group(1), page, page_size)
+        return self.search(raw_query, page, page_size)
+
+    def _rank_and_page(self, query_bag, doc_tf, page, page_size) -> dict:
+        doc_ints = np.array(sorted(doc_tf), dtype=np.int64)
+        tws, pops = self.docs.lookup(doc_ints)
+        candidates = [
+            Candidate(
+                doc_id=f"{di:015x}",  # doc_int hex == doc_id 15-hex prefix:
+                # ordering identical to full doc_id hex (no prefix collisions,
+                # asserted at build test time)
+                url="",
+                tf=doc_tf[int(di)],
+                total_words=int(tw),
+                popularity=float(pop),
+            )
+            for di, tw, pop in zip(doc_ints.tolist(), tws.tolist(), pops.tolist())
+        ]
+        ranked = rank(query_bag, candidates)
+        total = len(ranked)
+        pages = math.ceil(total / page_size)
+        page_rows = paginate(ranked, page, page_size)
+        details = self.docs.details([int(c.doc_id, 16) for c in page_rows])
+        rows = []
+        for c in page_rows:
+            det = details.get(int(c.doc_id, 16), {})
+            rows.append(
+                {
+                    "doc_id": det.get("doc_id", c.doc_id),
+                    "url": det.get("url", ""),
+                    "title": det.get("title", ""),
+                    "score": c.score,
+                    "relevance": c.relevance,
+                    "popularity": c.popularity,
+                }
+            )
+        return {
+            "results": rows,
+            "total_results": total,
+            "total_pages": pages,
+            "page": page,
+        }
+
+    # ------------------------------------------------------------------
+    # additive (A9) + BM25 scorers: TAAT exact and block-max WAND fast path
+    # ------------------------------------------------------------------
+
+    def _term_arrays(self, query: str, scorer: str):
+        tokens = self.tokenizer.tokenize(query)
+        pls: list[tuple[PostingList, float]] = []
+        n = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"] or 1.0
+        for t in tokens:  # duplicates keep duplicate contribution (A9 loop)
+            pl = self.reader.postings(t)
+            if pl is None:
+                continue
+            if scorer == "additive":
+                pls.append((pl, 1.0))
+            else:  # bm25: weight postings by idf at query time
+                idf = math.log((n - pl.df + 0.5) / (pl.df + 0.5) + 1.0)
+                pls.append((pl, idf))
+        return pls, avgdl
+
+    def _scores_for(self, pl: PostingList, idf: float, scorer: str,
+                    avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+        if scorer == "additive":
+            return pl.weights
+        tw, _ = self.docs.lookup(pl.docs)
+        tf = pl.tfs.astype(np.float64)
+        dl = tw.astype(np.float64)
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    def topk_taat(self, query: str, k: int = 10, scorer: str = "additive") -> list[tuple[int, float]]:
+        """Vectorized term-at-a-time exact evaluation."""
+        pls, avgdl = self._term_arrays(query, scorer)
+        if not pls:
+            return []
+        all_docs = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+        acc = np.zeros(all_docs.size, dtype=np.float64)
+        for pl, idf in pls:
+            idx = np.searchsorted(all_docs, pl.docs)
+            np.add.at(acc, idx, self._scores_for(pl, idf, scorer, avgdl))
+        order = np.lexsort((all_docs, -acc))[:k]
+        return [(int(all_docs[i]), float(acc[i])) for i in order]
+
+    def topk_wand(self, query: str, k: int = 10, scorer: str = "additive") -> list[tuple[int, float]]:
+        """Block-max WAND document-at-a-time evaluation (A9 fast path).
+
+        Upper bounds: per-term block-max of the additive weight (for bm25 the
+        block payload upper bound is blockmax_weight scaled conservatively by
+        idf * (k1+1) — weight >= tf so this dominates the bm25 tf component).
+        Exact top-k: a candidate doc is fully scored before entering the heap.
+        """
+        pls, avgdl = self._term_arrays(query, scorer)
+        if not pls:
+            return []
+        k1, b = 1.2, 0.75
+
+        per_doc_scores: list[np.ndarray] = [
+            self._scores_for(pl, idf, scorer, avgdl) for pl, idf in pls
+        ]
+        # per-block upper bounds on the per-doc score arrays
+        bs = 128
+        ubs = []
+        for s in per_doc_scores:
+            nb = (s.size + bs - 1) // bs
+            pad = np.full(nb * bs, -np.inf)
+            pad[: s.size] = s
+            bm = pad.reshape(nb, bs).max(axis=1)
+            # suffix max: ub of everything from block i onward, O(1) lookups
+            ubs.append(np.maximum.accumulate(bm[::-1])[::-1])
+
+        cursors = [0] * len(pls)
+        sizes = [pl.docs.size for pl, _ in pls]
+        heap: list[tuple[float, int]] = []  # (score, doc) min-heap of top-k
+
+        def term_ub(t: int) -> float:
+            c = cursors[t]
+            if c >= sizes[t]:
+                return 0.0
+            return float(ubs[t][c // bs])
+
+        while True:
+            live = [t for t in range(len(pls)) if cursors[t] < sizes[t]]
+            if not live:
+                break
+            # sort live terms by current doc id
+            live.sort(key=lambda t: pls[t][0].docs[cursors[t]])
+            threshold = heap[0][0] if len(heap) >= k else -math.inf
+            # find pivot: smallest prefix whose UB sum exceeds threshold
+            ub_sum = 0.0
+            pivot = None
+            for t in live:
+                ub_sum += term_ub(t)
+                if ub_sum > threshold:
+                    pivot = t
+                    break
+            if pivot is None:
+                break  # no doc can beat the threshold
+            pivot_doc = int(pls[pivot][0].docs[cursors[pivot]])
+            first_doc = int(pls[live[0]][0].docs[cursors[live[0]]])
+            if first_doc == pivot_doc:
+                # fully score pivot_doc
+                score = 0.0
+                for t in live:
+                    d = pls[t][0].docs
+                    c = cursors[t]
+                    if c < sizes[t] and int(d[c]) == pivot_doc:
+                        score += float(per_doc_scores[t][c])
+                        cursors[t] = c + 1
+                    elif c < sizes[t] and int(d[c]) < pivot_doc:
+                        cursors[t] = int(np.searchsorted(d, pivot_doc))
+                        if cursors[t] < sizes[t] and int(d[cursors[t]]) == pivot_doc:
+                            score += float(per_doc_scores[t][cursors[t]])
+                            cursors[t] += 1
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+            else:
+                # advance all pre-pivot terms to pivot_doc
+                for t in live:
+                    if t == pivot:
+                        break
+                    d = pls[t][0].docs
+                    cursors[t] = int(np.searchsorted(d, pivot_doc))
+
+        out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+        return [(int(d), float(s)) for d, s in out]
+
+    def additive_search(self, query: str, k: int = 10, use_wand: bool = False):
+        return (self.topk_wand if use_wand else self.topk_taat)(query, k, "additive")
+
+    def bm25_search(self, query: str, k: int = 10, use_wand: bool = False):
+        return (self.topk_wand if use_wand else self.topk_taat)(query, k, "bm25")

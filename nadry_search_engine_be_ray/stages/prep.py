@@ -33,8 +33,13 @@ def prep_batch(batch: pa.Table) -> pa.Table:
     n = len(repo)
     urls = [f"{repo[i]}/{path[i]}@{commit[i]}" for i in range(n)]
     doc_ids = [hashlib.sha256(u.encode()).hexdigest() for u in urls]
+    # 60-bit doc key: int64-safe in Arrow/Ray shuffles (uint64 group keys
+    # corrupt in Ray's sort-based groupby) and monotone in doc_id hex order
+    # (the declared tiebreak).  Production note: 10^12-file scale should use
+    # a 128-bit (hi, lo) pair; collision odds at 60 bits are ~1e-7 per 10^6
+    # docs and the build asserts uniqueness (SURVEY.md §4.2 ordering).
     doc_ints = np.array(
-        [int(d[:16], 16) for d in doc_ids], dtype=np.uint64
+        [int(d[:15], 16) for d in doc_ids], dtype=np.int64
     )
     content_sha = [
         hashlib.sha256((c or "").encode()).hexdigest() for c in content
@@ -48,7 +53,7 @@ def prep_batch(batch: pa.Table) -> pa.Table:
 
     return batch.append_column("url", pa.array(urls, pa.string())) \
         .append_column("doc_id", pa.array(doc_ids, pa.string())) \
-        .append_column("doc_int", pa.array(doc_ints, pa.uint64())) \
+        .append_column("doc_int", pa.array(doc_ints, pa.int64())) \
         .append_column("content_sha256", pa.array(content_sha, pa.string())) \
         .append_column("title", pa.array(titles, pa.string())) \
         .append_column("description", pa.array(descriptions, pa.string()))
@@ -60,17 +65,17 @@ def losers_from_group(group: pa.Table) -> pa.Table:
     the reference keeps first-crawled, which is timing-dependent; we declare
     min-doc_id order)."""
     if group.num_rows <= 1:
-        return pa.table({"doc_int": pa.array([], pa.uint64())})
+        return pa.table({"doc_int": pa.array([], pa.int64())})
     ints = group["doc_int"].to_numpy(zero_copy_only=False)
     keep = ints.min()
-    return pa.table({"doc_int": pa.array(ints[ints != keep], pa.uint64())})
+    return pa.table({"doc_int": pa.array(ints[ints != keep], pa.int64())})
 
 
 def make_loser_filter(loser_doc_ints: np.ndarray):
     """Vectorized anti-join filter: drop rows whose doc_int is a known
     duplicate loser.  ``loser_doc_ints`` must be sorted; it is broadcast via
     ``ray.put`` once and shared zero-copy by every task."""
-    losers = np.sort(np.asarray(loser_doc_ints, dtype=np.uint64))
+    losers = np.sort(np.asarray(loser_doc_ints, dtype=np.int64))
 
     def _filter(batch: pa.Table) -> pa.Table:
         if losers.size == 0:

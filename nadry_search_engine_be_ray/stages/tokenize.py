@@ -30,7 +30,7 @@ from ..stages.fieldsplit import FIELD_BODY, FIELD_DESCRIPTION, FIELD_TITLE, FIEL
 POSTING_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
-        ("doc_int", pa.uint64()),
+        ("doc_int", pa.int64()),
         ("field", pa.int8()),
         ("positions", pa.list_(pa.int32())),
         ("tf", pa.int32()),
@@ -47,7 +47,7 @@ def term_shard(term: str, num_shards: int) -> int:
 
 
 def doc_salt(doc_int: int, salt_bits: int) -> int:
-    return (int(doc_int) >> (64 - salt_bits)) if salt_bits else 0
+    return (int(doc_int) >> (60 - salt_bits)) if salt_bits else 0
 
 
 class TokenizeBatch:
@@ -110,7 +110,7 @@ class TokenizeBatch:
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
-                "doc_int": pa.array(doc_ints, pa.uint64()),
+                "doc_int": pa.array(doc_ints, pa.int64()),
                 "field": pa.array(fields, pa.int8()),
                 "positions": pa.array(positions, pa.list_(pa.int32())),
                 "tf": pa.array(tfs, pa.int32()),

@@ -28,7 +28,7 @@ from ..stages.tokenize import term_shard
 @dataclass
 class PostingList:
     term: str
-    docs: np.ndarray        # sorted uint64 doc_ints
+    docs: np.ndarray        # sorted int64 doc_ints (60-bit)
     tfs: np.ndarray         # int64 per-doc total tf
     weights: np.ndarray     # float64 per-doc accumulated field weight
     block_max: np.ndarray   # float64 per-block max weight
@@ -94,7 +94,7 @@ class SegmentReader:
         shift = 0
         for ti, row, _salt in rows:
             t = self._tables[ti]
-            docs_parts.append(codec.decode_sorted_deltas(t["docs"][row].as_py()))
+            docs_parts.append(codec.decode_sorted_deltas(t["docs"][row].as_py()).astype(np.int64))
             tf_parts.append(
                 codec.decode_varints(t["tfs"][row].as_py()).astype(np.int64)
             )

@@ -22,7 +22,7 @@ def reader(built_index):
 
 
 def _oracle_doc_int(doc_id_hex: str) -> int:
-    return int(doc_id_hex[:16], 16)
+    return int(doc_id_hex[:15], 16)
 
 
 def test_doc_counts_match(reader, oracle_index):

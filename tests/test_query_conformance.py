@@ -1,0 +1,79 @@
+"""Query-path conformance: distributed engine vs single-process oracle on the
+reference query set (FIXTURES.md §2) — rank-identical doc ids and
+bit-identical scores (the engine and oracle share functions/scoring.py, so
+any difference would come from the distributed candidate machinery)."""
+
+import math
+
+import pytest
+
+from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    return SearchEngine(built_index)
+
+
+def _assert_same_results(got: dict, exp: dict):
+    assert got["total_results"] == exp["total_results"]
+    assert got["total_pages"] == exp["total_pages"]
+    g_rows, e_rows = got["results"], exp["results"]
+    assert len(g_rows) == len(e_rows)
+    for g, e in zip(g_rows, e_rows):
+        assert g["doc_id"] == e["doc_id"]
+        for col in ("score", "relevance", "popularity"):
+            if math.isnan(e[col]):
+                assert math.isnan(g[col])
+            else:
+                assert g[col] == e[col], (col, g, e)
+
+
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: f"q{q['query_id']}")
+def test_reference_query_set(engine, oracle_index, q):
+    raw, page, size = q["query"], q["page"], q["page_size"]
+    if raw.startswith('"'):
+        phrase = raw.strip('"')
+        got = engine.phrase_search(phrase, page, size)
+        exp = oracle_index.phrase_search(phrase, page, size)
+    else:
+        got = engine.search(raw, page, size)
+        exp = oracle_index.search(raw, page, size)
+    _assert_same_results(got, exp)
+
+
+def test_search_auto_quoted_detection(engine, oracle_index):
+    got = engine.search_auto('find "item order" now')
+    exp = oracle_index.phrase_search("item order")
+    _assert_same_results(got, exp)
+
+
+def test_additive_matches_oracle(engine, oracle_index):
+    for q in ("item order arrived", "search engine", "import", "nation"):
+        exp = [
+            (int(doc_id[:15], 16), w)
+            for doc_id, w in oracle_index.additive_search(q, k=10)
+        ]
+        got = engine.additive_search(q, k=10)
+        assert got == exp
+
+
+@pytest.mark.parametrize("scorer", ["additive", "bm25"])
+def test_wand_equals_taat(engine, scorer):
+    queries = [
+        "item order arrived", "search engine index", "import return def",
+        "nation", "zzzznotaterm", "func_7 zq11x", "university community block",
+    ]
+    for q in queries:
+        taat = engine.topk_taat(q, k=10, scorer=scorer)
+        wand = engine.topk_wand(q, k=10, scorer=scorer)
+        assert [d for d, _ in taat] == [d for d, _ in wand], q
+        for (d1, s1), (d2, s2) in zip(taat, wand):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_query_cache(engine):
+    r1 = engine.search("item order arrived")
+    r2 = engine.search("item order arrived")
+    assert r1 is r2  # T4 query-result cache
