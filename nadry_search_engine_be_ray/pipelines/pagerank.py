@@ -1,0 +1,167 @@
+"""PageRank pipeline (operator A10, nadry/ranker/PageRank.java:15-81).
+
+Replicates the AS-IMPLEMENTED reference recurrence including its quirk
+(SURVEY.md §2.5 A10): the "graph" is the incoming-links map keyed by target,
+``outLinks`` is therefore the IN-degree of the contributing page
+(PageRank.java:67), and contributors with no in-links of their own are
+skipped (PageRank.java:63-66).  A ``textbook`` mode with true out-degrees is
+available behind PageRankConfig.as_implemented=False.
+
+Structure:
+* heavy, data-parallel parts in Ray Data — url -> doc_int mapping (a pure
+  hash, no broadcast join needed), corpus semi-join (broadcast sorted
+  doc_int array; at 10^12-doc scale this becomes a Bloom filter), edge dedup
+  + in-degree groupby;
+* the rank iterations run vectorized on the driver over factorized COO edge
+  arrays, summing contributions in sorted (dst, src) url order so the
+  floating-point accumulation order matches the declared-deterministic
+  oracle transcription exactly.  At cluster scale the same recurrence is one
+  ``groupby(dst).sum`` + broadcast of the (small) rank vector per iteration;
+  the driver-side loop is the single-node instantiation of that design.
+
+Output: ``popularity/`` parquet (doc_int, url, popularity) inside the index
+dir — the immutable-rewrite analog of the per-URL score write-back (S13,
+MongoDBIndexStore.java:105-129); DocStore picks it up automatically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import PageRankConfig
+
+
+def url_doc_int_batch(batch: pa.Table) -> pa.Table:
+    """Map src/dst urls to doc_ints (same derivation as prep_batch)."""
+    out = {}
+    for col in ("src", "dst"):
+        urls = batch[col].to_pylist()
+        out[col + "_int"] = pa.array(
+            [int(hashlib.sha256(u.encode()).hexdigest()[:15], 16) for u in urls],
+            pa.int64(),
+        )
+    return pa.table({**{c: batch[c] for c in batch.column_names}, **out})
+
+
+def compute_pagerank(
+    edges_ds: "ray.data.Dataset",
+    corpus_doc_ints: np.ndarray,
+    config: PageRankConfig | None = None,
+) -> pa.Table:
+    """edges_ds: Dataset with string columns (src, dst).  Returns a table
+    (doc_int, url, popularity) over the nodes that received a rank (= targets
+    with at least one in-link, matching the reference's graph keys)."""
+    cfg = config or PageRankConfig()
+    members = np.sort(np.asarray(corpus_doc_ints, dtype=np.int64))
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        # PageRank.java:27: drop edges whose TARGET is outside the corpus
+        # (sources always come from corpus docs in the reference).
+        v = batch["dst_int"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(members, v)
+        idx[idx == members.size] = 0
+        keep = members[idx] == v
+        return batch.filter(pa.array(keep))
+
+    mapped = edges_ds.map_batches(url_doc_int_batch, batch_format="pyarrow")
+    mapped = mapped.map_batches(semi_join, batch_format="pyarrow")
+
+    # Collect the (deduped) edge list; iterations are driver-vectorized.
+    # NOTE: the reference does NOT dedup parallel edges (ArrayList append,
+    # PageRank.java:30-33) — a doc linking twice contributes twice.  Keep
+    # duplicates for parity.
+    edge_tbl = mapped.select_columns(["src", "dst", "src_int", "dst_int"]) \
+        .sort(["dst", "src"]).to_pandas()
+    if len(edge_tbl) == 0:
+        return pa.table(
+            {"doc_int": pa.array([], pa.int64()),
+             "url": pa.array([], pa.string()),
+             "popularity": pa.array([], pa.float64())}
+        )
+
+    # nodes = targets with >= 1 in-link, iterated in sorted-url order
+    dst_urls = edge_tbl["dst"].to_numpy()
+    src_urls = edge_tbl["src"].to_numpy()
+    node_urls = np.unique(dst_urls)          # sorted
+    n = node_urls.size
+    dst_idx = np.searchsorted(node_urls, dst_urls)
+    # src contributes only when it is itself a graph key (has in-links)
+    src_pos = np.searchsorted(node_urls, src_urls)
+    src_pos_c = np.minimum(src_pos, n - 1)
+    src_in_graph = node_urls[src_pos_c] == src_urls
+    src_idx = src_pos_c
+
+    indeg = np.bincount(dst_idx, minlength=n).astype(np.float64)
+
+    if cfg.as_implemented:
+        divisor = indeg  # the quirk: divide by the contributor's IN-degree
+    else:
+        # textbook: true out-degree over the semi-joined edge set
+        all_src = np.unique(src_urls)
+        outdeg_by_src = np.bincount(
+            np.searchsorted(all_src, src_urls), minlength=all_src.size
+        )
+        divisor = np.zeros(n)
+        pos = np.searchsorted(all_src, node_urls)
+        pos_c = np.minimum(pos, all_src.size - 1)
+        ok = all_src[pos_c] == node_urls
+        divisor[ok] = outdeg_by_src[pos_c][ok]
+
+    e_mask = src_in_graph
+    e_src = src_idx[e_mask]
+    e_dst = dst_idx[e_mask]
+
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(cfg.max_iter):
+        acc = np.zeros(n)
+        np.add.at(acc, e_dst, ranks[e_src] / divisor[e_src])
+        new_ranks = (1 - cfg.damping) / n + cfg.damping * acc
+        diff = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        if diff < cfg.tolerance:
+            break
+
+    node_ints = np.array(
+        [int(hashlib.sha256(u.encode()).hexdigest()[:15], 16) for u in node_urls],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            "doc_int": pa.array(node_ints, pa.int64()),
+            "url": pa.array(node_urls, pa.string()),
+            "popularity": pa.array(ranks, pa.float64()),
+        }
+    )
+
+
+def run_pagerank(
+    edges_path_or_ds,
+    index_dir: str,
+    config: PageRankConfig | None = None,
+) -> pa.Table:
+    """Full job: load edges, semi-join against the built index's documents,
+    iterate, write popularity/ into the index (S13 write-back analog)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if isinstance(edges_path_or_ds, str):
+        edges_ds = ray.data.read_parquet(edges_path_or_ds)
+    else:
+        edges_ds = edges_path_or_ds
+
+    doc_ints = (
+        pads.dataset(os.path.join(index_dir, "prepped"), format="parquet")
+        .to_table(columns=["doc_int"])["doc_int"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    result = compute_pagerank(edges_ds, doc_ints, config)
+    out_dir = os.path.join(index_dir, "popularity")
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(result, os.path.join(out_dir, "popularity.parquet"))
+    return result
