@@ -1,0 +1,92 @@
+"""Search API facade: the reference's REST response contract, minus HTTP.
+
+Mirrors GET /api/search (SearchController.java:53-120): quoted-phrase
+detection (M10), query cache (T4, inside SearchEngine), pagination (K2) and
+snippet generation (M11) over the visible page only, with the response shape
+``{success, data, totalPages, currentPage, totalResults, tokens,
+searchTimeSec}`` (SearchController.java:103-109).
+
+Deviation note (documented per SURVEY.md §2.11 policy): Java's
+``BreakIterator.getSentenceInstance`` (SearchWrapper.java:581) is
+approximated with a regex sentence splitter; the centered 240-char
+truncation and first-sentence fallback follow SearchWrapper.java:566-638.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from .query import QUOTED, SearchEngine
+
+_SENT_BOUNDARY = re.compile(r"(?<=[.!?])\s+|\n+")
+MAX_SNIPPET = 240
+
+
+def find_first_context_match(content: str, query_tokens: list[str]) -> str:
+    """SearchWrapper.findFirstContextMatch (SearchWrapper.java:566-638)."""
+    if not content or not query_tokens:
+        return "No content available or no valid search terms."
+    lower = content.lower()
+    sentences = None
+    for token in query_tokens:
+        if not token:
+            continue
+        idx = lower.find(token.lower())
+        if idx == -1:
+            continue
+        if sentences is None:
+            bounds = [0]
+            for m in _SENT_BOUNDARY.finditer(content):
+                bounds.append(m.end())
+            bounds.append(len(content))
+            sentences = bounds
+        start = max(b for b in sentences if b <= idx)
+        after = [b for b in sentences if b > idx]
+        end = after[0] if after else len(content)
+        sentence = content[start:end].strip()
+        if len(sentence) > MAX_SNIPPET:
+            tpos = sentence.lower().find(token.lower())
+            s0 = max(0, tpos - MAX_SNIPPET // 3)
+            s1 = min(len(sentence), s0 + MAX_SNIPPET)
+            prefix = "..." if s0 > 0 else ""
+            suffix = "..." if s1 < len(sentence) else ""
+            sentence = prefix + sentence[s0:s1] + suffix
+        return sentence
+    # fallback: first sentence / first 200 chars (SearchWrapper.java:617-637)
+    m = _SENT_BOUNDARY.search(content)
+    first = content[: m.end()].strip() if m else content
+    if len(first) > 200:
+        first = first[:200] + "..."
+    return first
+
+
+class SearchAPI:
+    def __init__(self, index_dir: str):
+        self.engine = SearchEngine(index_dir)
+
+    def search(self, query: str, page: int = 1, limit: int = 10) -> dict:
+        """1-based page in, 0-based internally (SearchController.java:87-91)."""
+        t0 = time.time()
+        tokens = self.engine.tokenizer.tokenize(QUOTED.sub(" ", query or ""))
+        res = self.engine.search_auto(query, max(0, page - 1), limit)
+
+        data = []
+        for r in res["results"]:
+            det = self.engine.docs.details([int(r["doc_id"][:15], 16)])
+            content = next(iter(det.values()), {}).get("content", "")
+            data.append(
+                {
+                    **r,
+                    "description": find_first_context_match(content, tokens),
+                }
+            )
+        return {
+            "success": True,
+            "data": data,
+            "totalPages": res["total_pages"],
+            "currentPage": page,
+            "totalResults": res["total_results"],
+            "tokens": tokens,
+            "searchTimeSec": round(time.time() - t0, 6),
+        }

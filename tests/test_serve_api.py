@@ -1,0 +1,64 @@
+"""Batch query actor pool + API facade tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from nadry_search_engine_be_ray.pipelines.api import SearchAPI, find_first_context_match
+from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+from nadry_search_engine_be_ray.pipelines.serve import batch_search
+from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+
+def test_batch_search_matches_single(ray_session, built_index):
+    queries = [q["query"] for q in reference_queries()[:8]]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(queries, pa.string())})
+    )
+    out = batch_search(qds, built_index, mode="reference", concurrency=2).to_pandas()
+
+    engine = SearchEngine(built_index)
+    for q in queries:
+        exp = engine.search_auto(q, 0, 10)
+        got = out[out["query"] == q].sort_values("rank")
+        assert list(got["doc_id"]) == [r["doc_id"] for r in exp["results"]]
+        if len(got):
+            assert (got["total_results"] == exp["total_results"]).all()
+
+
+def test_batch_search_bm25_mode(ray_session, built_index):
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(["item order", "search engine"], pa.string())})
+    )
+    out = batch_search(qds, built_index, mode="bm25", concurrency=1).to_pandas()
+    engine = SearchEngine(built_index)
+    for q in ("item order", "search engine"):
+        exp = engine.bm25_search(q, k=10, use_wand=False)
+        got = out[out["query"] == q].sort_values("rank")
+        assert list(got["doc_id"]) == [f"{d:015x}" for d, _ in exp]
+
+
+def test_snippet_generation():
+    content = "First sentence here. The item order arrived yesterday. Last bit."
+    snip = find_first_context_match(content, ["order"])
+    assert snip == "The item order arrived yesterday."
+    # fallback: no token match -> first sentence
+    assert find_first_context_match(content, ["zzz"]) == "First sentence here."
+    # long sentence -> centered truncation with ellipses
+    long = "word " * 100 + "needle" + " word" * 100
+    s = find_first_context_match(long, ["needle"])
+    assert "needle" in s and len(s) <= 246 and s.startswith("...")
+
+
+def test_api_response_shape(ray_session, built_index):
+    api = SearchAPI(built_index)
+    res = api.search("item order arrived", page=1, limit=5)
+    assert res["success"] is True
+    assert set(res) >= {"data", "totalPages", "currentPage", "totalResults",
+                        "tokens", "searchTimeSec"}
+    assert res["currentPage"] == 1
+    assert len(res["data"]) <= 5
+    assert all("description" in d for d in res["data"])
+    # quoted phrase path
+    res2 = api.search('"item order"', page=1, limit=5)
+    assert res2["totalResults"] >= 1
