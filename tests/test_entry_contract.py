@@ -1,0 +1,87 @@
+"""Replicates the driver's correctness harness: run each ``queries()`` entry
+and compare row-count + schema + order-insensitive values against its
+``oracle_sql()`` DuckDB equivalent on the same parquet tables."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(exp.columns), (
+        name, sorted(got.columns), sorted(exp.columns))
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == pytest.approx(b, rel=1e-9, abs=1e-12), (name, c, i, a, b)
+            else:
+                assert a == b, (name, c, i, a, b)
+
+
+SQL_CHECKED = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    q = entry_mod.queries()[name]
+    got = q(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    exp = con.execute(entry_mod.oracle_sql()[name]).df()
+    _compare(got, exp, name)
+
+
+def test_all_oracle_keys_have_queries():
+    qs = entry_mod.queries()
+    for name in entry_mod.oracle_sql():
+        assert name in qs, name
+
+
+def test_rows_only_queries_run(ray_session):
+    qs = entry_mod.queries()
+    rows_only = [k for k in qs if k not in entry_mod.oracle_sql()]
+    assert len(rows_only) >= 8
+    for name in ["search_reference", "pagerank", "minhash_lsh_pairs",
+                 "multimodal_decode"]:
+        out = qs[name](SF)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) >= 0 and len(out.columns) >= 2
+
+
+def test_entry_runs(ray_session):
+    res = entry_mod.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert {"query", "rank", "doc_id", "score"} <= set(df.columns)
