@@ -1,0 +1,186 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "query_p50_ms": ...}
+
+``--scaling`` runs the same job in two fresh processes (8 vs 32 CPUs) and
+reports both throughputs + scaling efficiency (the sandbox substitute for
+the N vs 4N node cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_corpus_docs(sf: float) -> int:
+    return max(500, int(sf * 200_000))  # sf0.1 -> 20k docs
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+    from nadry_search_engine_be_ray.pipelines.serve import batch_search
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries, write_corpus
+    from nadry_search_engine_be_ray.stages.dedup import minhash_lsh_pairs
+    from nadry_search_engine_be_ray.stages.similarity import brute_force_topk
+
+    sf = _sf()
+    n_docs = bench_corpus_docs(sf)
+    timings: dict[str, float] = {}
+
+    # --- corpus generation (untimed, cached) + page-cache warm read --------
+    corpus_dir = f"/tmp/nadry_bench/corpus_{n_docs}"
+    write_corpus(corpus_dir, n_docs=n_docs, seed=42)
+    ray.data.read_parquet(corpus_dir).count()  # warm the OS page cache
+
+    # --- index build -------------------------------------------------------
+    index_dir = tempfile.mkdtemp(prefix="nadry_bench_index_")
+    t0 = time.time()
+    build_index(corpus_dir, index_dir, BuildConfig(num_shards=16, salt_bits=2))
+    timings["index_build"] = time.time() - t0
+    docs_per_sec = n_docs / timings["index_build"]
+
+    # --- query latency (reference scorer + BM25 block-max WAND) ------------
+    engine = SearchEngine(index_dir)
+    queries = [q["query"] for q in reference_queries()]
+    lat_ref, lat_bm25 = [], []
+    for rep in range(3):
+        for q in queries:
+            t0 = time.time()
+            engine.search_auto(q + ("" if rep == 0 else f" {rep}"), 0, 10)
+            lat_ref.append(time.time() - t0)
+    plain = [q for q in queries if not q.startswith('"')]
+    for rep in range(3):
+        for q in plain:
+            t0 = time.time()
+            engine.bm25_search(q, k=10, use_wand=False)
+            lat_bm25.append(time.time() - t0)
+    timings["query_reference_total"] = sum(lat_ref)
+    timings["query_bm25_total"] = sum(lat_bm25)
+    p50_ms = statistics.median(lat_bm25) * 1000
+
+    # --- batch query throughput via the actor pool --------------------------
+    many = (plain * 20)[:200]
+    qds = ray.data.from_arrow(pa.table({"query": pa.array(many, pa.string())}))
+    t0 = time.time()
+    batch_search(qds, index_dir, mode="bm25",
+                 concurrency=min(4, max(1, NUM_CPUS // 4))).count()
+    timings["batch_queries_200"] = time.time() - t0
+
+    # --- training-data extras over the sf tables ----------------------------
+    t0 = time.time()
+    docs_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    minhash_lsh_pairs(docs_ds, threshold=0.5)
+    timings["dedup_minhash"] = time.time() - t0
+
+    t0 = time.time()
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    head = emb.to_pandas().sort_values("vec_id").head(8)
+    qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    brute_force_topk(ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), qv, k=10)
+    timings["ann_topk"] = time.time() - t0
+
+    t0 = time.time()
+    rel.q_agg_pushdown(SF_DIR)
+    rel.q_window(SF_DIR)
+    timings["relational_agg_window"] = time.time() - t0
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ray.shutdown()
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_index_build_query_and_extras_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "n_docs": n_docs,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "query_p50_ms": round(p50_ms, 3),
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Same job at 8 vs 32 CPUs in fresh processes; report efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    b8 = results[8]["queries"]["index_build"]
+    b32 = results[32]["queries"]["index_build"]
+    eff = (b8 / b32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_index_build",
+                "sec_8cpu": b8,
+                "sec_32cpu": b32,
+                "docs_per_sec_8cpu": results[8]["docs_per_sec"],
+                "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "total_sec_8cpu": results[8]["value"],
+                "total_sec_32cpu": results[32]["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

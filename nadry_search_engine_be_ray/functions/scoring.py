@@ -123,6 +123,75 @@ def rank(query_bag: dict[str, int], candidates: list[Candidate]) -> list[Candida
     return candidates
 
 
+def rank_fast(
+    query_bag: dict[str, int],
+    doc_ints,
+    total_words,
+    popularity,
+    term_postings: dict[str, tuple],
+):
+    """Vectorized ``rank()`` with IDENTICAL floating-point semantics.
+
+    Inputs: candidate ``doc_ints`` sorted ascending (the doc_id-order
+    declared tiebreak), per-candidate ``total_words`` / ``popularity``
+    aligned arrays, and per-term ``(cand_idx, tf)`` arrays (``cand_idx``
+    indexes into the candidate arrays).  Accumulation runs in sorted-term
+    order and candidate order, matching the scalar implementation's declared
+    deterministic iteration exactly — the conformance suite asserts
+    bit-identical scores between this path, the scalar path, and the oracle.
+
+    Returns (order, score, relevance, pop_norm) numpy arrays; ``order`` is
+    the Double.compare-descending ranking (NaN first, doc_int asc ties).
+    """
+    import numpy as np
+
+    n = int(len(doc_ints))
+    if n == 0:
+        return (np.empty(0, np.int64),) * 4
+    doc_ints = np.asarray(doc_ints)
+    tw = np.asarray(total_words, dtype=np.float64)
+    pop = np.asarray(popularity, dtype=np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # NormlizePopularityScore: x / max(0, max(pop)) with IEEE semantics
+        max_pop = jmax(0.0, float(np.max(pop)) if not np.isnan(pop).any() else math.nan)
+        pop_norm = pop / max_pop if max_pop != 0.0 else np.array(
+            [jdiv(p, max_pop) for p in pop.tolist()]
+        )
+
+        query_length = float(sum(query_bag.values()))
+        rel = np.zeros(n, dtype=np.float64)
+        for term in sorted(query_bag):
+            entry = term_postings.get(term)
+            if entry is None:
+                continue
+            idx, tf = entry
+            idx = np.asarray(idx, dtype=np.int64)
+            tf = np.asarray(tf, dtype=np.float64)
+            df = idx.size  # df over candidates (every posting doc IS a candidate)
+            idf = math.log10(n / (1 + df))
+            q_t = (query_bag[term] / query_length) * idf
+            d_t = (tf / tw[idx]) * idf
+            rel[idx] += q_t * d_t
+
+        # maxScore: Math.max chain from 0.0, NaN-poisoning
+        if np.isnan(rel).any():
+            max_score = math.nan
+        else:
+            max_score = jmax(0.0, float(rel.max()))
+        if max_score != 0.0:
+            scores_rel = rel / max_score
+        else:
+            scores_rel = np.array([jdiv(r, max_score) for r in rel.tolist()])
+
+        score = scores_rel * 0.7 + pop_norm * 0.3
+
+    nan_flag = np.where(np.isnan(score), 0, 1)
+    neg = np.where(np.isnan(score), 0.0, -score)
+    order = np.lexsort((doc_ints, neg, nan_flag))
+    return order, score, scores_rel, pop_norm
+
+
 def sort_key(score: float, doc_id: str):
     """Double.compare-descending key: NaN first, then score desc, doc_id asc."""
     if math.isnan(score):

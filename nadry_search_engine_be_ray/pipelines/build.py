@@ -41,11 +41,11 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import BuildConfig
-from ..stages.encode import encode_part_group, merge_term_runs
-from ..stages.prep import losers_from_group, make_loser_filter, prep_batch
+from ..stages.encode import encode_part_group, merge_shard_runs
+from ..stages.prep import make_loser_filter, prep_batch
 from ..stages.tokenize import TokenizeBatch
 
 PREPPED = "prepped"
@@ -136,10 +136,36 @@ def build_index(
         ds = ray.data.read_parquet(
             prepped_dir, columns=["content_sha256", "doc_int"]
         )
-        losers = ds.groupby("content_sha256").map_groups(
-            losers_from_group, batch_format="pyarrow"
+        # vectorized keep-min-per-sha: aggregate (Min, Count) shuffles only
+        # (sha, doc_int) pairs through C kernels; only DUPLICATED shas (a
+        # small set at sane dup rates) come back to the driver and are
+        # broadcast for the loser scan — no per-group Python calls.
+        agg = ds.groupby("content_sha256").aggregate(
+            Min("doc_int", alias_name="winner"),
+            Count(alias_name="n_copies"),
         )
-        losers.write_parquet(losers_dir)
+
+        def only_dups(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater(batch["n_copies"], pa.scalar(1)))
+
+        dup_tbl = agg.map_batches(only_dups, batch_format="pyarrow").to_pandas()
+        winners = dict(zip(dup_tbl["content_sha256"], dup_tbl["winner"]))
+        winners_ref = ray.put(winners)
+
+        def mark_losers(batch: pa.Table) -> pa.Table:
+            w = ray.get(winners_ref)
+            shas = batch["content_sha256"].to_pylist()
+            ints = batch["doc_int"].to_numpy(zero_copy_only=False)
+            keep = [
+                int(ints[i])
+                for i, s in enumerate(shas)
+                if s in w and int(ints[i]) != w[s]
+            ]
+            return pa.table({"doc_int": pa.array(keep, pa.int64())})
+
+        ds.map_batches(mark_losers, batch_format="pyarrow").write_parquet(losers_dir)
         _mark_done(losers_dir)
         n_losers = int(
             ray.data.read_parquet(losers_dir, columns=["doc_int"]).count()
@@ -205,8 +231,8 @@ def build_index(
         t0 = time.time()
         ds = ray.data.read_parquet(segments_dir)
         ds = ds.map_batches(_normalize_shard, batch_format="pyarrow")
-        merged = ds.groupby(["shard", "term"]).map_groups(
-            partial(merge_term_runs, block_size=cfg.block_size),
+        merged = ds.groupby("shard").map_groups(
+            partial(merge_shard_runs, block_size=cfg.block_size),
             batch_format="pyarrow",
         )
         merged.write_parquet(merged_dir, partition_cols=["shard"])

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow.dataset as pads
 
-from ..functions.scoring import Candidate, jdiv, jmax, paginate, rank, sort_key
+from ..functions.scoring import paginate, rank_fast
 from ..functions.tokenizer import Tokenizer
 from ..state.segments import PostingList, SegmentReader
 
@@ -129,12 +129,16 @@ class SearchEngine:
         term_pls = {
             t: pl for t in query_bag if (pl := self.reader.postings(t)) is not None
         }
-        doc_tf: dict[int, dict[str, int]] = {}
-        for term, pl in term_pls.items():
-            for di, tf in zip(pl.docs.tolist(), pl.tfs.tolist()):
-                doc_tf.setdefault(di, {})[term] = tf
-
-        res = self._rank_and_page(query_bag, doc_tf, page, page_size)
+        if not term_pls:
+            res = {"results": [], "total_results": 0, "total_pages": 0, "page": page}
+            self._cache[key] = res
+            return res
+        all_docs = np.unique(np.concatenate([pl.docs for pl in term_pls.values()]))
+        term_postings = {
+            t: (np.searchsorted(all_docs, pl.docs), pl.tfs)
+            for t, pl in term_pls.items()
+        }
+        res = self._rank_and_page(query_bag, all_docs, term_postings, page, page_size)
         self._cache[key] = res
         return res
 
@@ -195,8 +199,11 @@ class SearchEngine:
         for t in tokens:
             query_bag[t] = query_bag.get(t, 0) + 1
         # phrase path: tf=1 per phrase token (SearchWrapper.java:357-366)
-        doc_tf = {di: {t: 1 for t in tokens} for di in matches}
-        return self._rank_and_page(query_bag, doc_tf, page, page_size)
+        all_docs = np.array(sorted(matches), dtype=np.int64)
+        idx = np.arange(all_docs.size)
+        ones = np.ones(all_docs.size, dtype=np.int64)
+        term_postings = {t: (idx, ones) for t in query_bag}
+        return self._rank_and_page(query_bag, all_docs, term_postings, page, page_size)
 
     def search_auto(self, raw_query: str, page: int = 0, page_size: int = 10) -> dict:
         """SearchController.search: quoted phrase -> phraseSearch, else
@@ -206,37 +213,31 @@ class SearchEngine:
             return self.phrase_search(m.group(1), page, page_size)
         return self.search(raw_query, page, page_size)
 
-    def _rank_and_page(self, query_bag, doc_tf, page, page_size) -> dict:
-        doc_ints = np.array(sorted(doc_tf), dtype=np.int64)
+    def _rank_and_page(self, query_bag, doc_ints, term_postings, page, page_size) -> dict:
+        """Vectorized reference ranking (rank_fast: bit-identical FP order to
+        the scalar rank()/oracle — candidates sorted by doc_int, whose order
+        equals the doc_id-hex tiebreak; no prefix collisions, asserted at
+        build test time)."""
         tws, pops = self.docs.lookup(doc_ints)
-        candidates = [
-            Candidate(
-                doc_id=f"{di:015x}",  # doc_int hex == doc_id 15-hex prefix:
-                # ordering identical to full doc_id hex (no prefix collisions,
-                # asserted at build test time)
-                url="",
-                tf=doc_tf[int(di)],
-                total_words=int(tw),
-                popularity=float(pop),
-            )
-            for di, tw, pop in zip(doc_ints.tolist(), tws.tolist(), pops.tolist())
-        ]
-        ranked = rank(query_bag, candidates)
-        total = len(ranked)
+        order, score, rel, pop_norm = rank_fast(
+            query_bag, doc_ints, tws, pops, term_postings
+        )
+        total = int(doc_ints.size)
         pages = math.ceil(total / page_size)
-        page_rows = paginate(ranked, page, page_size)
-        details = self.docs.details([int(c.doc_id, 16) for c in page_rows])
+        page_idx = paginate(order.tolist(), page, page_size)
+        details = self.docs.details([int(doc_ints[i]) for i in page_idx])
         rows = []
-        for c in page_rows:
-            det = details.get(int(c.doc_id, 16), {})
+        for i in page_idx:
+            di = int(doc_ints[i])
+            det = details.get(di, {})
             rows.append(
                 {
-                    "doc_id": det.get("doc_id", c.doc_id),
+                    "doc_id": det.get("doc_id", f"{di:015x}"),
                     "url": det.get("url", ""),
                     "title": det.get("title", ""),
-                    "score": c.score,
-                    "relevance": c.relevance,
-                    "popularity": c.popularity,
+                    "score": float(score[i]),
+                    "relevance": float(rel[i]),
+                    "popularity": float(pop_norm[i]),
                 }
             )
         return {

@@ -42,11 +42,14 @@ class QueryEvalActor:
                 rows = [(r["doc_id"], r["score"]) for r in res["results"]]
                 total = res["total_results"]
             elif self.mode == "bm25":
-                hits = self.engine.bm25_search(q, k=int(s), use_wand=True)
+                # TAAT is the fast path at in-memory posting sizes; WAND wins
+                # when lists are disk-resident/huge (kept for that regime and
+                # verified equal in tests)
+                hits = self.engine.bm25_search(q, k=int(s), use_wand=False)
                 rows = [(f"{d:015x}", sc) for d, sc in hits]
                 total = len(rows)
             else:  # additive
-                hits = self.engine.additive_search(q, k=int(s), use_wand=True)
+                hits = self.engine.additive_search(q, k=int(s), use_wand=False)
                 rows = [(f"{d:015x}", sc) for d, sc in hits]
                 total = len(rows)
             for rank_i, (doc, score) in enumerate(rows):

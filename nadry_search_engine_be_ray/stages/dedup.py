@@ -169,9 +169,16 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
         candidate_pairs_from_buckets, batch_format="pyarrow"
     )
     pair_tbl = pairs.to_pandas().drop_duplicates(["a", "b"])
+    if len(pair_tbl) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
 
     need = sorted(set(pair_tbl["a"]) | set(pair_tbl["b"]))
-    texts = {}
     import ray
 
     need_ref = ray.put(set(need))
@@ -179,7 +186,7 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
     def collect(batch: pa.Table) -> pa.Table:
         want = ray.get(need_ref)
         keep = [i for i, d in enumerate(batch[id_col].to_pylist()) if d in want]
-        return batch.take(pa.array(keep)).select([id_col, text_col])
+        return batch.take(pa.array(keep, pa.int64())).select([id_col, text_col])
 
     got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
     texts = dict(zip(got[id_col], got[text_col]))

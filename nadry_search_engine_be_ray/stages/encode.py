@@ -143,47 +143,102 @@ def encode_part_group(group: pa.Table, cfg: BuildConfig | None = None) -> pa.Tab
     return EncodePartGroup(cfg)(group)
 
 
-def merge_term_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.Table:
-    """Compaction ``map_groups`` callable for ``groupby(["shard","term"])``:
-    merge a term's salted runs into one row.
-
-    Runs hold disjoint ascending doc_int ranges ordered by salt, so the merge
-    is a streaming concatenation: tfs / weights / positions payloads
-    concatenate byte-wise (varint and f64 are per-value codes and position
-    sub-streams are per-doc); only the doc-gap stream is re-encoded across
-    the run boundary, and block_max is recomputed over the merged weights.
-    """
-    if group.num_rows <= 1:
-        return group
-    g = group.sort_by([("salt", "ascending")])
-    docs = np.concatenate(
-        [codec.decode_sorted_deltas(b.as_py()) for b in g["docs"]]
-    )
-    weights = np.concatenate([codec.decode_f64(b.as_py()) for b in g["weights"]])
-    tf_bufs = b"".join(b.as_py() for b in g["tfs"])
-    pos_bufs = b"".join(b.as_py() for b in g["positions"])
+def _merge_runs(
+    docs_bufs: list[bytes],
+    tfs_bufs: list[bytes],
+    w_bufs: list[bytes],
+    pos_bufs: list[bytes],
+    off_bufs: list[bytes],
+    block_size: int,
+) -> tuple[bytes, bytes, bytes, bytes, bytes, bytes, int]:
+    """Streaming merge of salt-ordered runs (disjoint ascending doc ranges):
+    tfs / weights / positions payloads concatenate byte-wise (varint and f64
+    are per-value codes; position sub-streams are per-doc); only the doc-gap
+    stream is re-encoded across run boundaries; block_max recomputes over the
+    merged weights."""
+    docs = np.concatenate([codec.decode_sorted_deltas(b) for b in docs_bufs])
+    weights = np.concatenate([codec.decode_f64(b) for b in w_bufs])
     offs = []
     shift = 0
-    for i in range(g.num_rows):
-        o = np.frombuffer(g["pos_offsets"][i].as_py(), dtype="<i8")
+    for i, ob in enumerate(off_bufs):
+        o = np.frombuffer(ob, dtype="<i8")
         offs.append((o[1:] if i else o) + shift)
         shift += int(o[-1])
-    pos_off = np.concatenate(offs)
+    return (
+        codec.encode_sorted_deltas(docs),
+        b"".join(tfs_bufs),
+        codec.encode_f64(weights),
+        codec.encode_f64(codec.block_max(weights, block_size)),
+        b"".join(pos_bufs),
+        np.concatenate(offs).astype("<i8").tobytes(),
+        int(docs.size),
+    )
 
+
+def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.Table:
+    """Compaction ``map_groups`` callable for ``groupby("shard")``: merge each
+    term's salted runs into one row, for every term of the shard in one
+    vectorized task (grouping per shard, not per term, keeps the task count
+    at num_shards instead of num_terms — the per-term merge itself is cheap
+    byte concatenation, see :func:`_merge_runs`)."""
+    g = group.sort_by([("term", "ascending"), ("salt", "ascending")])
+    terms = g["term"].to_numpy(zero_copy_only=False)
+    n = len(terms)
+    if n == 0:
+        return _empty_segment_table()
+    new_term = np.ones(n, dtype=bool)
+    new_term[1:] = terms[1:] != terms[:-1]
+    starts = np.flatnonzero(new_term)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+
+    shard = int(g["shard"][0].as_py())
+    docs_c = g["docs"].to_pylist()
+    tfs_c = g["tfs"].to_pylist()
+    w_c = g["weights"].to_pylist()
+    bm_c = g["block_max"].to_pylist()
+    pos_c = g["positions"].to_pylist()
+    off_c = g["pos_offsets"].to_pylist()
+    df_c = g["df"].to_pylist()
+
+    out = {k: [] for k in ("term", "df", "docs", "tfs", "weights",
+                           "block_max", "positions", "pos_offsets")}
+    for s, e in zip(starts, ends):
+        out["term"].append(str(terms[s]))
+        if e - s == 1:
+            out["df"].append(int(df_c[s]))
+            out["docs"].append(docs_c[s])
+            out["tfs"].append(tfs_c[s])
+            out["weights"].append(w_c[s])
+            out["block_max"].append(bm_c[s])
+            out["positions"].append(pos_c[s])
+            out["pos_offsets"].append(off_c[s])
+        else:
+            d, t, w, bm, p, o, df = _merge_runs(
+                docs_c[s:e], tfs_c[s:e], w_c[s:e], pos_c[s:e], off_c[s:e],
+                block_size,
+            )
+            out["df"].append(df)
+            out["docs"].append(d)
+            out["tfs"].append(t)
+            out["weights"].append(w)
+            out["block_max"].append(bm)
+            out["positions"].append(p)
+            out["pos_offsets"].append(o)
+
+    nrows = len(out["term"])
     return pa.table(
         {
-            "shard": g["shard"].slice(0, 1),
-            "salt": pa.array([-1], pa.int32()),  # merged marker
-            "term": g["term"].slice(0, 1),
-            "df": pa.array([int(docs.size)], pa.int64()),
-            "docs": pa.array([codec.encode_sorted_deltas(docs)], pa.binary()),
-            "tfs": pa.array([tf_bufs], pa.binary()),
-            "weights": pa.array([codec.encode_f64(weights)], pa.binary()),
-            "block_max": pa.array(
-                [codec.encode_f64(codec.block_max(weights, block_size))],
-                pa.binary(),
-            ),
-            "positions": pa.array([pos_bufs], pa.binary()),
-            "pos_offsets": pa.array([pos_off.astype("<i8").tobytes()], pa.binary()),
+            "shard": pa.array([shard] * nrows, pa.int32()),
+            "salt": pa.array([-1] * nrows, pa.int32()),  # merged marker
+            "term": pa.array(out["term"], pa.string()),
+            "df": pa.array(out["df"], pa.int64()),
+            "docs": pa.array(out["docs"], pa.binary()),
+            "tfs": pa.array(out["tfs"], pa.binary()),
+            "weights": pa.array(out["weights"], pa.binary()),
+            "block_max": pa.array(out["block_max"], pa.binary()),
+            "positions": pa.array(out["positions"], pa.binary()),
+            "pos_offsets": pa.array(out["pos_offsets"], pa.binary()),
         }
     )
