@@ -152,12 +152,17 @@ def rank_fast(
     tw = np.asarray(total_words, dtype=np.float64)
     pop = np.asarray(popularity, dtype=np.float64)
 
+    def _div_by_zero(x: "np.ndarray") -> "np.ndarray":
+        # vectorized jdiv(x, 0.0): 0/0 -> NaN, ±x/0 -> ±inf
+        out = np.full(x.size, math.nan)
+        out[x > 0] = math.inf
+        out[x < 0] = -math.inf
+        return out
+
     with np.errstate(divide="ignore", invalid="ignore"):
         # NormlizePopularityScore: x / max(0, max(pop)) with IEEE semantics
         max_pop = jmax(0.0, float(np.max(pop)) if not np.isnan(pop).any() else math.nan)
-        pop_norm = pop / max_pop if max_pop != 0.0 else np.array(
-            [jdiv(p, max_pop) for p in pop.tolist()]
-        )
+        pop_norm = pop / max_pop if max_pop != 0.0 else _div_by_zero(pop)
 
         query_length = float(sum(query_bag.values()))
         rel = np.zeros(n, dtype=np.float64)
@@ -182,7 +187,7 @@ def rank_fast(
         if max_score != 0.0:
             scores_rel = rel / max_score
         else:
-            scores_rel = np.array([jdiv(r, max_score) for r in rel.tolist()])
+            scores_rel = _div_by_zero(rel)
 
         score = scores_rel * 0.7 + pop_norm * 0.3
 

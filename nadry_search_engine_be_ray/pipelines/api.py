@@ -71,14 +71,16 @@ class SearchAPI:
         tokens = self.engine.tokenizer.tokenize(QUOTED.sub(" ", query or ""))
         res = self.engine.search_auto(query, max(0, page - 1), limit)
 
+        page_ints = [int(r["doc_id"][:15], 16) for r in res["results"]]
+        contents = self.engine.docs.content_for(page_ints) if page_ints else {}
         data = []
-        for r in res["results"]:
-            det = self.engine.docs.details([int(r["doc_id"][:15], 16)])
-            content = next(iter(det.values()), {}).get("content", "")
+        for r, di in zip(res["results"], page_ints):
             data.append(
                 {
                     **r,
-                    "description": find_first_context_match(content, tokens),
+                    "description": find_first_context_match(
+                        contents.get(di, ""), tokens
+                    ),
                 }
             )
         return {

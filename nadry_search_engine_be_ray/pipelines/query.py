@@ -80,20 +80,44 @@ class DocStore:
         pop = np.where(ok, self.popularity[idx_c], 0.0)
         return tw, pop
 
+    def _detail_maps(self):
+        """Lazy in-memory doc details WITHOUT content (~100 B/doc; the
+        production design shards this across doc-store actors by doc_int
+        range — S11/S12 analog).  Content stays on disk and is fetched
+        pushdown-filtered per visible page only (snippets)."""
+        if not hasattr(self, "_details"):
+            t = pads.dataset(
+                os.path.join(self.index_dir, "prepped"), format="parquet"
+            ).to_table(columns=["doc_int", "doc_id", "url", "title", "description"])
+            self._details = {
+                int(di): {
+                    "doc_int": int(di), "doc_id": d, "url": u,
+                    "title": ti, "description": de,
+                }
+                for di, d, u, ti, de in zip(
+                    t["doc_int"].to_pylist(), t["doc_id"].to_pylist(),
+                    t["url"].to_pylist(), t["title"].to_pylist(),
+                    t["description"].to_pylist(),
+                )
+            }
+        return self._details
+
     def details(self, doc_ints: list[int]) -> dict[int, dict]:
-        """J4/S11: enrich only the visible page — a pushdown-filtered read of
-        the documents (prepped) table."""
+        """J4/S11: enrich only the visible page."""
+        m = self._detail_maps()
+        return {d: m[d] for d in doc_ints if d in m}
+
+    def content_for(self, doc_ints: list[int]) -> dict[int, str]:
+        """Pushdown-filtered content fetch for snippet generation (M11)."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         ds = pads.dataset(os.path.join(self.index_dir, "prepped"), format="parquet")
         t = ds.to_table(
-            columns=["doc_int", "doc_id", "url", "title", "description", "content"],
+            columns=["doc_int", "content"],
             filter=pc.field("doc_int").isin(pa.array(doc_ints, pa.int64())),
         )
-        return {
-            int(r["doc_int"]): r for r in t.to_pylist()
-        }
+        return dict(zip(t["doc_int"].to_pylist(), t["content"].to_pylist()))
 
 
 class SearchEngine:

@@ -59,6 +59,7 @@ class SegmentReader:
         self.shards = shards if shards is not None else list(range(self.num_shards))
         # term -> list[(table_idx, row)] — multiple rows only when uncompacted
         self._term_index: dict[str, list[tuple[int, int]]] = {}
+        self._pl_cache: dict[str, PostingList] = {}
         self._tables: list[pa.Table] = []
         for shard in self.shards:
             files = sorted(
@@ -88,6 +89,9 @@ class SegmentReader:
         rows = self._term_index.get(term)
         if not rows:
             return None
+        cached = self._pl_cache.get(term)
+        if cached is not None:
+            return cached
         docs_parts, tf_parts, w_parts = [], [], []
         pos_bufs: list[bytes] = []
         off_parts: list[np.ndarray] = []
@@ -106,7 +110,7 @@ class SegmentReader:
             shift += int(off[-1])
         docs = np.concatenate(docs_parts)
         weights = np.concatenate(w_parts)
-        return PostingList(
+        pl = PostingList(
             term=term,
             docs=docs,
             tfs=np.concatenate(tf_parts),
@@ -115,6 +119,11 @@ class SegmentReader:
             positions_buf=b"".join(pos_bufs),
             pos_offsets=np.concatenate(off_parts),
         )
+        # bounded decoded-posting cache (Zipfian term reuse across queries)
+        if len(self._pl_cache) >= 512:
+            self._pl_cache.pop(next(iter(self._pl_cache)))
+        self._pl_cache[term] = pl
+        return pl
 
     def shard_for(self, term: str) -> int:
         return term_shard(term, self.num_shards)
