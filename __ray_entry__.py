@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_contains": tq.phrase_contains,
         # training-data ops (SQL-checked)
         "exact_dedup": _q_exact_dedup,
+        "compact_signature": _q_compact_signature,
+        "compact_dedup": _q_compact_dedup,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -120,6 +122,28 @@ def _q_exact_dedup(sf_dir: str):
     out = exact_dedup_groups(ds).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_compact_signature(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import compact_signature_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(compact_signature_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_compact_dedup(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import compact_dedup_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = compact_dedup_groups(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -395,6 +419,26 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "compact_signature": f"""
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(
+                       list_filter({ws_tok},
+                                   t -> length(t) > 2 AND regexp_matches(t, '^[a-zA-Z0-9]')),
+                       t -> t[1]), '') AS signature
+            FROM documents ORDER BY doc_id
+        """,
+        "compact_dedup": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS n_members
+            FROM (SELECT doc_id,
+                         array_to_string(
+                           list_transform(
+                             list_filter({ws_tok},
+                                         t -> length(t) > 2 AND regexp_matches(t, '^[a-zA-Z0-9]')),
+                             t -> t[1]), '') AS signature
+                  FROM documents)
+            GROUP BY signature ORDER BY doc_id
         """,
         "token_counts": f"""
             SELECT doc_id,

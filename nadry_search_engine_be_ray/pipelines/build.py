@@ -44,7 +44,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import BuildConfig
-from ..stages.encode import encode_part_group, merge_shard_runs
+from ..stages.encode import encode_part_dirs, merge_shard_runs
 from ..stages.prep import make_loser_filter, prep_batch
 from ..stages.tokenize import TokenizeBatch
 
@@ -86,6 +86,18 @@ def _local_docstat_dedup(batch: pa.Table) -> pa.Table:
             "doc_tw": pa.array(tw[first], pa.int32()),
         }
     )
+
+
+def _parquet_row_count(root: str) -> int:
+    """Row count from parquet footers (no Ray job, no data read)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fp in _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        total += pq.read_metadata(fp).num_rows
+    return total
 
 
 def load_losers(index_dir: str) -> np.ndarray:
@@ -167,10 +179,7 @@ def build_index(
 
         ds.map_batches(mark_losers, batch_format="pyarrow").write_parquet(losers_dir)
         _mark_done(losers_dir)
-        n_losers = int(
-            ray.data.read_parquet(losers_dir, columns=["doc_int"]).count()
-        )
-        record("losers", t0, n_losers=n_losers)
+        record("losers", t0, n_losers=_parquet_row_count(losers_dir))
 
     loser_ints = load_losers(index_dir)
 
@@ -196,15 +205,51 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=cfg.tokenize_batch_size,
             )
-        ds.write_parquet(postings_dir)
+        # hash-partitioned write = THE shuffle's map side, materialized to
+        # storage (classic MapReduce exchange): the reduce side then reads
+        # one part directory per task with no in-memory all-to-all, and a
+        # failed reduce resumes per part.  Coalesce first so file count per
+        # part dir stays bounded (postings_write_blocks x num_parts total).
+        ds = ds.repartition(cfg.postings_write_blocks)
+        ds.write_parquet(postings_dir, partition_cols=["part"])
         _mark_done(postings_dir)
         record("postings", t0)
 
-    # ---- phase 4: doc stats ----------------------------------------------
+    # ---- phase 4: segment encode (reduce side of THE shuffle) ------------
+    segments_dir = os.path.join(index_dir, SEGMENTS)
+    doc_stats_parts_dir = os.path.join(index_dir, "doc_stats_parts")
+    if not _done(segments_dir):
+        t0 = time.time()
+        import glob as _glob
+
+        os.makedirs(doc_stats_parts_dir, exist_ok=True)
+        part_dirs = sorted(
+            _glob.glob(os.path.join(postings_dir, "part=*"))
+        )
+        parts_tbl = pa.table(
+            {
+                "part": pa.array(
+                    [int(os.path.basename(p).split("=")[1]) for p in part_dirs],
+                    pa.int32(),
+                ),
+                "path": pa.array(part_dirs, pa.string()),
+            }
+        )
+        enc = ray.data.from_arrow(parts_tbl).map_batches(
+            partial(encode_part_dirs, cfg=cfg,
+                    doc_stats_parts_dir=doc_stats_parts_dir),
+            batch_format="pyarrow",
+            batch_size=1,           # one part per task: bounded memory
+        )
+        enc.write_parquet(segments_dir, partition_cols=["shard"])
+        _mark_done(segments_dir)
+        record("segments", t0, n_parts=len(part_dirs))
+
+    # ---- phase 5: doc stats (from the piggybacked per-part partials) -----
     doc_stats_dir = os.path.join(index_dir, DOC_STATS)
     if not _done(doc_stats_dir):
         t0 = time.time()
-        ds = ray.data.read_parquet(postings_dir, columns=["doc_int", "doc_tw"])
+        ds = ray.data.read_parquet(doc_stats_parts_dir)
         ds = ds.map_batches(_local_docstat_dedup, batch_format="pyarrow")
         stats = ds.groupby("doc_int").aggregate(
             Max("doc_tw", alias_name="total_words")
@@ -212,18 +257,6 @@ def build_index(
         stats.write_parquet(doc_stats_dir)
         _mark_done(doc_stats_dir)
         record("doc_stats", t0)
-
-    # ---- phase 5: segment encode (THE shuffle) ---------------------------
-    segments_dir = os.path.join(index_dir, SEGMENTS)
-    if not _done(segments_dir):
-        t0 = time.time()
-        ds = ray.data.read_parquet(postings_dir)
-        enc = ds.groupby("part").map_groups(
-            partial(encode_part_group, cfg=cfg), batch_format="pyarrow"
-        )
-        enc.write_parquet(segments_dir, partition_cols=["shard"])
-        _mark_done(segments_dir)
-        record("segments", t0)
 
     # ---- phase 6: merge runs ---------------------------------------------
     merged_dir = os.path.join(index_dir, MERGED)
@@ -243,14 +276,14 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     if not os.path.exists(stats_path):
         t0 = time.time()
-        stats_ds = ray.data.read_parquet(doc_stats_dir)
-        agg = stats_ds.aggregate(
+        agg = ray.data.read_parquet(doc_stats_dir).aggregate(
             Sum("total_words", alias_name="tw"),
+            Count(alias_name="n_docs"),
         )
-        n_docs = int(stats_ds.count())
+        n_docs = int(agg["n_docs"])
         total_words = int(agg["tw"]) if agg["tw"] is not None else 0
         seg_src = merged_dir if cfg.compact_segments else segments_dir
-        n_term_rows = int(ray.data.read_parquet(seg_src, columns=["term"]).count())
+        n_term_rows = _parquet_row_count(seg_src)
         stats = {
             "n_docs": n_docs,
             "total_words": total_words,

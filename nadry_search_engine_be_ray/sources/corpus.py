@@ -147,8 +147,10 @@ def make_corpus(n_docs: int, seed: int = 42) -> pa.Table:
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> str:
     """Write the corpus as one parquet file per shard (parallel-read layout).
 
-    Idempotent: skips generation when the directory already holds the exact
-    row count (a _meta marker records n_docs/seed).
+    Shards are generated in parallel via Ray when a session is up (content is
+    a pure function of (seed, shard), so parallelism never changes a byte);
+    falls back to sequential generation otherwise.  Idempotent: skips
+    generation when a _meta marker records the same n_docs/seed.
     """
     marker = os.path.join(out_dir, "_meta")
     tag = f"{n_docs}:{seed}:v1"
@@ -160,13 +162,38 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> str:
     for f in os.listdir(out_dir):
         if f.endswith(".parquet"):
             os.remove(os.path.join(out_dir, f))
+
+    shards = []
     s = 0
     while s * SHARD_ROWS < n_docs:
-        n = min(SHARD_ROWS, n_docs - s * SHARD_ROWS)
-        pq.write_table(
-            make_shard(s, n, seed), os.path.join(out_dir, f"corpus-{s:05d}.parquet")
-        )
+        shards.append((s, min(SHARD_ROWS, n_docs - s * SHARD_ROWS)))
         s += 1
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(shards) > 1
+    except ImportError:
+        pass
+
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(shard: int, n: int) -> None:
+            pq.write_table(
+                make_shard(shard, n, seed),
+                os.path.join(out_dir, f"corpus-{shard:05d}.parquet"),
+            )
+
+        ray.get([_gen.remote(sh, n) for sh, n in shards])
+    else:
+        for sh, n in shards:
+            pq.write_table(
+                make_shard(sh, n, seed),
+                os.path.join(out_dir, f"corpus-{sh:05d}.parquet"),
+            )
     with open(marker, "w") as f:
         f.write(tag)
     return out_dir

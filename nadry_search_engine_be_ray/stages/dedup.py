@@ -60,6 +60,57 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# "compact string" near-dup signature (operator M9,
+# webCrawler/WebCrawler.java:224-243): concatenation of the first character
+# of every whitespace token longer than 2 chars whose first char is
+# alphanumeric (ASCII semantics declared; the reference uses
+# Character.isLetterOrDigit).  Docs sharing a signature are near-dups —
+# dedup is a groupby(signature) keep-min, exactly like D2.
+# ---------------------------------------------------------------------------
+
+_WS_SPLIT = re.compile(r"\s+")
+_ALNUM = re.compile(r"^[a-zA-Z0-9]")
+
+
+def compact_signature(text: str) -> str:
+    out = []
+    for tok in _WS_SPLIT.split((text or "").strip()):
+        if len(tok) > 2 and _ALNUM.match(tok):
+            out.append(tok[0])
+    return "".join(out)
+
+
+def compact_signature_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sigs = [compact_signature(t) for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "signature": pa.array(sigs, pa.string()),
+        }
+    )
+
+
+def compact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """groupby(signature) -> (doc_id=min id, n_members): the crawler's
+    near-dup skip (M9/D2) as a shuffle dedup with the declared keep-min
+    order."""
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array([int(ids.min())], pa.int64()),
+                "n_members": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    sigs = ds.map_batches(
+        lambda b: compact_signature_batch(b, text_col), batch_format="pyarrow"
+    )
+    return sigs.groupby("signature").map_groups(keep_min, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 

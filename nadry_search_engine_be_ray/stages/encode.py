@@ -56,6 +56,12 @@ class EncodePartGroup:
         self.config = config or BuildConfig()
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        """Fully vectorized encode: no per-row Python.  One numpy scatter
+        builds the interleaved positions value stream
+        ``[mask, (count, deltas...)*field]`` for EVERY doc of EVERY term in
+        the part at once, one varint pass encodes it, and per-term payloads
+        are byte slices (varint is a per-value code, so slices decode
+        independently).  Same layout as codec.encode_positions_indexed."""
         cfg = self.config
         if group.num_rows == 0:
             return _empty_segment_table()
@@ -63,64 +69,112 @@ class EncodePartGroup:
         n_salts = 1 << cfg.salt_bits
         shard, salt = part // n_salts, part % n_salts
 
-        g = group.sort_by(
+        g = group.combine_chunks().sort_by(
             [("term", "ascending"), ("doc_int", "ascending"), ("field", "ascending")]
-        )
-        terms = g["term"].to_numpy(zero_copy_only=False)  # object array of str
-        doc_ints = g["doc_int"].to_numpy(zero_copy_only=False)
-        fields = g["field"].to_numpy(zero_copy_only=False)
-        tf = g["tf"].to_numpy(zero_copy_only=False)
+        ).combine_chunks()
+        term_codes_arr = g["term"].combine_chunks().dictionary_encode()
+        term_codes = term_codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        term_dict = term_codes_arr.dictionary.to_pylist()
+        doc = g["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        field = g["field"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         weight = g["weight"].to_numpy(zero_copy_only=False)
-        positions = g["positions"].to_pylist()
+        pos_col = g["positions"].combine_chunks()
+        lengths = pos_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
 
-        n = len(terms)
-        # term-run boundaries (terms are sorted -> equal terms contiguous)
-        new_term = np.ones(n, dtype=bool)
-        new_term[1:] = terms[1:] != terms[:-1]
-        term_starts = np.flatnonzero(new_term)
-        term_ends = np.empty_like(term_starts)
-        term_ends[:-1] = term_starts[1:]
-        term_ends[-1] = n
+        n = doc.size
+        nv = flat.size
 
+        # ---- doc / term boundaries at row granularity ----
+        nd = np.ones(n, dtype=bool)
+        nd[1:] = (term_codes[1:] != term_codes[:-1]) | (doc[1:] != doc[:-1])
+        doc_start_rows = np.flatnonzero(nd)
+        n_docs = doc_start_rows.size
+        didx = np.cumsum(nd) - 1                      # doc index per row
+
+        uniq_doc = doc[doc_start_rows]
+        term_of_doc = term_codes[doc_start_rows]
+        tf_doc = np.add.reduceat(tf, doc_start_rows)
+        w_doc = np.add.reduceat(weight, doc_start_rows)
+        mask_doc = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), field), doc_start_rows
+        )
+
+        ntd = np.ones(n_docs, dtype=bool)
+        ntd[1:] = term_of_doc[1:] != term_of_doc[:-1]
+        term_doc_starts = np.flatnonzero(ntd)         # doc-index of term starts
+        term_doc_ends = np.empty_like(term_doc_starts)
+        term_doc_ends[:-1] = term_doc_starts[1:]
+        term_doc_ends[-1] = n_docs
+
+        # ---- positions value stream: [mask][count deltas...]* per doc ----
+        row_flat_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=row_flat_starts[1:])
+        dv = flat.copy()
+        if nv:
+            dv[1:] -= flat[:-1]
+            dv[row_flat_starts] = flat[row_flat_starts]  # absolute per row
+        extras = lengths + 1                           # count + values per row
+        ext_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(extras, out=ext_cum[1:])
+        count_idx = ext_cum[:-1] + didx + 1
+        stream = np.empty(n_docs + n + nv, dtype=np.uint64)
+        stream[count_idx] = lengths
+        if nv:
+            val_idx = np.repeat(count_idx + 1, lengths) + (
+                np.arange(nv) - np.repeat(row_flat_starts, lengths)
+            )
+            stream[val_idx] = dv.astype(np.uint64)
+        mask_idx = ext_cum[doc_start_rows] + np.arange(n_docs)
+        stream[mask_idx] = mask_doc.astype(np.uint64)
+
+        nb = codec._varint_nbytes(stream)
+        byte_cum = np.zeros(stream.size + 1, dtype=np.int64)
+        np.cumsum(nb, out=byte_cum[1:])
+        payload_all = codec.encode_varints(stream)
+        doc_byte_off = byte_cum[mask_idx]              # start byte per doc
+        total_bytes = int(byte_cum[-1])
+
+        # ---- doc-gap and tf varint streams at doc granularity ----
+        dd = uniq_doc.astype(np.uint64).copy()
+        if n_docs > 1:
+            dd[1:] = (uniq_doc[1:] - uniq_doc[:-1]).astype(np.uint64)
+        dd[term_doc_starts] = uniq_doc[term_doc_starts].astype(np.uint64)
+        nb_d = codec._varint_nbytes(dd)
+        cum_d = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(nb_d, out=cum_d[1:])
+        enc_docs = codec.encode_varints(dd)
+
+        tfu = tf_doc.astype(np.uint64)
+        nb_t = codec._varint_nbytes(tfu)
+        cum_t = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(nb_t, out=cum_t[1:])
+        enc_tfs = codec.encode_varints(tfu)
+
+        # ---- assemble one output row per term (cheap slicing loop) ----
         out = {k: [] for k in (
             "shard", "salt", "term", "df", "docs", "tfs", "weights",
             "block_max", "positions", "pos_offsets",
         )}
-
-        for ts, te in zip(term_starts, term_ends):
-            t_docs = doc_ints[ts:te]
-            # doc boundaries within the term slice
-            nd = np.ones(te - ts, dtype=bool)
-            nd[1:] = t_docs[1:] != t_docs[:-1]
-            dstarts = np.flatnonzero(nd) + ts
-            dends = np.empty_like(dstarts)
-            dends[:-1] = dstarts[1:]
-            dends[-1] = te
-
-            uniq_docs = doc_ints[dstarts]
-            tf_doc = np.add.reduceat(tf[ts:te].astype(np.int64), dstarts - ts)
-            w_doc = np.add.reduceat(weight[ts:te], dstarts - ts)
-            doc_fields = [
-                [
-                    (int(fields[r]), np.asarray(positions[r], dtype=np.uint64))
-                    for r in range(ds, de)
-                ]
-                for ds, de in zip(dstarts, dends)
-            ]
-            pos_buf, pos_off = codec.encode_positions_indexed(doc_fields)
-
+        for ts, te in zip(term_doc_starts, term_doc_ends):
             out["shard"].append(shard)
             out["salt"].append(salt)
-            out["term"].append(str(terms[ts]))
-            out["df"].append(int(uniq_docs.size))
-            out["docs"].append(codec.encode_sorted_deltas(uniq_docs))
-            out["tfs"].append(codec.encode_varints(tf_doc.astype(np.uint64)))
-            out["weights"].append(codec.encode_f64(w_doc))
+            out["term"].append(term_dict[int(term_of_doc[ts])])
+            out["df"].append(int(te - ts))
+            out["docs"].append(enc_docs[cum_d[ts] : cum_d[te]])
+            out["tfs"].append(enc_tfs[cum_t[ts] : cum_t[te]])
+            out["weights"].append(codec.encode_f64(w_doc[ts:te]))
             out["block_max"].append(
-                codec.encode_f64(codec.block_max(w_doc, cfg.block_size))
+                codec.encode_f64(codec.block_max(w_doc[ts:te], cfg.block_size))
             )
-            out["positions"].append(pos_buf)
-            out["pos_offsets"].append(pos_off.astype("<i8").tobytes())
+            start_b = int(doc_byte_off[ts])
+            end_b = int(doc_byte_off[te]) if te < n_docs else total_bytes
+            out["positions"].append(payload_all[start_b:end_b])
+            offs = np.empty(te - ts + 1, dtype=np.int64)
+            offs[:-1] = doc_byte_off[ts:te] - start_b
+            offs[-1] = end_b - start_b
+            out["pos_offsets"].append(offs.astype("<i8").tobytes())
 
         return pa.table(
             {
@@ -141,6 +195,56 @@ class EncodePartGroup:
 def encode_part_group(group: pa.Table, cfg: BuildConfig | None = None) -> pa.Table:
     """Function wrapper for ``map_groups`` (which requires a named fn)."""
     return EncodePartGroup(cfg)(group)
+
+
+def encode_part_dirs(
+    batch: pa.Table,
+    cfg: BuildConfig | None = None,
+    doc_stats_parts_dir: str | None = None,
+) -> pa.Table:
+    """Map-side encode over a storage-partitioned shuffle: ``batch`` holds
+    rows (part:int, path:str); each part's posting tuples were already
+    hash-partitioned into ``path`` by the tokenize phase's partitioned
+    parquet write, so the wide exchange needs NO in-memory shuffle here —
+    this task just reads its part directory and encodes (the MapReduce
+    shuffle-via-storage pattern; also what makes the reduce side resumable
+    per part).
+
+    When ``doc_stats_parts_dir`` is set, the task piggybacks a per-part
+    (doc_int, doc_tw) partial onto the same read (idempotent tmp+rename
+    write), so the doc-stats phase never re-reads the posting stream.
+    """
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    cfg = cfg or BuildConfig()
+    enc = EncodePartGroup(cfg)
+    outs = []
+    for part, path in zip(batch["part"].to_pylist(), batch["path"].to_pylist()):
+        t = pq_mod.read_table(path)
+        if doc_stats_parts_dir is not None and t.num_rows:
+            doc = t["doc_int"].to_numpy(zero_copy_only=False)
+            tw = t["doc_tw"].to_numpy(zero_copy_only=False)
+            uniq, first = np.unique(doc, return_index=True)
+            partial_tbl = pa.table(
+                {
+                    "doc_int": pa.array(uniq, pa.int64()),
+                    "doc_tw": pa.array(tw[first], pa.int32()),
+                }
+            )
+            final = os.path.join(doc_stats_parts_dir, f"part-{part:05d}.parquet")
+            tmp = final + ".tmp"
+            pq_mod.write_table(partial_tbl, tmp)
+            os.replace(tmp, final)
+        t = t.append_column(
+            "part", pa.array(np.full(t.num_rows, part, dtype=np.int32), pa.int32())
+        )
+        if t.num_rows:
+            outs.append(enc(t))
+    if not outs:
+        return _empty_segment_table()
+    return pa.concat_tables(outs)
 
 
 def _merge_runs(
