@@ -88,10 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": tq.doc_token_count,
         "first_position": tq.first_position,
         "phrase_contains": tq.phrase_contains,
+        "search_additive": tq.search_additive,
+        "tfidf_rank": tq.tfidf_rank,
         # training-data ops (SQL-checked)
         "exact_dedup": _q_exact_dedup,
         "compact_signature": _q_compact_signature,
         "compact_dedup": _q_compact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -145,6 +148,16 @@ def _q_compact_dedup(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_members"] = out["n_members"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_token_counts(sf_dir: str):
@@ -416,9 +429,74 @@ def oracle_sql() -> dict[str, str]:
                            ' hash join ')
             ORDER BY doc_id
         """,
+        "search_additive": f"""
+            SELECT doc_id, count(*) AS score
+            FROM (SELECT doc_id, unnest({tok}) AS token FROM documents)
+            WHERE token IN ('hash', 'join', 'performance')
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "tfidf_rank": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, len(ts) AS total_words, token, count(*) AS tf
+                FROM (SELECT doc_id, ts, unnest(ts) AS token FROM toks)
+                WHERE token IN ('hash', 'join', 'performance')
+                GROUP BY doc_id, len(ts), token
+            ),
+            stats AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+            ),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum((tf.tf * 1.0 / tf.total_words)
+                           * log10(nn.n * 1.0 / (1 + stats.df))
+                           * ((1.0 / 3) * log10(nn.n * 1.0 / (1 + stats.df)))) AS rel
+                FROM tf JOIN stats USING (token) CROSS JOIN nn
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(rel / max(rel) OVER (), 9) AS score
+            FROM scored
+            ORDER BY round(rel / max(rel) OVER (), 9) DESC, doc_id LIMIT 10
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                                ELSE list_transform(range(1, len(ts) - 1),
+                                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                           END AS gs
+                    FROM toks WHERE len(ts) >= 1
+                ), unnest(gs) AS u(g)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS c
+                FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 9) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+            ORDER BY a, b
         """,
         "compact_signature": f"""
             SELECT doc_id,

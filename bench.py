@@ -35,6 +35,9 @@ def _sf() -> float:
 
 
 def bench_corpus_docs(sf: float) -> int:
+    env = os.environ.get("GRAFT_BENCH_DOCS")
+    if env:
+        return int(env)
     return max(500, int(sf * 200_000))  # sf0.1 -> 20k docs
 
 
@@ -151,10 +154,18 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same job at 8 vs 32 CPUs in fresh processes; report efficiency."""
+    """Same job at 8 vs 32 CPUs in fresh processes; report efficiency.
+
+    Uses a corpus large enough (default 100k docs, override
+    ``GRAFT_SCALING_DOCS``) that per-phase job-launch fixed costs amortize —
+    the cluster-scaling criterion measures how the WORK scales, and at 100 TB
+    the work dominates; a tiny corpus would measure Ray's constant overheads
+    instead.
+    """
     results = {}
+    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "100000")
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_DOCS=n_docs)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

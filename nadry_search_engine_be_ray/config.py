@@ -26,7 +26,7 @@ class BuildConfig:
     # coalesce tokenize output to this many blocks before the hash-partitioned
     # postings write: file count per part dir = write blocks, so this bounds
     # total small files at write_blocks x num_parts
-    postings_write_blocks: int = 32
+    postings_write_blocks: int = 16
     # None -> stateless tasks with a cached global tokenizer; an int builds an
     # actor pool (map_batches(cls, concurrency=N)).
     tokenize_concurrency: int | None = None

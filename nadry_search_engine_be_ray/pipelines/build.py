@@ -19,11 +19,11 @@ satisfying the north_rule resumability requirement):
   3. postings  prepped -> postings/        tokenize map side (T1/A1/A2);
                the written intermediate IS the map-side shuffle spill, making
                the reduce side restartable without re-tokenizing
-  4. doc_stats postings -> doc_stats/      totalWords per doc (A2) — derived
-               from the replicated doc_tw column: per-batch local dedup, then
-               a tiny groupby over ~1 row per (doc, block)
-  5. segments  postings -> segments/       THE shuffle: groupby(part) ->
-               encode salted posting-list runs (A3)
+  4. segments  postings -> segments/       reduce side of THE shuffle: one
+               task per part dir encodes salted posting-list runs (A3); the
+               same tasks split off the per-doc sentinel rows into
+               doc_stats/ (A2) — totalWords costs no extra pass
+  5. doc_stats (written by phase 4; marker only)
   6. merged    segments -> segments_merged/ per-term run merge (streaming
                concatenation of sorted runs; segment-merge primitive)
   7. stats     global stats.json (N, avgdl, n_terms) for BM25 (A11 analog)
@@ -41,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from ..config import BuildConfig
 from ..stages.encode import encode_part_dirs, merge_shard_runs
@@ -63,29 +63,6 @@ def _done(path: str) -> bool:
 def _mark_done(path: str) -> None:
     with open(os.path.join(path, "_DONE"), "w") as f:
         f.write("ok")
-
-
-def _normalize_shard(batch: pa.Table) -> pa.Table:
-    """Partition columns read back from hive dirs may arrive as strings or
-    dictionary arrays; normalize to int32 for grouping/rewriting."""
-    idx = batch.schema.get_field_index("shard")
-    col = batch.column(idx)
-    if pa.types.is_dictionary(col.type):
-        col = col.cast(col.type.value_type)
-    col = col.cast(pa.int32())
-    return batch.set_column(idx, "shard", col)
-
-
-def _local_docstat_dedup(batch: pa.Table) -> pa.Table:
-    doc = batch["doc_int"].to_numpy(zero_copy_only=False)
-    tw = batch["doc_tw"].to_numpy(zero_copy_only=False)
-    uniq, first = np.unique(doc, return_index=True)
-    return pa.table(
-        {
-            "doc_int": pa.array(uniq, pa.int64()),
-            "doc_tw": pa.array(tw[first], pa.int32()),
-        }
-    )
 
 
 def _parquet_row_count(root: str) -> int:
@@ -135,7 +112,12 @@ def build_index(
     prepped_dir = os.path.join(index_dir, PREPPED)
     if not _done(prepped_dir):
         t0 = time.time()
-        ds = ray.data.read_parquet(corpus_path)
+        # a small shard count would cap the fused read->prep parallelism at
+        # n_files; force enough blocks to keep every core busy
+        ds = ray.data.read_parquet(
+            corpus_path,
+            override_num_blocks=max(64, int(ray.cluster_resources().get("CPU", 32)) * 2),
+        )
         ds = ds.map_batches(prep_batch, batch_format="pyarrow")
         ds.write_parquet(prepped_dir)
         _mark_done(prepped_dir)
@@ -163,23 +145,39 @@ def build_index(
             return batch.filter(pc.greater(batch["n_copies"], pa.scalar(1)))
 
         dup_tbl = agg.map_batches(only_dups, batch_format="pyarrow").to_pandas()
-        winners = dict(zip(dup_tbl["content_sha256"], dup_tbl["winner"]))
-        winners_ref = ray.put(winners)
 
-        def mark_losers(batch: pa.Table) -> pa.Table:
-            w = ray.get(winners_ref)
-            shas = batch["content_sha256"].to_pylist()
-            ints = batch["doc_int"].to_numpy(zero_copy_only=False)
-            keep = [
-                int(ints[i])
-                for i, s in enumerate(shas)
-                if s in w and int(ints[i]) != w[s]
-            ]
-            return pa.table({"doc_int": pa.array(keep, pa.int64())})
+        # Member lookup for the (small) dup-sha set: a driver-side filtered
+        # scan of two thin columns beats launching a second full-scan Ray
+        # job.  At extreme dup rates where the dup set itself is huge, flip
+        # cfg.dedup_strategy to the full-shuffle path (stages/prep.py
+        # dedup_shuffle) instead.
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
 
-        ds.map_batches(mark_losers, batch_format="pyarrow").write_parquet(losers_dir)
+        os.makedirs(losers_dir, exist_ok=True)
+        if len(dup_tbl) == 0:
+            loser_tbl = pa.table({"doc_int": pa.array([], pa.int64())})
+        else:
+            winners = dict(zip(dup_tbl["content_sha256"], dup_tbl["winner"]))
+            members = pads.dataset(prepped_dir, format="parquet").to_table(
+                columns=["content_sha256", "doc_int"],
+                filter=pc.field("content_sha256").isin(list(winners)),
+            )
+            ints = members["doc_int"].to_numpy(zero_copy_only=False)
+            win = np.array(
+                [winners[s] for s in members["content_sha256"].to_pylist()],
+                dtype=np.int64,
+            )
+            loser_tbl = pa.table(
+                {"doc_int": pa.array(ints[ints != win], pa.int64())}
+            )
+        import pyarrow.parquet as pq_mod
+
+        pq_mod.write_table(
+            loser_tbl, os.path.join(losers_dir, "losers.parquet")
+        )
         _mark_done(losers_dir)
-        record("losers", t0, n_losers=_parquet_row_count(losers_dir))
+        record("losers", t0, n_losers=loser_tbl.num_rows)
 
     loser_ints = load_losers(index_dir)
 
@@ -216,13 +214,16 @@ def build_index(
         record("postings", t0)
 
     # ---- phase 4: segment encode (reduce side of THE shuffle) ------------
+    # Also lands doc stats: each encode task splits off the one-per-doc
+    # sentinel rows (routed here by the tokenize stage) and writes them as
+    # final (doc_int, total_words) partials — A2 with zero extra passes.
     segments_dir = os.path.join(index_dir, SEGMENTS)
-    doc_stats_parts_dir = os.path.join(index_dir, "doc_stats_parts")
+    doc_stats_dir = os.path.join(index_dir, DOC_STATS)
     if not _done(segments_dir):
         t0 = time.time()
         import glob as _glob
 
-        os.makedirs(doc_stats_parts_dir, exist_ok=True)
+        os.makedirs(doc_stats_dir, exist_ok=True)
         part_dirs = sorted(
             _glob.glob(os.path.join(postings_dir, "part=*"))
         )
@@ -235,53 +236,85 @@ def build_index(
                 "path": pa.array(part_dirs, pa.string()),
             }
         )
-        enc = ray.data.from_arrow(parts_tbl).map_batches(
+        # one block per part -> one Ray task per part (from_arrow alone
+        # would give a single block and serialize the whole reduce side)
+        enc = ray.data.from_arrow(parts_tbl).repartition(len(part_dirs)).map_batches(
             partial(encode_part_dirs, cfg=cfg,
-                    doc_stats_parts_dir=doc_stats_parts_dir),
+                    doc_stats_parts_dir=doc_stats_dir),
             batch_format="pyarrow",
             batch_size=1,           # one part per task: bounded memory
         )
         enc.write_parquet(segments_dir, partition_cols=["shard"])
         _mark_done(segments_dir)
+        _mark_done(doc_stats_dir)   # partials landed with the encode tasks
         record("segments", t0, n_parts=len(part_dirs))
-
-    # ---- phase 5: doc stats (from the piggybacked per-part partials) -----
-    doc_stats_dir = os.path.join(index_dir, DOC_STATS)
-    if not _done(doc_stats_dir):
-        t0 = time.time()
-        ds = ray.data.read_parquet(doc_stats_parts_dir)
-        ds = ds.map_batches(_local_docstat_dedup, batch_format="pyarrow")
-        stats = ds.groupby("doc_int").aggregate(
-            Max("doc_tw", alias_name="total_words")
-        )
-        stats.write_parquet(doc_stats_dir)
-        _mark_done(doc_stats_dir)
-        record("doc_stats", t0)
+        record("doc_stats", t0, note="piggybacked on segment encode")
 
     # ---- phase 6: merge runs ---------------------------------------------
+    # Segments are already hive-partitioned by shard on disk, so the merge
+    # "groupby(shard)" needs no all-to-all at all: one task per shard dir
+    # reads its own files and k-way merges the salted runs (the same
+    # storage-partitioned-shuffle pattern as phase 4).
     merged_dir = os.path.join(index_dir, MERGED)
     if cfg.compact_segments and not _done(merged_dir):
         t0 = time.time()
-        ds = ray.data.read_parquet(segments_dir)
-        ds = ds.map_batches(_normalize_shard, batch_format="pyarrow")
-        merged = ds.groupby("shard").map_groups(
-            partial(merge_shard_runs, block_size=cfg.block_size),
-            batch_format="pyarrow",
+        import glob as _glob
+
+        shard_dirs = sorted(_glob.glob(os.path.join(segments_dir, "shard=*")))
+        shards_tbl = pa.table(
+            {
+                "shard": pa.array(
+                    [int(os.path.basename(p).split("=")[1]) for p in shard_dirs],
+                    pa.int32(),
+                ),
+                "path": pa.array(shard_dirs, pa.string()),
+            }
+        )
+
+        def merge_shard_dirs(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq_mod
+
+            outs = []
+            for shard, path in zip(batch["shard"].to_pylist(), batch["path"].to_pylist()):
+                t = pq_mod.read_table(path)
+                t = t.append_column(
+                    "shard",
+                    pa.array(np.full(t.num_rows, shard, dtype=np.int32), pa.int32()),
+                )
+                outs.append(merge_shard_runs(t, block_size=cfg.block_size))
+            if not outs:
+                from ..stages.encode import _empty_segment_table
+
+                return _empty_segment_table()
+            return pa.concat_tables(outs)
+
+        merged = (
+            ray.data.from_arrow(shards_tbl)
+            .repartition(max(1, len(shard_dirs)))
+            .map_batches(merge_shard_dirs, batch_format="pyarrow", batch_size=1)
         )
         merged.write_parquet(merged_dir, partition_cols=["shard"])
         _mark_done(merged_dir)
-        record("merge", t0)
+        record("merge", t0, n_shards=len(shard_dirs))
 
     # ---- phase 7: global stats -------------------------------------------
     stats_path = os.path.join(index_dir, "stats.json")
     if not os.path.exists(stats_path):
         t0 = time.time()
-        agg = ray.data.read_parquet(doc_stats_dir).aggregate(
-            Sum("total_words", alias_name="tw"),
-            Count(alias_name="n_docs"),
+        # n_docs from footers (no read), total_words from one thin int
+        # column read driver-side — launching a whole Ray job to sum one
+        # int per doc costs more than the sum at any sane doc-stats size
+        # (doc stats are ~12 B/doc; even 10^9 docs is a 12 GB side table,
+        # and its sum can ride the doc-stats write instead if that grows).
+        import pyarrow.dataset as pads
+
+        n_docs = _parquet_row_count(doc_stats_dir)
+        tw_col = pads.dataset(doc_stats_dir, format="parquet").to_table(
+            columns=["total_words"]
+        )["total_words"]
+        total_words = int(
+            np.sum(tw_col.to_numpy(zero_copy_only=False), dtype=np.int64)
         )
-        n_docs = int(agg["n_docs"])
-        total_words = int(agg["tw"]) if agg["tw"] is not None else 0
         seg_src = merged_dir if cfg.compact_segments else segments_dir
         n_term_rows = _parquet_row_count(seg_src)
         stats = {

@@ -101,6 +101,102 @@ def first_position(sf_dir: str, term: str = "spark") -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def search_additive(sf_dir: str, query: str = "hash join performance",
+                    k: int = 10) -> pd.DataFrame:
+    """A9 additive scorer (api/SearchEngine.java:37-67: docScore = Σ posting
+    weight over query terms, top-k) as a corpus-level Dataset op: explode ->
+    filter to query terms -> groupby(doc) count -> global sort desc ->
+    limit — the K1/K3 sort-limit path with the declared (score desc, doc_id
+    asc) tiebreak.  Field weight is 1.0 here (the documents table has a
+    single field), so Σ weight == Σ tf."""
+    qset = {t for t in simple_tokens(query) if len(t) >= 2}
+
+    def explode_q(batch: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for t in simple_tokens(text):
+                if t in qset:
+                    ids.append(did)
+                    terms.append(t)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "term": pa.array(terms, pa.string())}
+        )
+
+    ds = _docs(sf_dir).map_batches(explode_q, batch_format="pyarrow")
+    scored = ds.groupby("doc_id").aggregate(Count(alias_name="score"))
+    out = (
+        scored.sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["score"] = out["score"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def tfidf_rank(sf_dir: str, query: str = "hash join performance",
+               k: int = 10) -> pd.DataFrame:
+    """Reference-ranker arithmetic (A4-A6 + K1, Ranker.java:78-153) over the
+    simple token stream, SQL-checkable: candidate set = docs containing any
+    query term; N and df are CANDIDATE-RELATIVE; tfidf = (tf/len) *
+    log10(N/(1+df)); relevance = raw dot product (not cosine —
+    Ranker.java:152 comments the normalization out); scores divided by the
+    candidate max; top-k with (score desc, doc_id asc).
+
+    The distributed part is candidate generation (a corpus scan); the
+    candidate table itself is the per-query small side (SURVEY.md §2.4 J1)
+    and is scored in one vectorized pass, exactly like the scorer actors.
+    """
+    qterms = [t for t in simple_tokens(query) if len(t) >= 2]
+    qset = set(qterms)
+    qlen = float(len(qterms))
+
+    def cand_batch(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, tws = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [t for t in simple_tokens(text) if len(t) >= 2]
+            hit: dict[str, int] = {}
+            for t in toks:
+                if t in qset:
+                    hit[t] = hit.get(t, 0) + 1
+            for t, c in hit.items():
+                ids.append(did)
+                terms.append(t)
+                tfs.append(c)
+                tws.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "total_words": pa.array(tws, pa.int64()),
+            }
+        )
+
+    import numpy as np
+
+    cand = (
+        _docs(sf_dir).map_batches(cand_batch, batch_format="pyarrow").to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    n = cand["doc_id"].nunique()
+    df_map = cand.groupby("term")["doc_id"].nunique()
+    idf = np.log10(n / (1.0 + cand["term"].map(df_map).to_numpy(np.float64)))
+    doc_tfidf = cand["tf"].to_numpy(np.float64) / cand["total_words"].to_numpy(np.float64) * idf
+    q_tfidf = (1.0 / qlen) * idf
+    cand = cand.assign(part=doc_tfidf * q_tfidf)
+    rel = cand.groupby("doc_id")["part"].sum()
+    score = (rel / rel.max()).round(9)
+    out = (
+        score.reset_index(name="score")
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "score"]]
+
+
 def phrase_contains(sf_dir: str, phrase: str = "hash join") -> pd.DataFrame:
     """Docs whose token stream contains the exact adjacent phrase (J2
     adjacency mechanics on the simple token stream)."""

@@ -260,6 +260,100 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs (set-similarity join via gram inverted index)
+# ---------------------------------------------------------------------------
+
+def ngram_strings(text: str, n: int = 3) -> list[str]:
+    """DISTINCT word n-grams as strings (SQL-reproducible variant of
+    word_ngrams: same token stream + same <n fallback, no hashing)."""
+    toks = _WORD.findall((text or "").lower())
+    if not toks:
+        return []
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bucket_cap: int = 200):
+    """All-pairs n-gram Jaccard >= threshold via the gram-inverted-index
+    join (PPJoin-style shape, no prefix filter): explode DISTINCT grams,
+    groupby(gram) emits co-occurring pairs, groupby(pair) counts the
+    intersection, and |A∪B| comes from a broadcast doc->set-size map.
+
+    Scale notes: the per-gram pair fan-out is quadratic in bucket size, so
+    buckets above ``bucket_cap`` (ultra-common grams — the same head-term
+    skew as A3) are dropped with a log line; a dropped gram can only LOWER
+    recall for pairs whose every shared gram is that common, which at
+    threshold >= 0.5 effectively never identifies a near-dup on its own.
+    The sizes map is one int per doc — broadcast here, a hash join at
+    100 TB scale.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for g in ngram_strings(text, n):
+                ids.append(did)
+                grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
+        )
+
+    grams_ds = ds.map_batches(explode, batch_format="pyarrow")
+
+    sizes_tbl = (
+        grams_ds.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes_tbl["doc_id"], sizes_tbl["n_grams"])))
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        if len(ids) > bucket_cap:
+            print(f"ngram_jaccard_pairs: dropping gram bucket of size {len(ids)}")
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    inter = (
+        grams_ds.groupby("gram")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sizes[x] for x in a], dtype=np.float64)
+        nb = np.array([sizes[x] for x in b], dtype=np.float64)
+        j = c / (na + nb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(np.round(j[keep], 9), pa.float64()),
+            }
+        )
+
+    return inter.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

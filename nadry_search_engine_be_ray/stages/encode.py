@@ -210,33 +210,38 @@ def encode_part_dirs(
     shuffle-via-storage pattern; also what makes the reduce side resumable
     per part).
 
-    When ``doc_stats_parts_dir`` is set, the task piggybacks a per-part
-    (doc_int, doc_tw) partial onto the same read (idempotent tmp+rename
-    write), so the doc-stats phase never re-reads the posting stream.
+    When ``doc_stats_parts_dir`` is set, the per-doc SENTINEL rows the
+    tokenize stage routed into this part (field == SENTINEL_FIELD, exactly
+    one per doc corpus-wide) are split off and written there as the final
+    (doc_int, total_words) doc-stats partial (idempotent tmp+rename), so
+    doc stats need no groupby of their own.
     """
     import os
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq_mod
+
+    from .tokenize import SENTINEL_FIELD
 
     cfg = cfg or BuildConfig()
     enc = EncodePartGroup(cfg)
     outs = []
     for part, path in zip(batch["part"].to_pylist(), batch["path"].to_pylist()):
         t = pq_mod.read_table(path)
-        if doc_stats_parts_dir is not None and t.num_rows:
-            doc = t["doc_int"].to_numpy(zero_copy_only=False)
-            tw = t["doc_tw"].to_numpy(zero_copy_only=False)
-            uniq, first = np.unique(doc, return_index=True)
+        is_sent = pc.equal(t["field"], pa.scalar(SENTINEL_FIELD, pa.int8()))
+        if doc_stats_parts_dir is not None:
+            sent = t.filter(is_sent)
             partial_tbl = pa.table(
                 {
-                    "doc_int": pa.array(uniq, pa.int64()),
-                    "doc_tw": pa.array(tw[first], pa.int32()),
+                    "doc_int": sent["doc_int"],
+                    "total_words": sent["doc_tw"],
                 }
             )
             final = os.path.join(doc_stats_parts_dir, f"part-{part:05d}.parquet")
             tmp = final + ".tmp"
             pq_mod.write_table(partial_tbl, tmp)
             os.replace(tmp, final)
+        t = t.filter(pc.invert(is_sent))
         t = t.append_column(
             "part", pa.array(np.full(t.num_rows, part, dtype=np.int32), pa.int32())
         )

@@ -14,6 +14,12 @@ Output row per (term, doc, field):
     compresses to nothing and lets doc stats be derived without re-tokenize),
     part:i32 (shuffle key = shard * n_salts + salt; shard = stable term hash,
     salt = top bits of doc_int — SURVEY.md §7.3/§4.2 skew handling)
+
+Additionally ONE sentinel row per doc (field == SENTINEL_FIELD, term "",
+empty positions) rides the same partitioned shuffle, routed to part
+``doc_int % num_parts``: it carries the doc's totalWords exactly once, so
+the doc-stats table falls out of the reduce side as a filter — no second
+groupby over replicated doc_tw values (A2 without an extra all-to-all).
 """
 
 from __future__ import annotations
@@ -39,6 +45,9 @@ POSTING_SCHEMA = pa.schema(
         ("part", pa.int32()),
     ]
 )
+
+
+SENTINEL_FIELD = -1  # marks the one-per-doc totalWords carrier row
 
 
 def term_shard(term: str, num_shards: int) -> int:
@@ -106,6 +115,16 @@ class TokenizeBatch:
                     term_shard(term, cfg.num_shards) * n_salts + salt
                 )
             doc_tws.extend([total_words] * (len(terms) - row_start))
+
+            # sentinel doc-stats row (see module docstring)
+            terms.append("")
+            doc_ints.append(di)
+            fields.append(SENTINEL_FIELD)
+            positions.append([])
+            tfs.append(0)
+            weights.append(0.0)
+            parts.append(di % (cfg.num_shards * n_salts))
+            doc_tws.append(total_words)
 
         return pa.table(
             {
