@@ -111,7 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "fingerprints": _q_fingerprints,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
+        "search_api_page": _q_search_api_page,
     }
     return out
 
@@ -336,6 +339,20 @@ def _q_ann_lsh(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_ann_ivf(sf_dir: str):
+    import numpy as np
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.to_pandas().sort_values("vec_id").head(3)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(emb, q, k=5, n_lists=8, n_probes=3).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data
 
@@ -345,6 +362,44 @@ def _q_multimodal(sf_dir: str):
     out = decode_images(media, concurrency=2, batch_size=16).to_pandas()
     out["features"] = out["features"].map(lambda v: [round(float(x), 6) for x in v])
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _q_multimodal_frames(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.multimodal import sample_frames, synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(32, "video"))
+    out = sample_frames(media, n_frames=4, concurrency=2, batch_size=8).to_pandas()
+    return out.sort_values(["media_id", "frame"]).reset_index(drop=True)
+
+
+def _q_search_api_page(sf_dir: str):
+    """Full API response path (pagination K2 + snippet M11 + cache T4) for
+    the reference query set; rows = flattened page entries."""
+    import pandas as pd
+
+    from nadry_search_engine_be_ray.pipelines.api import SearchAPI
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    api = SearchAPI(index_dir)
+    rows = []
+    for q in reference_queries():
+        resp = api.search(q["query"], page=q["page"] + 1, limit=q["page_size"])
+        for rank, item in enumerate(resp["data"]):
+            rows.append(
+                {
+                    "query": q["query"],
+                    "rank": rank,
+                    "doc_id": item["doc_id"],
+                    "url": item["url"],
+                    "score": item["score"],
+                    "snippet": item["description"],
+                    "total_results": resp["totalResults"],
+                }
+            )
+    return pd.DataFrame(rows)
 
 
 # ---------------------------------------------------------------------------

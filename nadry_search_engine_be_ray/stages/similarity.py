@@ -2,8 +2,10 @@
 
 Baseline: brute-force cosine top-k — a broadcast query matrix (``ray.put``
 once), per-batch numpy matmul emitting per-batch partial top-k, then a tiny
-``groupby(query_id)`` merge.  Scale path: LSH (random-hyperplane) bucketing —
-probes only matching buckets, same verify math.
+``groupby(query_id)`` merge.  Scale paths: LSH (random-hyperplane) bucketing
+and IVF (coarse k-means quantizer) — both probe only a candidate subset per
+query, inside the same partial-topk/merge skeleton, so no stage ever
+materializes the corpus on the driver.
 """
 
 from __future__ import annotations
@@ -14,6 +16,37 @@ import pyarrow as pa
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
+    )
+
+
+def _make_merge_topk(k: int):
+    """Per-query merge of partial top-k rows -> final (rank'd) top-k."""
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        qid = int(group["query_id"][0].as_py())
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        sim = group["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "rank": pa.array(np.arange(len(order)), pa.int32()),
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "cosine": pa.array(sim[order], pa.float64()),
+            }
+        )
+
+    return merge_topk
+
+
+def _finalize(merged, k: int) -> pa.Table:
+    out = merged.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
@@ -29,10 +62,7 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
-        )
-        m = _normalize(m)
+        m = _normalize(_batch_matrix(batch, vec_col))
         sims = qm @ m.T  # (n_queries, batch)
         out_q, out_id, out_s = [], [], []
         kk = min(k, sims.shape[1])
@@ -50,26 +80,11 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
             }
         )
 
-    def merge_topk(group: pa.Table) -> pa.Table:
-        qid = int(group["query_id"][0].as_py())
-        vid = group["vec_id"].to_numpy(zero_copy_only=False)
-        sim = group["cosine"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((vid, -sim))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(order), pa.int64()),
-                "rank": pa.array(np.arange(len(order)), pa.int32()),
-                "vec_id": pa.array(vid[order], pa.int64()),
-                "cosine": pa.array(sim[order], pa.float64()),
-            }
-        )
-
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     merged = partials.groupby("query_id").map_groups(
-        merge_topk, batch_format="pyarrow"
+        _make_merge_topk(k), batch_format="pyarrow"
     )
-    out = merged.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _finalize(merged, k)
 
 
 class LshIndexBatch:
@@ -82,12 +97,54 @@ class LshIndexBatch:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]
-        )
+        m = _batch_matrix(batch, self.vec_col)
         signs = (m @ self.planes.T) > 0
         buckets = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
         return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
+def _probed_partial_topk(ds, q: np.ndarray, probe_of_query: list[set[int]],
+                         bucket_col: str, k: int, id_col: str, vec_col: str):
+    """Shared LSH/IVF skeleton: per batch, for each query score ONLY the rows
+    whose bucket/list is in that query's probe set (partial top-k), then
+    groupby(query_id) merge — fully distributed, candidates never leave the
+    workers unranked."""
+    import ray
+
+    qref = ray.put(q)
+    probes_ref = ray.put([np.array(sorted(s), dtype=np.int64) for s in probe_of_query])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        probes = ray.get(probes_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        buckets = batch[bucket_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(buckets, probes[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, sims.size)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for c in idx:
+                out_q.append(qi)
+                out_id.append(int(sub_ids[c]))
+                out_s.append(float(sims[c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _make_merge_topk(k), batch_format="pyarrow"
+    )
 
 
 def lsh_topk(ds, query_vectors: np.ndarray, k: int = 10, n_planes: int = 6,
@@ -103,35 +160,77 @@ def lsh_topk(ds, query_vectors: np.ndarray, k: int = 10, n_planes: int = 6,
 
     q_signs = (q @ stage.planes.T) > 0
     q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
-    # probe set: all buckets within hamming distance allowing ~n_probes flips
+    # probe set: the n_probes nearest buckets by hamming distance
     all_buckets = np.arange(1 << n_planes)
     probe_sets = []
     for qb in q_buckets:
         ham = np.array([bin(int(qb) ^ int(b)).count("1") for b in all_buckets])
         order = np.argsort(ham, kind="stable")
-        probe_sets.append(set(all_buckets[order[: n_probes]].tolist()))
+        probe_sets.append(set(all_buckets[order[:n_probes]].tolist()))
 
-    tbl = bucketed.select_columns([id_col, vec_col, "bucket"]).to_pandas()
-    ids = tbl[id_col].to_numpy()
-    buckets = tbl["bucket"].to_numpy()
-    mat = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float64))
-
-    out_q, out_r, out_id, out_s = [], [], [], []
-    for qi in range(q.shape[0]):
-        mask = np.isin(buckets, list(probe_sets[qi]))
-        if not mask.any():
-            continue
-        sims = q[qi] @ mat[mask].T
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -sims))[:k]
-        for rank, c in enumerate(order):
-            out_q.append(qi); out_r.append(rank)
-            out_id.append(int(sub_ids[c])); out_s.append(float(sims[c]))
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "vec_id": pa.array(out_id, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
-        }
+    merged = _probed_partial_topk(
+        bucketed, q, probe_sets, "bucket", k, id_col, vec_col
     )
+    return _finalize(merged, k)
+
+
+def train_ivf_centroids(ds, n_lists: int = 16, train_size: int = 4096,
+                        n_iters: int = 10, seed: int = 13,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer: Lloyd k-means on a bounded training sample (the
+    only driver-side materialization, capped at ``train_size`` rows —
+    standard IVF practice: train on a sample, assign in parallel)."""
+    sample = ds.limit(train_size).to_pandas()
+    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=min(n_lists, x.shape[0]), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)          # cosine on unit vectors
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssignBatch:
+    """map_batches stage: nearest-centroid list id per vector."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        lists = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
+
+
+def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_lists: int = 16,
+             n_probes: int = 4, seed: int = 13, id_col: str = "vec_id",
+             vec_col: str = "embedding", centroids: np.ndarray | None = None) -> pa.Table:
+    """IVF approximate cosine top-k: train a coarse k-means quantizer on a
+    sample, assign vectors to inverted lists in parallel, then scan only the
+    ``n_probes`` lists whose centroids are nearest each query.  Same output
+    schema as brute force.  Pass precomputed ``centroids`` to reuse a
+    trained quantizer (at scale the assignment would also be persisted as a
+    partition column so probes prune at the read)."""
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            ds, n_lists=n_lists, seed=seed, vec_col=vec_col
+        )
+    assigned = ds.map_batches(
+        IvfAssignBatch(centroids, vec_col), batch_format="pyarrow"
+    )
+    sims = q @ centroids.T
+    np_probe = min(n_probes, centroids.shape[0])
+    probe_sets = [
+        set(np.argsort(-sims[qi], kind="stable")[:np_probe].tolist())
+        for qi in range(q.shape[0])
+    ]
+    merged = _probed_partial_topk(
+        assigned, q, probe_sets, "ivf_list", k, id_col, vec_col
+    )
+    return _finalize(merged, k)

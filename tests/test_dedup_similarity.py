@@ -116,6 +116,26 @@ def test_lsh_topk_reasonable_recall(ray_session):
     assert np.mean(recalls) >= 0.5  # probing 16/64 buckets
 
 
+def test_ivf_topk_reasonable_recall(ray_session):
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = emb.to_pandas()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    q = mat[:5]
+    exact = similarity.brute_force_topk(emb, q, k=10).to_pandas()
+    approx = similarity.ivf_topk(emb, q, k=10, n_lists=8, n_probes=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.6  # probing 4/8 lists
+
+    # a query vector that IS a corpus vector must find itself at rank 0
+    # (its own list is always the nearest-probed one)
+    self_hits = approx[(approx["rank"] == 0)]
+    assert (self_hits.groupby("query_id")["cosine"].max() > 0.999).all()
+
+
 def test_textstats_and_fingerprint(ray_session):
     docs = ray.data.read_parquet(f"{SF}/documents.parquet")
     counts = docs.map_batches(textstats.token_count_batch, batch_format="pyarrow").to_pandas()
