@@ -85,6 +85,25 @@ def main() -> None:
     timings["index_build"] = time.time() - t0
     docs_per_sec = n_docs / timings["index_build"]
 
+    if "--build-only" in sys.argv:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ray.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_sec",
+                    "value": round(timings["index_build"], 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in timings.items()},
+                    "sf": sf,
+                    "num_cpus": NUM_CPUS,
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(docs_per_sec, 1),
+                }
+            )
+        )
+        return
+
     # --- query latency (reference scorer + BM25 block-max WAND) ------------
     engine = SearchEngine(index_dir)
     queries = [q["query"] for q in reference_queries()]
@@ -163,11 +182,11 @@ def scaling() -> None:
     instead.
     """
     results = {}
-    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "100000")
+    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "1000000")
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_DOCS=n_docs)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--build-only"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
@@ -178,13 +197,12 @@ def scaling() -> None:
         json.dumps(
             {
                 "metric": "scaling_efficiency_index_build",
+                "n_docs": int(n_docs),
                 "sec_8cpu": b8,
                 "sec_32cpu": b32,
                 "docs_per_sec_8cpu": results[8]["docs_per_sec"],
                 "docs_per_sec_32cpu": results[32]["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
-                "total_sec_8cpu": results[8]["value"],
-                "total_sec_32cpu": results[32]["value"],
             }
         )
     )

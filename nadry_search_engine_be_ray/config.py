@@ -38,6 +38,9 @@ class BuildConfig:
     # groupby(content_sha) shuffle keeping min doc_id.  SURVEY.md §7.3 D1/D2.
     dedup_strategy: str = "broadcast_losers"
     max_broadcast_losers: int = 5_000_000
+    # hash partitions for the exact-dedup storage shuffle; size so one
+    # partition's (sha, doc_int) rows fit in a task's heap (~40 B/row)
+    dedup_partitions: int = 32
 
     # --- codec --------------------------------------------------------------
     block_size: int = 128  # block-max metadata granularity (postings/block)

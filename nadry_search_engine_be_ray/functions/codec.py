@@ -147,6 +147,47 @@ def _varint_nbytes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
+def encode_row_positions(
+    lengths: np.ndarray, flat: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Batch-encode per-ROW position payloads ``[count][abs][deltas...]``
+    (one row = one (term, doc, field) tuple; the map side of the posting
+    shuffle).  Returns (payload, row_byte_offsets len n+1).  Rows with
+    length 0 get an empty byte span.  Concatenating a doc's row payloads in
+    field order behind a 1-byte field mask reproduces EXACTLY the per-doc
+    positions layout above — so the reduce side assembles final segment
+    bytes by pure byte gather, never re-encoding."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    n = lengths.size
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    nv = flat.size
+    row_starts = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lengths[:-1], out=row_starts[1:])
+    dv = flat.copy()
+    if nv:
+        dv[1:] = flat[1:] - flat[:-1]
+        nz_starts = row_starts[lengths > 0]
+        dv[nz_starts] = flat[nz_starts]          # absolute first per row
+    vals_per_row = np.where(lengths > 0, lengths + 1, 0)
+    ext_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(vals_per_row, out=ext_cum[1:])
+    stream = np.empty(int(ext_cum[-1]), dtype=np.uint64)
+    nz = lengths > 0
+    count_idx = ext_cum[:-1][nz]
+    stream[count_idx] = lengths[nz]
+    if nv:
+        val_idx = np.repeat(count_idx + 1, lengths[nz]) + (
+            np.arange(nv) - np.repeat(row_starts[nz], lengths[nz])
+        )
+        stream[val_idx] = dv
+    nb = _varint_nbytes(stream)
+    byte_cum = np.zeros(stream.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_cum[1:])
+    payload = encode_varints(stream)
+    return payload, byte_cum[ext_cum]
+
+
 def encode_positions_indexed(
     doc_fields: list[list[tuple[int, np.ndarray]]]
 ) -> tuple[bytes, np.ndarray]:

@@ -41,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+
 
 from ..config import BuildConfig
 from ..stages.encode import encode_part_dirs, merge_shard_runs
@@ -119,65 +119,88 @@ def build_index(
             override_num_blocks=max(64, int(ray.cluster_resources().get("CPU", 32)) * 2),
         )
         ds = ds.map_batches(prep_batch, batch_format="pyarrow")
-        ds.write_parquet(prepped_dir)
+        ds.write_parquet(prepped_dir, row_group_size=64 * 1024)
         _mark_done(prepped_dir)
         record("prep", t0)
 
     # ---- phase 2: dup losers ---------------------------------------------
+    # Exact dedup (D1/D2) as a storage-partitioned shuffle, the same
+    # MapReduce-exchange pattern as the posting build: map side hash-
+    # partitions the thin (sha, doc_int) stream by sha into part dirs (all
+    # copies of a content land in one part), reduce side runs one task per
+    # part that keeps min-doc_int per sha and emits every other member as a
+    # loser.  Ray Data's native groupby-aggregate measured ~4x slower here
+    # (sort-based shuffle constants), and a driver combine would not scale.
     losers_dir = os.path.join(index_dir, LOSERS)
     if not _done(losers_dir):
         t0 = time.time()
-        ds = ray.data.read_parquet(
-            prepped_dir, columns=["content_sha256", "doc_int"]
-        )
-        # vectorized keep-min-per-sha: aggregate (Min, Count) shuffles only
-        # (sha, doc_int) pairs through C kernels; only DUPLICATED shas (a
-        # small set at sane dup rates) come back to the driver and are
-        # broadcast for the loser scan — no per-group Python calls.
-        agg = ds.groupby("content_sha256").aggregate(
-            Min("doc_int", alias_name="winner"),
-            Count(alias_name="n_copies"),
-        )
+        import glob as _glob
+        import zlib as _zlib
 
-        def only_dups(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(pc.greater(batch["n_copies"], pa.scalar(1)))
-
-        dup_tbl = agg.map_batches(only_dups, batch_format="pyarrow").to_pandas()
-
-        # Member lookup for the (small) dup-sha set: a driver-side filtered
-        # scan of two thin columns beats launching a second full-scan Ray
-        # job.  At extreme dup rates where the dup set itself is huge, flip
-        # cfg.dedup_strategy to the full-shuffle path (stages/prep.py
-        # dedup_shuffle) instead.
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
-        os.makedirs(losers_dir, exist_ok=True)
-        if len(dup_tbl) == 0:
-            loser_tbl = pa.table({"doc_int": pa.array([], pa.int64())})
-        else:
-            winners = dict(zip(dup_tbl["content_sha256"], dup_tbl["winner"]))
-            members = pads.dataset(prepped_dir, format="parquet").to_table(
-                columns=["content_sha256", "doc_int"],
-                filter=pc.field("content_sha256").isin(list(winners)),
+        dparts_dir = os.path.join(index_dir, "dedup_parts")
+        n_dparts = cfg.dedup_partitions
+        if not _done(dparts_dir):
+            ds = ray.data.read_parquet(
+                prepped_dir, columns=["content_sha256", "doc_int"]
             )
-            ints = members["doc_int"].to_numpy(zero_copy_only=False)
-            win = np.array(
-                [winners[s] for s in members["content_sha256"].to_pylist()],
-                dtype=np.int64,
-            )
-            loser_tbl = pa.table(
-                {"doc_int": pa.array(ints[ints != win], pa.int64())}
-            )
-        import pyarrow.parquet as pq_mod
 
-        pq_mod.write_table(
-            loser_tbl, os.path.join(losers_dir, "losers.parquet")
+            def add_dpart(batch: pa.Table) -> pa.Table:
+                shas = batch["content_sha256"].to_pylist()
+                dp = np.array(
+                    [_zlib.crc32(s.encode()) % n_dparts for s in shas],
+                    dtype=np.int32,
+                )
+                return pa.table(
+                    {
+                        "content_sha256": batch["content_sha256"],
+                        "doc_int": batch["doc_int"],
+                        "dpart": pa.array(dp, pa.int32()),
+                    }
+                )
+
+            (
+                ds.map_batches(add_dpart, batch_format="pyarrow")
+                .repartition(8)
+                .write_parquet(dparts_dir, partition_cols=["dpart"],
+                               row_group_size=1_000_000)
+            )
+            _mark_done(dparts_dir)
+
+        part_dirs = sorted(_glob.glob(os.path.join(dparts_dir, "dpart=*")))
+        parts_tbl = pa.table({"path": pa.array(part_dirs, pa.string())})
+
+        def losers_of_part(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq_mod
+
+            out = []
+            for path in batch["path"].to_pylist():
+                t = pq_mod.read_table(
+                    path,
+                    columns=["content_sha256", "doc_int"],
+                    use_threads=False,
+                )
+                if t.num_rows == 0:
+                    continue
+                s = t.sort_by(
+                    [("content_sha256", "ascending"), ("doc_int", "ascending")]
+                )
+                shas = s["content_sha256"].combine_chunks().dictionary_encode()
+                codes = shas.indices.to_numpy(zero_copy_only=False)
+                ints = s["doc_int"].to_numpy(zero_copy_only=False)
+                first = np.ones(len(codes), dtype=bool)
+                first[1:] = codes[1:] != codes[:-1]
+                out.append(ints[~first])  # everything but the min per sha
+            losers = np.concatenate(out) if out else np.array([], dtype=np.int64)
+            return pa.table({"doc_int": pa.array(losers, pa.int64())})
+
+        (
+            ray.data.from_arrow(parts_tbl)
+            .repartition(max(1, len(part_dirs)))
+            .map_batches(losers_of_part, batch_format="pyarrow", batch_size=1)
+            .write_parquet(losers_dir)
         )
         _mark_done(losers_dir)
-        record("losers", t0, n_losers=loser_tbl.num_rows)
+        record("losers", t0, n_losers=_parquet_row_count(losers_dir))
 
     loser_ints = load_losers(index_dir)
 
@@ -209,7 +232,13 @@ def build_index(
         # failed reduce resumes per part.  Coalesce first so file count per
         # part dir stays bounded (postings_write_blocks x num_parts total).
         ds = ds.repartition(cfg.postings_write_blocks)
-        ds.write_parquet(postings_dir, partition_cols=["part"])
+        # row_group_size forces the hive-partitioned sink to buffer incoming
+        # chunks into real row groups — without it write_dataset appends one
+        # tiny group per chunk and the reduce side pays a ~12x read penalty
+        # (observed: 384-row row groups)
+        ds.write_parquet(
+            postings_dir, partition_cols=["part"], row_group_size=1_000_000
+        )
         _mark_done(postings_dir)
         record("postings", t0)
 
@@ -244,7 +273,9 @@ def build_index(
             batch_format="pyarrow",
             batch_size=1,           # one part per task: bounded memory
         )
-        enc.write_parquet(segments_dir, partition_cols=["shard"])
+        enc.write_parquet(
+            segments_dir, partition_cols=["shard"], row_group_size=1_000_000
+        )
         _mark_done(segments_dir)
         _mark_done(doc_stats_dir)   # partials landed with the encode tasks
         record("segments", t0, n_parts=len(part_dirs))
@@ -276,7 +307,7 @@ def build_index(
 
             outs = []
             for shard, path in zip(batch["shard"].to_pylist(), batch["path"].to_pylist()):
-                t = pq_mod.read_table(path)
+                t = pq_mod.read_table(path, use_threads=False)
                 t = t.append_column(
                     "shard",
                     pa.array(np.full(t.num_rows, shard, dtype=np.int32), pa.int32()),
@@ -293,7 +324,9 @@ def build_index(
             .repartition(max(1, len(shard_dirs)))
             .map_batches(merge_shard_dirs, batch_format="pyarrow", batch_size=1)
         )
-        merged.write_parquet(merged_dir, partition_cols=["shard"])
+        merged.write_parquet(
+            merged_dir, partition_cols=["shard"], row_group_size=1_000_000
+        )
         _mark_done(merged_dir)
         record("merge", t0, n_shards=len(shard_dirs))
 

@@ -28,6 +28,13 @@ import pyarrow as pa
 
 from ..config import BuildConfig
 from ..functions import codec
+from ..stages.fieldsplit import FIELD_WEIGHTS
+
+# field id -> boost, as a numpy lookup (TITLE 3.0 / DESCRIPTION 1.5 / BODY 1.0,
+# indexer/InvertedIndex.java:18-32)
+_FIELD_BOOSTS = np.array(
+    [FIELD_WEIGHTS[f] for f in sorted(FIELD_WEIGHTS)], dtype=np.float64
+)
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -56,12 +63,13 @@ class EncodePartGroup:
         self.config = config or BuildConfig()
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        """Fully vectorized encode: no per-row Python.  One numpy scatter
-        builds the interleaved positions value stream
-        ``[mask, (count, deltas...)*field]`` for EVERY doc of EVERY term in
-        the part at once, one varint pass encodes it, and per-term payloads
-        are byte slices (varint is a per-value code, so slices decode
-        independently).  Same layout as codec.encode_positions_indexed."""
+        """Fully vectorized encode: no per-row Python.  The tokenize stage
+        already shipped each row's positions as final ``[count][abs][deltas]``
+        varint bytes (codec.encode_row_positions), so the per-doc payload is
+        a 1-byte field mask (mask <= 7, so its varint IS the byte) followed
+        by the doc's row payloads in field order — assembled here with one
+        numpy byte gather, no re-encoding.  Weight = tf × field boost is
+        recomputed (it never rides the shuffle)."""
         cfg = self.config
         if group.num_rows == 0:
             return _empty_segment_table()
@@ -78,13 +86,15 @@ class EncodePartGroup:
         doc = g["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
         field = g["field"].to_numpy(zero_copy_only=False).astype(np.int64)
         tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        weight = g["weight"].to_numpy(zero_copy_only=False)
-        pos_col = g["positions"].combine_chunks()
-        lengths = pos_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-
+        weight = tf * _FIELD_BOOSTS[field]
+        pos_arr = g["pos"].combine_chunks()
+        ao = pos_arr.offset
         n = doc.size
-        nv = flat.size
+        offs = np.frombuffer(pos_arr.buffers()[1], dtype=np.int32)[
+            ao : ao + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(pos_arr.buffers()[2], dtype=np.uint8)
+        row_lens = offs[1:] - offs[:-1]
 
         # ---- doc / term boundaries at row granularity ----
         nd = np.ones(n, dtype=bool)
@@ -108,33 +118,34 @@ class EncodePartGroup:
         term_doc_ends[:-1] = term_doc_starts[1:]
         term_doc_ends[-1] = n_docs
 
-        # ---- positions value stream: [mask][count deltas...]* per doc ----
-        row_flat_starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lengths[:-1], out=row_flat_starts[1:])
-        dv = flat.copy()
-        if nv:
-            dv[1:] -= flat[:-1]
-            dv[row_flat_starts] = flat[row_flat_starts]  # absolute per row
-        extras = lengths + 1                           # count + values per row
-        ext_cum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(extras, out=ext_cum[1:])
-        count_idx = ext_cum[:-1] + didx + 1
-        stream = np.empty(n_docs + n + nv, dtype=np.uint64)
-        stream[count_idx] = lengths
-        if nv:
-            val_idx = np.repeat(count_idx + 1, lengths) + (
-                np.arange(nv) - np.repeat(row_flat_starts, lengths)
+        # ---- per-doc payload = [1-byte mask][row payload bytes...] -------
+        row_byte_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=row_byte_cum[1:])
+        doc_end_rows = np.empty_like(doc_start_rows)
+        doc_end_rows[:-1] = doc_start_rows[1:]
+        doc_end_rows[-1] = n
+        rows_per_doc = doc_end_rows - doc_start_rows
+        doc_payload_len = 1 + (
+            row_byte_cum[doc_end_rows] - row_byte_cum[doc_start_rows]
+        )
+        doc_byte_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(doc_payload_len, out=doc_byte_off[1:])
+        total_bytes = int(doc_byte_off[-1])
+        out_buf = np.empty(total_bytes, dtype=np.uint8)
+        out_buf[doc_byte_off[:-1]] = mask_doc.astype(np.uint8)
+        row_out_start = (
+            np.repeat(doc_byte_off[:-1] + 1, rows_per_doc)
+            + row_byte_cum[:-1]
+            - np.repeat(row_byte_cum[doc_start_rows], rows_per_doc)
+        )
+        total_row_bytes = int(row_byte_cum[-1])
+        if total_row_bytes:
+            dst_idx = np.repeat(row_out_start, row_lens) + (
+                np.arange(total_row_bytes) - np.repeat(row_byte_cum[:-1], row_lens)
             )
-            stream[val_idx] = dv.astype(np.uint64)
-        mask_idx = ext_cum[doc_start_rows] + np.arange(n_docs)
-        stream[mask_idx] = mask_doc.astype(np.uint64)
-
-        nb = codec._varint_nbytes(stream)
-        byte_cum = np.zeros(stream.size + 1, dtype=np.int64)
-        np.cumsum(nb, out=byte_cum[1:])
-        payload_all = codec.encode_varints(stream)
-        doc_byte_off = byte_cum[mask_idx]              # start byte per doc
-        total_bytes = int(byte_cum[-1])
+            out_buf[dst_idx] = data[offs[0] : offs[0] + total_row_bytes]
+        payload_all = out_buf.tobytes()
+        doc_byte_off = doc_byte_off[:-1]               # start byte per doc
 
         # ---- doc-gap and tf varint streams at doc granularity ----
         dd = uniq_doc.astype(np.uint64).copy()
@@ -227,14 +238,14 @@ def encode_part_dirs(
     enc = EncodePartGroup(cfg)
     outs = []
     for part, path in zip(batch["part"].to_pylist(), batch["path"].to_pylist()):
-        t = pq_mod.read_table(path)
+        t = pq_mod.read_table(path, use_threads=False)  # 1-CPU task: avoid pool oversubscription
         is_sent = pc.equal(t["field"], pa.scalar(SENTINEL_FIELD, pa.int8()))
         if doc_stats_parts_dir is not None:
             sent = t.filter(is_sent)
             partial_tbl = pa.table(
                 {
                     "doc_int": sent["doc_int"],
-                    "total_words": sent["doc_tw"],
+                    "total_words": sent["tf"],  # sentinel rows carry totalWords in tf
                 }
             )
             final = os.path.join(doc_stats_parts_dir, f"part-{part:05d}.parquet")

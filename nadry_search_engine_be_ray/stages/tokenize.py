@@ -8,18 +8,24 @@ tokenizer (with its Porter2 stem cache) lives once per worker in
 ``__init__``; ``__call__`` processes whole Arrow batches.
 
 Output row per (term, doc, field):
-    term:str, doc_int:u64, field:i8, positions:list<i32> (0-based per field,
-    IndexBuilder.java:135-139), tf:i32, weight:f64 (tf * field boost),
-    doc_tw:i32 (the doc's totalWords, replicated on each of its rows — RLE
-    compresses to nothing and lets doc stats be derived without re-tokenize),
-    part:i32 (shuffle key = shard * n_salts + salt; shard = stable term hash,
-    salt = top bits of doc_int — SURVEY.md §7.3/§4.2 skew handling)
+    term:str, doc_int:i64, field:i8,
+    tf:i32 (occurrences of term in this doc+field),
+    pos:binary — the row's positions ALREADY varint-encoded as
+        [count][abs][deltas...] (codec.encode_row_positions, one batch-wide
+        vectorized pass).  Pre-encoding here roughly halves the bytes the
+        posting shuffle moves (vs list<int32> + a redundant weight float +
+        replicated doc_tw), and the reduce side assembles final segment
+        payloads by byte concatenation instead of re-encoding.
+    part:i32 (shuffle key = shard * n_salts + salt; shard = stable term
+        hash, salt = top bits of doc_int — SURVEY.md §7.3/§4.2 skew handling)
+
+``weight`` (tf × field boost, InvertedIndex.java:229-232) is NOT shipped:
+it is a pure function of (tf, field), recomputed vectorized at encode.
 
 Additionally ONE sentinel row per doc (field == SENTINEL_FIELD, term "",
-empty positions) rides the same partitioned shuffle, routed to part
-``doc_int % num_parts``: it carries the doc's totalWords exactly once, so
-the doc-stats table falls out of the reduce side as a filter — no second
-groupby over replicated doc_tw values (A2 without an extra all-to-all).
+empty pos, tf = the doc's totalWords) rides the same partitioned shuffle,
+routed to part ``doc_int % num_parts``: the doc-stats table (A2) falls out
+of the reduce side as a filter — no extra pass, no extra groupby.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import BuildConfig
+from ..functions import codec
 from ..functions.tokenizer import Tokenizer
 from ..stages.fieldsplit import FIELD_BODY, FIELD_DESCRIPTION, FIELD_TITLE, FIELD_WEIGHTS
 
@@ -38,14 +45,11 @@ POSTING_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("doc_int", pa.int64()),
         ("field", pa.int8()),
-        ("positions", pa.list_(pa.int32())),
         ("tf", pa.int32()),
-        ("weight", pa.float64()),
-        ("doc_tw", pa.int32()),
+        ("pos", pa.binary()),
         ("part", pa.int32()),
     ]
 )
-
 
 SENTINEL_FIELD = -1  # marks the one-per-doc totalWords carrier row
 
@@ -69,16 +73,16 @@ class TokenizeBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         n_salts = 1 << cfg.salt_bits
+        num_parts = cfg.num_shards * n_salts
         tk = self.tokenizer
 
         terms: list[str] = []
         doc_ints: list[int] = []
         fields: list[int] = []
-        positions: list[list[int]] = []
         tfs: list[int] = []
-        weights: list[float] = []
-        doc_tws: list[int] = []
         parts: list[int] = []
+        lengths: list[int] = []        # positions per row (0 for sentinel)
+        flat_pos: list[int] = []       # all positions, row-major
 
         col_doc_int = batch["doc_int"].to_numpy(zero_copy_only=False)
         col_title = batch["title"].to_pylist()
@@ -103,38 +107,45 @@ class TokenizeBatch:
                 for pos, term in enumerate(tokens):
                     acc.setdefault((term, ftype), []).append(pos)
 
-            row_start = len(terms)
             for (term, ftype), poss in acc.items():
                 terms.append(term)
                 doc_ints.append(di)
                 fields.append(ftype)
-                positions.append(poss)
                 tfs.append(len(poss))
-                weights.append(len(poss) * FIELD_WEIGHTS[ftype])
-                parts.append(
-                    term_shard(term, cfg.num_shards) * n_salts + salt
-                )
-            doc_tws.extend([total_words] * (len(terms) - row_start))
+                parts.append(term_shard(term, cfg.num_shards) * n_salts + salt)
+                lengths.append(len(poss))
+                flat_pos.extend(poss)
 
             # sentinel doc-stats row (see module docstring)
             terms.append("")
             doc_ints.append(di)
             fields.append(SENTINEL_FIELD)
-            positions.append([])
-            tfs.append(0)
-            weights.append(0.0)
-            parts.append(di % (cfg.num_shards * n_salts))
-            doc_tws.append(total_words)
+            tfs.append(total_words)
+            parts.append(di % num_parts)
+            lengths.append(0)
+
+        n = len(terms)
+        payload, row_off = codec.encode_row_positions(
+            np.asarray(lengths, dtype=np.int64),
+            np.asarray(flat_pos, dtype=np.uint64),
+        )
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(row_off.astype(np.int32).tobytes()),
+                pa.py_buffer(payload),
+            ],
+        )
 
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
                 "doc_int": pa.array(doc_ints, pa.int64()),
                 "field": pa.array(fields, pa.int8()),
-                "positions": pa.array(positions, pa.list_(pa.int32())),
                 "tf": pa.array(tfs, pa.int32()),
-                "weight": pa.array(weights, pa.float64()),
-                "doc_tw": pa.array(doc_tws, pa.int32()),
+                "pos": pos_arr,
                 "part": pa.array(parts, pa.int32()),
             }
         )
