@@ -32,7 +32,7 @@ def _built_index(sf_dir: str):
     from nadry_search_engine_be_ray.sources.corpus import write_corpus
 
     n_docs = _corpus_docs_for(sf_dir)
-    key = hashlib.sha256(f"v1:{n_docs}".encode()).hexdigest()[:12]
+    key = hashlib.sha256(f"v2:{n_docs}".encode()).hexdigest()[:12]
     root = f"/tmp/nadry_entry/{key}"
     corpus_dir = os.path.join(root, "corpus")
     index_dir = os.path.join(root, "index")

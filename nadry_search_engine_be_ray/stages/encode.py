@@ -18,7 +18,7 @@ Segment row schema:
     weights:binary (per-doc accumulated field weight, f64le),
     block_max:binary (per-128-doc max weight, f64le — block-max WAND),
     positions:binary (per-(doc,field) position lists, see codec),
-    pos_offsets:binary (i64le per-doc byte offsets into positions)
+    pos_offsets:binary (per-doc byte offsets into positions, delta+varint)
 """
 
 from __future__ import annotations
@@ -185,7 +185,11 @@ class EncodePartGroup:
             offs = np.empty(te - ts + 1, dtype=np.int64)
             offs[:-1] = doc_byte_off[ts:te] - start_b
             offs[-1] = end_b - start_b
-            out["pos_offsets"].append(offs.astype("<i8").tobytes())
+            # offsets are monotone with tiny gaps -> delta+varint shrinks
+            # them ~6x (raw i64 offsets dominated segment size at scale)
+            out["pos_offsets"].append(
+                codec.encode_sorted_deltas(offs.astype(np.uint64))
+            )
 
         return pa.table(
             {
@@ -281,7 +285,7 @@ def _merge_runs(
     offs = []
     shift = 0
     for i, ob in enumerate(off_bufs):
-        o = np.frombuffer(ob, dtype="<i8")
+        o = codec.decode_sorted_deltas(ob).astype(np.int64)
         offs.append((o[1:] if i else o) + shift)
         shift += int(o[-1])
     return (
@@ -290,7 +294,7 @@ def _merge_runs(
         codec.encode_f64(weights),
         codec.encode_f64(codec.block_max(weights, block_size)),
         b"".join(pos_bufs),
-        np.concatenate(offs).astype("<i8").tobytes(),
+        codec.encode_sorted_deltas(np.concatenate(offs).astype(np.uint64)),
         int(docs.size),
     )
 

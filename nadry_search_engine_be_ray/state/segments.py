@@ -104,7 +104,9 @@ class SegmentReader:
             )
             w_parts.append(codec.decode_f64(t["weights"][row].as_py()))
             buf = t["positions"][row].as_py()
-            off = np.frombuffer(t["pos_offsets"][row].as_py(), dtype="<i8")
+            off = codec.decode_sorted_deltas(
+                t["pos_offsets"][row].as_py()
+            ).astype(np.int64)
             pos_bufs.append(buf)
             off_parts.append((off[1:] if shift else off) + shift)
             shift += int(off[-1])
