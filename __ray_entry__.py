@@ -275,11 +275,14 @@ def _q_pagerank(sf_dir: str):
     from nadry_search_engine_be_ray.pipelines.pagerank import run_pagerank
     from nadry_search_engine_be_ray.sources.corpus import make_links
 
+    from nadry_search_engine_be_ray.stages.prep import derive_urls
+
     _, index_dir = _built_index(sf_dir)
     urls = sorted(
-        pads.dataset(os.path.join(index_dir, "prepped"), format="parquet")
-        .to_table(columns=["url"])["url"]
-        .to_pylist()
+        derive_urls(
+            pads.dataset(os.path.join(index_dir, "prepped"), format="parquet")
+            .to_table(columns=["repo", "path", "commit"])
+        )
     )
     edges = make_links(urls, seed=42)
     out = run_pagerank(ray.data.from_arrow(edges), index_dir).to_pandas()

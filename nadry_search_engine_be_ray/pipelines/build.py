@@ -44,7 +44,7 @@ import ray.data
 
 
 from ..config import BuildConfig
-from ..stages.encode import encode_part_dirs, merge_shard_runs
+from ..stages.encode import encode_part_dirs, encode_shard_dirs
 from ..stages.prep import make_loser_filter, prep_batch
 from ..stages.tokenize import TokenizeBatch
 
@@ -145,9 +145,9 @@ def build_index(
             )
 
             def add_dpart(batch: pa.Table) -> pa.Table:
-                shas = batch["content_sha256"].to_pylist()
+                shas = batch["content_sha256"].to_pylist()  # binary32
                 dp = np.array(
-                    [_zlib.crc32(s.encode()) % n_dparts for s in shas],
+                    [_zlib.crc32(s) % n_dparts for s in shas],
                     dtype=np.int32,
                 )
                 return pa.table(
@@ -247,8 +247,36 @@ def build_index(
     # sentinel rows (routed here by the tokenize stage) and writes them as
     # final (doc_int, total_words) partials — A2 with zero extra passes.
     segments_dir = os.path.join(index_dir, SEGMENTS)
+    merged_dir = os.path.join(index_dir, MERGED)
     doc_stats_dir = os.path.join(index_dir, DOC_STATS)
-    if not _done(segments_dir):
+    if cfg.compact_segments and not _done(merged_dir):
+        # FUSED encode + merge: one task per shard encodes its salt parts
+        # and k-way merges the runs in memory — salted segment rows never
+        # hit storage.  Resume granularity is per shard.
+        t0 = time.time()
+        os.makedirs(doc_stats_dir, exist_ok=True)
+        shards_tbl = pa.table(
+            {"shard": pa.array(list(range(cfg.num_shards)), pa.int32())}
+        )
+        enc = (
+            ray.data.from_arrow(shards_tbl)
+            .repartition(cfg.num_shards)
+            .map_batches(
+                partial(encode_shard_dirs, cfg=cfg, postings_dir=postings_dir,
+                        doc_stats_parts_dir=doc_stats_dir),
+                batch_format="pyarrow",
+                batch_size=1,       # one shard per task: bounded memory
+            )
+        )
+        enc.write_parquet(
+            merged_dir, partition_cols=["shard"], row_group_size=1_000_000
+        )
+        _mark_done(merged_dir)
+        _mark_done(doc_stats_dir)
+        record("segments", t0, note="fused with merge")
+        record("merge", t0, n_shards=cfg.num_shards)
+        record("doc_stats", t0, note="piggybacked on segment encode")
+    elif not cfg.compact_segments and not _done(segments_dir):
         t0 = time.time()
         import glob as _glob
 
@@ -280,55 +308,6 @@ def build_index(
         _mark_done(doc_stats_dir)   # partials landed with the encode tasks
         record("segments", t0, n_parts=len(part_dirs))
         record("doc_stats", t0, note="piggybacked on segment encode")
-
-    # ---- phase 6: merge runs ---------------------------------------------
-    # Segments are already hive-partitioned by shard on disk, so the merge
-    # "groupby(shard)" needs no all-to-all at all: one task per shard dir
-    # reads its own files and k-way merges the salted runs (the same
-    # storage-partitioned-shuffle pattern as phase 4).
-    merged_dir = os.path.join(index_dir, MERGED)
-    if cfg.compact_segments and not _done(merged_dir):
-        t0 = time.time()
-        import glob as _glob
-
-        shard_dirs = sorted(_glob.glob(os.path.join(segments_dir, "shard=*")))
-        shards_tbl = pa.table(
-            {
-                "shard": pa.array(
-                    [int(os.path.basename(p).split("=")[1]) for p in shard_dirs],
-                    pa.int32(),
-                ),
-                "path": pa.array(shard_dirs, pa.string()),
-            }
-        )
-
-        def merge_shard_dirs(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as pq_mod
-
-            outs = []
-            for shard, path in zip(batch["shard"].to_pylist(), batch["path"].to_pylist()):
-                t = pq_mod.read_table(path, use_threads=False)
-                t = t.append_column(
-                    "shard",
-                    pa.array(np.full(t.num_rows, shard, dtype=np.int32), pa.int32()),
-                )
-                outs.append(merge_shard_runs(t, block_size=cfg.block_size))
-            if not outs:
-                from ..stages.encode import _empty_segment_table
-
-                return _empty_segment_table()
-            return pa.concat_tables(outs)
-
-        merged = (
-            ray.data.from_arrow(shards_tbl)
-            .repartition(max(1, len(shard_dirs)))
-            .map_batches(merge_shard_dirs, batch_format="pyarrow", batch_size=1)
-        )
-        merged.write_parquet(
-            merged_dir, partition_cols=["shard"], row_group_size=1_000_000
-        )
-        _mark_done(merged_dir)
-        record("merge", t0, n_shards=len(shard_dirs))
 
     # ---- phase 7: global stats -------------------------------------------
     stats_path = os.path.join(index_dir, "stats.json")

@@ -86,18 +86,22 @@ class DocStore:
         range — S11/S12 analog).  Content stays on disk and is fetched
         pushdown-filtered per visible page only (snippets)."""
         if not hasattr(self, "_details"):
+            from ..stages.prep import derive_urls, doc_id_of
+
             t = pads.dataset(
                 os.path.join(self.index_dir, "prepped"), format="parquet"
-            ).to_table(columns=["doc_int", "doc_id", "url", "title", "description"])
+            ).to_table(
+                columns=["doc_int", "repo", "path", "commit", "title", "description"]
+            )
+            urls = derive_urls(t)  # url/doc_id derived, not stored (prep.py)
             self._details = {
                 int(di): {
-                    "doc_int": int(di), "doc_id": d, "url": u,
+                    "doc_int": int(di), "doc_id": doc_id_of(u), "url": u,
                     "title": ti, "description": de,
                 }
-                for di, d, u, ti, de in zip(
-                    t["doc_int"].to_pylist(), t["doc_id"].to_pylist(),
-                    t["url"].to_pylist(), t["title"].to_pylist(),
-                    t["description"].to_pylist(),
+                for di, u, ti, de in zip(
+                    t["doc_int"].to_pylist(), urls,
+                    t["title"].to_pylist(), t["description"].to_pylist(),
                 )
             }
         return self._details

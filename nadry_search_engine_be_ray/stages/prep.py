@@ -21,28 +21,51 @@ import pyarrow as pa
 from ..stages.fieldsplit import split_fields
 
 
+def make_url(repo: str, path: str, commit: str) -> str:
+    """Doc identity string; doc_id = sha256(url) hex (M2 analog).  Derived,
+    never stored — prepped keeps only (repo, path, commit) and readers
+    recompute (url and its 64-char hex sha cost ~45% of the Documents
+    table when materialized)."""
+    return f"{repo}/{path}@{commit}"
+
+
+def doc_id_of(url: str) -> str:
+    return hashlib.sha256(url.encode()).hexdigest()
+
+
+def derive_urls(table: pa.Table) -> list[str]:
+    return [
+        make_url(r, p, c)
+        for r, p, c in zip(
+            table["repo"].to_pylist(),
+            table["path"].to_pylist(),
+            table["commit"].to_pylist(),
+        )
+    ]
+
+
 def prep_batch(batch: pa.Table) -> pa.Table:
-    """Add url, doc_id (sha256 hex), doc_int (u64 prefix), content_sha256,
+    """Add doc_int (60-bit sha-of-url prefix), content_sha256 (binary 32),
     title, description columns.  Pure, stateless, batch-vectorized where the
-    kernel allows (hashing loops are C-speed hashlib calls per row)."""
+    kernel allows (hashing loops are C-speed hashlib calls per row).
+
+    60-bit doc key: int64-safe in Arrow/Ray shuffles (uint64 group keys
+    corrupt in Ray's sort-based groupby) and monotone in doc_id hex order
+    (the declared tiebreak).  Production note: 10^12-file scale should use
+    a 128-bit (hi, lo) pair; collision odds at 60 bits are ~1e-7 per 10^6
+    docs and the build asserts uniqueness (SURVEY.md §4.2 ordering)."""
     repo = batch["repo"].to_pylist()
     path = batch["path"].to_pylist()
     commit = batch["commit"].to_pylist()
     content = batch["content"].to_pylist()
 
     n = len(repo)
-    urls = [f"{repo[i]}/{path[i]}@{commit[i]}" for i in range(n)]
-    doc_ids = [hashlib.sha256(u.encode()).hexdigest() for u in urls]
-    # 60-bit doc key: int64-safe in Arrow/Ray shuffles (uint64 group keys
-    # corrupt in Ray's sort-based groupby) and monotone in doc_id hex order
-    # (the declared tiebreak).  Production note: 10^12-file scale should use
-    # a 128-bit (hi, lo) pair; collision odds at 60 bits are ~1e-7 per 10^6
-    # docs and the build asserts uniqueness (SURVEY.md §4.2 ordering).
-    doc_ints = np.array(
-        [int(d[:15], 16) for d in doc_ids], dtype=np.int64
-    )
+    doc_ints = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        h = hashlib.sha256(make_url(repo[i], path[i], commit[i]).encode())
+        doc_ints[i] = int(h.hexdigest()[:15], 16)
     content_sha = [
-        hashlib.sha256((c or "").encode()).hexdigest() for c in content
+        hashlib.sha256((c or "").encode()).digest() for c in content
     ]
     titles = []
     descriptions = []
@@ -51,10 +74,8 @@ def prep_batch(batch: pa.Table) -> pa.Table:
         titles.append(t)
         descriptions.append(d)
 
-    return batch.append_column("url", pa.array(urls, pa.string())) \
-        .append_column("doc_id", pa.array(doc_ids, pa.string())) \
-        .append_column("doc_int", pa.array(doc_ints, pa.int64())) \
-        .append_column("content_sha256", pa.array(content_sha, pa.string())) \
+    return batch.append_column("doc_int", pa.array(doc_ints, pa.int64())) \
+        .append_column("content_sha256", pa.array(content_sha, pa.binary())) \
         .append_column("title", pa.array(titles, pa.string())) \
         .append_column("description", pa.array(descriptions, pa.string()))
 

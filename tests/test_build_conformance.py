@@ -104,7 +104,7 @@ def test_content_sha_invariant(built_index, tiny_corpus_dir):
     for content, sha in zip(
         prepped["content"].to_pylist()[:100], prepped["content_sha256"].to_pylist()[:100]
     ):
-        assert hashlib.sha256(content.encode()).hexdigest() == sha
+        assert hashlib.sha256(content.encode()).digest() == sha
 
 
 def test_build_is_resumable(built_index, tiny_corpus_dir, ray_session):

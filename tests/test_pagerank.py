@@ -18,10 +18,12 @@ from nadry_search_engine_be_ray.sources.corpus import make_links
 
 @pytest.fixture(scope="module")
 def edges_and_urls(built_index):
+    from nadry_search_engine_be_ray.stages.prep import derive_urls
+
     prepped = pads.dataset(
         os.path.join(built_index, "prepped"), format="parquet"
-    ).to_table(columns=["url"])
-    urls = sorted(prepped["url"].to_pylist())
+    ).to_table(columns=["repo", "path", "commit"])
+    urls = sorted(derive_urls(prepped))
     edges = make_links(urls, seed=42)
     return edges, urls
 
