@@ -19,14 +19,16 @@ satisfying the north_rule resumability requirement):
   3. postings  prepped -> postings/        tokenize map side (T1/A1/A2);
                the written intermediate IS the map-side shuffle spill, making
                the reduce side restartable without re-tokenizing
-  4. segments  postings -> segments/       reduce side of THE shuffle: one
-               task per part dir encodes salted posting-list runs (A3); the
-               same tasks split off the per-doc sentinel rows into
-               doc_stats/ (A2) — totalWords costs no extra pass
-  5. doc_stats (written by phase 4; marker only)
-  6. merged    segments -> segments_merged/ per-term run merge (streaming
-               concatenation of sorted runs; segment-merge primitive)
-  7. stats     global stats.json (N, avgdl, n_terms) for BM25 (A11 analog)
+  4. segments+merge (default, compact_segments=True): ONE Ray pipeline —
+               per-part encode tasks (A3; salted posting-list runs) feed a
+               groupby("shard") k-way merge (streaming concatenation of
+               sorted runs, the segment-merge primitive); the salted runs
+               move through the object store, never disk.  The encode tasks
+               also split the per-doc sentinel rows into doc_stats/ (A2) —
+               totalWords costs no extra pass.  With compact_segments=False
+               the salted runs are written to segments/ unmerged instead
+               (the query reader concatenates runs in salt order itself).
+  5. stats     global stats.json (N, avgdl, n_terms) for BM25 (A11 analog)
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ import ray.data
 
 
 from ..config import BuildConfig
-from ..stages.encode import encode_part_dirs, encode_shard_dirs
+from ..stages.encode import encode_part_dirs, merge_shard_runs
 from ..stages.prep import make_loser_filter, prep_batch
 from ..stages.tokenize import TokenizeBatch
 
@@ -250,30 +252,46 @@ def build_index(
     merged_dir = os.path.join(index_dir, MERGED)
     doc_stats_dir = os.path.join(index_dir, DOC_STATS)
     if cfg.compact_segments and not _done(merged_dir):
-        # FUSED encode + merge: one task per shard encodes its salt parts
-        # and k-way merges the runs in memory — salted segment rows never
-        # hit storage.  Resume granularity is per shard.
+        # FUSED encode + merge in one Ray pipeline: per-PART encode tasks
+        # (parallelism = shards × salts, so one skewed shard can't become a
+        # straggler) feed a groupby("shard") whose all-to-all moves only the
+        # ~encoded-blob rows (a few hundred per shard) through the OBJECT
+        # STORE — salted segment runs never hit disk, and the k-way merge
+        # (merge_shard_runs) runs per shard on the reduce side.
         t0 = time.time()
+        import glob as _glob
+
         os.makedirs(doc_stats_dir, exist_ok=True)
-        shards_tbl = pa.table(
-            {"shard": pa.array(list(range(cfg.num_shards)), pa.int32())}
+        part_dirs = sorted(_glob.glob(os.path.join(postings_dir, "part=*")))
+        parts_tbl = pa.table(
+            {
+                "part": pa.array(
+                    [int(os.path.basename(p).split("=")[1]) for p in part_dirs],
+                    pa.int32(),
+                ),
+                "path": pa.array(part_dirs, pa.string()),
+            }
         )
         enc = (
-            ray.data.from_arrow(shards_tbl)
-            .repartition(cfg.num_shards)
+            ray.data.from_arrow(parts_tbl)
+            .repartition(max(1, len(part_dirs)))
             .map_batches(
-                partial(encode_shard_dirs, cfg=cfg, postings_dir=postings_dir,
+                partial(encode_part_dirs, cfg=cfg,
                         doc_stats_parts_dir=doc_stats_dir),
                 batch_format="pyarrow",
-                batch_size=1,       # one shard per task: bounded memory
+                batch_size=1,       # one part per task: bounded memory
             )
         )
-        enc.write_parquet(
+        merged = enc.groupby("shard").map_groups(
+            partial(merge_shard_runs, block_size=cfg.block_size),
+            batch_format="pyarrow",
+        )
+        merged.write_parquet(
             merged_dir, partition_cols=["shard"], row_group_size=1_000_000
         )
         _mark_done(merged_dir)
         _mark_done(doc_stats_dir)
-        record("segments", t0, note="fused with merge")
+        record("segments", t0, note="fused encode+merge", n_parts=len(part_dirs))
         record("merge", t0, n_shards=cfg.num_shards)
         record("doc_stats", t0, note="piggybacked on segment encode")
     elif not cfg.compact_segments and not _done(segments_dir):

@@ -267,68 +267,6 @@ def encode_part_dirs(
     return pa.concat_tables(outs)
 
 
-def encode_shard_dirs(
-    batch: pa.Table,
-    cfg: BuildConfig | None = None,
-    postings_dir: str | None = None,
-    doc_stats_parts_dir: str | None = None,
-) -> pa.Table:
-    """Fused reduce: one task per SHARD encodes all of its salt-part dirs
-    and immediately k-way merges the salted runs — the intermediate salted
-    segment rows never touch storage (at 1M docs that saves ~0.8 GB of
-    disk traffic vs encode->write->read->merge).  Same doc-stats piggyback
-    as :func:`encode_part_dirs`.  Output rows are final merged segment rows
-    (salt == -1)."""
-    import os
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq_mod
-
-    from .tokenize import SENTINEL_FIELD
-
-    cfg = cfg or BuildConfig()
-    n_salts = 1 << cfg.salt_bits
-    enc = EncodePartGroup(cfg)
-    outs = []
-    for shard in batch["shard"].to_pylist():
-        runs = []
-        for salt in range(n_salts):
-            part = shard * n_salts + salt
-            path = os.path.join(postings_dir, f"part={part}")
-            if not os.path.isdir(path):
-                continue
-            t = pq_mod.read_table(path, use_threads=False)
-            is_sent = pc.equal(t["field"], pa.scalar(SENTINEL_FIELD, pa.int8()))
-            if doc_stats_parts_dir is not None:
-                sent = t.filter(is_sent)
-                partial_tbl = pa.table(
-                    {
-                        "doc_int": sent["doc_int"],
-                        "total_words": sent["tf"],
-                    }
-                )
-                final = os.path.join(
-                    doc_stats_parts_dir, f"part-{part:05d}.parquet"
-                )
-                tmp = final + ".tmp"
-                pq_mod.write_table(partial_tbl, tmp)
-                os.replace(tmp, final)
-            t = t.filter(pc.invert(is_sent))
-            t = t.append_column(
-                "part",
-                pa.array(np.full(t.num_rows, part, dtype=np.int32), pa.int32()),
-            )
-            if t.num_rows:
-                runs.append(enc(t))
-        if runs:
-            outs.append(
-                merge_shard_runs(pa.concat_tables(runs), cfg.block_size)
-            )
-    if not outs:
-        return _empty_segment_table()
-    return pa.concat_tables(outs)
-
-
 def _merge_runs(
     docs_bufs: list[bytes],
     tfs_bufs: list[bytes],
