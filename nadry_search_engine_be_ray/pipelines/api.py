@@ -61,9 +61,74 @@ def find_first_context_match(content: str, query_tokens: list[str]) -> str:
     return first
 
 
+class SuggestionStore:
+    """Local stand-in for the reference's Supabase ``Suggestions`` table
+    (api/SupabaseService.java:67-107, 'ilike.*q*' substring match + limit,
+    rows in insertion order; save = plain insert of the trimmed query,
+    duplicates allowed).  Persisted as an append-only parquet file so a
+    restarted API keeps its history (S-series sink analog)."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._items: list[str] = []
+        if path is not None:
+            import os
+
+            if os.path.exists(path):
+                import pyarrow.parquet as pq
+
+                self._items = pq.read_table(path)["suggestion"].to_pylist()
+
+    def save(self, query: str | None) -> bool:
+        if query is None or not query.strip():
+            return False
+        self._items.append(query.strip())
+        if self.path is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tmp = self.path + ".tmp"
+            pq.write_table(
+                pa.table({"suggestion": pa.array(self._items, pa.string())}), tmp
+            )
+            import os
+
+            os.replace(tmp, self.path)
+        return True
+
+    def suggest(self, query: str | None, limit: int = 5) -> list[str]:
+        if not query:
+            return []  # SearchController.java:152-156: empty query -> []
+        q = query.lower()
+        out = []
+        for s in self._items:
+            if q in s.lower():
+                out.append(s)
+                if len(out) >= limit:
+                    break
+        return out
+
+
 class SearchAPI:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, suggestions_path: str | None = None):
         self.engine = SearchEngine(index_dir)
+        self.suggestions_store = SuggestionStore(suggestions_path)
+
+    def suggestions(self, query: str | None = None, limit: int = 5) -> dict:
+        """GET /api/suggestions (SearchController.java:142-170)."""
+        return {
+            "success": True,
+            "data": self.suggestions_store.suggest(query, limit),
+            "source": "database",
+        }
+
+    def save_search(self, search_data: dict) -> dict:
+        """POST /api/save-search (SearchController.java:172-197)."""
+        query = search_data.get("query")
+        if query is None or not str(query).strip():
+            return {"success": False, "message": "Search query is required"}
+        self.suggestions_store.save(str(query))
+        return {"success": True, "message": "Search query processed successfully"}
 
     def search(self, query: str, page: int = 1, limit: int = 10) -> dict:
         """1-based page in, 0-based internally (SearchController.java:87-91)."""

@@ -67,6 +67,19 @@ def _mark_done(path: str) -> None:
         f.write("ok")
 
 
+def _fresh(path: str) -> str:
+    """Clear a phase output dir that exists WITHOUT a _DONE marker: a crash
+    mid-write leaves partial parquet files, and the sink's append mode would
+    otherwise duplicate rows on resume.  Completed phases are never touched
+    (the resume contract is the _DONE marker, SURVEY.md §4.2)."""
+    import shutil
+
+    if os.path.exists(path) and not _done(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _parquet_row_count(root: str) -> int:
     """Row count from parquet footers (no Ray job, no data read)."""
     import glob as _glob
@@ -114,6 +127,7 @@ def build_index(
     prepped_dir = os.path.join(index_dir, PREPPED)
     if not _done(prepped_dir):
         t0 = time.time()
+        _fresh(prepped_dir)
         # a small shard count would cap the fused read->prep parallelism at
         # n_files; force enough blocks to keep every core busy
         ds = ray.data.read_parquet(
@@ -136,12 +150,14 @@ def build_index(
     losers_dir = os.path.join(index_dir, LOSERS)
     if not _done(losers_dir):
         t0 = time.time()
+        _fresh(losers_dir)
         import glob as _glob
         import zlib as _zlib
 
         dparts_dir = os.path.join(index_dir, "dedup_parts")
         n_dparts = cfg.dedup_partitions
         if not _done(dparts_dir):
+            _fresh(dparts_dir)
             ds = ray.data.read_parquet(
                 prepped_dir, columns=["content_sha256", "doc_int"]
             )
@@ -210,6 +226,7 @@ def build_index(
     postings_dir = os.path.join(index_dir, POSTINGS)
     if not _done(postings_dir):
         t0 = time.time()
+        _fresh(postings_dir)
         ds = ray.data.read_parquet(
             prepped_dir, columns=["doc_int", "title", "description", "content"]
         )
@@ -252,6 +269,8 @@ def build_index(
     merged_dir = os.path.join(index_dir, MERGED)
     doc_stats_dir = os.path.join(index_dir, DOC_STATS)
     if cfg.compact_segments and not _done(merged_dir):
+        _fresh(merged_dir)
+        _fresh(doc_stats_dir)
         # FUSED encode + merge in one Ray pipeline: per-PART encode tasks
         # (parallelism = shards × salts, so one skewed shard can't become a
         # straggler) feed a groupby("shard") whose all-to-all moves only the
@@ -296,6 +315,8 @@ def build_index(
         record("doc_stats", t0, note="piggybacked on segment encode")
     elif not cfg.compact_segments and not _done(segments_dir):
         t0 = time.time()
+        _fresh(segments_dir)
+        _fresh(doc_stats_dir)
         import glob as _glob
 
         os.makedirs(doc_stats_dir, exist_ok=True)

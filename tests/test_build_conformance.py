@@ -121,3 +121,41 @@ def test_build_is_resumable(built_index, tiny_corpus_dir, ray_session):
     with open(os.path.join(built_index, "stats.json")) as f:
         stats = json.load(f)
     assert stats["n_docs"] > 0
+
+
+def test_resume_after_partial_phase_crash(tiny_corpus_dir, ray_session, tmp_path):
+    """A phase dir left WITHOUT its _DONE marker (crash mid-write) must be
+    rebuilt from scratch, not appended to — duplicated rows would corrupt
+    postings silently."""
+    import shutil
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    cfg = BuildConfig(num_shards=4, salt_bits=1)
+    idx_a = str(tmp_path / "full")
+    build_index(tiny_corpus_dir, idx_a, cfg)
+    ref_stats = json.load(open(os.path.join(idx_a, "stats.json")))
+
+    # simulate a crash: postings phase COMPLETE files but no marker
+    idx_b = str(tmp_path / "crashed")
+    build_index(tiny_corpus_dir, idx_b, cfg)
+    for phase in ("postings", "segments_merged", "doc_stats"):
+        os.remove(os.path.join(idx_b, phase, "_DONE"))
+    os.remove(os.path.join(idx_b, "stats.json"))
+    build_index(tiny_corpus_dir, idx_b, cfg)
+
+    got_stats = json.load(open(os.path.join(idx_b, "stats.json")))
+    assert got_stats["n_docs"] == ref_stats["n_docs"]
+    assert got_stats["total_words"] == ref_stats["total_words"]
+    assert got_stats["n_term_rows"] == ref_stats["n_term_rows"]
+
+    ra, rb = SegmentReader(idx_a), SegmentReader(idx_b)
+    assert set(ra.terms()) == set(rb.terms())
+    for term in list(ra.terms())[:25]:
+        pa_, pb_ = ra.postings(term), rb.postings(term)
+        assert pa_.docs.tolist() == pb_.docs.tolist()
+        assert pa_.tfs.tolist() == pb_.tfs.tolist()
+    shutil.rmtree(idx_a, ignore_errors=True)
+    shutil.rmtree(idx_b, ignore_errors=True)
