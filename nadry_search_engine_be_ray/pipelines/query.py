@@ -170,6 +170,17 @@ class SearchEngine:
         self._cache[key] = res
         return res
 
+    @staticmethod
+    def _sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Intersection of two SORTED UNIQUE int arrays without the
+        sort/unique overhead of np.intersect1d (posting doc lists and
+        per-field position lists are strictly increasing by construction)."""
+        if a.size == 0 or b.size == 0:
+            return a[:0]
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0  # out-of-range -> compare against b[0],
+        return a[b[idx] == a]   # which can never equal those values
+
     def phrase_search(self, phrase: str, page: int = 0, page_size: int = 10) -> dict:
         if page < 0:
             page = 0
@@ -181,44 +192,49 @@ class SearchEngine:
         if len(tokens) == 1:
             return self.search(tokens[0], page, page_size)
 
-        first = self.reader.postings(tokens[0])
-        if first is None:
-            return {"results": [], "total_results": 0, "total_pages": 0, "page": page}
-
-        # doc_int -> {field: np positions of last matched term}
-        matches: dict[int, dict[int, np.ndarray]] = {}
-        for i, di in enumerate(first.docs.tolist()):
-            fp = first.positions_for(i)
-            if fp:
-                matches[di] = fp
-
-        for term in tokens[1:]:
+        # Intersect doc sets FIRST (a doc missing any phrase term can never
+        # survive adjacency — SearchWrapper.java:313-316 empty-on-missing),
+        # then batch-decode positions for the intersection only: one
+        # vectorized varint pass per term instead of one per (doc, term).
+        pls = []
+        for term in tokens:
             pl = self.reader.postings(term)
             if pl is None:
-                matches = {}
+                return {"results": [], "total_results": 0, "total_pages": 0,
+                        "page": page}
+            pls.append(pl)
+        common = pls[0].docs
+        for pl in pls[1:]:
+            common = self._sorted_intersect(common, pl.docs)
+            if common.size == 0:
                 break
-            nxt: dict[int, dict[int, np.ndarray]] = {}
-            common = np.flatnonzero(
-                np.isin(pl.docs, np.fromiter(matches.keys(), dtype=np.int64,
-                                             count=len(matches)))
-            )
-            for i in common.tolist():
-                di = int(pl.docs[i])
-                prev_fields = matches[di]
-                cur_fields = pl.positions_for(i)
+        if common.size == 0:
+            return {"results": [], "total_results": 0, "total_pages": 0, "page": page}
+
+        fields_per_term = [
+            pl.positions_for_many(np.searchsorted(pl.docs, common)) for pl in pls
+        ]
+
+        # per-doc chained positional adjacency, per field, never crossing
+        # fields (SearchWrapper.java:266-397)
+        matches: dict[int, dict[int, np.ndarray]] = {}
+        for k, di in enumerate(common.tolist()):
+            prev = fields_per_term[0][k]
+            for ti in range(1, len(pls)):
+                cur = fields_per_term[ti][k]
                 surv: dict[int, np.ndarray] = {}
-                for f, prev_pos in prev_fields.items():
-                    cp = cur_fields.get(f)
+                for f, prev_pos in prev.items():
+                    cp = cur.get(f)
                     if cp is None:
                         continue
-                    hit = np.intersect1d(prev_pos + 1, cp)
+                    hit = self._sorted_intersect(prev_pos + 1, cp)
                     if hit.size:
                         surv[f] = hit
-                if surv:
-                    nxt[di] = surv
-            matches = nxt
-            if not matches:
-                break
+                prev = surv
+                if not prev:
+                    break
+            if prev:
+                matches[int(di)] = prev
 
         if not matches:
             return {"results": [], "total_results": 0, "total_pages": 0, "page": page}

@@ -44,6 +44,14 @@ class PostingList:
             self.positions_buf, self.pos_offsets, doc_index
         )
 
+    def positions_for_many(
+        self, doc_indices: np.ndarray
+    ) -> list[dict[int, np.ndarray]]:
+        """Batched positions decode (one vectorized varint pass)."""
+        return codec.decode_doc_positions_many(
+            self.positions_buf, self.pos_offsets, doc_indices
+        )
+
 
 class SegmentReader:
     """Loads segment shard(s) and serves decoded posting lists."""
