@@ -19,9 +19,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.stack(
-        [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
-    )
+    """(n, dim) float64 from a list<float> / fixed_size_list column —
+    zero-copy flatten when row lengths are uniform (the common case),
+    Python fallback otherwise."""
+    col = batch[vec_col].combine_chunks()
+    try:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        if n and flat.size % n == 0:
+            if pa.types.is_fixed_size_list(col.type):
+                return flat.astype(np.float64).reshape(n, -1)
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if lens.min() == lens.max():
+                return flat.astype(np.float64).reshape(n, -1)
+    except (pa.ArrowInvalid, ValueError):
+        pass
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
 def _make_merge_topk(k: int):

@@ -123,6 +123,56 @@ def test_build_is_resumable(built_index, tiny_corpus_dir, ray_session):
     assert stats["n_docs"] > 0
 
 
+def test_uncompacted_build_matches_compacted(tiny_corpus_dir, built_index,
+                                             ray_session, tmp_path):
+    """compact_segments=False leaves salted runs unmerged on disk; the
+    reader concatenates runs in salt order, so decoded postings must be
+    IDENTICAL to the merged index."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+
+    idx = str(tmp_path / "uncompacted")
+    build_index(
+        tiny_corpus_dir, idx,
+        BuildConfig(num_shards=4, salt_bits=1, compact_segments=False),
+    )
+    ra, rb = SegmentReader(built_index), SegmentReader(idx)
+    assert set(ra.terms()) == set(rb.terms())
+    for term in list(ra.terms())[:40]:
+        pa_, pb_ = ra.postings(term), rb.postings(term)
+        assert pa_.docs.tolist() == pb_.docs.tolist(), term
+        assert pa_.tfs.tolist() == pb_.tfs.tolist(), term
+        assert pa_.weights.tolist() == pb_.weights.tolist(), term
+        for i in range(min(pa_.df, 5)):
+            fa = pa_.positions_for(i)
+            fb = pb_.positions_for(i)
+            assert fa.keys() == fb.keys()
+            for f in fa:
+                assert fa[f].tolist() == fb[f].tolist()
+
+
+def test_batched_position_decode_matches_single(built_index, ray_session):
+    import numpy as np
+
+    reader = SegmentReader(built_index)
+    checked = 0
+    for term in list(reader.terms()):
+        pl = reader.postings(term)
+        if pl.df < 3:
+            continue
+        idx = np.arange(pl.df)
+        many = pl.positions_for_many(idx)
+        for i in range(pl.df):
+            single = pl.positions_for(i)
+            assert single.keys() == many[i].keys()
+            for f in single:
+                assert single[f].tolist() == many[i][f].tolist()
+        checked += 1
+        if checked >= 10:
+            break
+    assert checked >= 5
+
+
 def test_resume_after_partial_phase_crash(tiny_corpus_dir, ray_session, tmp_path):
     """A phase dir left WITHOUT its _DONE marker (crash mid-write) must be
     rebuilt from scratch, not appended to — duplicated rows would corrupt
