@@ -473,5 +473,14 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         )
 
     out = ds.map_batches(pairs_batch, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        # all-empty blocks can drop the schema on collection
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
