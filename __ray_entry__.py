@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_audio": _q_multimodal_audio,
         "search_api_page": _q_search_api_page,
     }
     return out
@@ -375,6 +376,17 @@ def _q_multimodal_frames(sf_dir: str):
     media = ray.data.from_arrow(synth_media_table(32, "video"))
     out = sample_frames(media, n_frames=4, concurrency=2, batch_size=8).to_pandas()
     return out.sort_values(["media_id", "frame"]).reset_index(drop=True)
+
+
+def _q_multimodal_audio(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.multimodal import audio_features, synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(32, "audio"))
+    out = audio_features(media, window_ms=1000, concurrency=2, batch_size=8).to_pandas()
+    out["energy"] = out["energy"].round(9)
+    return out.sort_values(["media_id", "window"]).reset_index(drop=True)
 
 
 def _q_search_api_page(sf_dir: str):

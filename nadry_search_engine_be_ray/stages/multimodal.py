@@ -105,6 +105,47 @@ class DecodeImageBatch:
         )
 
 
+class AudioFeaturesBatch:
+    """Actor-pool stage: windowed audio feature extraction (energy per
+    fixed-length window).  Real path requires an audio decoder (absent in
+    this container -> NotImplementedError unless ``fake=True``); the fake
+    path derives deterministic per-window energies from the payload hash,
+    exercising identical schema/plumbing: one row per (media, window) with
+    ``window_ms`` event-time offsets — the shape a training pipeline
+    windows/aggregates on."""
+
+    def __init__(self, window_ms: int = 1000, fake: bool = True):
+        self.window_ms = window_ms
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires torchaudio/ffmpeg, absent in this container"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widx, wstart, energy = [], [], [], []
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta_duration_ms"].to_pylist(),
+        ):
+            n_windows = max(1, int(dur or 1000) // self.window_ms)
+            for w in range(n_windows):
+                h = hashlib.sha256(payload + w.to_bytes(4, "little")).digest()
+                ids.append(mid)
+                widx.append(w)
+                wstart.append(w * self.window_ms)
+                energy.append(int.from_bytes(h[:4], "little") / 2**32)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "window": pa.array(widx, pa.int32()),
+                "window_start_ms": pa.array(wstart, pa.int32()),
+                "energy": pa.array(energy, pa.float64()),
+            }
+        )
+
+
 class SampleFramesBatch:
     """Actor-pool stage: sample N frames per video (stubbed decode)."""
 
@@ -144,6 +185,17 @@ def decode_images(ds, concurrency: int = 2, batch_size: int = 16, fake: bool = T
     return ds.map_batches(
         DecodeImageBatch,
         fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_features(ds, window_ms: int = 1000, concurrency: int = 2,
+                   batch_size: int = 8, fake: bool = True):
+    return ds.map_batches(
+        AudioFeaturesBatch,
+        fn_constructor_kwargs={"window_ms": window_ms, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

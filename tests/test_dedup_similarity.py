@@ -175,3 +175,16 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         multimodal.SampleFramesBatch(fake=False)
+
+    auds = ray.data.from_arrow(multimodal.synth_media_table(5, "audio"))
+    win = multimodal.audio_features(auds, window_ms=1000, concurrency=1).to_pandas()
+    assert len(win) >= 5
+    per = win.groupby("media_id")
+    assert (per["window"].min() == 0).all()
+    # window count = duration // window_ms (>= 1)
+    durs = multimodal.synth_media_table(5, "audio").to_pandas().set_index("media_id")
+    for mid, grp in per:
+        assert len(grp) == max(1, int(durs.loc[mid, "meta_duration_ms"]) // 1000)
+    assert ((win["energy"] >= 0) & (win["energy"] <= 1)).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeaturesBatch(fake=False)
