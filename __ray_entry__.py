@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": rel.q_filter_project,
         "window_tumbling": rel.q_window,
         "three_way_join": rel.q_three_way_join,
+        "sessionize": rel.q_sessionize,
+        "asof_join": rel.q_asof_join,
+        "anti_join": rel.q_anti_join,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -469,6 +472,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ), s AS (
+                SELECT *, sum(CASE WHEN prev IS NULL
+                                        OR ts - prev > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM e
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
+        """,
+        "asof_join": """
+            WITH m AS (
+                SELECT e.event_id, o.o_orderkey,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC,
+                                                   o.o_orderkey DESC) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT e.event_id, coalesce(m.o_orderkey, -1) AS o_orderkey
+            FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+            ORDER BY e.event_id
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+            ORDER BY c_custkey
         """,
         "term_df": f"""
             SELECT token AS term, count(DISTINCT doc_id) AS df

@@ -189,3 +189,135 @@ def q_three_way_join(sf_dir: str) -> pd.DataFrame:
     out["sum_acctbal"] = out["sum_acctbal"].round(4)
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization (the streaming session-window analog the
+    reference lacks, SURVEY.md §2.9): per user, events sorted by time split
+    into sessions wherever the gap exceeds ``gap_minutes``; one output row
+    per session.  Ray shape: groupby(user) -> vectorized numpy map_groups
+    (sort, diff, cumsum of breaks, reduceat aggregates) — the partitioning
+    key is the session key, so no second shuffle."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def sessions(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        brk = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        sess = np.cumsum(brk)
+        starts = np.flatnonzero(brk == 1)
+        val = df["value"].to_numpy(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(starts.size, int(df["user_id"].iloc[0])), pa.int64()
+                ),
+                "session_no": pa.array(sess[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(starts, len(ts))), pa.int64()
+                ),
+                "start_ts": pa.array(
+                    ts[starts].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "end_ts": pa.array(
+                    np.maximum.reduceat(ts, starts).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "sum_value": pa.array(
+                    np.round(np.add.reduceat(val, starts), 4), pa.float64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator the reference and Ray Data both lack):
+    for each event, the user's most recent order with o_orderdate <= ts.
+    Ray shape: normalize both sides to (key, ts, ...), union, hash-group by
+    key, per-group sort + searchsorted backward match — the documented
+    partitioning assumption is that one key's rows fit in a task (salt by
+    time range if a key is hot).  Oracle: DuckDB native ASOF JOIN."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+                "side": pa.array(["e"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["o_custkey"],
+                "ts": b["o_orderdate"],
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderkey": b["o_orderkey"],
+                "side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def asof(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        ev_df = df[df["side"] == "e"]
+        od_df = df[df["side"] == "o"].sort_values(["ts", "o_orderkey"])
+        if len(ev_df) == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "o_orderkey": pa.array([], pa.int64())}
+            )
+        ets = ev_df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ots = od_df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        okeys = od_df["o_orderkey"].to_numpy()
+        idx = np.searchsorted(ots, ets, side="right") - 1
+        matched = np.where(idx >= 0, okeys[np.maximum(idx, 0)], np.int64(-1))
+        return pa.table(
+            {
+                "event_id": pa.array(ev_df["event_id"].to_numpy(), pa.int64()),
+                "o_orderkey": pa.array(matched, pa.int64()),
+            }
+        )
+
+    out = ev.union(od).groupby("key").map_groups(asof, batch_format="pyarrow").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast anti-join: customers with no events (event user ids ray.put
+    once, filtered per batch with a vectorized sorted-membership test)."""
+    import ray
+
+    keys = (
+        _read(sf_dir, "events", ["user_id"])
+        .to_pandas()["user_id"]
+        .unique()
+    )
+    keys_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    def drop_with_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, c)
+        idx[idx == ks.size] = 0
+        return batch.filter(pa.array(~(ks[idx] == c)))
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(drop_with_orders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # all-empty blocks can drop the schema on collection
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
