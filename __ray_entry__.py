@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_audio": _q_multimodal_audio,
         "search_api_page": _q_search_api_page,
+        "index_merge": _q_index_merge,
     }
     return out
 
@@ -418,6 +419,43 @@ def _q_search_api_page(sf_dir: str):
                 }
             )
     return pd.DataFrame(rows)
+
+
+def _q_index_merge(sf_dir: str):
+    """Incremental-merge demo (rows-only; pytest asserts byte-parity with a
+    full build): two half-corpus indexes k-way merged, returning the merged
+    per-term df table."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.pipelines.merge import merge_indexes
+    from nadry_search_engine_be_ray.sources.corpus import write_corpus
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    root = "/tmp/nadry_entry/index_merge_v1"
+    idx_m = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(idx_m, "stats.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        corpus = os.path.join(root, "corpus")
+        write_corpus(corpus, n_docs=400, seed=42)
+        tbl = pads.dataset(corpus, format="parquet").to_table()
+        ca, cb = os.path.join(root, "ca"), os.path.join(root, "cb")
+        os.makedirs(ca), os.makedirs(cb)
+        pq.write_table(tbl.slice(0, 200), os.path.join(ca, "part.parquet"))
+        pq.write_table(tbl.slice(200), os.path.join(cb, "part.parquet"))
+        cfg = BuildConfig(num_shards=4, salt_bits=1)
+        ia, ib = os.path.join(root, "ia"), os.path.join(root, "ib")
+        build_index(ca, ia, cfg)
+        build_index(cb, ib, cfg)
+        merge_indexes([ia, ib], idx_m)
+    r = SegmentReader(idx_m)
+    rows = sorted((t, r.postings(t).df) for t in r.terms())
+    return pd.DataFrame(rows, columns=["term", "df"])
 
 
 # ---------------------------------------------------------------------------

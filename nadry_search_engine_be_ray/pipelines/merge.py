@@ -1,0 +1,190 @@
+"""Incremental index merge: combine independently built indexes into one.
+
+The reference cannot do this at all — its index build DROPS the collections
+and starts over (indexer/Main.java:58-61).  Here a delta corpus can be built
+into its own index (cheap, only the new docs) and merged with the base in
+one pass: per shard, a GENERAL k-way posting merge
+(stages/encode.merge_term_rows_interleaved — doc ranges interleave across
+indexes, so runs are decoded, merge-sorted by doc_int and re-encoded with a
+single byte-gather for the positions payload), doc-stats / documents tables
+are concatenated by file copy, and global stats recompute from footers.
+
+Preconditions (asserted): identical (num_shards, salt_bits), compacted
+segments, and DISJOINT document sets (run exact dedup across corpora first —
+the merge raises on a duplicate doc_int).
+
+Shape: one Ray task per shard (the parts-table pattern used everywhere in
+build.py) — parallelism = num_shards, no all-to-all: shard routing is a pure
+function of the term, so the same shard of every index holds the same terms.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..stages.encode import (
+    SEGMENT_SCHEMA,
+    _empty_segment_table,
+    merge_term_rows_interleaved,
+)
+
+
+def _copy_parquet_dir(src: str, dst: str, tag: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for fp in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True):
+        shutil.copy2(fp, os.path.join(dst, f"{tag}-{os.path.basename(fp)}"))
+
+
+def _merge_shard_tables(tables: list[pa.Table], shard: int,
+                        block_size: int) -> pa.Table:
+    t = pa.concat_tables(tables, promote_options="default")
+    if t.num_rows == 0:
+        return _empty_segment_table()
+    g = t.sort_by([("term", "ascending")])
+    terms = g["term"].to_numpy(zero_copy_only=False)
+    n = len(terms)
+    new_term = np.ones(n, dtype=bool)
+    new_term[1:] = terms[1:] != terms[:-1]
+    starts = np.flatnonzero(new_term)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+
+    cols = {
+        k: g[k].to_pylist()
+        for k in ("df", "docs", "tfs", "weights", "block_max",
+                  "positions", "pos_offsets")
+    }
+    out = {k: [] for k in ("term", "df", "docs", "tfs", "weights",
+                           "block_max", "positions", "pos_offsets")}
+    for s, e in zip(starts, ends):
+        out["term"].append(str(terms[s]))
+        if e - s == 1:
+            for k in ("df", "docs", "tfs", "weights", "block_max",
+                      "positions", "pos_offsets"):
+                out[k].append(cols[k][s])
+        else:
+            d, tf, w, bm, p, o, df = merge_term_rows_interleaved(
+                cols["docs"][s:e], cols["tfs"][s:e], cols["weights"][s:e],
+                cols["positions"][s:e], cols["pos_offsets"][s:e], block_size,
+            )
+            out["df"].append(df)
+            out["docs"].append(d)
+            out["tfs"].append(tf)
+            out["weights"].append(w)
+            out["block_max"].append(bm)
+            out["positions"].append(p)
+            out["pos_offsets"].append(o)
+
+    nrows = len(out["term"])
+    return pa.table(
+        {
+            "shard": pa.array([shard] * nrows, pa.int32()),
+            "salt": pa.array([-1] * nrows, pa.int32()),
+            "term": pa.array(out["term"], pa.string()),
+            "df": pa.array(out["df"], pa.int64()),
+            "docs": pa.array(out["docs"], pa.binary()),
+            "tfs": pa.array(out["tfs"], pa.binary()),
+            "weights": pa.array(out["weights"], pa.binary()),
+            "block_max": pa.array(out["block_max"], pa.binary()),
+            "positions": pa.array(out["positions"], pa.binary()),
+            "pos_offsets": pa.array(out["pos_offsets"], pa.binary()),
+        }
+    )
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str,
+                  block_size: int = 128) -> dict:
+    """Merge ≥2 compacted indexes with identical layout config into
+    ``out_dir``; returns the merged stats dict."""
+    assert len(index_dirs) >= 2
+    stats = []
+    for d in index_dirs:
+        with open(os.path.join(d, "stats.json")) as f:
+            stats.append(json.load(f))
+    num_shards = stats[0]["num_shards"]
+    for s in stats[1:]:
+        assert s["num_shards"] == num_shards, "num_shards mismatch"
+        assert s["salt_bits"] == stats[0]["salt_bits"], "salt_bits mismatch"
+        assert s["compacted"], "merge requires compacted indexes"
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # side tables: concatenate by file copy (docs must be disjoint); the
+    # disjointness check runs FIRST on the thin doc-stats key column so a
+    # bad merge fails fast, before any segment work
+    for sub in ("doc_stats", "prepped", "dup_losers"):
+        for i, d in enumerate(index_dirs):
+            src = os.path.join(d, sub)
+            if os.path.isdir(src):
+                _copy_parquet_dir(src, os.path.join(out_dir, sub), f"src{i}")
+    di = pa.concat_tables(
+        [pq.read_table(fp, columns=["doc_int"])
+         for fp in glob.glob(os.path.join(out_dir, "doc_stats", "*.parquet"))]
+    )["doc_int"].to_numpy(zero_copy_only=False)
+    if np.unique(di).size != di.size:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise ValueError("indexes share documents — dedup before merging")
+
+    shards_tbl = pa.table(
+        {"shard": pa.array(list(range(num_shards)), pa.int32())}
+    )
+    dirs = list(index_dirs)
+    merged_root = os.path.join(out_dir, "segments_merged")
+
+    def merge_shard(batch: pa.Table) -> pa.Table:
+        outs = []
+        for shard in batch["shard"].to_pylist():
+            tables = []
+            for d in dirs:
+                for fp in sorted(
+                    glob.glob(os.path.join(d, "segments_merged",
+                                           f"shard={shard}", "*.parquet"))
+                ):
+                    tables.append(
+                        pq.read_table(fp, use_threads=False).select(
+                            [f.name for f in SEGMENT_SCHEMA
+                             if f.name not in ("shard", "salt")]
+                        )
+                    )
+            if tables:
+                outs.append(_merge_shard_tables(tables, shard, block_size))
+        return pa.concat_tables(outs) if outs else _empty_segment_table()
+
+    (
+        ray.data.from_arrow(shards_tbl)
+        .repartition(num_shards)
+        .map_batches(merge_shard, batch_format="pyarrow", batch_size=1)
+        .write_parquet(merged_root, partition_cols=["shard"],
+                       row_group_size=1_000_000)
+    )
+
+    merged_stats = {
+        "n_docs": int(sum(s["n_docs"] for s in stats)),
+        "total_words": int(sum(s["total_words"] for s in stats)),
+        "num_shards": num_shards,
+        "salt_bits": stats[0]["salt_bits"],
+        "compacted": True,
+        "merged_from": len(index_dirs),
+    }
+    merged_stats["avgdl"] = (
+        merged_stats["total_words"] / merged_stats["n_docs"]
+        if merged_stats["n_docs"] else 0.0
+    )
+    n_term_rows = 0
+    for fp in glob.glob(os.path.join(merged_root, "**", "*.parquet"),
+                        recursive=True):
+        n_term_rows += pq.read_metadata(fp).num_rows
+    merged_stats["n_term_rows"] = n_term_rows
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(merged_stats, f, indent=2)
+    return merged_stats

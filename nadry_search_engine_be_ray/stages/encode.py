@@ -267,6 +267,66 @@ def encode_part_dirs(
     return pa.concat_tables(outs)
 
 
+def merge_term_rows_interleaved(
+    docs_bufs: list[bytes],
+    tfs_bufs: list[bytes],
+    w_bufs: list[bytes],
+    pos_bufs: list[bytes],
+    off_bufs: list[bytes],
+    block_size: int,
+) -> tuple[bytes, bytes, bytes, bytes, bytes, bytes, int]:
+    """GENERAL k-way merge of posting runs whose doc ranges INTERLEAVE
+    (cross-index segment merge, Lucene-style): decode every run, merge-sort
+    by doc_int, reorder the per-doc positions payload slices with one byte
+    gather, re-encode.  Raises on a doc appearing in more than one run —
+    merging indexes that share documents requires a dedup pass first.
+
+    The within-build salt-run merge (:func:`_merge_runs`) stays the cheap
+    path: its runs cover disjoint ascending ranges so payloads concatenate
+    without decoding."""
+    docs_parts = [codec.decode_sorted_deltas(b).astype(np.int64) for b in docs_bufs]
+    docs_all = np.concatenate(docs_parts)
+    order = np.argsort(docs_all, kind="stable")
+    docs_m = docs_all[order]
+    if docs_m.size > 1 and not np.all(docs_m[1:] > docs_m[:-1]):
+        raise ValueError(
+            "duplicate doc_int across merged runs — dedup before index merge"
+        )
+    tfs_m = np.concatenate(
+        [codec.decode_varints(b).astype(np.uint64) for b in tfs_bufs]
+    )[order]
+    w_m = np.concatenate([codec.decode_f64(b) for b in w_bufs])[order]
+
+    # per-doc byte slices into the concatenation of all runs' payloads
+    pos_all = np.frombuffer(b"".join(pos_bufs), dtype=np.uint8)
+    starts_parts, lens_parts = [], []
+    base = 0
+    for pb, ob in zip(pos_bufs, off_bufs):
+        off = codec.decode_sorted_deltas(ob).astype(np.int64)
+        starts_parts.append(off[:-1] + base)
+        lens_parts.append(off[1:] - off[:-1])
+        base += len(pb)
+    starts = np.concatenate(starts_parts)[order]
+    lens = np.concatenate(lens_parts)[order]
+    total = int(lens.sum())
+    out_off = np.zeros(docs_m.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    idx = np.repeat(starts, lens) + (
+        np.arange(total) - np.repeat(out_off[:-1], lens)
+    )
+    merged_pos = pos_all[idx].tobytes()
+
+    return (
+        codec.encode_sorted_deltas(docs_m.astype(np.uint64)),
+        codec.encode_varints(tfs_m),
+        codec.encode_f64(w_m),
+        codec.encode_f64(codec.block_max(w_m, block_size)),
+        merged_pos,
+        codec.encode_sorted_deltas(out_off.astype(np.uint64)),
+        int(docs_m.size),
+    )
+
+
 def _merge_runs(
     docs_bufs: list[bytes],
     tfs_bufs: list[bytes],
