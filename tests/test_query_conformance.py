@@ -73,6 +73,28 @@ def test_wand_equals_taat(engine, scorer):
             assert s1 == pytest.approx(s2, rel=1e-12)
 
 
+@pytest.mark.parametrize("scorer", ["additive", "bm25"])
+def test_maxscore_equals_taat(engine, scorer):
+    """Vectorized MaxScore must be EXACT (docs and scores), including its
+    pruning branch — exercised with many-term queries mixing head terms
+    (huge lists, low idf) and rare terms (the pruning-profitable shape)."""
+    queries = [
+        "item order arrived", "search engine index", "import return def",
+        "nation", "zzzznotaterm", "func_7 zq11x", "university community block",
+        "import return def the nation order item search engine running",
+        "import import import order",
+    ]
+    for q in queries:
+        taat = engine.topk_taat(q, k=10, scorer=scorer)
+        ms = engine.topk_maxscore(q, k=10, scorer=scorer)
+        assert [d for d, _ in taat] == [d for d, _ in ms], q
+        for (d1, s1), (d2, s2) in zip(taat, ms):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+    for k in (1, 3, 25):
+        assert engine.topk_maxscore("item order", k=k, scorer=scorer) == \
+            engine.topk_taat("item order", k=k, scorer=scorer)
+
+
 def test_query_cache(engine):
     r1 = engine.search("item order arrived")
     r2 = engine.search("item order arrived")
