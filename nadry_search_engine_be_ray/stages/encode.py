@@ -207,11 +207,6 @@ class EncodePartGroup:
         )
 
 
-def encode_part_group(group: pa.Table, cfg: BuildConfig | None = None) -> pa.Table:
-    """Function wrapper for ``map_groups`` (which requires a named fn)."""
-    return EncodePartGroup(cfg)(group)
-
-
 def encode_part_dirs(
     batch: pa.Table,
     cfg: BuildConfig | None = None,

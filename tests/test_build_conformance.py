@@ -209,3 +209,23 @@ def test_resume_after_partial_phase_crash(tiny_corpus_dir, ray_session, tmp_path
         assert pa_.tfs.tolist() == pb_.tfs.tolist()
     shutil.rmtree(idx_a, ignore_errors=True)
     shutil.rmtree(idx_b, ignore_errors=True)
+
+
+def test_actor_pool_tokenize_matches_tasks(tiny_corpus_dir, built_index,
+                                           ray_session, tmp_path):
+    """tokenize_concurrency=N switches the tokenize stage to an actor pool
+    (T1 stateful-stage mapping); output must be identical to the stateless-
+    task path."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+
+    idx = str(tmp_path / "actor_tok")
+    build_index(
+        tiny_corpus_dir, idx,
+        BuildConfig(num_shards=4, salt_bits=1, tokenize_concurrency=2),
+    )
+    ra, rb = SegmentReader(built_index), SegmentReader(idx)
+    assert set(ra.terms()) == set(rb.terms())
+    for term in list(ra.terms())[:30]:
+        assert ra.postings(term).docs.tolist() == rb.postings(term).docs.tolist()
+        assert ra.postings(term).tfs.tolist() == rb.postings(term).tfs.tolist()
