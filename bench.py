@@ -87,7 +87,11 @@ def main() -> None:
         prefix="nadry_bench_index_", dir=os.environ.get("GRAFT_TMP")
     )
     t0 = time.time()
-    build_index(corpus_dir, index_dir, BuildConfig(num_shards=32, salt_bits=2))
+    # partition count scales with data (standard practice): enough reduce
+    # tasks to use every core at 1M docs without drowning a 20k-doc corpus
+    # in per-partition fixed costs
+    n_shards = 32 if n_docs > 100_000 else 8
+    build_index(corpus_dir, index_dir, BuildConfig(num_shards=n_shards, salt_bits=2))
     timings["index_build"] = time.time() - t0
     docs_per_sec = n_docs / timings["index_build"]
 
