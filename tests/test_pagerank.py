@@ -28,6 +28,38 @@ def edges_and_urls(built_index):
     return edges, urls
 
 
+def test_distributed_pagerank_matches_driver(ray_session, built_index,
+                                             edges_and_urls):
+    """The object-store/raw-task variant must agree with the oracle-parity
+    driver version to float tolerance (summation order differs) with
+    identical node sets and rank order."""
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        compute_pagerank,
+        compute_pagerank_distributed,
+    )
+
+    edges_tbl, _ = edges_and_urls
+    doc_ints = pads.dataset(
+        os.path.join(built_index, "prepped"), format="parquet"
+    ).to_table(columns=["doc_int"])["doc_int"].to_numpy(zero_copy_only=False)
+
+    a = compute_pagerank(
+        ray.data.from_arrow(edges_tbl), doc_ints
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+    b = compute_pagerank_distributed(
+        ray.data.from_arrow(edges_tbl), doc_ints
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+
+    assert list(a["url"]) == list(b["url"])
+    assert np.allclose(a["popularity"], b["popularity"], rtol=1e-10, atol=1e-15)
+    # rank ORDER identical under the deterministic (pop desc, url) sort
+    oa = a.sort_values(["popularity", "url"], ascending=[False, True])["url"]
+    ob = b.sort_values(["popularity", "url"], ascending=[False, True])["url"]
+    assert list(oa) == list(ob)
+
+
 def test_pagerank_matches_oracle(ray_session, built_index, edges_and_urls):
     edges_tbl, urls = edges_and_urls
     result = run_pagerank(ray.data.from_arrow(edges_tbl), built_index)
