@@ -45,15 +45,15 @@ def q_agg_pushdown(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # root combine of the bounded partials (<= keys x blocks rows — this is
+    # the tree-reduce root, not a data-sized driver pull; Ray's sort-based
+    # groupby costs a full shuffle job for the same few hundred rows)
     out = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("revenue", alias_name="revenue"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
+        ds.map_batches(partial, batch_format="pyarrow")
         .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), revenue=("revenue", "sum"),
+             n_rows=("n_rows", "sum"))
     )
     out["sum_qty"] = out["sum_qty"].round(4)
     out["revenue"] = out["revenue"].round(4)
@@ -78,16 +78,19 @@ def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
             df[["c_mktsegment", "o_totalprice"]], preserve_index=False
         )
 
-    joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        join_batch, batch_format="pyarrow"
-    )
-    out = (
-        joined.groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_price"),
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")
         )
-        .to_pandas()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join_batch, batch_format="pyarrow")
+        .map_batches(seg_partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine: <= segments x blocks rows
+        .groupby("c_mktsegment", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum"))
     )
     out["sum_price"] = out["sum_price"].round(4)
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -165,11 +168,18 @@ def q_window(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    def win_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["event_type", "window_h"], as_index=False
+        ).agg(n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     out = (
         ds.map_batches(add_window, batch_format="pyarrow")
-        .groupby(["event_type", "window_h"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+        .map_batches(win_partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine: <= windows x blocks rows
+        .groupby(["event_type", "window_h"], as_index=False)
+        .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
     )
     out["sum_value"] = out["sum_value"].round(4)
     out["n"] = out["n"].astype("int64")
