@@ -54,46 +54,65 @@ class PostingList:
 
 
 class SegmentReader:
-    """Loads segment shard(s) and serves decoded posting lists."""
+    """Serves decoded posting lists from segment shard(s).
 
-    def __init__(self, index_dir: str, shards: list[int] | None = None):
+    Shard loading is LAZY: ``term -> shard`` is the same pure hash the build
+    used (stages/tokenize.term_shard), so a query only faults in the shards
+    its terms actually route to — a cold serving actor pays for its working
+    set, not the whole index.  ``terms()`` / ``has_term`` need the full
+    dictionary and force-load every configured shard."""
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None,
+                 lazy: bool = True):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
-        seg_root = os.path.join(
+        self._seg_root = os.path.join(
             index_dir, "segments_merged" if self.stats["compacted"] else "segments"
         )
         self.num_shards = int(self.stats["num_shards"])
         self.shards = shards if shards is not None else list(range(self.num_shards))
-        # term -> list[(table_idx, row)] — multiple rows only when uncompacted
-        self._term_index: dict[str, list[tuple[int, int]]] = {}
+        # term -> list[(table_idx, row, salt)] — multiple rows only when uncompacted
+        self._term_index: dict[str, list[tuple[int, int, int]]] = {}
         self._pl_cache: dict[str, PostingList] = {}
         self._tables: list[pa.Table] = []
-        for shard in self.shards:
-            files = sorted(
-                glob.glob(os.path.join(seg_root, f"shard={shard}", "*.parquet"))
-            )
-            for fp in files:
-                t = pq.read_table(fp, memory_map=True)
-                ti = len(self._tables)
-                self._tables.append(t)
-                terms = t["term"].to_pylist()
-                salts = t["salt"].to_pylist()
-                for row, (term, salt) in enumerate(zip(terms, salts)):
-                    self._term_index.setdefault(term, []).append(
-                        (ti, row, salt)
-                    )
+        self._loaded: set[int] = set()
+        if not lazy:
+            self._load_all()
+
+    def _load_shard(self, shard: int) -> None:
+        if shard in self._loaded or shard not in self.shards:
+            return
+        self._loaded.add(shard)
+        files = sorted(
+            glob.glob(os.path.join(self._seg_root, f"shard={shard}", "*.parquet"))
+        )
+        for fp in files:
+            t = pq.read_table(fp, memory_map=True)
+            ti = len(self._tables)
+            self._tables.append(t)
+            terms = t["term"].to_pylist()
+            salts = t["salt"].to_pylist()
+            for row, (term, salt) in enumerate(zip(terms, salts)):
+                self._term_index.setdefault(term, []).append((ti, row, salt))
         # order runs by salt so concatenation preserves doc_int order
-        for term, rows in self._term_index.items():
+        for rows in self._term_index.values():
             rows.sort(key=lambda r: r[2])
 
+    def _load_all(self) -> None:
+        for shard in self.shards:
+            self._load_shard(shard)
+
     def has_term(self, term: str) -> bool:
+        self._load_shard(self.shard_for(term))
         return term in self._term_index
 
     def terms(self):
+        self._load_all()
         return self._term_index.keys()
 
     def postings(self, term: str) -> PostingList | None:
+        self._load_shard(self.shard_for(term))
         rows = self._term_index.get(term)
         if not rows:
             return None
