@@ -37,6 +37,10 @@ NUMBER_PATTERN = re.compile(r"\b\d+(?:\.\d+)?\b", re.ASCII)
 
 _NON_TOKEN = re.compile(r"[^a-z0-9\s_]", re.ASCII)
 _WS = re.compile(r"\s+", re.ASCII)
+# one pass equivalent to strip-non-token -> collapse-ws -> split: tokens are
+# exactly the maximal [a-z0-9_] runs of the lowered text
+_TOKEN_RUN = re.compile(r"[a-z0-9_]+", re.ASCII)
+_DIGIT = re.compile(r"\d", re.ASCII)
 
 # StopWordFilter.java:12-16 — the fixed 26-word set
 STOP_WORDS = frozenset(
@@ -76,29 +80,32 @@ class Tokenizer:
         text = unicodedata.normalize("NFC", text)
 
         # the reference extracts all specials from the ORIGINAL text
-        # (Tokenizer.java:71-90) but replaces placeholders sequentially (92-97)
+        # (Tokenizer.java:71-90) but replaces placeholders sequentially (92-97).
+        # Cheap substring prechecks skip the regex passes when a pattern
+        # cannot possibly match (exact preconditions of each regex).
         special_tokens: list[str] = []
-        for m in EMAIL_PATTERN.finditer(text):
-            special_tokens.append("email:" + m.group().lower())
-        for m in URL_PATTERN.finditer(text):
-            special_tokens.append("url:" + m.group().lower())
-        for m in NUMBER_PATTERN.finditer(text):
-            special_tokens.append("num:" + m.group())
-
-        processable = EMAIL_PATTERN.sub("_EMAIL_", text)
-        processable = URL_PATTERN.sub("_URL_", processable)
-        processable = NUMBER_PATTERN.sub("_NUM_", processable)
-
-        processable = _NON_TOKEN.sub(" ", processable.lower())
-        processable = _WS.sub(" ", processable).strip()
+        processable = text
+        if "@" in text:
+            for m in EMAIL_PATTERN.finditer(text):
+                special_tokens.append("email:" + m.group().lower())
+            processable = EMAIL_PATTERN.sub("_EMAIL_", processable)
+        if "http" in text or "www." in text:
+            for m in URL_PATTERN.finditer(text):
+                special_tokens.append("url:" + m.group().lower())
+            processable = URL_PATTERN.sub("_URL_", processable)
+        if _DIGIT.search(text):
+            for m in NUMBER_PATTERN.finditer(text):
+                special_tokens.append("num:" + m.group())
+            processable = NUMBER_PATTERN.sub("_NUM_", processable)
 
         out: list[str] = []
-        for token in processable.split(" "):
+        stem = self.stem_token
+        for token in _TOKEN_RUN.findall(processable.lower()):
             if not (2 <= len(token) <= 50):
                 continue
             if token not in _PLACEHOLDERS and token in STOP_WORDS:
                 continue
-            out.append(self.stem_token(token))
+            out.append(stem(token))
 
         out.extend(special_tokens)
         return out
