@@ -120,8 +120,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": _q_multimodal_audio,
         "search_api_page": _q_search_api_page,
         "index_merge": _q_index_merge,
+        "training_pipeline": _q_training_pipeline,
     }
     return out
+
+
+def _q_training_pipeline(sf_dir: str):
+    from nadry_search_engine_be_ray.pipelines.training_data import q_training_pipeline
+
+    return q_training_pipeline(sf_dir)
 
 
 def _q_exact_dedup(sf_dir: str):

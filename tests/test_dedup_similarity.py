@@ -188,3 +188,18 @@ def test_multimodal_plumbing(ray_session):
     assert ((win["energy"] >= 0) & (win["energy"] <= 1)).all()
     with pytest.raises(NotImplementedError):
         multimodal.AudioFeaturesBatch(fake=False)
+
+
+def test_training_pipeline_curates(ray_session):
+    from nadry_search_engine_be_ray.pipelines.training_data import q_training_pipeline
+
+    df = q_training_pipeline(SF)
+    m = df.attrs["metrics"]
+    assert m["curated"] == len(df)
+    assert m["after_exact_dedup"] <= m["input"]
+    assert m["curated"] <= m["after_exact_dedup"]
+    assert set(df["pred_lang"]) <= {"en", "other"}
+    assert (df["n_tokens"] > 0).all()
+    # deterministic across runs
+    df2 = q_training_pipeline(SF)
+    assert df.equals(df2)
