@@ -165,11 +165,31 @@ class MinHashBatch:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized: all docs' shingles go through ONE
+        (num_perm × total_shingles) modular-hash pass, then per-doc minima
+        via minimum.reduceat — no per-doc matmuls."""
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        shingle_lists = [word_ngrams(t, self.ngram) for t in texts]
+        lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        flat = np.fromiter(
+            (h for s in shingle_lists for h in s),
+            dtype=np.uint64,
+            count=int(lens.sum()),
+        )
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        nz = lens > 0
+        if flat.size:
+            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs[nz] = np.minimum.reduceat(vals, starts[nz], axis=1).T
+
         out_id, out_band, out_hash = [], [], []
-        for did, text in zip(ids, texts):
-            sig = minhash_signature(word_ngrams(text, self.ngram), self.a, self.b)
+        for i, did in enumerate(ids):
+            sig = sigs[i]
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 out_id.append(did)
