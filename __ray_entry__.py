@@ -102,6 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
+        # SQL-checked since round 2: LSH candidates + distributed exact
+        # verify make these equal to their all-pairs SQL oracles
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "fingerprint_sha": _q_fingerprint_sha,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "pagerank_power": _q_pagerank_power,
         # search engine proper (reference-semantics; oracle = pytest
         # transcription, driver records rows-only)
         "index_term_df_real": _q_index_term_df_real,
@@ -109,9 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand": _q_search_bm25,
         "pagerank": _q_pagerank,
         # near-dup + ANN extras (rows-only)
-        "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
         "fingerprints": _q_fingerprints,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -172,6 +177,7 @@ def _q_ngram_jaccard(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -302,6 +308,38 @@ def _q_pagerank(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_pagerank_power(sf_dir: str):
+    """Textbook fixed-iteration PageRank over a deterministic synthetic link
+    graph on the documents table (doc i -> (31*i + 97*k) mod n, k=1..3) —
+    the SQL-checkable complement to the reference-quirk `pagerank` query
+    (the oracle unrolls the same 5 power iterations as chained CTEs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import pagerank_power_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = int(docs.count())  # metadata-only for a fresh parquet read
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return (
+        pagerank_power_int(edges, n, damping=0.85, n_iter=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -309,6 +347,7 @@ def _q_minhash_pairs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -318,7 +357,18 @@ def _q_simhash_pairs(sf_dir: str):
     from nadry_search_engine_be_ray.stages.dedup import simhash_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=3).to_pandas()
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    return _typed_empty(out, {"a": "int64", "b": "int64", "hamming": "int32"})
+
+
+def _typed_empty(df, cols: dict):
+    """A zero-row Dataset can lose its schema through groupby; rebuild the
+    typed empty frame so the driver's schema compare still matches."""
+    import pandas as pd
+
+    if len(df) == 0 and list(df.columns) != list(cols):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return df
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -327,7 +377,35 @@ def _q_embedding_near_dup(sf_dir: str):
     from nadry_search_engine_be_ray.stages.dedup import embedding_near_dup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    out = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "cosine": "float64"})
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def _q_fingerprint_sha(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.textstats import fingerprint_sha_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_sha_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_near_dup_clusters(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    out = near_dup_clusters(pairs).to_pandas()
+    out = _typed_empty(out, {"node": "int64", "cluster": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir: str):
@@ -469,9 +547,82 @@ def _q_index_merge(sf_dir: str):
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+def _gram_pair_ctes(src: str, threshold: float = 0.5) -> str:
+    """The all-pairs exact n-gram-Jaccard CTE chain over relation ``src``
+    (must expose doc_id, text) — shared by the ngram_jaccard, minhash,
+    clusters and training-pipeline oracles."""
+    return f"""
+            toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM {src}
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                                ELSE list_transform(range(1, len(ts) - 1),
+                                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                           END AS gs
+                    FROM toks WHERE len(ts) >= 1
+                ), unnest(gs) AS u(g)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS c
+                FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+                GROUP BY 1, 2
+            ),
+            jpairs AS (
+                SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 9) AS jaccard
+                FROM inter
+                JOIN sizes sa ON inter.a = sa.doc_id
+                JOIN sizes sb ON inter.b = sb.doc_id
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+            )"""
+
+
+def _pagerank_power_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unroll the fixed power iterations as chained CTEs (no recursive
+    aggregate needed); same synthetic edge rule as _q_pagerank_power."""
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            r{k} AS (
+                SELECT d.doc_id AS node,
+                       (1 - {damping}) / (SELECT cnt FROM nn)
+                       + {damping} * coalesce(sum(rp.rank / outd.od), 0) AS rank
+                FROM documents d
+                LEFT JOIN e ON e.dst = d.doc_id
+                LEFT JOIN outd ON outd.src = e.src
+                LEFT JOIN {prev} rp ON rp.node = e.src
+                GROUP BY d.doc_id
+            )""")
+        prev = f"r{k}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        e AS (
+            SELECT doc_id AS src,
+                   (doc_id * 31 + k * 97) % (SELECT cnt FROM nn) AS dst
+            FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        ),
+        outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS node, 1.0 / (SELECT cnt FROM nn) AS rank
+               FROM documents),
+        {','.join(iters)}
+        SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node
+    """
+
+
+_PAGERANK_POWER_SQL = _pagerank_power_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
     ws_tok = "string_split_regex(trim(text), '\\s+')"
+    ws_list = f"CASE WHEN trim(text) = '' THEN [] ELSE list_filter({ws_tok}, t -> t <> '') END"
     return {
         "agg_pushdown": """
             SELECT l_returnflag, l_linestatus,
@@ -524,11 +675,11 @@ def oracle_sql() -> dict[str, str]:
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                 FROM events
             ), s AS (
-                SELECT *, sum(CASE WHEN prev IS NULL
+                SELECT *, CAST(sum(CASE WHEN prev IS NULL
                                         OR ts - prev > INTERVAL 30 MINUTE
                                    THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
                 FROM e
             )
             SELECT user_id, session_no, count(*) AS n_events,
@@ -735,5 +886,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        # LSH candidates + distributed exact verify == the capless all-pairs
+        # jaccard join up to the ~1e-8/pair LSH miss probability (dedup.py
+        # MinHashBatch docstring) — same oracle as ngram_jaccard.
+        "minhash_lsh_pairs": f"""
+            WITH {_gram_pair_ctes("documents")}
+            SELECT a, b, jaccard FROM jpairs ORDER BY a, b
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_gram_pair_ctes("documents")},
+            edges AS (
+                SELECT a AS u, b AS v FROM jpairs
+                UNION SELECT b, a FROM jpairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS node, least(u, min(v)) AS cluster
+            FROM reach GROUP BY u ORDER BY node
+        """,
+        "embedding_near_dup": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b,
+                   round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                                CAST(e2.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.95
+            ORDER BY a, b
+        """,
+        "pagerank_power": _PAGERANK_POWER_SQL,
+        "fingerprint_sha": """
+            SELECT doc_id,
+                   substr(md5(array_to_string(
+                       regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')),
+                       1, 16) AS fp16
+            FROM documents ORDER BY doc_id
+        """,
+        "training_pipeline": f"""
+            WITH gated AS (
+                SELECT doc_id, text,
+                       {ws_list} AS ts
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, text FROM gated
+                WHERE len(ts) >= 3
+                  AND len(list_filter(ts, t -> lower(t) IN {_EN_STOPS_SQL})) * 1.0
+                      / len(ts) <= 0.9
+            ),
+            w AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+            d AS (SELECT q.doc_id, q.text FROM q JOIN w ON q.doc_id = w.doc_id),
+            {_gram_pair_ctes("d")},
+            kept AS (
+                SELECT doc_id, text FROM d
+                WHERE doc_id NOT IN (SELECT b FROM jpairs)
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+                   CASE WHEN (CASE WHEN len({ws_list}) = 0 THEN 0.0
+                              ELSE len(list_filter({ws_list},
+                                       t -> lower(t) IN {_EN_STOPS_SQL})) * 1.0
+                                   / len({ws_list}) END) >= 0.08
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM kept ORDER BY doc_id
         """,
     }

@@ -202,7 +202,9 @@ def compute_pagerank_distributed(
     @ray.remote
     def edge_arrays(tbl: pa.Table, nodes):
         """Factorize one block's edges against the global node list; keep
-        only edges whose src is itself a graph key (PageRank.java:63-66)."""
+        only edges whose src is itself a graph key (PageRank.java:63-66).
+        Also emit in-degree AND node-out-degree partials so both divisor
+        modes (quirk / textbook) work without another pass."""
         dst = np.asarray(tbl["dst"].to_pylist())
         src = np.asarray(tbl["src"].to_pylist())
         dst_idx = np.searchsorted(nodes, dst)
@@ -210,20 +212,24 @@ def compute_pagerank_distributed(
         src_pos_c = np.minimum(src_pos, nodes.size - 1)
         in_graph = nodes[src_pos_c] == src
         indeg_part = np.bincount(dst_idx, minlength=nodes.size)
-        return dst_idx[in_graph], src_pos_c[in_graph], indeg_part
+        outdeg_part = np.bincount(src_pos_c[in_graph], minlength=nodes.size)
+        return dst_idx[in_graph], src_pos_c[in_graph], indeg_part, outdeg_part
 
     fact = ray.get(
         [edge_arrays.remote(r, nodes_ref) for r in block_refs]
     )
     indeg = np.zeros(n, dtype=np.float64)
-    for _, _, part in fact:
-        indeg += part
-    # as-implemented divisor = contributor's in-degree; textbook variant
-    # would recompute out-degrees here (omitted: the driver version covers it)
+    outdeg = np.zeros(n, dtype=np.float64)
+    for _, _, ipart, opart in fact:
+        indeg += ipart
+        outdeg += opart
+    # as-implemented divisor = contributor's IN-degree (the reference quirk);
+    # textbook = contributor's true out-degree over the semi-joined edges
+    divisor = indeg if cfg.as_implemented else outdeg
     edge_refs = [
-        (ray.put(d), ray.put(s)) for d, s, _ in fact if d.size
+        (ray.put(d), ray.put(s)) for d, s, _, _ in fact if d.size
     ]
-    divisor_ref = ray.put(indeg)
+    divisor_ref = ray.put(divisor)
 
     @ray.remote
     def contrib(dst_ref, src_ref, ranks, divisor):
@@ -266,9 +272,16 @@ def run_pagerank(
     edges_path_or_ds,
     index_dir: str,
     config: PageRankConfig | None = None,
+    method: str = "distributed",
 ) -> pa.Table:
     """Full job: load edges, semi-join against the built index's documents,
-    iterate, write popularity/ into the index (S13 write-back analog)."""
+    iterate, write popularity/ into the index (S13 write-back analog).
+
+    ``method="distributed"`` (default, the 100 TB path) keeps edges in the
+    object store and fans out per-block contribution tasks;
+    ``method="driver"`` is the oracle-parity mode whose summation order is
+    bit-identical to the transcribed reference recurrence (conformance
+    tests use it; the two agree to ~1e-10 relative — test_pagerank)."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
@@ -283,8 +296,73 @@ def run_pagerank(
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    result = compute_pagerank(edges_ds, doc_ints, config)
+    compute = (
+        compute_pagerank_distributed if method == "distributed"
+        else compute_pagerank
+    )
+    result = compute(edges_ds, doc_ints, config)
     out_dir = os.path.join(index_dir, "popularity")
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(result, os.path.join(out_dir, "popularity.parquet"))
     return result
+
+
+def pagerank_power_int(
+    edges_ds: "ray.data.Dataset",
+    n_nodes: int,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> pa.Table:
+    """Textbook power-iteration PageRank over integer nodes 0..n_nodes-1
+    with a FIXED iteration count — the SQL-checkable variant (the driver
+    oracle unrolls the same recurrence as chained CTEs).
+
+    Same distributed shape as :func:`compute_pagerank_distributed`: edge
+    blocks pinned in the object store once, per-iteration raw tasks compute
+    sparse partial contribution sums against the broadcast rank vector, the
+    driver holds only the O(n) rank state.  Parallel edges count multiply;
+    nodes with out-degree 0 simply leak mass (matched by the SQL oracle).
+    """
+    import ray
+
+    block_refs = edges_ds.select_columns(["src", "dst"]).to_arrow_refs()
+
+    @ray.remote
+    def factorize(tbl: pa.Table):
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outdeg_part = np.bincount(src, minlength=n_nodes)
+        return src, dst, outdeg_part
+
+    fact = ray.get([factorize.remote(r) for r in block_refs])
+    outdeg = np.zeros(n_nodes, dtype=np.float64)
+    for _, _, part in fact:
+        outdeg += part
+    edge_refs = [(ray.put(s), ray.put(d)) for s, d, _ in fact if s.size]
+    div_ref = ray.put(np.maximum(outdeg, 1.0))  # od=0 nodes never contribute
+
+    @ray.remote
+    def contrib(src_ref, dst_ref, ranks, divisor):
+        vals = ranks[src_ref] / divisor[src_ref]
+        uniq, inv = np.unique(dst_ref, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, vals)
+        return uniq, acc
+
+    ranks = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(n_iter):
+        rref = ray.put(ranks)
+        partials = ray.get(
+            [contrib.remote(s, d, rref, div_ref) for s, d in edge_refs]
+        )
+        acc = np.zeros(n_nodes)
+        for uniq, vals in partials:   # fixed block order -> deterministic
+            acc[uniq] += vals
+        ranks = (1 - damping) / n_nodes + damping * acc
+
+    return pa.table(
+        {
+            "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+            "rank": pa.array(np.round(ranks, 9), pa.float64()),
+        }
+    )

@@ -3,17 +3,22 @@
 Composes the training-data stages (the 100 TB use case from the task brief)
 into one streaming Dataset flow:
 
-    read -> quality scores (filter: non-empty, stopword ratio sane)
-         -> exact dedup (keep min doc_id per identical text)
-         -> near-dup dedup (MinHash-LSH pairs -> drop the higher doc_id of
-            every confirmed pair)
+    read -> quality gate (min whitespace tokens AND stopword-ratio cap,
+            both vectorized per batch)
+         -> exact dedup (losers of each identical-text group computed with a
+            slim (sha, doc_id) shuffle, broadcast-filtered when the loser set
+            is under ``max_broadcast_losers`` — the same small-side pattern
+            as build.py phase 2 — else a full keep-min shuffle fallback)
+         -> near-dup dedup (MinHash-LSH distributed-verified pairs -> drop
+            the higher doc_id of every confirmed pair; transitive clusters
+            are available separately via stages.dedup.near_dup_clusters)
          -> per-doc stats (token counts, language id)
          -> curated table
 
 Every stage is a `map_batches` / shuffle primitive documented in its own
-module; this pipeline only wires them.  The pair-to-loser reduction keeps
-min-doc_id per connected PAIR (single-link one step) — full transitive
-clustering would be a connected-components pass, noted for scale.
+module; this pipeline only wires them.  Metrics are derived from the
+already-materialized small sides (loser sets, pair sets) — the only count()
+is the input row count, which for a fresh parquet read is metadata-only.
 """
 
 from __future__ import annotations
@@ -23,8 +28,13 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..stages.dedup import exact_dedup_groups, minhash_lsh_pairs
-from ..stages.textstats import lang_id_batch, token_count_batch
+from ..stages.dedup import add_text_sha, minhash_lsh_pairs
+from ..stages.textstats import EN_STOPS, lang_id_batch, token_count_batch
+
+
+def _ws_tokens(text: str) -> list[str]:
+    t = (text or "").strip()
+    return t.split() if t else []
 
 
 def curate(
@@ -32,46 +42,102 @@ def curate(
     min_tokens: int = 3,
     max_stop_ratio: float = 0.9,
     near_dup_threshold: float = 0.5,
+    max_broadcast_losers: int = 5_000_000,
 ) -> tuple["ray.data.Dataset", dict]:
-    """Returns (curated Dataset, per-stage row-count metrics)."""
+    """Returns (curated Dataset, per-stage metrics).  ``metrics`` is fully
+    populated except ``curated`` / ``after_exact_dedup``, which the caller
+    finalizes from the materialized row count via ``finalize_metrics``
+    (no extra counting pass)."""
     import ray
 
     metrics: dict[str, int] = {}
+    # metadata-only for a fresh parquet read; documents the input scale
     metrics["input"] = int(docs_ds.count())
 
     # --- quality gate (vectorized per batch) ---------------------------
     def quality_gate(batch: pa.Table) -> pa.Table:
-        counts = token_count_batch(batch)
-        n_ws = counts["n_ws_tokens"].to_numpy(zero_copy_only=False)
-        keep = n_ws >= min_tokens
+        texts = batch["text"].to_pylist()
+        keep = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            toks = _ws_tokens(t)
+            if len(toks) < min_tokens:
+                continue
+            stop = sum(x.lower() in EN_STOPS for x in toks) / len(toks)
+            keep[i] = stop <= max_stop_ratio
         return batch.filter(pa.array(keep))
 
     quality = docs_ds.map_batches(quality_gate, batch_format="pyarrow")
 
-    # --- exact dedup: winners per identical text ------------------------
-    exact = exact_dedup_groups(quality).to_pandas()
-    exact_winners = np.sort(exact["doc_id"].to_numpy(np.int64))
-    metrics["after_exact_dedup"] = int(exact_winners.size)
-    winners_ref = ray.put(exact_winners)
+    # --- exact dedup: LOSERS per identical text (small side) ------------
+    def to_sha_ids(batch: pa.Table) -> pa.Table:
+        withsha = add_text_sha(batch)
+        return withsha.select(["text_sha256", "doc_id"])
 
-    def keep_exact_winners(batch: pa.Table) -> pa.Table:
-        w = ray.get(winners_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(w, ids)
-        idx[idx == w.size] = 0
-        return batch.filter(pa.array(w[idx] == ids))
+    def emit_losers(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(ids[1:], pa.int64())})
 
-    deduped = quality.map_batches(keep_exact_winners, batch_format="pyarrow")
+    losers_ds = (
+        quality.map_batches(to_sha_ids, batch_format="pyarrow")
+        .groupby("text_sha256")
+        .map_groups(emit_losers, batch_format="pyarrow")
+        .materialize()
+    )
+    n_exact_losers = int(losers_ds.count())
+    metrics["exact_losers"] = n_exact_losers
+
+    if n_exact_losers == 0:
+        deduped = quality
+    elif n_exact_losers <= max_broadcast_losers:
+        exact_losers = np.sort(
+            losers_ds.to_pandas()["doc_id"].to_numpy(np.int64)
+        )
+        losers_ref = ray.put(exact_losers)
+
+        def drop_exact_losers(batch: pa.Table) -> pa.Table:
+            l = ray.get(losers_ref)
+            if l.size == 0:
+                return batch
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(l, ids)
+            idx[idx == l.size] = 0
+            return batch.filter(pa.array(~(l[idx] == ids)))
+
+        deduped = quality.map_batches(drop_exact_losers, batch_format="pyarrow")
+    else:
+        # loser set too big to broadcast: full keep-min shuffle instead
+        print(
+            f"curate: {n_exact_losers} exact-dup losers exceed the broadcast "
+            f"cap ({max_broadcast_losers}); falling back to shuffle dedup"
+        )
+
+        def keep_min_row(group: pa.Table) -> pa.Table:
+            ids = group["doc_id"].to_numpy(zero_copy_only=False)
+            return group.take(
+                pa.array([int(np.argmin(ids))], pa.int64())
+            ).drop_columns(["text_sha256"])
+
+        deduped = (
+            quality.map_batches(
+                lambda b: add_text_sha(b), batch_format="pyarrow"
+            )
+            .groupby("text_sha256")
+            .map_groups(keep_min_row, batch_format="pyarrow")
+        )
 
     # --- near-dup dedup: drop the higher id of each confirmed pair ------
+    # (pairwise drop, not transitive closure: b is near a, but a third doc
+    #  near b only drops if it pairs with a surviving doc itself — matches
+    #  the SQL-oracle semantics; see near_dup_clusters for transitive CC)
     pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold).to_pandas()
     near_losers = np.sort(pairs["b"].unique().astype(np.int64)) if len(pairs) \
         else np.empty(0, dtype=np.int64)
     metrics["near_dup_pairs"] = int(len(pairs))
-    losers_ref = ray.put(near_losers)
+    metrics["near_dup_losers"] = int(near_losers.size)
+    nl_ref = ray.put(near_losers)
 
     def drop_near_losers(batch: pa.Table) -> pa.Table:
-        l = ray.get(losers_ref)
+        l = ray.get(nl_ref)
         if l.size == 0:
             return batch
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -95,8 +161,15 @@ def curate(
         )
 
     out = curated.map_batches(enrich, batch_format="pyarrow")
-    metrics["curated"] = int(out.count())
     return out, metrics
+
+
+def finalize_metrics(metrics: dict, curated_rows: int) -> dict:
+    """Derive the row-count metrics from the materialized result instead of
+    extra counting passes: winners = curated + near-dup losers."""
+    metrics["curated"] = int(curated_rows)
+    metrics["after_exact_dedup"] = int(curated_rows + metrics["near_dup_losers"])
+    return metrics
 
 
 def q_training_pipeline(sf_dir: str) -> pd.DataFrame:
@@ -106,6 +179,7 @@ def q_training_pipeline(sf_dir: str) -> pd.DataFrame:
     out, metrics = curate(ds)
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     df = df[["doc_id", "n_tokens", "pred_lang"]]
+    finalize_metrics(metrics, len(df))
     # metrics ride along as attrs for tests; the driver hashes the table
     df.attrs["metrics"] = metrics
     return df

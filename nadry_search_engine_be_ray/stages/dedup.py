@@ -4,15 +4,16 @@ Five dedup families over the ``documents`` / ``embeddings`` tables, each
 expressed Ray-Data-first (SURVEY.md §2.7 D1/D2 generalized):
 
 * exact (sha/text hash-partition + per-group keep-min)       — shuffle dedup
-* MinHash + LSH (shingle -> minhash -> band -> bucket groupby -> verify
-  n-gram Jaccard)                                            — near-dup
+* MinHash + LSH (shingle -> minhash -> band -> bucket groupby -> candidate
+  pairs -> distributed exact n-gram Jaccard verify)          — near-dup
 * SimHash (64-bit, 16-bit band buckets -> hamming verify)    — near-dup
-* n-gram Jaccard verification (the exact pair check used by both)
-* embedding cosine (normalized matmul against a broadcast matrix)
+* n-gram Jaccard all-pairs (gram-bucket candidates -> the same distributed
+  exact verify, so reported jaccard values are always exact)
+* embedding cosine (hyperplane-band LSH buckets -> within-bucket matmul)
 
-All candidate generation is shuffle-based (groupby on bucket keys); only the
-small verified-pair sets are materialized.  Pair outputs are canonical
-(a < b) and deterministic.
+All candidate generation is shuffle-based (groupby on bucket keys) and all
+verification is distributed (union + groupby; no pair/text materialization
+on the driver).  Pair outputs are canonical (a < b) and deterministic.
 """
 
 from __future__ import annotations
@@ -154,9 +155,17 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 class MinHashBatch:
     """map_batches stage: text -> (doc_id, band, band_hash) rows (bands
-    explode to one row per band so LSH bucketing is a plain groupby)."""
+    explode to one row per band so LSH bucketing is a plain groupby).
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
+    Defaults (num_perm=128, bands=64 -> 2 rows/band) target near-certain
+    candidate recall at jaccard >= 0.5: P(miss) = (1 - j^2)^64, i.e. ~1e-8
+    at j = 0.5 — chosen so the exact-verify output matches the capless
+    all-pairs SQL oracle with overwhelming probability.  False-candidate
+    rate for unrelated docs (j ~ 0.01) stays ~0.6%%; the exact verify
+    filters those.
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 64, ngram: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.ngram = num_perm, bands, ngram
@@ -167,8 +176,9 @@ class MinHashBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Batch-vectorized: all docs' shingles go through ONE
         (num_perm × total_shingles) modular-hash pass, then per-doc minima
-        via minimum.reduceat — no per-doc matmuls."""
-        ids = batch[self.id_col].to_pylist()
+        via minimum.reduceat; band hashes are a vectorized uint64 fold —
+        no per-doc or per-band Python work."""
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
         n = len(ids)
         shingle_lists = [word_ngrams(t, self.ngram) for t in texts]
@@ -187,14 +197,15 @@ class MinHashBatch:
             np.cumsum(lens[:-1], out=starts[1:])
             sigs[nz] = np.minimum.reduceat(vals, starts[nz], axis=1).T
 
-        out_id, out_band, out_hash = [], [], []
-        for i, did in enumerate(ids):
-            sig = sigs[i]
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                out_id.append(did)
-                out_band.append(band)
-                out_hash.append(zlib.crc32(chunk.tobytes()))
+        # band hash: fold the band's rows with a 64-bit polynomial (wraps)
+        folded = np.zeros((n, self.bands), dtype=np.uint64)
+        P = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows_per_band):
+                folded = folded * P + sigs[:, r :: self.rows_per_band][:, : self.bands]
+        out_id = np.repeat(ids.astype(np.int64), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        out_hash = folded.reshape(-1).view(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
@@ -204,79 +215,189 @@ class MinHashBatch:
         )
 
 
-def candidate_pairs_from_buckets(group: pa.Table, cap: int = 50) -> pa.Table:
+def candidate_pairs_from_buckets(group: pa.Table, cap: int = 200) -> pa.Table:
     """Per (band, band_hash) bucket: emit canonical candidate pairs.  Buckets
     larger than ``cap`` are truncated deterministically (sorted by doc_id)
-    with a logged drop — no silent unbounded quadratic blowup."""
+    with a logged drop — no silent unbounded quadratic blowup.  Truncation
+    only affects candidate RECALL (surviving pairs are verified exactly)."""
     ids = sorted(set(group["doc_id"].to_pylist()))
     if len(ids) > cap:
+        print(
+            f"candidate_pairs_from_buckets: truncating bucket of {len(ids)} "
+            f"docs to {cap} (band={group['band'][0].as_py()})"
+        )
         ids = ids[:cap]
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pa.table(
-        {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+    m = len(ids)
+    if m < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    arr = np.array(ids, dtype=np.int64)
+    ii, jj = np.triu_indices(m, k=1)
+    return pa.table({"a": pa.array(arr[ii]), "b": pa.array(arr[jj])})
+
+
+def _distinct_pairs(pairs_ds):
+    """Dataset[(a, b, ...)] -> distinct canonical pairs via a vectorized
+    sort-based aggregate (no driver materialization)."""
+    from ray.data.aggregate import Count
+
+    return (
+        pairs_ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_src"))
+        .select_columns(["a", "b"])
     )
 
 
-def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
+def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
+                            threshold: float = 0.5,
+                            id_col: str = "doc_id", text_col: str = "text"):
+    """Distributed exact n-gram Jaccard for candidate pairs.
+
+    Shape (no joins — union + double groupby, so it works on arbitrarily
+    small OR large partitions):
+
+      1. membership rows  (doc_id, a, b, text=null)   — 2 rows per pair
+      2. doc rows         (doc_id, a=null, b=null, text)
+      3. union -> groupby(doc_id): docs with at least one membership compute
+         their DISTINCT gram set ONCE and emit (a, b, doc_id, gram) rows —
+         tokenization happens only for candidate docs
+      4. groupby(a, b): exact |A∩B| / |A∪B| from the two sides' gram rows
+
+    The only all-to-all cost is one text shuffle keyed by doc_id (same
+    scale as the index build's posting shuffle) plus the candidate-gram
+    shuffle (bounded by the bucket caps).  At 100 TB the text shuffle
+    would additionally be pruned with a Bloom filter of candidate ids
+    broadcast to the read tasks.
+
+    Jaccard semantics match the all-pairs SQL oracle exactly: DISTINCT
+    string n-grams, docs with zero tokens produce no grams, pairs with no
+    shared gram (or an empty union) are not emitted.
+    """
+
+    def to_membership(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                id_col: pa.array(doc, pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                text_col: pa.nulls(2 * len(a), pa.string()),
+            }
+        )
+
+    def to_docrows(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "a": pa.nulls(m, pa.int64()),
+                "b": pa.nulls(m, pa.int64()),
+                text_col: batch[text_col].cast(pa.string()),
+            }
+        )
+
+    mem = pairs_ds.map_batches(to_membership, batch_format="pyarrow")
+    docrows = docs_ds.map_batches(to_docrows, batch_format="pyarrow")
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        a_list = group["a"].to_pylist()
+        if all(x is None for x in a_list):
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                }
+            )
+        texts = group[text_col].to_pylist()
+        text = next((t for t in texts if t is not None), "")
+        grams = ngram_strings(text, n)
+        doc = int(group[id_col][0].as_py())
+        b_list = group["b"].to_pylist()
+        a_m = np.array([x for x in a_list if x is not None], dtype=np.int64)
+        b_m = np.array(
+            [y for x, y in zip(a_list, b_list) if x is not None], dtype=np.int64
+        )
+        g = len(grams)
+        return pa.table(
+            {
+                "a": pa.array(np.repeat(a_m, g), pa.int64()),
+                "b": pa.array(np.repeat(b_m, g), pa.int64()),
+                id_col: pa.array(np.full(len(a_m) * g, doc), pa.int64()),
+                "gram": pa.array(grams * len(a_m), pa.string()),
+            }
+        )
+
+    keyed = mem.union(docrows).groupby(id_col).map_groups(
+        per_doc, batch_format="pyarrow"
+    )
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        a = int(group["a"][0].as_py())
+        doc = group[id_col].to_numpy(zero_copy_only=False)
+        grams = group["gram"].to_pylist()
+        ga = {g for g, d in zip(grams, doc) if d == a}
+        gb = {g for g, d in zip(grams, doc) if d != a}
+        union = len(ga | gb)
+        if union == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        j = len(ga & gb) / union
+        if j < threshold:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array([a], pa.int64()),
+                "b": pa.array([int(group["b"][0].as_py())], pa.int64()),
+                "jaccard": pa.array([round(j, 9)], pa.float64()),
+            }
+        )
+
+    return keyed.groupby(["a", "b"]).map_groups(per_pair, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 64, ngram: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5):
     """Full near-dup pipeline: minhash -> LSH buckets -> candidate pairs ->
-    exact n-gram Jaccard verify.  Returns Dataset (a, b, jaccard) with
-    jaccard >= threshold, deduped canonical pairs.
+    DISTRIBUTED exact n-gram Jaccard verify.  Returns a Dataset
+    (a, b, jaccard) with jaccard >= threshold, deduped canonical pairs.
 
-    The verify step re-reads the two texts via a broadcast id->text lookup
-    built from the (small) candidate id set; at 100 TB scale this becomes a
-    hash-join of candidates against the corpus instead.
+    Every stage is a Dataset transform — candidate pairs are deduped with a
+    sort-based groupby and verified by shuffling pair membership against the
+    corpus texts (see ``exact_jaccard_for_pairs``); nothing is collected on
+    the driver.  With the default band parameters the output equals the
+    exact all-pairs jaccard join (ngram_jaccard SQL oracle) up to the
+    ~1e-8/pair LSH miss probability at j = threshold.
     """
     sig = ds.map_batches(
         MinHashBatch(num_perm, bands, ngram, text_col, id_col),
         batch_format="pyarrow",
     )
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
-        candidate_pairs_from_buckets, batch_format="pyarrow"
-    )
-    pair_tbl = pairs.to_pandas().drop_duplicates(["a", "b"])
-    if len(pair_tbl) == 0:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
+    cands = _distinct_pairs(
+        sig.groupby(["band", "band_hash"]).map_groups(
+            candidate_pairs_from_buckets, batch_format="pyarrow"
         )
-
-    need = sorted(set(pair_tbl["a"]) | set(pair_tbl["b"]))
-    import ray
-
-    need_ref = ray.put(set(need))
-
-    def collect(batch: pa.Table) -> pa.Table:
-        want = ray.get(need_ref)
-        keep = [i for i, d in enumerate(batch[id_col].to_pylist()) if d in want]
-        return batch.take(pa.array(keep, pa.int64())).select([id_col, text_col])
-
-    got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(got[id_col], got[text_col]))
-
-    a_o, b_o, j_o = [], [], []
-    sh_cache: dict[int, set] = {}
-    for a_id, b_id in zip(pair_tbl["a"], pair_tbl["b"]):
-        sa = sh_cache.setdefault(a_id, word_ngrams(texts.get(a_id, ""), ngram))
-        sb = sh_cache.setdefault(b_id, word_ngrams(texts.get(b_id, ""), ngram))
-        sim = jaccard(sa, sb)
-        if sim >= threshold:
-            a_o.append(int(a_id)); b_o.append(int(b_id)); j_o.append(sim)
-    return pa.table(
-        {
-            "a": pa.array(a_o, pa.int64()),
-            "b": pa.array(b_o, pa.int64()),
-            "jaccard": pa.array(j_o, pa.float64()),
-        }
     )
+    return exact_jaccard_for_pairs(
+        ds, cands, n=ngram, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    ).sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------------
@@ -297,21 +418,19 @@ def ngram_strings(text: str, n: int = 3) -> list[str]:
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
                         bucket_cap: int = 200):
-    """All-pairs n-gram Jaccard >= threshold via the gram-inverted-index
-    join (PPJoin-style shape, no prefix filter): explode DISTINCT grams,
-    groupby(gram) emits co-occurring pairs, groupby(pair) counts the
-    intersection, and |A∪B| comes from a broadcast doc->set-size map.
+    """All-pairs n-gram Jaccard >= threshold: gram-inverted-index candidate
+    generation (explode DISTINCT grams, groupby(gram) emits co-occurring
+    pairs) followed by the DISTRIBUTED exact verify — reported jaccard
+    values are always exact set-overlap numbers, never bucket-co-occurrence
+    counts, so a capped hot gram can only lower candidate recall, not skew
+    values.
 
     Scale notes: the per-gram pair fan-out is quadratic in bucket size, so
     buckets above ``bucket_cap`` (ultra-common grams — the same head-term
-    skew as A3) are dropped with a log line; a dropped gram can only LOWER
-    recall for pairs whose every shared gram is that common, which at
-    threshold >= 0.5 effectively never identifies a near-dup on its own.
-    The sizes map is one int per doc — broadcast here, a hash join at
-    100 TB scale.
+    skew as A3) are dropped with a log line.  A pair is lost only if EVERY
+    gram it shares is that common; at threshold >= 0.5 a near-dup pair
+    shares many grams, which would all have to be ultra-common at once.
     """
-    import ray
-    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, grams = [], []
@@ -323,13 +442,6 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
             {"doc_id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
         )
 
-    grams_ds = ds.map_batches(explode, batch_format="pyarrow")
-
-    sizes_tbl = (
-        grams_ds.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
-    )
-    sizes_ref = ray.put(dict(zip(sizes_tbl["doc_id"], sizes_tbl["n_grams"])))
-
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group["doc_id"].to_pylist()))
         if len(ids) > bucket_cap:
@@ -337,40 +449,23 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
             )
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table(
-            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
-        )
+        m = len(ids)
+        if m < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        arr = np.array(ids, dtype=np.int64)
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"a": pa.array(arr[ii]), "b": pa.array(arr[jj])})
 
-    inter = (
-        grams_ds.groupby("gram")
+    cands = _distinct_pairs(
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("gram")
         .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
     )
-
-    def score(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        c = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sizes[x] for x in a], dtype=np.float64)
-        nb = np.array([sizes[x] for x in b], dtype=np.float64)
-        j = c / (na + nb - c)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(np.round(j[keep], 9), pa.float64()),
-            }
-        )
-
-    return inter.map_batches(score, batch_format="pyarrow")
+    return exact_jaccard_for_pairs(
+        ds, cands, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    ).sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------------
@@ -421,20 +516,27 @@ class SimHashBatch:
 
 
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> pa.Table:
-    """SimHash near-dup: band-bucket candidates, verify hamming distance."""
+                  id_col: str = "doc_id"):
+    """SimHash near-dup: band-bucket candidates, verify hamming distance
+    inside the bucket, dedup across bands with a sort-based groupby —
+    returns a Dataset (a, b, hamming) sorted by (a, b); no stage
+    materializes pairs on the driver."""
     sig = ds.map_batches(SimHashBatch(text_col, id_col), batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         rows = sorted(
             set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()))
-        )[:50]
+        )
+        if len(rows) > 50:
+            print(f"simhash_pairs: truncating bucket of {len(rows)} docs to 50")
+            rows = rows[:50]
         a_o, b_o, d_o = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
                 (ida, ha), (idb, hb) = rows[i], rows[j]
                 dist = bin(int(ha) ^ int(hb)).count("1")
-                a_o.append(ida); b_o.append(idb); d_o.append(dist)
+                if dist <= max_hamming:
+                    a_o.append(ida); b_o.append(idb); d_o.append(dist)
         return pa.table(
             {
                 "a": pa.array(a_o, pa.int64()),
@@ -445,62 +547,234 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     pairs = sig.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
-    ).to_pandas().drop_duplicates(["a", "b"])
-    pairs = pairs[pairs["hamming"] <= max_hamming].sort_values(["a", "b"])
-    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+    )
+
+    def dedup_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        pairs.groupby(["a", "b"])
+        .map_groups(dedup_first, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup
+# embedding cosine near-dup (bucket-first LSH; no full-matrix broadcast)
 # ---------------------------------------------------------------------------
+
+class HyperplaneBandBatch:
+    """map_batches stage: one row per (band, bucket_key) per vector — the
+    random-hyperplane analog of MinHash banding.  ``n_bands`` bands of
+    ``band_bits`` sign bits each; two vectors collide in a band with
+    probability (1 - theta/pi)^band_bits, so near-dups (small theta) land
+    in a shared bucket in at least one band w.h.p."""
+
+    def __init__(self, dim: int, n_bands: int = 16, band_bits: int = 8,
+                 seed: int = 17, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bands * band_bits, dim))
+        self.n_bands, self.band_bits = n_bands, band_bits
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _batch_matrix
+
+        m = _batch_matrix(batch, self.vec_col)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        signs = (m @ self.planes.T) > 0        # (n, n_bands*band_bits)
+        n = signs.shape[0]
+        weights = 1 << np.arange(self.band_bits, dtype=np.int64)
+        keys = np.empty((n, self.n_bands), dtype=np.int64)
+        for band in range(self.n_bands):
+            seg = signs[:, band * self.band_bits : (band + 1) * self.band_bits]
+            keys[:, band] = seg @ weights
+        # carry the vector so the within-bucket verify needs no second read
+        vecs = [list(map(float, row)) for row in m]
+        out_vecs = []
+        for band in range(self.n_bands):
+            out_vecs.extend(vecs)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.repeat(np.arange(self.n_bands, dtype=np.int32), n),
+                    pa.int32(),
+                ),
+                "bucket": pa.array(keys.T.reshape(-1), pa.int64()),
+                self.id_col: pa.array(np.tile(ids, self.n_bands), pa.int64()),
+                self.vec_col: pa.array(out_vecs, pa.list_(pa.float64())),
+            }
+        )
+
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> pa.Table:
-    """Cosine near-dup over an embedding column: the full (normalized)
-    matrix is broadcast once via ``ray.put`` and every batch computes
-    batch x matrix.T — no shuffle.  Scale path (documented): IVF/LSH
-    bucketing first, matmul within buckets."""
-    import ray
+                             vec_col: str = "embedding",
+                             n_bands: int = 16, band_bits: int = 8,
+                             seed: int = 17, bucket_cap: int = 2000):
+    """Cosine near-dup over an embedding column — bucket-first: hyperplane
+    LSH bands assign each vector to ``n_bands`` buckets, the exact cosine
+    matmul runs only WITHIN each (band, bucket) group, and cross-band
+    duplicates collapse with a sort-based groupby.  No stage materializes
+    or broadcasts the corpus matrix.
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = full[id_col].to_numpy()
-    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+    Recall at the 0.95 threshold (theta ~ 18°, p_bit ~ 0.9): a true pair
+    misses every band with probability (1 - 0.9^band_bits)^n_bands ~ 1e-4
+    at the defaults; planted near-identical pairs (cosine > 0.99) miss with
+    probability < 1e-6.  Returns a Dataset (a, b, cosine) sorted by (a, b).
+    """
+    dim = len(ds.take(1)[0][vec_col])
+    bucketed = ds.map_batches(
+        HyperplaneBandBatch(dim, n_bands, band_bits, seed, vec_col, id_col),
+        batch_format="pyarrow",
+    )
 
-    def pairs_batch(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(ref)
-        bids = batch[id_col].to_numpy(zero_copy_only=False)
-        bmat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
-        )
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ m.T
-        a_o, b_o, s_o = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.flatnonzero(sims[r] >= threshold)
-            for c in hits:
-                if bids[r] < all_ids[c]:  # canonical, drops self-pairs
-                    a_o.append(int(bids[r])); b_o.append(int(all_ids[c]))
-                    s_o.append(float(sims[r, c]))
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        uniq_mask = np.ones(len(ids), dtype=bool)
+        uniq_mask[1:] = ids[1:] != ids[:-1]
+        sel = order[uniq_mask]
+        ids = ids[uniq_mask]
+        if len(ids) > bucket_cap:
+            print(
+                f"embedding_near_dup_pairs: truncating bucket of {len(ids)} "
+                f"vectors to {bucket_cap}"
+            )
+            sel, ids = sel[:bucket_cap], ids[:bucket_cap]
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        vec_list = group[vec_col].to_pylist()
+        m = np.array([vec_list[i] for i in sel], dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        vals = sims[ii, jj]
+        keep = vals >= threshold
+        # ids are sorted ascending and ii < jj, so a < b canonically
         return pa.table(
             {
-                "a": pa.array(a_o, pa.int64()),
-                "b": pa.array(b_o, pa.int64()),
-                "cosine": pa.array(s_o, pa.float64()),
+                "a": pa.array(ids[ii[keep]], pa.int64()),
+                "b": pa.array(ids[jj[keep]], pa.int64()),
+                "cosine": pa.array(vals[keep], pa.float64()),
             }
         )
 
-    out = ds.map_batches(pairs_batch, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        # all-empty blocks can drop the schema on collection
+    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    def dedup_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        pairs.groupby(["a", "b"])
+        .map_groups(dedup_first, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(pairs_ds, max_iter: int = 25):
+    """Transitive near-dup clusters from a pair Dataset (a, b): bounded
+    min-label propagation — each round every node adopts the minimum label
+    among itself and its neighbors (messages flow BOTH directions per edge,
+    so a chain of length L converges in O(log L) doubling rounds in
+    practice, <= diameter rounds worst case).
+
+    Rounds are Dataset groupbys; per-round convergence is detected from the
+    label-sum aggregate (labels only ever decrease).  Returns a Dataset
+    (node, cluster) where cluster = min doc_id of the component.
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
         return pa.table(
             {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
+                "node": pa.array(node, pa.int64()),
+                "cluster": pa.array(node, pa.int64()),
             }
         )
-    out = out.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs_m = pairs_ds.materialize()
+
+    labels = (
+        pairs_m.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("cluster", alias_name="cluster"))
+        .materialize()
+    )
+    if labels.count() == 0:
+        return labels
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "edge_other": pa.array(np.concatenate([b, a]), pa.int64()),
+                "cluster": pa.nulls(2 * len(a), pa.int64()),
+            }
+        )
+
+    edges = pairs_m.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def to_node_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "edge_other": pa.nulls(len(batch), pa.int64()),
+                "cluster": batch["cluster"],
+            }
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        labs = [c for c in group["cluster"].to_pylist() if c is not None]
+        lab = int(min(labs))
+        others = [int(o) for o in group["edge_other"].to_pylist() if o is not None]
+        node = int(group["node"][0].as_py())
+        out_nodes = [node] + others
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, pa.int64()),
+                "cluster": pa.array([lab] * len(out_nodes), pa.int64()),
+            }
+        )
+
+    prev_sum = labels.aggregate(Sum("cluster", alias_name="s"))["s"]
+
+    for it in range(max_iter):
+        msgs = (
+            labels.map_batches(to_node_label, batch_format="pyarrow")
+            .union(edges)
+            .groupby("node")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("cluster", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        print(f"near_dup_clusters: hit max_iter={max_iter} before convergence")
+    return labels

@@ -147,6 +147,27 @@ def rolling_fingerprint(text: str, k: int = 5, w: int = 8) -> int:
     return int(out)
 
 
+def fingerprint_sha_batch(batch: pa.Table) -> pa.Table:
+    """SQL-reproducible document fingerprint: first 16 hex chars of the md5
+    of the lowercased word-token stream joined with single spaces (DuckDB:
+    ``substr(md5(array_to_string(regexp_extract_all(lower(text),
+    '[a-z0-9_]+'), ' ')), 1, 16)``) — the driver-checkable complement to the
+    rolling/winnowed fingerprint below."""
+    import hashlib as _hl
+
+    texts = batch["text"].to_pylist()
+    fps = [
+        _hl.md5(" ".join(_WORD.findall((t or "").lower())).encode()).hexdigest()[:16]
+        for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fp16": pa.array(fps, pa.string()),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     fps = [rolling_fingerprint(t) for t in texts]

@@ -190,6 +190,32 @@ def test_multimodal_plumbing(ray_session):
         multimodal.AudioFeaturesBatch(fake=False)
 
 
+def test_near_dup_clusters_transitive(ray_session):
+    chain = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0, 1, 2, 10], pa.int64()),
+                "b": pa.array([1, 2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    out = dedup.near_dup_clusters(chain).to_pandas().sort_values("node")
+    got = dict(zip(out["node"], out["cluster"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
+def test_curate_shuffle_fallback_matches_broadcast(ray_session, planted_docs):
+    from nadry_search_engine_be_ray.pipelines.training_data import curate
+
+    bcast, _ = curate(planted_docs, min_tokens=1)
+    shuf, _ = curate(planted_docs, min_tokens=1, max_broadcast_losers=0)
+    a = bcast.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = shuf.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "n_tokens", "pred_lang"]].equals(
+        b[["doc_id", "n_tokens", "pred_lang"]]
+    )
+
+
 def test_training_pipeline_curates(ray_session):
     from nadry_search_engine_be_ray.pipelines.training_data import q_training_pipeline
 

@@ -45,24 +45,29 @@ def test_distributed_pagerank_matches_driver(ray_session, built_index,
         os.path.join(built_index, "prepped"), format="parquet"
     ).to_table(columns=["doc_int"])["doc_int"].to_numpy(zero_copy_only=False)
 
-    a = compute_pagerank(
-        ray.data.from_arrow(edges_tbl), doc_ints
-    ).to_pandas().sort_values("url").reset_index(drop=True)
-    b = compute_pagerank_distributed(
-        ray.data.from_arrow(edges_tbl), doc_ints
-    ).to_pandas().sort_values("url").reset_index(drop=True)
+    for cfg in (PageRankConfig(), PageRankConfig(as_implemented=False)):
+        a = compute_pagerank(
+            ray.data.from_arrow(edges_tbl), doc_ints, cfg
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        b = compute_pagerank_distributed(
+            ray.data.from_arrow(edges_tbl), doc_ints, cfg
+        ).to_pandas().sort_values("url").reset_index(drop=True)
 
-    assert list(a["url"]) == list(b["url"])
-    assert np.allclose(a["popularity"], b["popularity"], rtol=1e-10, atol=1e-15)
-    # rank ORDER identical under the deterministic (pop desc, url) sort
-    oa = a.sort_values(["popularity", "url"], ascending=[False, True])["url"]
-    ob = b.sort_values(["popularity", "url"], ascending=[False, True])["url"]
-    assert list(oa) == list(ob)
+        assert list(a["url"]) == list(b["url"])
+        assert np.allclose(a["popularity"], b["popularity"],
+                           rtol=1e-10, atol=1e-15)
+        # rank ORDER identical under the deterministic (pop desc, url) sort
+        oa = a.sort_values(["popularity", "url"], ascending=[False, True])["url"]
+        ob = b.sort_values(["popularity", "url"], ascending=[False, True])["url"]
+        assert list(oa) == list(ob)
 
 
 def test_pagerank_matches_oracle(ray_session, built_index, edges_and_urls):
     edges_tbl, urls = edges_and_urls
-    result = run_pagerank(ray.data.from_arrow(edges_tbl), built_index)
+    # method="driver" is the oracle-parity mode (bit-identical summation
+    # order); the default distributed path agrees to 1e-10 (test above)
+    result = run_pagerank(ray.data.from_arrow(edges_tbl), built_index,
+                          method="driver")
 
     pairs = list(zip(edges_tbl["src"].to_pylist(), edges_tbl["dst"].to_pylist()))
     expected = pagerank_reference(pairs, set(urls))
