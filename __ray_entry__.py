@@ -126,8 +126,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_api_page": _q_search_api_page,
         "index_merge": _q_index_merge,
         "training_pipeline": _q_training_pipeline,
+        "crawl_sim": _q_crawl_sim,
     }
     return out
+
+
+def _q_crawl_sim(sf_dir: str):
+    """Crawler subsystem (S1/S2/S4, K4/K5) over a deterministic simulated
+    site derived from the documents table: doc i lives at
+    https://s{i%4}.test/p{i} and links to (31*i + 97*k) mod n for k=1..3;
+    host s3 disallows everything via robots.txt.  Rows-only (iterative
+    control flow, not SQL-expressible); pytest covers the policies on
+    planted fixtures."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.crawl import SimulatedWeb, crawl
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id")
+    n = len(docs)
+
+    def url_of(i: int) -> str:
+        return f"https://s{i % 4}.test/p{i}"
+
+    pages = {}
+    for i, text in zip(docs["doc_id"], docs["text"]):
+        links = "".join(
+            f'<a href="{url_of((31 * int(i) + 97 * k) % n)}">x</a>'
+            for k in (1, 2, 3)
+        )
+        body = (text or "")[:200]
+        pages[url_of(int(i))] = (
+            f"<html><head><title>doc {int(i)}</title></head>"
+            f"<body><p>{body}</p>{links}</body></html>"
+        )
+    web = SimulatedWeb(pages, robots={"s3.test": "User-agent: *\nDisallow: /\n"})
+    out = crawl([url_of(0)], web, max_pages=200).to_pandas()
+    return out[["url", "n_links", "order"]]
 
 
 def _q_training_pipeline(sf_dir: str):

@@ -91,7 +91,15 @@ def main() -> None:
     # tasks to use every core at 1M docs without drowning a 20k-doc corpus
     # in per-partition fixed costs
     n_shards = 32 if n_docs > 100_000 else 8
-    build_index(corpus_dir, index_dir, BuildConfig(num_shards=n_shards, salt_bits=2))
+    build_index(
+        corpus_dir, index_dir,
+        BuildConfig(
+            num_shards=n_shards, salt_bits=2,
+            # the coalesce before the hash-partitioned write bounds file
+            # count but ALSO caps write parallelism — size it to the cores
+            postings_write_blocks=max(16, NUM_CPUS),
+        ),
+    )
     timings["index_build"] = time.time() - t0
     docs_per_sec = n_docs / timings["index_build"]
 
@@ -146,7 +154,7 @@ def main() -> None:
     docs_ds = ray.data.read_parquet(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     )
-    minhash_lsh_pairs(docs_ds, threshold=0.5)
+    minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()  # lazy -> consume
     timings["dedup_minhash"] = time.time() - t0
 
     t0 = time.time()

@@ -45,8 +45,12 @@ class BuildConfig:
     # --- codec --------------------------------------------------------------
     block_size: int = 128  # block-max metadata granularity (postings/block)
 
+
     # --- pipeline control ---------------------------------------------------
     compact_segments: bool = True
+    # M1 field extraction mode: "code" (path/leading-comment/content) or
+    # "html" (reference DocumentProcessor selectors, stages/htmlproc.py)
+    content_mode: str = "code"
 
     # --- bm25 ---------------------------------------------------------------
     bm25_k1: float = 1.2

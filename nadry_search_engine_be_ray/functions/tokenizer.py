@@ -60,6 +60,11 @@ class Tokenizer:
 
     def __init__(self) -> None:
         self._stem_cache: dict[str, str] = {}
+        # raw token -> final emitted token, or "" when filtered out: fuses
+        # the length gate, stop-word check and stemming into ONE dict hit
+        # per token in the hot loop (vocabulary is Zipfian, so nearly every
+        # lookup is a cache hit)
+        self._final_cache: dict[str, str] = {}
 
     def stem_token(self, token: str) -> str:
         # Tokenizer.java:55-59 — skip stemming for len <= 3 and placeholders
@@ -72,6 +77,20 @@ class Tokenizer:
             if len(self._stem_cache) < 1_000_000:
                 self._stem_cache[token] = cached
         return cached
+
+    def _classify(self, token: str) -> str:
+        """Final emitted form of a raw token ('' = dropped) — the slow path
+        behind _final_cache; semantics identical to the inline chain
+        (Tokenizer.java:46-68).  Calls the raw stemmer (not stem_token) so
+        each token is cached ONCE, in _final_cache — double-caching across
+        two dicts doubled per-worker memory at 1M-doc scale."""
+        if not (2 <= len(token) <= 50):
+            return ""
+        if token not in _PLACEHOLDERS and token in STOP_WORDS:
+            return ""
+        if len(token) <= 3 or token in _PLACEHOLDERS:
+            return token
+        return stem(token)
 
     def tokenize(self, text: str | None) -> list[str]:
         if not text:
@@ -99,13 +118,17 @@ class Tokenizer:
             processable = NUMBER_PATTERN.sub("_NUM_", processable)
 
         out: list[str] = []
-        stem = self.stem_token
+        cache = self._final_cache
+        get = cache.get
+        append = out.append
         for token in _TOKEN_RUN.findall(processable.lower()):
-            if not (2 <= len(token) <= 50):
-                continue
-            if token not in _PLACEHOLDERS and token in STOP_WORDS:
-                continue
-            out.append(stem(token))
+            f = get(token)
+            if f is None:
+                f = self._classify(token)
+                if len(cache) < 1_000_000:
+                    cache[token] = f
+            if f:
+                append(f)
 
         out.extend(special_tokens)
         return out

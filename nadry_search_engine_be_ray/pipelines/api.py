@@ -6,10 +6,16 @@ snippet generation (M11) over the visible page only, with the response shape
 ``{success, data, totalPages, currentPage, totalResults, tokens,
 searchTimeSec}`` (SearchController.java:103-109).
 
-Deviation note (documented per SURVEY.md §2.11 policy): Java's
-``BreakIterator.getSentenceInstance`` (SearchWrapper.java:581) is
-approximated with a regex sentence splitter; the centered 240-char
-truncation and first-sentence fallback follow SearchWrapper.java:566-638.
+Sentence segmentation follows ``java.text.BreakIterator
+.getSentenceInstance(Locale.US)`` semantics (SearchWrapper.java:581) via a
+UAX#29-derived rule set (the JDK iterator implements these rules, with no
+abbreviation dictionary): a sentence ends after a terminator run + optional
+closing quotes/brackets + whitespace — EXCEPT that a '.'-only terminator
+followed (after the spaces) by a lowercase letter does not break (SB8:
+"e.g. apples" stays together; decimals never break because there is no
+intervening whitespace), while any newline is a mandatory break (SB4).
+The centered 240-char truncation and first-sentence fallback follow
+SearchWrapper.java:566-638.
 """
 
 from __future__ import annotations
@@ -19,8 +25,27 @@ import time
 
 from .query import QUOTED, SearchEngine
 
-_SENT_BOUNDARY = re.compile(r"(?<=[.!?])\s+|\n+")
+# group 1 = the terminator run when a [.!?]-triggered candidate; the bare
+# newline-run alternative has no group (SB4 mandatory break)
+_SENT_CAND = re.compile(r"([.!?]+)[\"'\)\]]*\s+|\n+")
 MAX_SNIPPET = 240
+
+
+def sentence_bounds(content: str) -> list[int]:
+    """Start offsets of sentences per the JDK BreakIterator rule set
+    (module docstring); always includes 0 and len(content)."""
+    bounds = [0]
+    for m in _SENT_CAND.finditer(content):
+        term = m.group(1)
+        if term is not None and "\n" not in m.group(0):
+            # SB8: an ATerm-only run followed by lowercase is not a break
+            if set(term) == {"."}:
+                nxt = content[m.end()] if m.end() < len(content) else ""
+                if nxt.islower():
+                    continue
+        bounds.append(m.end())
+    bounds.append(len(content))
+    return bounds
 
 
 def find_first_context_match(content: str, query_tokens: list[str]) -> str:
@@ -36,11 +61,7 @@ def find_first_context_match(content: str, query_tokens: list[str]) -> str:
         if idx == -1:
             continue
         if sentences is None:
-            bounds = [0]
-            for m in _SENT_BOUNDARY.finditer(content):
-                bounds.append(m.end())
-            bounds.append(len(content))
-            sentences = bounds
+            sentences = sentence_bounds(content)
         start = max(b for b in sentences if b <= idx)
         after = [b for b in sentences if b > idx]
         end = after[0] if after else len(content)
@@ -54,8 +75,8 @@ def find_first_context_match(content: str, query_tokens: list[str]) -> str:
             sentence = prefix + sentence[s0:s1] + suffix
         return sentence
     # fallback: first sentence / first 200 chars (SearchWrapper.java:617-637)
-    m = _SENT_BOUNDARY.search(content)
-    first = content[: m.end()].strip() if m else content
+    bounds = sentence_bounds(content)
+    first = content[: bounds[1]].strip() if len(bounds) > 2 else content
     if len(first) > 200:
         first = first[:200] + "..."
     return first

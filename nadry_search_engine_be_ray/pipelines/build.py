@@ -93,10 +93,16 @@ def _parquet_row_count(root: str) -> int:
 
 
 def load_losers(index_dir: str) -> np.ndarray:
+    import glob as _glob
+
     import pyarrow.dataset as pads
 
     path = os.path.join(index_dir, LOSERS)
-    tbl = pads.dataset(path, format="parquet").to_table(columns=["doc_int"])
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        # zero losers: the sink skips all-empty blocks, leaving no files
+        return np.empty(0, dtype=np.int64)
+    tbl = pads.dataset(files, format="parquet").to_table(columns=["doc_int"])
     return np.sort(tbl["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
@@ -129,12 +135,19 @@ def build_index(
         t0 = time.time()
         _fresh(prepped_dir)
         # a small shard count would cap the fused read->prep parallelism at
-        # n_files; force enough blocks to keep every core busy
+        # n_files; force enough blocks to keep every core busy — clamped to
+        # the corpus row count (from footers) so a tiny corpus doesn't write
+        # empty, schema-less parquet fragments
+        want_blocks = max(64, int(ray.cluster_resources().get("CPU", 32)) * 2)
+        n_corpus_rows = _parquet_row_count(corpus_path)
         ds = ray.data.read_parquet(
             corpus_path,
-            override_num_blocks=max(64, int(ray.cluster_resources().get("CPU", 32)) * 2),
+            override_num_blocks=max(1, min(want_blocks, n_corpus_rows)),
         )
-        ds = ds.map_batches(prep_batch, batch_format="pyarrow")
+        ds = ds.map_batches(
+            lambda b, _m=cfg.content_mode: prep_batch(b, content_mode=_m),
+            batch_format="pyarrow",
+        )
         ds.write_parquet(prepped_dir, row_group_size=64 * 1024)
         _mark_done(prepped_dir)
         record("prep", t0)
@@ -301,6 +314,9 @@ def build_index(
                 batch_size=1,       # one part per task: bounded memory
             )
         )
+        # note: subdividing this reduce by a second term hash (merge fanout)
+        # was measured and does NOT help at this scale — the extra groups
+        # cost as much in shuffle overhead as the shorter tail saves
         merged = enc.groupby("shard").map_groups(
             partial(merge_shard_runs, block_size=cfg.block_size),
             batch_format="pyarrow",
@@ -376,6 +392,7 @@ def build_index(
             "num_shards": cfg.num_shards,
             "salt_bits": cfg.salt_bits,
             "compacted": cfg.compact_segments,
+            "block_size": cfg.block_size,
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f, indent=2)

@@ -1,0 +1,96 @@
+"""HTTP layer: the reference's REST surface on stdlib http.server.
+
+Reference: Spring Boot app on port 3000 (api/SearchApplication.java:5-11,
+application.properties server.port) exposing
+GET /api/search?query=&page=&limit=   (SearchController.java:53-120)
+GET /api/suggestions?query=&limit=    (SearchController.java:142-170)
+POST /api/save-search {query}         (SearchController.java:172-197)
+
+This serves the SAME response dicts pipelines/api.SearchAPI produces (the
+contract is tested there); the HTTP layer adds only routing, query-string
+parsing, JSON (de)serialization and error envelopes.  Threading server: the
+underlying SearchEngine caches are read-mostly; the suggestion store append
+is guarded by a lock.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from .api import SearchAPI
+
+
+def make_handler(api: SearchAPI):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet test output
+            pass
+
+        def _send(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parts = urlsplit(self.path)
+            qs = parse_qs(parts.query)
+
+            def arg(name, default=None):
+                vals = qs.get(name)
+                return vals[0] if vals else default
+
+            try:
+                if parts.path == "/api/search":
+                    query = arg("query", "")
+                    if not query.strip():
+                        # SearchController.java:62-66 empty-query envelope
+                        self._send(
+                            {"success": False,
+                             "message": "Search query is required"}, 400)
+                        return
+                    page = int(arg("page", "1"))
+                    limit = int(arg("limit", "10"))
+                    self._send(api.search(query, page=page, limit=limit))
+                elif parts.path == "/api/suggestions":
+                    self._send(
+                        api.suggestions(arg("query"), int(arg("limit", "5")))
+                    )
+                else:
+                    self._send({"success": False, "message": "Not found"}, 404)
+            except Exception as e:  # SearchController's 500 envelope
+                self._send({"success": False, "message": str(e)}, 500)
+
+        def do_POST(self):
+            parts = urlsplit(self.path)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if parts.path == "/api/save-search":
+                    with lock:
+                        out = api.save_search(payload)
+                    self._send(out, 200 if out.get("success") else 400)
+                else:
+                    self._send({"success": False, "message": "Not found"}, 404)
+            except Exception as e:
+                self._send({"success": False, "message": str(e)}, 500)
+
+    return Handler
+
+
+def serve(index_dir: str, port: int = 3000,
+          suggestions_path: str | None = None) -> ThreadingHTTPServer:
+    """Start the API server (reference default port 3000); returns the
+    running server — call ``.shutdown()`` to stop.  Serving state (segment
+    readers, caches) loads once, like the Spring singleton wiring."""
+    api = SearchAPI(index_dir, suggestions_path)
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(api))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

@@ -116,6 +116,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         assert s["num_shards"] == num_shards, "num_shards mismatch"
         assert s["salt_bits"] == stats[0]["salt_bits"], "salt_bits mismatch"
         assert s["compacted"], "merge requires compacted indexes"
+    for s in stats:
+        # stats.json records the build's block-max granularity; the merged
+        # segments must re-block at the same size or readers would mix
+        # incompatible block boundaries
+        assert s.get("block_size", 128) == block_size, (
+            "block_size mismatch", s.get("block_size"), block_size)
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -174,6 +180,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         "num_shards": num_shards,
         "salt_bits": stats[0]["salt_bits"],
         "compacted": True,
+        "block_size": block_size,
         "merged_from": len(index_dirs),
     }
     merged_stats["avgdl"] = (

@@ -154,18 +154,20 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 
 class MinHashBatch:
-    """map_batches stage: text -> (doc_id, band, band_hash) rows (bands
-    explode to one row per band so LSH bucketing is a plain groupby).
+    """map_batches stage: text -> (doc_id, bucket) rows, one row per LSH
+    band; ``bucket`` is a single int64 key folding (band index, the band's
+    signature rows) so bucketing is a plain single-column groupby.
 
-    Defaults (num_perm=128, bands=64 -> 2 rows/band) target near-certain
-    candidate recall at jaccard >= 0.5: P(miss) = (1 - j^2)^64, i.e. ~1e-8
-    at j = 0.5 — chosen so the exact-verify output matches the capless
-    all-pairs SQL oracle with overwhelming probability.  False-candidate
-    rate for unrelated docs (j ~ 0.01) stays ~0.6%%; the exact verify
-    filters those.
+    Defaults (num_perm=64, bands=32 -> 2 rows/band): a true pair at
+    jaccard j escapes every band with probability (1 - j^2)^32 — 1e-4 at
+    j = 0.5, 4.5e-10 at j = 0.7 — while unrelated docs (j ~ 0.01) become
+    false candidates at ~0.3% (filtered by the exact verify).  The exact
+    verify makes the OUTPUT equal the capless all-pairs SQL oracle up to
+    that band-miss probability.  Signature hashing is multiply-shift
+    (a*x + b mod 2^64, a 2-universal family) — no per-element division.
     """
 
-    def __init__(self, num_perm: int = 128, bands: int = 64, ngram: int = 3,
+    def __init__(self, num_perm: int = 64, bands: int = 32, ngram: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.ngram = num_perm, bands, ngram
@@ -173,58 +175,96 @@ class MinHashBatch:
         self.a, self.b = _perm_params(num_perm)
         self.text_col, self.id_col = text_col, id_col
 
+    def _shingle_hashes(self, texts: list) -> list:
+        """Distinct n-gram hashes per doc, vectorized: per-token crc32 with
+        a batch-level cache (tokens repeat heavily), then the n-gram hash is
+        a wrapping linear combination of the token hashes (computed with
+        shifted-slice adds, no per-gram Python) + np.unique.  Only feeds the
+        SIGNATURES — the exact verify uses string grams — so the gram-hash
+        family only needs to be uniform, not reproduce word_ngrams."""
+        cache: dict[str, int] = {}
+        n = self.ngram
+        C = [np.uint64(0x9E3779B97F4A7C15 + 2 * k + 1) for k in range(n)]
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                toks = _WORD.findall((t or "").lower())
+                if not toks:
+                    out.append(np.empty(0, dtype=np.uint64))
+                    continue
+                th = np.array(
+                    [cache.setdefault(x, zlib.crc32(x.encode())) for x in toks],
+                    dtype=np.uint64,
+                )
+                if len(toks) < n:
+                    h = np.uint64(0)
+                    for k, v in enumerate(th):
+                        h = h * C[0] + v
+                    out.append(np.array([h], dtype=np.uint64))
+                    continue
+                m = len(toks) - n + 1
+                acc = np.zeros(m, dtype=np.uint64)
+                for k in range(n):
+                    acc += th[k : k + m] * C[k]
+                out.append(np.unique(acc))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Batch-vectorized: all docs' shingles go through ONE
-        (num_perm × total_shingles) modular-hash pass, then per-doc minima
-        via minimum.reduceat; band hashes are a vectorized uint64 fold —
-        no per-doc or per-band Python work."""
+        (num_perm × total_shingles) hash pass, then per-doc minima via
+        minimum.reduceat; bucket keys are a vectorized uint64 fold — no
+        per-doc or per-band Python work."""
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
         n = len(ids)
-        shingle_lists = [word_ngrams(t, self.ngram) for t in texts]
+        shingle_lists = self._shingle_hashes(texts)
         lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
-        flat = np.fromiter(
-            (h for s in shingle_lists for h in s),
-            dtype=np.uint64,
-            count=int(lens.sum()),
+        flat = (
+            np.concatenate(shingle_lists)
+            if shingle_lists
+            else np.empty(0, dtype=np.uint64)
         )
         sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
                        dtype=np.uint64)
         nz = lens > 0
         if flat.size:
-            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+            with np.errstate(over="ignore"):
+                vals = self.a[:, None] * flat[None, :] + self.b[:, None]
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             sigs[nz] = np.minimum.reduceat(vals, starts[nz], axis=1).T
 
-        # band hash: fold the band's rows with a 64-bit polynomial (wraps)
-        folded = np.zeros((n, self.bands), dtype=np.uint64)
+        # bucket key: seed with the band index, fold the band's rows with a
+        # 64-bit polynomial (wraps); cross-band key collisions can only ADD
+        # false candidates (merged buckets), never lose pairs
         P = np.uint64(0x9E3779B97F4A7C15)
+        folded = np.broadcast_to(
+            (np.arange(self.bands, dtype=np.uint64) + np.uint64(1)) * P,
+            (n, self.bands),
+        ).copy()
         with np.errstate(over="ignore"):
             for r in range(self.rows_per_band):
                 folded = folded * P + sigs[:, r :: self.rows_per_band][:, : self.bands]
         out_id = np.repeat(ids.astype(np.int64), self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        out_hash = folded.reshape(-1).view(np.int64)
+        out_bucket = folded.reshape(-1).view(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "bucket": pa.array(out_bucket, pa.int64()),
             }
         )
 
 
 def candidate_pairs_from_buckets(group: pa.Table, cap: int = 200) -> pa.Table:
-    """Per (band, band_hash) bucket: emit canonical candidate pairs.  Buckets
-    larger than ``cap`` are truncated deterministically (sorted by doc_id)
-    with a logged drop — no silent unbounded quadratic blowup.  Truncation
-    only affects candidate RECALL (surviving pairs are verified exactly)."""
+    """Per bucket: emit canonical candidate pairs.  Buckets larger than
+    ``cap`` are truncated deterministically (sorted by doc_id) with a
+    logged drop — no silent unbounded quadratic blowup.  Truncation only
+    affects candidate RECALL (surviving pairs are verified exactly)."""
     ids = sorted(set(group["doc_id"].to_pylist()))
     if len(ids) > cap:
         print(
             f"candidate_pairs_from_buckets: truncating bucket of {len(ids)} "
-            f"docs to {cap} (band={group['band'][0].as_py()})"
+            f"docs to {cap}"
         )
         ids = ids[:cap]
     m = len(ids)
@@ -251,7 +291,8 @@ def _distinct_pairs(pairs_ds):
 
 def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
                             threshold: float = 0.5,
-                            id_col: str = "doc_id", text_col: str = "text"):
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_partitions: int = 16):
     """Distributed exact n-gram Jaccard for candidate pairs.
 
     Shape (no joins — union + double groupby, so it works on arbitrarily
@@ -332,8 +373,15 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
             }
         )
 
-    keyed = mem.union(docrows).groupby(id_col).map_groups(
-        per_doc, batch_format="pyarrow"
+    # Ray's sort shuffle costs scale with block count squared (each map task
+    # slices into num-partition ranges); tiny upstream blocks would explode
+    # that, so coalesce the union to ``num_partitions`` blocks first.  At
+    # 100 TB size num_partitions so one partition's texts fit a worker heap.
+    keyed = (
+        mem.union(docrows)
+        .repartition(num_partitions)
+        .groupby(id_col)
+        .map_groups(per_doc, batch_format="pyarrow")
     )
 
     def per_pair(group: pa.Table) -> pa.Table:
@@ -371,33 +419,48 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
     return keyed.groupby(["a", "b"]).map_groups(per_pair, batch_format="pyarrow")
 
 
-def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 64, ngram: int = 3,
+def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5):
     """Full near-dup pipeline: minhash -> LSH buckets -> candidate pairs ->
     DISTRIBUTED exact n-gram Jaccard verify.  Returns a Dataset
-    (a, b, jaccard) with jaccard >= threshold, deduped canonical pairs.
+    (a, b, jaccard) with jaccard >= threshold, deduped canonical pairs
+    (unsorted — callers that need an order sort the small result).
 
-    Every stage is a Dataset transform — candidate pairs are deduped with a
-    sort-based groupby and verified by shuffling pair membership against the
-    corpus texts (see ``exact_jaccard_for_pairs``); nothing is collected on
-    the driver.  With the default band parameters the output equals the
-    exact all-pairs jaccard join (ngram_jaccard SQL oracle) up to the
-    ~1e-8/pair LSH miss probability at j = threshold.
+    Partitioning note: Ray's sort-based shuffle pays per (map-block ×
+    reduce-partition) slice, so the signature stream is coalesced to a
+    row-count-derived partition count before the bucket groupby (tiny
+    upstream blocks would otherwise dominate wall time); per-bucket work
+    itself is O(bucket²) only for multi-member buckets, capped + logged.
+    Candidate pairs are deduped with a sort-based groupby and verified by
+    shuffling pair membership against the corpus texts
+    (``exact_jaccard_for_pairs``); pair/text rows never collect on the
+    driver.  With default band parameters the output equals the exact
+    all-pairs jaccard join (ngram_jaccard SQL oracle) up to the
+    (1 - j^2)^bands band-miss probability per pair.
     """
     sig = ds.map_batches(
         MinHashBatch(num_perm, bands, ngram, text_col, id_col),
         batch_format="pyarrow",
-    )
-    cands = _distinct_pairs(
-        sig.groupby(["band", "band_hash"]).map_groups(
-            candidate_pairs_from_buckets, batch_format="pyarrow"
-        )
+    ).materialize()
+    # ~500k signature rows (a few MB) per shuffle partition
+    nparts = max(4, int(sig.count()) // 500_000 + 1)
+    if sig.num_blocks() > 2 * nparts:
+        sig = sig.repartition(nparts)
+
+    # no _distinct_pairs shuffle here: a pair can repeat once per shared
+    # band (<= bands times), and the set-based exact verify collapses the
+    # duplicate membership rows for free — cheaper than an extra all-to-all
+    # (the ngram path DOES dedup: gram buckets repeat a pair per shared
+    # gram, an unbounded multiplicity)
+    cands = sig.groupby("bucket").map_groups(
+        candidate_pairs_from_buckets, batch_format="pyarrow"
     )
     return exact_jaccard_for_pairs(
         ds, cands, n=ngram, threshold=threshold,
         id_col=id_col, text_col=text_col,
-    ).sort(["a", "b"])
+        num_partitions=nparts,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +528,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
     )
     return exact_jaccard_for_pairs(
         ds, cands, n=n, threshold=threshold, id_col=id_col, text_col=text_col
-    ).sort(["a", "b"])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -44,10 +44,17 @@ def derive_urls(table: pa.Table) -> list[str]:
     ]
 
 
-def prep_batch(batch: pa.Table) -> pa.Table:
+def prep_batch(batch: pa.Table, content_mode: str = "code") -> pa.Table:
     """Add doc_int (60-bit sha-of-url prefix), content_sha256 (binary 32),
     title, description columns.  Pure, stateless, batch-vectorized where the
     kernel allows (hashing loops are C-speed hashlib calls per row).
+
+    ``content_mode="html"`` switches M1 to the reference's HTML extraction
+    (stages/htmlproc.py, DocumentProcessor.java:32-81): title/description
+    come from the markup and the ``content`` column is REPLACED by the
+    selector-extracted main text (the reference's ProcessedDocument.content
+    is mainContent, not raw HTML); content_sha256 still hashes the RAW
+    input, preserving the end-to-end sha invariant.
 
     60-bit doc key: int64-safe in Arrow/Ray shuffles (uint64 group keys
     corrupt in Ray's sort-based groupby) and monotone in doc_id hex order
@@ -69,10 +76,25 @@ def prep_batch(batch: pa.Table) -> pa.Table:
     ]
     titles = []
     descriptions = []
-    for i in range(n):
-        t, d, _ = split_fields(path[i], content[i])
-        titles.append(t)
-        descriptions.append(d)
+    if content_mode == "html":
+        from .htmlproc import split_fields_html
+
+        bodies = []
+        for i in range(n):
+            t, d, b = split_fields_html(content[i])
+            titles.append(t)
+            descriptions.append(d)
+            bodies.append(b)
+        batch = batch.set_column(
+            batch.schema.get_field_index("content"),
+            "content",
+            pa.array(bodies, pa.string()),
+        )
+    else:
+        for i in range(n):
+            t, d, _ = split_fields(path[i], content[i])
+            titles.append(t)
+            descriptions.append(d)
 
     return batch.append_column("doc_int", pa.array(doc_ints, pa.int64())) \
         .append_column("content_sha256", pa.array(content_sha, pa.binary())) \

@@ -37,6 +37,18 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
+def _topk_deterministic(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Per-batch top-k indices under the declared (-cosine, vec_id) order:
+    argpartition picks arbitrarily among equal cosines at the k boundary, so
+    keep every boundary tie and lexsort the candidate set before cutting —
+    deterministic without sorting the whole batch."""
+    part = np.argpartition(-sims, kk - 1)[:kk]
+    thresh = sims[part].min()
+    cand = np.flatnonzero(sims >= thresh)
+    order = np.lexsort((ids[cand], -sims[cand]))[:kk]
+    return cand[order]
+
+
 def _make_merge_topk(k: int):
     """Per-query merge of partial top-k rows -> final (rank'd) top-k."""
 
@@ -80,7 +92,7 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
         out_q, out_id, out_s = [], [], []
         kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            idx = _topk_deterministic(sims[qi], ids, kk)
             for c in idx:
                 out_q.append(qi)
                 out_id.append(int(ids[c]))
@@ -141,7 +153,7 @@ def _probed_partial_topk(ds, q: np.ndarray, probe_of_query: list[set[int]],
             sims = qm[qi] @ m[mask].T
             sub_ids = ids[mask]
             kk = min(k, sims.size)
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = _topk_deterministic(sims, sub_ids, kk)
             for c in idx:
                 out_q.append(qi)
                 out_id.append(int(sub_ids[c]))

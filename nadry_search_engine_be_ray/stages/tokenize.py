@@ -71,30 +71,31 @@ class TokenizeBatch:
         self.tokenizer = Tokenizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized accumulation: the per-token Python work is ONE interned
+        dict lookup (token -> id) + a list append; (term, doc, field) rows,
+        tf counts and position groupings then come from a single stable
+        argsort over composite int keys, and the shard hash runs once per
+        UNIQUE token per batch instead of once per output row."""
         cfg = self.config
         n_salts = 1 << cfg.salt_bits
         num_parts = cfg.num_shards * n_salts
         tk = self.tokenizer
 
-        terms: list[str] = []
-        doc_ints: list[int] = []
-        fields: list[int] = []
-        tfs: list[int] = []
-        parts: list[int] = []
-        lengths: list[int] = []        # positions per row (0 for sentinel)
-        flat_pos: list[int] = []       # all positions, row-major
-
         col_doc_int = batch["doc_int"].to_numpy(zero_copy_only=False)
         col_title = batch["title"].to_pylist()
         col_desc = batch["description"].to_pylist()
         col_body = batch["content"].to_pylist()
+        nrows = batch.num_rows
 
-        for i in range(batch.num_rows):
-            di = int(col_doc_int[i])
-            salt = doc_salt(di, cfg.salt_bits)
-            # per-(term, field) positions for this doc
-            acc: dict[tuple[str, int], list[int]] = {}
-            total_words = 0
+        tok_id: dict[str, int] = {}    # final token -> batch-local id
+        vocab: list[str] = []
+        flat_ids: list[int] = []       # one per kept token, segment-major
+        seg_doc: list[int] = []        # per segment: doc row index
+        seg_field: list[int] = []      # per segment: field code
+        seg_len: list[int] = []        # per segment: token count
+        doc_total = np.zeros(nrows, dtype=np.int64)
+
+        for i in range(nrows):
             for ftype, text in (
                 (FIELD_TITLE, col_title[i]),
                 (FIELD_DESCRIPTION, col_desc[i]),
@@ -103,35 +104,77 @@ class TokenizeBatch:
                 if not text:
                     continue
                 tokens = tk.tokenize(text)
-                total_words += len(tokens)
-                for pos, term in enumerate(tokens):
-                    acc.setdefault((term, ftype), []).append(pos)
+                doc_total[i] += len(tokens)
+                if not tokens:
+                    continue
+                get = tok_id.get
+                for t in tokens:
+                    tid = get(t)
+                    if tid is None:
+                        tid = len(vocab)
+                        tok_id[t] = tid
+                        vocab.append(t)
+                    flat_ids.append(tid)
+                seg_doc.append(i)
+                seg_field.append(ftype)
+                seg_len.append(len(tokens))
 
-            for (term, ftype), poss in acc.items():
-                terms.append(term)
-                doc_ints.append(di)
-                fields.append(ftype)
-                tfs.append(len(poss))
-                parts.append(term_shard(term, cfg.num_shards) * n_salts + salt)
-                lengths.append(len(poss))
-                flat_pos.extend(poss)
+        seg_len_a = np.asarray(seg_len, dtype=np.int64)
+        nseg = len(seg_len)
+        total = int(seg_len_a.sum()) if nseg else 0
+        ids_a = np.asarray(flat_ids, dtype=np.int64)
+        seg_starts = np.zeros(nseg, dtype=np.int64)
+        if nseg > 1:
+            np.cumsum(seg_len_a[:-1], out=seg_starts[1:])
+        seg_of_tok = np.repeat(np.arange(nseg, dtype=np.int64), seg_len_a)
+        pos_in_seg = np.arange(total, dtype=np.int64) - seg_starts[seg_of_tok]
 
-            # sentinel doc-stats row (see module docstring)
-            terms.append("")
-            doc_ints.append(di)
-            fields.append(SENTINEL_FIELD)
-            tfs.append(total_words)
-            parts.append(di % num_parts)
-            lengths.append(0)
+        # group by (segment, token): stable sort keeps positions ascending
+        key = seg_of_tok * max(1, len(vocab)) + ids_a
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        run_start = np.ones(total, dtype=bool)
+        run_start[1:] = ks[1:] != ks[:-1]
+        starts_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(starts_idx, total))
+        run_seg = seg_of_tok[order][starts_idx]
+        run_tid = ids_a[order][starts_idx]
 
-        n = len(terms)
+        # per-unique-token shard; per-doc salt
+        shard_of = np.array(
+            [term_shard(t, cfg.num_shards) for t in vocab], dtype=np.int64
+        ) if vocab else np.empty(0, dtype=np.int64)
+        salt_of_doc = np.array(
+            [doc_salt(int(d), cfg.salt_bits) for d in col_doc_int],
+            dtype=np.int64,
+        )
+
+        seg_doc_a = np.asarray(seg_doc, dtype=np.int64)
+        seg_field_a = np.asarray(seg_field, dtype=np.int64)
+        run_docrow = seg_doc_a[run_seg] if nseg else np.empty(0, dtype=np.int64)
+        run_doc_int = col_doc_int[run_docrow].astype(np.int64)
+        run_field = seg_field_a[run_seg] if nseg else np.empty(0, dtype=np.int64)
+        run_part = shard_of[run_tid] * n_salts + salt_of_doc[run_docrow]
+
+        nruns = run_tid.size
+        terms = [vocab[t] for t in run_tid] + [""] * nrows
+        out_doc = np.concatenate([run_doc_int, col_doc_int.astype(np.int64)])
+        out_field = np.concatenate(
+            [run_field, np.full(nrows, SENTINEL_FIELD, dtype=np.int64)]
+        )
+        out_tf = np.concatenate([run_len, doc_total])
+        out_part = np.concatenate(
+            [run_part, col_doc_int.astype(np.int64) % num_parts]
+        )
+        lengths = np.concatenate([run_len, np.zeros(nrows, dtype=np.int64)])
+
         payload, row_off = codec.encode_row_positions(
-            np.asarray(lengths, dtype=np.int64),
-            np.asarray(flat_pos, dtype=np.uint64),
+            lengths,
+            pos_in_seg[order].astype(np.uint64),
         )
         pos_arr = pa.Array.from_buffers(
             pa.binary(),
-            n,
+            nruns + nrows,
             [
                 None,
                 pa.py_buffer(row_off.astype(np.int32).tobytes()),
@@ -142,10 +185,10 @@ class TokenizeBatch:
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
-                "doc_int": pa.array(doc_ints, pa.int64()),
-                "field": pa.array(fields, pa.int8()),
-                "tf": pa.array(tfs, pa.int32()),
+                "doc_int": pa.array(out_doc, pa.int64()),
+                "field": pa.array(out_field.astype(np.int8), pa.int8()),
+                "tf": pa.array(out_tf.astype(np.int32), pa.int32()),
                 "pos": pos_arr,
-                "part": pa.array(parts, pa.int32()),
+                "part": pa.array(out_part.astype(np.int32), pa.int32()),
             }
         )

@@ -71,6 +71,7 @@ class SegmentReader:
             index_dir, "segments_merged" if self.stats["compacted"] else "segments"
         )
         self.num_shards = int(self.stats["num_shards"])
+        self.block_size = int(self.stats.get("block_size", codec.BLOCK_SIZE))
         self.shards = shards if shards is not None else list(range(self.num_shards))
         # term -> list[(table_idx, row, salt)] — multiple rows only when uncompacted
         self._term_index: dict[str, list[tuple[int, int, int]]] = {}
@@ -139,12 +140,20 @@ class SegmentReader:
             shift += int(off[-1])
         docs = np.concatenate(docs_parts)
         weights = np.concatenate(w_parts)
+        if len(rows) == 1:
+            # compacted hot path: consume the block_max the build wrote
+            # (stats.json block_size matches by construction)
+            ti0, row0, _ = rows[0]
+            bmax = codec.decode_f64(self._tables[ti0]["block_max"][row0].as_py())
+        else:
+            # multi-run concatenation shifts block boundaries -> recompute
+            bmax = codec.block_max(weights, self.block_size)
         pl = PostingList(
             term=term,
             docs=docs,
             tfs=np.concatenate(tf_parts),
             weights=weights,
-            block_max=codec.block_max(weights),
+            block_max=bmax,
             positions_buf=b"".join(pos_bufs),
             pos_offsets=np.concatenate(off_parts),
         )

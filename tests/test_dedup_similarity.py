@@ -158,36 +158,71 @@ def test_textstats_and_fingerprint(ray_session):
     assert 0 <= a < 2**64
 
 
-def test_multimodal_plumbing(ray_session):
-    media = ray.data.from_arrow(multimodal.synth_media_table(20, "image"))
+def test_multimodal_real_decode(ray_session):
+    """REAL decode paths: PPM pixels, WAV PCM energies, NVID raw frames."""
+    media_tbl = multimodal.synth_media_table(20, "image")
+    media = ray.data.from_arrow(media_tbl)
     feats = multimodal.decode_images(media, concurrency=2, batch_size=4).to_pandas()
     assert len(feats) == 20
     assert all(len(f) == 16 for f in feats["features"])
-    # deterministic features
-    f0 = multimodal.DecodeImageBatch(fake=True)._features(b"payload")
-    f1 = multimodal.DecodeImageBatch(fake=True)._features(b"payload")
-    assert np.array_equal(f0, f1)
+    # width/height come from the DECODED header and match the metadata
+    meta = media_tbl.to_pandas().set_index("media_id")
+    for _, row in feats.iterrows():
+        assert row["width"] == meta.loc[row["media_id"], "meta_width"]
+        assert row["height"] == meta.loc[row["media_id"], "meta_height"]
+    # grid-luminance features are real pixel statistics in [0, 1]
+    assert all(0.0 <= v <= 1.0 for f in feats["features"] for v in f)
 
-    vids = ray.data.from_arrow(multimodal.synth_media_table(6, "video"))
+    # PPM round trip: decode returns the exact pixels we encoded
+    img = multimodal.decode_ppm(media_tbl["payload"][0].as_py())
+    assert img.shape == (
+        meta.iloc[0]["meta_height"], meta.iloc[0]["meta_width"], 3)
+
+    vid_tbl = multimodal.synth_media_table(6, "video")
+    vids = ray.data.from_arrow(vid_tbl)
     frames = multimodal.sample_frames(vids, n_frames=3, concurrency=1).to_pandas()
     assert len(frames) == 18
     assert set(frames["frame"]) == {0, 1, 2}
+    # frame bytes are REAL slices: length = w*h*3 of that video
+    vm = vid_tbl.to_pandas().set_index("media_id")
+    for _, row in frames.iterrows():
+        w = int(vm.loc[row["media_id"], "meta_width"])
+        h = int(vm.loc[row["media_id"], "meta_height"])
+        assert len(row["frame_bytes"]) == w * h * 3
 
-    with pytest.raises(NotImplementedError):
-        multimodal.SampleFramesBatch(fake=False)
-
-    auds = ray.data.from_arrow(multimodal.synth_media_table(5, "audio"))
+    auds_tbl = multimodal.synth_media_table(5, "audio")
+    auds = ray.data.from_arrow(auds_tbl)
     win = multimodal.audio_features(auds, window_ms=1000, concurrency=1).to_pandas()
     assert len(win) >= 5
     per = win.groupby("media_id")
     assert (per["window"].min() == 0).all()
-    # window count = duration // window_ms (>= 1)
-    durs = multimodal.synth_media_table(5, "audio").to_pandas().set_index("media_id")
+    durs = auds_tbl.to_pandas().set_index("media_id")
     for mid, grp in per:
         assert len(grp) == max(1, int(durs.loc[mid, "meta_duration_ms"]) // 1000)
-    assert ((win["energy"] >= 0) & (win["energy"] <= 1)).all()
+    # real RMS of uniform(-20000, 20000) PCM: sigma/32768 ~ 0.35
+    assert ((win["energy"] > 0.2) & (win["energy"] < 0.5)).all()
+
+
+def test_multimodal_unsupported_codecs_raise(ray_session):
+    import pyarrow as pa2
+
+    png_like = pa2.table(
+        {
+            "media_id": pa2.array([0], pa2.int64()),
+            "payload": pa2.array([b"\x89PNG fake"], pa2.binary()),
+            "meta_duration_ms": pa2.array([0], pa2.int32()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        multimodal.AudioFeaturesBatch(fake=False)
+        multimodal.DecodeImageBatch(fake=False)(png_like)
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeaturesBatch(fake=False)(png_like)
+    with pytest.raises(NotImplementedError):
+        multimodal.SampleFramesBatch(fake=False)(png_like)
+    # fake plumbing mode still available and deterministic
+    f0 = multimodal.DecodeImageBatch(fake=True)._features(b"payload")
+    f1 = multimodal.DecodeImageBatch(fake=True)._features(b"payload")
+    assert np.array_equal(f0, f1)
 
 
 def test_near_dup_clusters_transitive(ray_session):

@@ -1,0 +1,64 @@
+"""HTTP facade vs the reference REST contract (SearchController.java):
+routing, envelopes, pagination params, save-search round trip."""
+
+import http.client
+import json
+
+import pytest
+
+from nadry_search_engine_be_ray.pipelines.http_server import serve
+
+
+@pytest.fixture(scope="module")
+def server(ray_session, built_index, tmp_path_factory):
+    sugg = str(tmp_path_factory.mktemp("sugg") / "suggestions.parquet")
+    srv = serve(built_index, port=0, suggestions_path=sugg)  # ephemeral port
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path):
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_address[1])
+    conn.request("GET", path)
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def _post(server, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_address[1])
+    body = json.dumps(payload)
+    conn.request("POST", path, body, {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def test_search_endpoint(server):
+    status, out = _get(server, "/api/search?query=import&page=1&limit=5")
+    assert status == 200 and out["success"] is True
+    assert out["currentPage"] == 1
+    assert len(out["data"]) <= 5
+    for item in out["data"]:
+        assert {"doc_id", "url", "score", "description"} <= set(item)
+    assert out["tokens"]  # tokenized query echoed (import -> ['import'])
+
+
+def test_search_requires_query(server):
+    status, out = _get(server, "/api/search?query=")
+    assert status == 400 and out["success"] is False
+
+
+def test_suggestions_and_save_roundtrip(server):
+    status, out = _post(server, "/api/save-search", {"query": "ray data join"})
+    assert status == 200 and out["success"] is True
+    status, out = _get(server, "/api/suggestions?query=ray")
+    assert status == 200
+    assert "ray data join" in out["data"]
+    assert out["source"] == "database"
+
+    status, out = _post(server, "/api/save-search", {})
+    assert status == 400 and out["success"] is False
+
+
+def test_unknown_route(server):
+    status, out = _get(server, "/api/nope")
+    assert status == 404
