@@ -222,23 +222,29 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # min of 2 runs per level (standard practice: min filters interference)
+    # min of 2 runs per level (standard practice: min filters interference);
+    # the CPU pair is overridable (GRAFT_SCALING_CPUS="4,16") for
+    # environment-control experiments at other N:4N points
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         runs = [_run(ncpu), _run(ncpu)]
         results[ncpu] = min(runs, key=lambda r: r["queries"]["index_build"])
-    b8 = results[8]["queries"]["index_build"]
-    b32 = results[32]["queries"]["index_build"]
-    eff = (b8 / b32) / (32 / 8)
+    b8 = results[lo]["queries"]["index_build"]
+    b32 = results[hi]["queries"]["index_build"]
+    eff = (b8 / b32) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency_index_build",
                 "n_docs": int(n_docs),
+                "cpus": [lo, hi],
                 "sec_8cpu": b8,
                 "sec_32cpu": b32,
-                "docs_per_sec_8cpu": results[8]["docs_per_sec"],
-                "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+                "docs_per_sec_8cpu": results[lo]["docs_per_sec"],
+                "docs_per_sec_32cpu": results[hi]["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
             }
         )

@@ -36,14 +36,17 @@ def q_agg_pushdown(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            revenue=("revenue", "sum"),
-            n_rows=("l_quantity", "size"),
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = batch.select(["l_returnflag", "l_linestatus", "l_quantity"]) \
+            .append_column("revenue", rev)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("revenue", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "revenue", "n_rows"]
+        )
 
     # root combine of the bounded partials (<= keys x blocks rows — this is
     # the tree-reduce root, not a data-sized driver pull; Ray's sort-based
@@ -62,36 +65,46 @@ def q_agg_pushdown(sf_dir: str) -> pd.DataFrame:
 
 
 def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join: orders ⨝ customer (small side ray.put once,
-    merged per batch — J3 pattern, no shuffle)."""
+    """Broadcast hash join: orders ⨝ customer — the small side ships as
+    (sorted keys, segment codes) numpy arrays via ray.put once; each batch
+    does join + partial aggregation in ONE pass of searchsorted + bincount
+    (no per-batch pandas round trip, J3 pattern, no shuffle)."""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    ref = ray.put(cust)
+    order_keys = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    keys = cust["c_custkey"].to_numpy(np.int64)[order_keys]
+    segs, seg_codes = np.unique(
+        cust["c_mktsegment"].to_numpy()[order_keys], return_inverse=True
+    )
+    ref = ray.put((keys, seg_codes.astype(np.int64), segs))
 
-    def join_batch(batch: pa.Table) -> pa.Table:
-        small = ray.get(ref)
-        df = batch.to_pandas().merge(
-            small, left_on="o_custkey", right_on="c_custkey", how="inner"
+    def join_agg(batch: pa.Table) -> pa.Table:
+        ks, codes, seg_names = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ck)
+        idx[idx == ks.size] = 0
+        hit = ks[idx] == ck
+        c = codes[idx[hit]]
+        sums = np.bincount(c, weights=price[hit], minlength=seg_names.size)
+        counts = np.bincount(c, minlength=seg_names.size)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg_names, pa.string()),
+                "n_orders": pa.array(counts, pa.int64()),
+                "sum_price": pa.array(sums, pa.float64()),
+            }
         )
-        return pa.Table.from_pandas(
-            df[["c_mktsegment", "o_totalprice"]], preserve_index=False
-        )
-
-    def seg_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(join_batch, batch_format="pyarrow")
-        .map_batches(seg_partial, batch_format="pyarrow")
+        .map_batches(join_agg, batch_format="pyarrow")
         .to_pandas()       # bounded root combine: <= segments x blocks rows
         .groupby("c_mktsegment", as_index=False)
         .agg(n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum"))
     )
+    out = out[out["n_orders"] > 0]
     out["sum_price"] = out["sum_price"].round(4)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -112,13 +125,17 @@ def q_distinct(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
 
     def local_distinct(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native distinct: group_by with no aggregations = unique keys
+        return batch.group_by(["l_returnflag", "l_orderkey"]).aggregate([])
 
-    # local dedup -> shuffle dedup -> count per flag
-    dedup = ds.map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_orderkey"]) \
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # local dedup -> vectorized shuffle dedup (Count aggregate, no per-group
+    # Python) -> count per flag
+    dedup = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_orderkey"])
+        .aggregate(Count(alias_name="n_dup"))
+        .select_columns(["l_returnflag", "l_orderkey"])
+    )
     out = dedup.groupby("l_returnflag").aggregate(Count(alias_name="n_orders")) \
         .to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -169,10 +186,10 @@ def q_window(sf_dir: str) -> pd.DataFrame:
         )
 
     def win_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby(
-            ["event_type", "window_h"], as_index=False
-        ).agg(n=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = batch.group_by(["event_type", "window_h"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_h", "n", "sum_value"])
 
     out = (
         ds.map_batches(add_window, batch_format="pyarrow")
@@ -211,18 +228,18 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
     def sessions(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         brk = np.ones(len(ts), dtype=np.int64)
         if len(ts) > 1:
             brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
         sess = np.cumsum(brk)
         starts = np.flatnonzero(brk == 1)
-        val = df["value"].to_numpy(np.float64)
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {
                 "user_id": pa.array(
-                    np.full(starts.size, int(df["user_id"].iloc[0])), pa.int64()
+                    np.full(starts.size, int(g["user_id"][0].as_py())), pa.int64()
                 ),
                 "session_no": pa.array(sess[starts], pa.int64()),
                 "n_events": pa.array(
@@ -279,22 +296,28 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     )
 
     def asof(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        ev_df = df[df["side"] == "e"]
-        od_df = df[df["side"] == "o"].sort_values(["ts", "o_orderkey"])
-        if len(ev_df) == 0:
+        side = np.asarray(group["side"].to_pylist())
+        is_e = side == "e"
+        if not is_e.any():
             return pa.table(
                 {"event_id": pa.array([], pa.int64()),
                  "o_orderkey": pa.array([], pa.int64())}
             )
-        ets = ev_df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        ots = od_df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        okeys = od_df["o_orderkey"].to_numpy()
+        ts = group["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ev_ids = group["event_id"].to_numpy(zero_copy_only=False)[is_e] \
+            .astype(np.int64)
+        ets = ts[is_e]
+        okeys = group["o_orderkey"].to_numpy(zero_copy_only=False)[~is_e] \
+            .astype(np.int64)
+        ots = ts[~is_e]
+        o_order = np.lexsort((okeys, ots))
+        ots, okeys = ots[o_order], okeys[o_order]
         idx = np.searchsorted(ots, ets, side="right") - 1
         matched = np.where(idx >= 0, okeys[np.maximum(idx, 0)], np.int64(-1))
         return pa.table(
             {
-                "event_id": pa.array(ev_df["event_id"].to_numpy(), pa.int64()),
+                "event_id": pa.array(ev_ids, pa.int64()),
                 "o_orderkey": pa.array(matched, pa.int64()),
             }
         )
