@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": rel.q_distinct,
         "filter_project": rel.q_filter_project,
         "window_tumbling": rel.q_window,
+        "window_sliding": rel.q_window_sliding,
+        "cumulative_sum": rel.q_cumulative_sum,
+        "grouped_topk": rel.q_grouped_topk,
+        "quantiles_by_type": rel.q_quantiles,
         "three_way_join": rel.q_three_way_join,
         "sessionize": rel.q_sessionize,
         "asof_join": rel.q_asof_join,
@@ -696,6 +700,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY event_type, window_h
+        """,
+        "window_sliding": """
+            SELECT event_type,
+                   CAST(s AS BIGINT) AS window_start_s,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       unnest([CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800,
+                               CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800]) AS s
+                FROM events
+            )
+            GROUP BY event_type, s ORDER BY event_type, s
+        """,
+        "cumulative_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 4)
+                       AS running_value
+            FROM events ORDER BY event_id
+        """,
+        "grouped_topk": """
+            WITH j AS (
+                SELECT c_mktsegment, o_orderkey, o_totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM j
+            )
+            SELECT c_mktsegment, rank, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice
+            FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank
+        """,
+        "quantiles_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "three_way_join": """
             SELECT r_name, count(*) AS n_suppliers,

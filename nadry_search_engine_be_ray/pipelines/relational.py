@@ -203,6 +203,168 @@ def q_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_h"]).reset_index(drop=True)
 
 
+def q_window_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1-hour window, 30-minute slide, per event_type: each event
+    belongs to exactly two windows, emitted by a vectorized flat-map (one
+    row per (event, window-start)) then the same partial-aggregate ->
+    bounded root combine as the tumbling case — the streaming-shaped
+    sliding-window operator (SURVEY §2.9 extension)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        sec = ts.astype(np.int64) // 1_000_000
+        s0 = (sec // 1800) * 1800          # the window starting <= t, 30m grid
+        starts = np.concatenate([s0, s0 - 1800])
+        et = batch["event_type"].to_pylist()
+        return pa.table(
+            {
+                "event_type": pa.array(et * 2, pa.string()),
+                "window_start_s": pa.array(starts, pa.int64()),
+                "value": pa.array(
+                    np.tile(
+                        batch["value"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "window_start_s"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "window_start_s", "n", "sum_value"]
+        )
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .map_batches(win_partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine
+        .groupby(["event_type", "window_start_s"], as_index=False)
+        .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "window_start_s"]).reset_index(drop=True)
+
+
+def q_cumulative_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user running total over time-ordered events (the window-function
+    analog SUM() OVER (PARTITION BY user ORDER BY ts)): groupby(user) ->
+    numpy cumsum per group; partition key = window partition key, so one
+    shuffle."""
+
+    def running(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "running_value": pa.array(
+                    np.round(np.cumsum(val), 4), pa.float64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(running, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_grouped_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k orders per market segment (grouped top-k = per-batch partial
+    top-k via the broadcast-joined segment, then a per-segment merge —
+    the grouped analog of K3)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    order_keys = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    keys = cust["c_custkey"].to_numpy(np.int64)[order_keys]
+    segs = cust["c_mktsegment"].to_numpy()[order_keys]
+    ref = ray.put((keys, segs))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ks, seg_names = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ck)
+        idx[idx == ks.size] = 0
+        hit = ks[idx] == ck
+        seg = seg_names[idx[hit]]
+        okey, price = okey[hit], price[hit]
+        out_seg, out_key, out_price = [], [], []
+        for s in np.unique(seg):
+            m = seg == s
+            order = np.lexsort((okey[m], -price[m]))[:k]
+            out_seg.extend([s] * order.size)
+            out_key.extend(okey[m][order])
+            out_price.extend(price[m][order])
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out_seg, pa.string()),
+                "o_orderkey": pa.array(out_key, pa.int64()),
+                "o_totalprice": pa.array(out_price, pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        price = group["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price))[:k]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    [group["c_mktsegment"][0].as_py()] * order.size, pa.string()
+                ),
+                "rank": pa.array(np.arange(order.size) + 1, pa.int64()),
+                "o_orderkey": pa.array(okey[order], pa.int64()),
+                "o_totalprice": pa.array(
+                    np.round(price[order], 4), pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(merge_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+
+
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of value per event_type: groupby -> numpy
+    percentile with linear interpolation (matches DuckDB quantile_cont).
+    Exact grouped quantiles need the group's values together — the honest
+    shuffle; approximate sketches (t-digest) would replace this at 100 TB."""
+
+    def qtile(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p50, p90, p99 = np.percentile(v, [50, 90, 99], method="linear")
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "p50": pa.array([round(p50, 4)], pa.float64()),
+                "p90": pa.array([round(p90, 4)], pa.float64()),
+                "p99": pa.array([round(p99, 4)], pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").map_groups(qtile, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_three_way_join(sf_dir: str) -> pd.DataFrame:
     """region ⨝ nation ⨝ supplier: chained broadcast joins (all small)."""
     region = _read(sf_dir, "region").to_pandas()
