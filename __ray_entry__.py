@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_contains": tq.phrase_contains,
         "search_additive": tq.search_additive,
         "tfidf_rank": tq.tfidf_rank,
+        "bm25_simple": tq.bm25_simple,
         # training-data ops (SQL-checked)
         "exact_dedup": _q_exact_dedup,
         "compact_signature": _q_compact_signature,
@@ -851,6 +852,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(rel / max(rel) OVER (), 9) AS score
             FROM scored
             ORDER BY round(rel / max(rel) OVER (), 9) DESC, doc_id LIMIT 10
+        """,
+        "bm25_simple": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+                WHERE token IN ('hash', 'join', 'performance')
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS raw_score
+                FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(raw_score, 6) AS score FROM scored
+            ORDER BY raw_score DESC, doc_id LIMIT 10
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -197,6 +197,93 @@ def tfidf_rank(sf_dir: str, query: str = "hash join performance",
     return out[["doc_id", "score"]]
 
 
+def bm25_simple(sf_dir: str, query: str = "hash join performance",
+                k: int = 10, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Okapi BM25 top-k over the simple-tokenized documents table — the
+    driver-checkable analog of the engine's BM25 scorer (search_bm25_wand
+    runs the REAL Porter2 index, which SQL can't reproduce; this query
+    validates the k1/b/idf ARITHMETIC itself against a DuckDB oracle).
+
+    Shape: one vectorized pass emits per-doc (dl, tf per query term)
+    partials; the tiny global stats (N, avgdl, df) aggregate from those;
+    scoring + partial top-k run per batch against the broadcast stats and a
+    final small merge ranks.  idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    (Lucene/trec_eval convention, always positive)."""
+    import numpy as np
+    import ray
+
+    terms = [t for t in simple_tokens(query) if len(t) >= 2]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        cols: dict[str, list] = {"doc_id": [], "dl": []}
+        for i, t in enumerate(terms):
+            cols[f"tf{i}"] = []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            toks = [t for t in simple_tokens(text) if len(t) >= 2]
+            cols["doc_id"].append(did)
+            cols["dl"].append(len(toks))
+            for i, t in enumerate(terms):
+                cols[f"tf{i}"].append(toks.count(t))
+        out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+               "dl": pa.array(cols["dl"], pa.int64())}
+        for i in range(len(terms)):
+            out[f"tf{i}"] = pa.array(cols[f"tf{i}"], pa.int64())
+        return pa.table(out)
+
+    stats_ds = _docs(sf_dir).map_batches(partials, batch_format="pyarrow")
+    stats_mat = stats_ds.materialize()
+    g = stats_mat.aggregate(
+        Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl")
+    )
+    n_docs, avgdl = int(g["n_docs"]), g["sum_dl"] / max(1, int(g["n_docs"]))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        out = {}
+        for i in range(len(terms)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False)
+            out[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(out)
+
+    dfs_tbl = stats_mat.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfs = [int(dfs_tbl[f"df{i}"].sum()) for i in range(len(terms))]
+    idf = np.array(
+        [np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
+    )
+    stats_ref = ray.put((idf, float(avgdl)))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        idf_a, ad = ray.get(stats_ref)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.zeros(len(dl))
+        for i in range(len(terms)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            score += idf_a[i] * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / ad)
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = score > 0
+        ids, score = ids[hit], score[hit]
+        kk = min(k, score.size)
+        if kk == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        order = np.lexsort((ids, -score))[:kk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    out = stats_mat.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
 def phrase_contains(sf_dir: str, phrase: str = "hash join") -> pd.DataFrame:
     """Docs whose token stream contains the exact adjacent phrase (J2
     adjacency mechanics on the simple token stream)."""
