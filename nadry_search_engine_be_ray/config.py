@@ -44,6 +44,11 @@ class BuildConfig:
 
     # --- codec --------------------------------------------------------------
     block_size: int = 128  # block-max metadata granularity (postings/block)
+    # segment files use SMALL parquet row groups so the page-lazy reader's
+    # fetch unit (one row group of binary payloads) stays bounded — the
+    # serving-side analog of block size.  ~512 terms x ~200 B payload ≈
+    # 100 KB per fetch.
+    segment_row_group_size: int = 512
 
 
     # --- pipeline control ---------------------------------------------------

@@ -322,7 +322,8 @@ def build_index(
             batch_format="pyarrow",
         )
         merged.write_parquet(
-            merged_dir, partition_cols=["shard"], row_group_size=1_000_000
+            merged_dir, partition_cols=["shard"],
+            row_group_size=cfg.segment_row_group_size
         )
         _mark_done(merged_dir)
         _mark_done(doc_stats_dir)
@@ -357,7 +358,8 @@ def build_index(
             batch_size=1,           # one part per task: bounded memory
         )
         enc.write_parquet(
-            segments_dir, partition_cols=["shard"], row_group_size=1_000_000
+            segments_dir, partition_cols=["shard"],
+            row_group_size=cfg.segment_row_group_size
         )
         _mark_done(segments_dir)
         _mark_done(doc_stats_dir)   # partials landed with the encode tasks

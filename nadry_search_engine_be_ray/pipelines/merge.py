@@ -171,7 +171,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         .repartition(num_shards)
         .map_batches(merge_shard, batch_format="pyarrow", batch_size=1)
         .write_parquet(merged_root, partition_cols=["shard"],
-                       row_group_size=1_000_000)
+                       row_group_size=512)  # page-lazy reader fetch unit
     )
 
     merged_stats = {

@@ -2,9 +2,20 @@
 
 Reference analog: MongoDBIndexStore posting reads
 (MongoDBIndexStore.java:326-409, S9/S10) and the doc-details lookups
-(S11/S12).  Here each shard is a set of parquet files produced by the build;
-a reader memory-maps its shard files once (T5 analog: state loaded once per
-actor) and serves term lookups from an in-memory term -> row index.
+(S11/S12).  Here each shard is a set of parquet files produced by the build.
+
+Laziness is two-level (the 100 TB working-set story):
+
+* SHARD-lazy: ``term -> shard`` is the same pure hash the build used
+  (stages/tokenize.term_shard), so a query only faults in the shards its
+  terms route to; ``terms()`` / ``has_term`` force-load the dictionary.
+* PAGE-lazy (default): faulting in a shard reads ONLY the (term, salt)
+  dictionary columns; the heavy binary payload columns (docs/tfs/weights/
+  block_max/positions/pos_offsets) are fetched per parquet ROW GROUP on
+  first touch and kept in a small LRU — a cold serving actor pays for the
+  row groups its queries actually hit, not the whole segment.  Segment
+  files are written with small row groups (BuildConfig
+  .segment_row_group_size) precisely so this fetch unit stays bounded.
 
 At cluster scale one ``SegmentReader`` per shard lives inside a scorer actor
 (pipelines/query.py); in tests a single reader loads all shards.
@@ -23,6 +34,10 @@ import pyarrow.parquet as pq
 
 from ..functions import codec
 from ..stages.tokenize import term_shard
+
+_PAYLOAD_COLS = [
+    "df", "docs", "tfs", "weights", "block_max", "positions", "pos_offsets",
+]
 
 
 @dataclass
@@ -53,17 +68,48 @@ class PostingList:
         )
 
 
-class SegmentReader:
-    """Serves decoded posting lists from segment shard(s).
+class _SegFile:
+    """One segment parquet file: dictionary columns eager, payload columns
+    row-group-lazy (or fully eager when ``lazy_payload=False``)."""
 
-    Shard loading is LAZY: ``term -> shard`` is the same pure hash the build
-    used (stages/tokenize.term_shard), so a query only faults in the shards
-    its terms actually route to — a cold serving actor pays for its working
-    set, not the whole index.  ``terms()`` / ``has_term`` need the full
-    dictionary and force-load every configured shard."""
+    def __init__(self, path: str, lazy_payload: bool):
+        self.lazy = lazy_payload
+        self.pf = pq.ParquetFile(path, memory_map=True)
+        md = self.pf.metadata
+        self.rg_offsets = np.cumsum(
+            [0] + [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        )
+        if lazy_payload:
+            small = self.pf.read(columns=["term", "salt"])
+            self.table = None
+        else:
+            self.table = self.pf.read()
+            small = self.table
+        self.terms = small["term"].to_pylist()
+        self.salts = small["salt"].to_pylist()
+
+    def row(self, row: int, rg_cache: dict, cache_cap: int) -> pa.Table:
+        """The 1-row payload slice for ``row`` (all payload columns)."""
+        if not self.lazy:
+            return self.table.slice(row, 1)
+        g = int(np.searchsorted(self.rg_offsets, row, side="right") - 1)
+        key = (id(self), g)
+        tbl = rg_cache.get(key)
+        if tbl is None:
+            tbl = self.pf.read_row_group(g, columns=_PAYLOAD_COLS)
+            if len(rg_cache) >= cache_cap:
+                rg_cache.pop(next(iter(rg_cache)))
+            rg_cache[key] = tbl
+        return tbl.slice(row - int(self.rg_offsets[g]), 1)
+
+
+class SegmentReader:
+    """Serves decoded posting lists from segment shard(s) — see module
+    docstring for the two-level laziness."""
 
     def __init__(self, index_dir: str, shards: list[int] | None = None,
-                 lazy: bool = True):
+                 lazy: bool = True, lazy_payload: bool = True,
+                 rg_cache_cap: int = 64):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -73,10 +119,13 @@ class SegmentReader:
         self.num_shards = int(self.stats["num_shards"])
         self.block_size = int(self.stats.get("block_size", codec.BLOCK_SIZE))
         self.shards = shards if shards is not None else list(range(self.num_shards))
-        # term -> list[(table_idx, row, salt)] — multiple rows only when uncompacted
+        self.lazy_payload = lazy_payload
+        self.rg_cache_cap = rg_cache_cap
+        # term -> list[(file_idx, row, salt)] — multiple rows when uncompacted
         self._term_index: dict[str, list[tuple[int, int, int]]] = {}
         self._pl_cache: dict[str, PostingList] = {}
-        self._tables: list[pa.Table] = []
+        self._files: list[_SegFile] = []
+        self._rg_cache: dict = {}
         self._loaded: set[int] = set()
         if not lazy:
             self._load_all()
@@ -89,12 +138,10 @@ class SegmentReader:
             glob.glob(os.path.join(self._seg_root, f"shard={shard}", "*.parquet"))
         )
         for fp in files:
-            t = pq.read_table(fp, memory_map=True)
-            ti = len(self._tables)
-            self._tables.append(t)
-            terms = t["term"].to_pylist()
-            salts = t["salt"].to_pylist()
-            for row, (term, salt) in enumerate(zip(terms, salts)):
+            sf = _SegFile(fp, self.lazy_payload)
+            ti = len(self._files)
+            self._files.append(sf)
+            for row, (term, salt) in enumerate(zip(sf.terms, sf.salts)):
                 self._term_index.setdefault(term, []).append((ti, row, salt))
         # order runs by salt so concatenation preserves doc_int order
         for rows in self._term_index.values():
@@ -123,17 +170,22 @@ class SegmentReader:
         docs_parts, tf_parts, w_parts = [], [], []
         pos_bufs: list[bytes] = []
         off_parts: list[np.ndarray] = []
+        row_tbls = [
+            self._files[ti].row(row, self._rg_cache, self.rg_cache_cap)
+            for ti, row, _salt in rows
+        ]
         shift = 0
-        for ti, row, _salt in rows:
-            t = self._tables[ti]
-            docs_parts.append(codec.decode_sorted_deltas(t["docs"][row].as_py()).astype(np.int64))
-            tf_parts.append(
-                codec.decode_varints(t["tfs"][row].as_py()).astype(np.int64)
+        for t in row_tbls:
+            docs_parts.append(
+                codec.decode_sorted_deltas(t["docs"][0].as_py()).astype(np.int64)
             )
-            w_parts.append(codec.decode_f64(t["weights"][row].as_py()))
-            buf = t["positions"][row].as_py()
+            tf_parts.append(
+                codec.decode_varints(t["tfs"][0].as_py()).astype(np.int64)
+            )
+            w_parts.append(codec.decode_f64(t["weights"][0].as_py()))
+            buf = t["positions"][0].as_py()
             off = codec.decode_sorted_deltas(
-                t["pos_offsets"][row].as_py()
+                t["pos_offsets"][0].as_py()
             ).astype(np.int64)
             pos_bufs.append(buf)
             off_parts.append((off[1:] if shift else off) + shift)
@@ -143,8 +195,7 @@ class SegmentReader:
         if len(rows) == 1:
             # compacted hot path: consume the block_max the build wrote
             # (stats.json block_size matches by construction)
-            ti0, row0, _ = rows[0]
-            bmax = codec.decode_f64(self._tables[ti0]["block_max"][row0].as_py())
+            bmax = codec.decode_f64(row_tbls[0]["block_max"][0].as_py())
         else:
             # multi-run concatenation shifts block boundaries -> recompute
             bmax = codec.block_max(weights, self.block_size)
