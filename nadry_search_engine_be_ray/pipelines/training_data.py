@@ -164,6 +164,44 @@ def curate(
     return out, metrics
 
 
+def curate_to_parquet(
+    docs_ds: "ray.data.Dataset",
+    out_dir: str,
+    num_partitions: int = 16,
+    **curate_kwargs,
+) -> dict:
+    """Run curate() and write the curated table as partitioned parquet —
+    one directory per doc_id-hash partition with a _DONE marker, so a
+    failed run re-executes only the write, and downstream consumers can
+    read partitions independently (the brief's resumable-output rule:
+    never one giant file)."""
+    import os
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        out = ray.data.read_parquet(out_dir)
+        return {"skipped": True, "rows": int(out.count())}
+
+    curated, metrics = curate(docs_ds, **curate_kwargs)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(ids % num_partitions, pa.int32())
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    curated.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["part"]
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    rows = int(ray.data.read_parquet(out_dir).count())
+    finalize_metrics(metrics, rows)
+    metrics["skipped"] = False
+    return metrics
+
+
 def finalize_metrics(metrics: dict, curated_rows: int) -> dict:
     """Derive the row-count metrics from the materialized result instead of
     extra counting passes: winners = curated + near-dup losers."""

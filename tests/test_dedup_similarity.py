@@ -251,6 +251,24 @@ def test_curate_shuffle_fallback_matches_broadcast(ray_session, planted_docs):
     )
 
 
+def test_curate_to_parquet_resumable(ray_session, tmp_path):
+    import os
+
+    from nadry_search_engine_be_ray.pipelines.training_data import (
+        curate_to_parquet,
+    )
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = str(tmp_path / "curated")
+    m1 = curate_to_parquet(ds, out, num_partitions=4)
+    assert m1["skipped"] is False and m1["curated"] > 0
+    assert any(p.startswith("part=") for p in os.listdir(out))
+    # rerun skips the whole pipeline, reports the written rows
+    ds2 = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    m2 = curate_to_parquet(ds2, out, num_partitions=4)
+    assert m2["skipped"] is True and m2["rows"] == m1["curated"]
+
+
 def test_training_pipeline_curates(ray_session):
     from nadry_search_engine_be_ray.pipelines.training_data import q_training_pipeline
 
