@@ -1,24 +1,35 @@
-"""Batch query evaluation as a stateful actor-pool Dataset stage.
+"""Batch + sharded query serving.
 
 Reference analog: the Spring request path (SearchController.java:53-120) —
-reexpressed Ray-Data-first: a Dataset of query rows flows through
-``map_batches(QueryEvalActor, concurrency=N)`` where each actor holds a full
-``SearchEngine`` (segments mmap'd + doc stats) built ONCE in ``__init__``
-(T5: state loaded once per worker).  Per-query math is byte-identical to the
-single-query path because both call the same SearchEngine.
+reexpressed Ray-Data-first, two layers:
 
-At multi-node scale each actor would own a shard subset and a scatter/gather
-layer would route terms via ``term_shard``; on one node each actor holds all
-shards (they are mmap'd, so the page cache is shared across actors).
+* ``batch_search``: a Dataset of query rows flows through
+  ``map_batches(QueryEvalActor, concurrency=N)`` where each actor holds a
+  full ``SearchEngine`` (segments mmap'd + doc stats) built ONCE in
+  ``__init__`` (T5: state loaded once per worker).  Per-query math is
+  byte-identical to the single-query path because both call the same
+  SearchEngine.
+* ``ShardedSearchEngine``: the MULTI-NODE serving design made concrete —
+  one ``ShardSegmentActor`` per segment shard (each holding a page-lazy
+  SegmentReader for ONLY its shard, S9/S10 as a shared mutable-cache
+  service), with the query layer scattering a query's terms to their
+  ``term_shard`` owners in parallel and gathering decoded postings
+  (numpy arrays ride the object store zero-copy).  Scoring runs on the
+  gather side with the SAME SearchEngine arithmetic, so results are
+  identical to the single-process engine (tested).  On one box the
+  actors share the page cache; on a cluster they pin shards to nodes.
 """
 
 from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..stages.tokenize import term_shard
+from ..state.segments import PostingList
 from .query import SearchEngine
 
 
@@ -84,3 +95,125 @@ def batch_search(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def _make_shard_actor():
+    import ray
+
+    @ray.remote
+    class ShardSegmentActor:
+        """Owns ONE shard's page-lazy SegmentReader; serves decoded posting
+        arrays for term batches (the per-shard posting service of the
+        scatter/gather design)."""
+
+        def __init__(self, index_dir: str, shard: int):
+            from ..state.segments import SegmentReader
+
+            self.reader = SegmentReader(index_dir, shards=[shard])
+
+        def fetch(self, terms: list[str]):
+            out = []
+            for t in terms:
+                pl = self.reader.postings(t)
+                if pl is None:
+                    out.append((t, None))
+                else:
+                    out.append(
+                        (t, (pl.docs, pl.tfs, pl.weights, pl.block_max,
+                             pl.positions_buf, pl.pos_offsets))
+                    )
+            return out
+
+    return ShardSegmentActor
+
+
+class _ShardScatterReader:
+    """SegmentReader-compatible facade that scatters term lookups to the
+    per-shard actors and caches gathered postings.  ``prefetch`` fans one
+    query's terms out in parallel; stray ``postings`` calls fall back to a
+    single synchronous fetch."""
+
+    def __init__(self, index_dir: str, num_shards: int, actors: dict):
+        self.index_dir = index_dir
+        self.num_shards = num_shards
+        self.actors = actors
+        self._cache: dict[str, PostingList | None] = {}
+
+    def shard_for(self, term: str) -> int:
+        return term_shard(term, self.num_shards)
+
+    def prefetch(self, terms: list[str]) -> None:
+        import ray
+
+        need = [t for t in set(terms) if t not in self._cache]
+        if not need:
+            return
+        by_shard: dict[int, list[str]] = {}
+        for t in need:
+            by_shard.setdefault(self.shard_for(t), []).append(t)
+        futures = [
+            self.actors[s].fetch.remote(ts) for s, ts in by_shard.items()
+        ]
+        for batch in ray.get(futures):
+            for t, payload in batch:
+                if payload is None:
+                    self._cache[t] = None
+                else:
+                    docs, tfs, w, bm, pbuf, poff = payload
+                    self._cache[t] = PostingList(
+                        term=t, docs=docs, tfs=tfs, weights=w, block_max=bm,
+                        positions_buf=pbuf, pos_offsets=poff,
+                    )
+
+    def postings(self, term: str):
+        if term not in self._cache:
+            self.prefetch([term])
+        return self._cache[term]
+
+    def has_term(self, term: str) -> bool:
+        return self.postings(term) is not None
+
+
+class ShardedSearchEngine(SearchEngine):
+    """SearchEngine whose posting reads scatter/gather across per-shard
+    actors — the multi-node serving topology, runnable single-node.  All
+    scoring arithmetic is inherited, so results match the single-process
+    engine exactly."""
+
+    def __init__(self, index_dir: str):
+        import os
+
+        import ray
+
+        super().__init__(index_dir, shards=[])   # no local segment state
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            num_shards = int(json.load(f)["num_shards"])
+        Actor = _make_shard_actor()
+        actors = {
+            s: Actor.remote(index_dir, s) for s in range(num_shards)
+        }
+        self.reader = _ShardScatterReader(index_dir, num_shards, actors)
+
+    def _prefetch_query(self, query: str) -> None:
+        # strip only the quote characters so phrase terms prefetch too
+        self.reader.prefetch(self.tokenizer.tokenize((query or "").replace('"', " ")))
+
+    def search(self, query: str, page: int = 0, page_size: int = 10):
+        self._prefetch_query(query)
+        return super().search(query, page, page_size)
+
+    def phrase_search(self, phrase: str, page: int = 0, page_size: int = 10):
+        self._prefetch_query(phrase)
+        return super().phrase_search(phrase, page, page_size)
+
+    def search_auto(self, query: str, page: int = 0, page_size: int = 10):
+        self._prefetch_query(query)
+        return super().search_auto(query, page, page_size)
+
+    def bm25_search(self, query: str, k: int = 10, **kw):
+        self._prefetch_query(query)
+        return super().bm25_search(query, k=k, **kw)
+
+    def additive_search(self, query: str, k: int = 10, **kw):
+        self._prefetch_query(query)
+        return super().additive_search(query, k=k, **kw)

@@ -1,0 +1,49 @@
+"""Scatter/gather sharded serving: per-shard posting actors + gather-side
+scoring must return results identical to the single-process engine."""
+
+import math
+
+import pytest
+
+from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+from nadry_search_engine_be_ray.pipelines.serve import ShardedSearchEngine
+from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+
+@pytest.fixture(scope="module")
+def engines(ray_session, built_index):
+    return SearchEngine(built_index), ShardedSearchEngine(built_index)
+
+
+def _same_results(a: dict, b: dict):
+    assert a["total_results"] == b["total_results"]
+    assert [r["doc_id"] for r in a["results"]] == [
+        r["doc_id"] for r in b["results"]
+    ]
+    for ra, rb in zip(a["results"], b["results"]):
+        if isinstance(ra["score"], float) and math.isnan(ra["score"]):
+            assert math.isnan(rb["score"])
+        else:
+            assert ra["score"] == rb["score"]
+
+
+def test_sharded_matches_local_reference_queries(engines):
+    local, sharded = engines
+    for q in reference_queries():
+        _same_results(
+            local.search_auto(q["query"], q["page"], q["page_size"]),
+            sharded.search_auto(q["query"], q["page"], q["page_size"]),
+        )
+
+
+def test_sharded_matches_local_bm25_and_additive(engines):
+    local, sharded = engines
+    for q in ("import", "search engine", "item order arrived", "zzzznope"):
+        assert local.bm25_search(q, k=10) == sharded.bm25_search(q, k=10)
+        assert local.additive_search(q, k=10) == sharded.additive_search(q, k=10)
+
+
+def test_sharded_missing_terms(engines):
+    _, sharded = engines
+    out = sharded.search("qqqqq zzzzz")
+    assert out["total_results"] == 0
