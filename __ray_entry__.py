@@ -807,7 +807,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "first_position": f"""
-            SELECT doc_id, list_position({tok}, 'spark') - 1 AS pos
+            SELECT doc_id,
+                   CAST(list_position({tok}, 'spark') - 1 AS BIGINT) AS pos
             FROM documents
             WHERE list_position({tok}, 'spark') > 0
             ORDER BY doc_id
