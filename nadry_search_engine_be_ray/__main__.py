@@ -1,0 +1,139 @@
+"""CLI entry points (the reference's Main.java / WebCrawlerMain /
+SearchApplication runners, as one `python -m nadry_search_engine_be_ray`):
+
+    build   corpus-parquet-dir index-dir [--shards N] [--salt-bits B]
+            [--content-mode code|html]
+    search  index-dir "query" [--page P] [--size K] [--mode auto|bm25]
+    serve   index-dir [--port 3000]
+    merge   index-dir [index-dir ...] out-dir
+    curate  documents-parquet out-dir
+
+The CLI owns its Ray session (library code never calls ray.init —
+the driver contract); `serve` blocks until Ctrl-C like the Spring app.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    _ray()
+    from .config import BuildConfig
+    from .pipelines.build import build_index
+
+    manifest = build_index(
+        args.corpus, args.index,
+        BuildConfig(num_shards=args.shards, salt_bits=args.salt_bits,
+                    content_mode=args.content_mode),
+    )
+    print(json.dumps({k: v.get("seconds") for k, v in manifest["phases"].items()}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ray()
+    from .pipelines.api import SearchAPI
+
+    api = SearchAPI(args.index)
+    if args.mode == "bm25":
+        hits = api.engine.bm25_search(args.query, k=args.size)
+        out = {"results": [{"doc_int": f"{d:015x}", "score": s} for d, s in hits]}
+    else:
+        out = api.search(args.query, page=args.page, limit=args.size)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    _ray()
+    from .pipelines.http_server import serve
+
+    server = serve(args.index, port=args.port,
+                   suggestions_path=args.suggestions)
+    print(f"serving on http://127.0.0.1:{server.server_address[1]}", flush=True)
+    try:
+        import signal
+
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        server.shutdown()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ray()
+    from .pipelines.merge import merge_indexes
+
+    stats = merge_indexes(args.indexes, args.out)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    ray = _ray()
+    import ray.data
+
+    from .pipelines.training_data import curate_to_parquet
+
+    ds = ray.data.read_parquet(args.documents, columns=["doc_id", "text"])
+    metrics = curate_to_parquet(ds, args.out)
+    print(json.dumps(metrics))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nadry_search_engine_be_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus"); b.add_argument("index")
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--salt-bits", type=int, default=2)
+    b.add_argument("--content-mode", choices=["code", "html"], default="code")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("index"); s.add_argument("query")
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--size", type=int, default=10)
+    s.add_argument("--mode", choices=["auto", "bm25"], default="auto")
+    s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("serve")
+    v.add_argument("index")
+    v.add_argument("--port", type=int, default=3000)
+    v.add_argument("--suggestions", default=None)
+    v.set_defaults(fn=cmd_serve)
+
+    m = sub.add_parser("merge")
+    m.add_argument("indexes", nargs="+")
+    m.add_argument("out")
+    m.set_defaults(fn=cmd_merge)
+
+    c = sub.add_parser("curate")
+    c.add_argument("documents"); c.add_argument("out")
+    c.set_defaults(fn=cmd_curate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
