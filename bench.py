@@ -241,10 +241,10 @@ def scaling() -> None:
                 "metric": "scaling_efficiency_index_build",
                 "n_docs": int(n_docs),
                 "cpus": [lo, hi],
-                "sec_8cpu": b8,
-                "sec_32cpu": b32,
-                "docs_per_sec_8cpu": results[lo]["docs_per_sec"],
-                "docs_per_sec_32cpu": results[hi]["docs_per_sec"],
+                f"sec_{lo}cpu": b8,
+                f"sec_{hi}cpu": b32,
+                f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
+                f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
             }
         )

@@ -123,6 +123,9 @@ def crawl(
     import ray
 
     queue_cap = queue_cap if queue_cap is not None else 2 * max_pages
+    # hysteresis must keep pause-threshold above resume-threshold, else
+    # extraction oscillates per stored page and alternating pages lose links
+    resume_at = min(resume_at, max(1, queue_cap // 2))
     frontier: deque[str] = deque()
     seen_urls: set[str] = set()
     seen_sigs: set[str] = set()       # M9 compact-signature near-dup skip
@@ -138,9 +141,16 @@ def crawl(
     web_ref = ray.put(web) if use_ray else None
 
     @ray.remote
-    def fetch_parse(urls: list[str], web_obj) -> list[dict]:
+    def fetch_parse(urls: list[str], waits: list[float], web_obj) -> list[dict]:
+        """One task per HOST: fetches that host's urls sequentially with the
+        limiter-scheduled sleeps between them (politeness is enforced INSIDE
+        the task, so cross-host parallelism never violates per-host spacing)."""
+        t0 = time.monotonic()
         out = []
-        for u in urls:
+        for u, w in zip(urls, waits):
+            delay = w - (time.monotonic() - t0)
+            if delay > 0:
+                time.sleep(delay)
             html = web_obj.fetch(u)
             doc = extract_document(html, u)
             doc["url"] = u
@@ -154,17 +164,31 @@ def crawl(
         while frontier and len(batch) < batch_size:
             batch.append(frontier.popleft())
         allowed = [u for u in batch if gate.allowed(u)]
-        if limiter is not None:
-            waits = ray.get(
-                [
-                    limiter.reserve.remote(urlsplit(u).netloc, min_interval)
-                    for u in allowed
-                ]
-            )
-            if waits:
-                time.sleep(max(waits))
+        # group by host: one fetch task per host, sequential inside
+        by_host: dict[str, list[str]] = {}
+        for u in allowed:
+            by_host.setdefault(urlsplit(u).netloc, []).append(u)
         if use_ray:
-            docs = ray.get(fetch_parse.remote(allowed, web_ref))
+            futures = []
+            for host, urls in by_host.items():
+                if limiter is not None:
+                    waits = ray.get(
+                        [
+                            limiter.reserve.remote(host, min_interval)
+                            for _ in urls
+                        ]
+                    )
+                else:
+                    waits = [0.0] * len(urls)
+                futures.append(fetch_parse.remote(urls, waits, web_ref))
+            docs_by_host = dict(zip(by_host.keys(), ray.get(futures)))
+            # reassemble in FIFO batch order for deterministic storage order
+            cursor = {h: 0 for h in by_host}
+            docs = []
+            for u in allowed:
+                h = urlsplit(u).netloc
+                docs.append(docs_by_host[h][cursor[h]])
+                cursor[h] += 1
         else:
             docs = []
             for u in allowed:

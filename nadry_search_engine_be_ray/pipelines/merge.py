@@ -103,9 +103,12 @@ def _merge_shard_tables(tables: list[pa.Table], shard: int,
 
 
 def merge_indexes(index_dirs: list[str], out_dir: str,
-                  block_size: int = 128) -> dict:
+                  block_size: int = 128,
+                  segment_row_group_size: int = 512) -> dict:
     """Merge ≥2 compacted indexes with identical layout config into
-    ``out_dir``; returns the merged stats dict."""
+    ``out_dir``; returns the merged stats dict.  ``segment_row_group_size``
+    mirrors BuildConfig's knob so merged segments keep the page-lazy
+    reader's fetch unit."""
     assert len(index_dirs) >= 2
     stats = []
     for d in index_dirs:
@@ -171,7 +174,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         .repartition(num_shards)
         .map_batches(merge_shard, batch_format="pyarrow", batch_size=1)
         .write_parquet(merged_root, partition_cols=["shard"],
-                       row_group_size=512)  # page-lazy reader fetch unit
+                       row_group_size=segment_row_group_size)
     )
 
     merged_stats = {

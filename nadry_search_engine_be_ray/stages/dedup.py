@@ -653,11 +653,16 @@ class HyperplaneBandBatch:
         for band in range(self.n_bands):
             seg = signs[:, band * self.band_bits : (band + 1) * self.band_bits]
             keys[:, band] = seg @ weights
-        # carry the vector so the within-bucket verify needs no second read
-        vecs = [list(map(float, row)) for row in m]
-        out_vecs = []
-        for band in range(self.n_bands):
-            out_vecs.extend(vecs)
+        # carry the vector so the within-bucket verify needs no second read:
+        # an inherent x n_bands payload amplification through the shuffle
+        # (bounded, and still no full-matrix broadcast) — tiled as a flat
+        # float64 FixedSizeList, never as Python lists
+        dim = m.shape[1]
+        flat = np.tile(np.ascontiguousarray(m, dtype=np.float64).reshape(-1),
+                       self.n_bands)
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), dim
+        )
         return pa.table(
             {
                 "band": pa.array(
@@ -666,7 +671,7 @@ class HyperplaneBandBatch:
                 ),
                 "bucket": pa.array(keys.T.reshape(-1), pa.int64()),
                 self.id_col: pa.array(np.tile(ids, self.n_bands), pa.int64()),
-                self.vec_col: pa.array(out_vecs, pa.list_(pa.float64())),
+                self.vec_col: vec_arr,
             }
         )
 
@@ -749,16 +754,20 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
 # connected-components clustering over near-dup pairs
 # ---------------------------------------------------------------------------
 
-def near_dup_clusters(pairs_ds, max_iter: int = 25):
-    """Transitive near-dup clusters from a pair Dataset (a, b): bounded
-    min-label propagation — each round every node adopts the minimum label
-    among itself and its neighbors (messages flow BOTH directions per edge,
-    so a chain of length L converges in O(log L) doubling rounds in
-    practice, <= diameter rounds worst case).
+def near_dup_clusters(pairs_ds, max_iter: int = 10_000):
+    """Transitive near-dup clusters from a pair Dataset (a, b): min-label
+    propagation run to FIXPOINT — each round every node adopts the minimum
+    label among itself and its neighbors, and the min label travels one hop
+    per round, so convergence takes up to the component diameter rounds
+    (label-sum fixpoint detection stops early).  ``max_iter`` is a runaway
+    backstop; hitting it RAISES rather than silently returning unconverged
+    labels (they would diverge from the transitive-closure SQL oracle).
 
-    Rounds are Dataset groupbys; per-round convergence is detected from the
-    label-sum aggregate (labels only ever decrease).  Returns a Dataset
-    (node, cluster) where cluster = min doc_id of the component.
+    Rounds are Dataset groupbys; returns a Dataset (node, cluster) where
+    cluster = min doc_id of the component.  Scale note: diameter-bound
+    rounds are fine for near-dup graphs (components are overwhelmingly
+    cliques/short chains); a 100 TB general-graph CC would use pointer
+    doubling instead.
     """
     import ray.data
     from ray.data.aggregate import Min, Sum
@@ -839,5 +848,8 @@ def near_dup_clusters(pairs_ds, max_iter: int = 25):
             break
         prev_sum = cur_sum
     else:
-        print(f"near_dup_clusters: hit max_iter={max_iter} before convergence")
+        raise RuntimeError(
+            f"near_dup_clusters: no fixpoint within max_iter={max_iter} "
+            f"rounds (component diameter exceeds the backstop)"
+        )
     return labels

@@ -165,7 +165,20 @@ class DecodeImageBatch:
         )
 
     def _real_features(self, payload: bytes) -> tuple[np.ndarray, int, int]:
-        img = decode_ppm(payload)  # raises NotImplementedError for non-PPM
+        if payload.startswith(b"P6"):
+            img = decode_ppm(payload)
+        elif self._pil:
+            # PIL path (PNG/JPEG/...) — unreachable in this container (no
+            # Pillow) but the advertised fallback when it exists
+            import io as _io
+
+            from PIL import Image
+
+            img = np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
+        else:
+            raise NotImplementedError(
+                "only PPM (P6) images decode without PIL in this container"
+            )
         tw, th = self.target_size
         resized = resize_nearest(img, tw, th)
         gray = resized.astype(np.float32).mean(axis=2) / 255.0

@@ -94,12 +94,12 @@ class _SegFile:
             return self.table.slice(row, 1)
         g = int(np.searchsorted(self.rg_offsets, row, side="right") - 1)
         key = (id(self), g)
-        tbl = rg_cache.get(key)
+        tbl = rg_cache.pop(key, None)   # pop + reinsert = true LRU recency
         if tbl is None:
             tbl = self.pf.read_row_group(g, columns=_PAYLOAD_COLS)
             if len(rg_cache) >= cache_cap:
                 rg_cache.pop(next(iter(rg_cache)))
-            rg_cache[key] = tbl
+        rg_cache[key] = tbl
         return tbl.slice(row - int(self.rg_offsets[g]), 1)
 
 

@@ -226,17 +226,18 @@ def test_multimodal_unsupported_codecs_raise(ray_session):
 
 
 def test_near_dup_clusters_transitive(ray_session):
+    # a LONG chain (diameter 30 — proves fixpoint iteration, not a bounded
+    # round count) plus a separate component
+    n = 30
+    a = list(range(n)) + [100]
+    b = list(range(1, n + 1)) + [101]
     chain = ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array([0, 1, 2, 10], pa.int64()),
-                "b": pa.array([1, 2, 3, 11], pa.int64()),
-            }
-        )
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
     )
     out = dedup.near_dup_clusters(chain).to_pandas().sort_values("node")
     got = dict(zip(out["node"], out["cluster"]))
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    assert all(got[i] == 0 for i in range(n + 1))
+    assert got[100] == 100 and got[101] == 100
 
 
 def test_curate_shuffle_fallback_matches_broadcast(ray_session, planted_docs):
