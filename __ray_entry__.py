@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_sum": rel.q_cumulative_sum,
         "grouped_topk": rel.q_grouped_topk,
         "quantiles_by_type": rel.q_quantiles,
+        "pivot_events": rel.q_pivot_events,
         "three_way_join": rel.q_three_way_join,
         "sessionize": rel.q_sessionize,
         "asof_join": rel.q_asof_join,
@@ -736,6 +737,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, rank, o_orderkey,
                    round(o_totalprice, 4) AS o_totalprice
             FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "quantiles_by_type": """
             SELECT event_type,

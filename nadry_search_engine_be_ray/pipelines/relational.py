@@ -365,6 +365,41 @@ def q_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """Pivot / conditional aggregation: one row per user with a count
+    column per event type.  Per-batch pyarrow group_by partials, root
+    combine + unstack (the combine is output-sized — one row per user —
+    so it is the result, not a driver bottleneck)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["user_id", "event_type"])["n"]
+        .sum()
+        .unstack(fill_value=0)
+    )
+    for et in _EVENT_TYPES:
+        if et not in df.columns:
+            df[et] = 0
+    out = df[list(_EVENT_TYPES)].rename(
+        columns={et: f"n_{et}" for et in _EVENT_TYPES}
+    ).reset_index()
+    out.columns.name = None
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_three_way_join(sf_dir: str) -> pd.DataFrame:
     """region ⨝ nation ⨝ supplier: chained broadcast joins (all small)."""
     region = _read(sf_dir, "region").to_pandas()
