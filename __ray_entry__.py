@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "three_way_join": rel.q_three_way_join,
         "sessionize": rel.q_sessionize,
         "asof_join": rel.q_asof_join,
+        "range_join": rel.q_range_join,
         "anti_join": rel.q_anti_join,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
@@ -793,6 +794,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, coalesce(m.o_orderkey, -1) AS o_orderkey
             FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
             ORDER BY e.event_id
+        """,
+        "range_join": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            ORDER BY purchase_id, click_id
         """,
         "anti_join": """
             SELECT c_custkey FROM customer

@@ -524,6 +524,56 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_range_join(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+    """Range (time-window) join — a custom operator Ray Data lacks: for
+    every purchase event, ALL click events by the same user in the
+    preceding hour (the attribution-window join).  Distributed shape: hash-
+    group by user, per-group sort + searchsorted window slices (vectorized
+    emit via repeat/concatenate) — the partitioning assumption (one user's
+    rows fit a task) is documented; salt by time range when a key is hot."""
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def window_join(group: pa.Table) -> pa.Table:
+        et = np.asarray(group["event_type"].to_pylist())
+        is_p = et == "purchase"
+        is_c = et == "click"
+        empty = pa.table(
+            {"purchase_id": pa.array([], pa.int64()),
+             "click_id": pa.array([], pa.int64())}
+        )
+        if not is_p.any() or not is_c.any():
+            return empty
+        ts = group["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pts, pid = ts[is_p], eid[is_p]
+        c_order = np.lexsort((eid[is_c], ts[is_c]))
+        cts, cid = ts[is_c][c_order], eid[is_c][c_order]
+        lo = np.searchsorted(cts, pts - win_us, side="left")
+        hi = np.searchsorted(cts, pts, side="right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return empty
+        out_p = np.repeat(pid, counts)
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        return pa.table(
+            {
+                "purchase_id": pa.array(out_p, pa.int64()),
+                "click_id": pa.array(cid[idx], pa.int64()),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(
+        window_join, batch_format="pyarrow"
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
+                             "click_id": pd.Series([], dtype="int64")})
+    return out.sort_values(["purchase_id", "click_id"]).reset_index(drop=True)
+
+
 def q_anti_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast anti-join: customers with no events (event user ids ray.put
     once, filtered per batch with a vectorized sorted-membership test)."""
