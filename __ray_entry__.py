@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_merge": _q_index_merge,
         "training_pipeline": _q_training_pipeline,
         "crawl_sim": _q_crawl_sim,
+        "sketch_stats": _q_sketch_stats,
     }
     return out
 
@@ -171,6 +172,34 @@ def _q_crawl_sim(sf_dir: str):
     web = SimulatedWeb(pages, robots={"s3.test": "User-agent: *\nDisallow: /\n"})
     out = crawl([url_of(0)], web, max_pages=200).to_pandas()
     return out[["url", "n_links", "order"]]
+
+
+def _q_sketch_stats(sf_dir: str):
+    """Mergeable-sketch operators (rows-only: estimates are approximate by
+    design; pytest asserts the error bounds vs exact answers): HLL distinct
+    count of lineitem orderkeys + grid-sketch quantiles of events.value.
+    Hashing is deterministic, so the values are stable across runs."""
+    import pandas as pd
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sketches import (
+        hll_distinct,
+        quantile_sketch,
+    )
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    est_distinct = hll_distinct(li, "l_orderkey")
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    # events.value domain is [0, ~560]; the grid bounds only need to cover
+    # it (out-of-range values clip to the edge buckets)
+    p50, p90, p99 = quantile_sketch(ev, "value", lo=0.0, hi=1_000.0)
+    return pd.DataFrame(
+        {
+            "metric": ["hll_distinct_orderkeys", "value_p50", "value_p90", "value_p99"],
+            "estimate": [round(est_distinct, 3), round(p50, 6),
+                         round(p90, 6), round(p99, 6)],
+        }
+    )
 
 
 def _q_training_pipeline(sf_dir: str):
