@@ -82,9 +82,13 @@ class RobotGate:
 
 def make_host_limiter():
     """Per-host politeness actor: ``reserve(host, min_interval)`` returns
-    how long the caller must sleep so successive hits on one host are at
-    least ``min_interval`` seconds apart.  One actor = one serialization
-    point for the shared mutable per-host clock."""
+    the ABSOLUTE deadline (wall clock) before which the caller must not hit
+    the host — successive reservations on one host are spaced at least
+    ``min_interval`` seconds apart.  Absolute deadlines (not relative waits)
+    so a delayed task start cannot compress inter-request spacing; wall
+    clock (``time.time``) so deadlines stay comparable across worker
+    processes/nodes (monotonic epochs differ per host).  One actor = one
+    serialization point for the shared mutable per-host clock."""
     import ray
 
     @ray.remote
@@ -93,11 +97,10 @@ def make_host_limiter():
             self.next_free: dict[str, float] = {}
 
         def reserve(self, host: str, min_interval: float) -> float:
-            now = time.monotonic()
-            nxt = self.next_free.get(host, now)
-            start = max(now, nxt)
+            now = time.time()
+            start = max(now, self.next_free.get(host, now))
             self.next_free[host] = start + min_interval
-            return max(0.0, start - now)
+            return start
 
     return HostRateLimiter.remote()
 
@@ -141,14 +144,14 @@ def crawl(
     web_ref = ray.put(web) if use_ray else None
 
     @ray.remote
-    def fetch_parse(urls: list[str], waits: list[float], web_obj) -> list[dict]:
-        """One task per HOST: fetches that host's urls sequentially with the
-        limiter-scheduled sleeps between them (politeness is enforced INSIDE
-        the task, so cross-host parallelism never violates per-host spacing)."""
-        t0 = time.monotonic()
+    def fetch_parse(urls: list[str], deadlines: list[float], web_obj) -> list[dict]:
+        """One task per HOST: fetches that host's urls sequentially, each no
+        earlier than its limiter-issued ABSOLUTE deadline (politeness is
+        enforced INSIDE the task, so neither cross-host parallelism nor a
+        delayed task start can violate per-host spacing)."""
         out = []
-        for u, w in zip(urls, waits):
-            delay = w - (time.monotonic() - t0)
+        for u, deadline in zip(urls, deadlines):
+            delay = deadline - time.time()
             if delay > 0:
                 time.sleep(delay)
             html = web_obj.fetch(u)
@@ -172,15 +175,15 @@ def crawl(
             futures = []
             for host, urls in by_host.items():
                 if limiter is not None:
-                    waits = ray.get(
+                    deadlines = ray.get(
                         [
                             limiter.reserve.remote(host, min_interval)
                             for _ in urls
                         ]
                     )
                 else:
-                    waits = [0.0] * len(urls)
-                futures.append(fetch_parse.remote(urls, waits, web_ref))
+                    deadlines = [0.0] * len(urls)
+                futures.append(fetch_parse.remote(urls, deadlines, web_ref))
             docs_by_host = dict(zip(by_host.keys(), ray.get(futures)))
             # reassemble in FIFO batch order for deterministic storage order
             cursor = {h: 0 for h in by_host}

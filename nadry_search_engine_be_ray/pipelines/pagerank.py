@@ -331,6 +331,15 @@ def pagerank_power_int(
     def factorize(tbl: pa.Table):
         src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the 0..n-1 contiguity precondition, enforced (an out-of-range src
+        # would otherwise surface as an opaque bincount broadcast error)
+        for name, arr in (("src", src), ("dst", dst)):
+            if arr.size and (arr.min() < 0 or arr.max() >= n_nodes):
+                raise ValueError(
+                    f"pagerank_power_int: {name} ids must be in "
+                    f"[0, {n_nodes}); got range "
+                    f"[{arr.min()}, {arr.max()}]"
+                )
         outdeg_part = np.bincount(src, minlength=n_nodes)
         return src, dst, outdeg_part
 

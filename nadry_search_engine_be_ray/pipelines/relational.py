@@ -26,6 +26,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rename_agg(t: pa.Table, mapping: dict) -> pa.Table:
+    """Rename pyarrow group_by().aggregate() outputs BY GENERATED NAME
+    ("col_func" -> alias) rather than by position — aggregate output column
+    ordering has differed across pyarrow versions."""
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
 def q_agg_pushdown(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped: per (returnflag, linestatus) sums — with the
     partial-aggregate-before-shuffle pattern: each batch pre-aggregates to
@@ -44,8 +51,10 @@ def q_agg_pushdown(sf_dir: str) -> pd.DataFrame:
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("revenue", "sum"), ("l_quantity", "count")]
         )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "revenue", "n_rows"]
+        return _rename_agg(
+            g,
+            {"l_quantity_sum": "sum_qty", "revenue_sum": "revenue",
+             "l_quantity_count": "n_rows"},
         )
 
     # root combine of the bounded partials (<= keys x blocks rows — this is
@@ -189,7 +198,7 @@ def q_window(sf_dir: str) -> pd.DataFrame:
         g = batch.group_by(["event_type", "window_h"]).aggregate(
             [("value", "count"), ("value", "sum")]
         )
-        return g.rename_columns(["event_type", "window_h", "n", "sum_value"])
+        return _rename_agg(g, {"value_count": "n", "value_sum": "sum_value"})
 
     out = (
         ds.map_batches(add_window, batch_format="pyarrow")
@@ -234,9 +243,7 @@ def q_window_sliding(sf_dir: str) -> pd.DataFrame:
         g = batch.group_by(["event_type", "window_start_s"]).aggregate(
             [("value", "count"), ("value", "sum")]
         )
-        return g.rename_columns(
-            ["event_type", "window_start_s", "n", "sum_value"]
-        )
+        return _rename_agg(g, {"value_count": "n", "value_sum": "sum_value"})
 
     out = (
         ds.map_batches(explode_windows, batch_format="pyarrow")
@@ -379,7 +386,7 @@ def q_pivot_events(sf_dir: str) -> pd.DataFrame:
         g = batch.group_by(["user_id", "event_type"]).aggregate(
             [("event_type", "count")]
         )
-        return g.rename_columns(["user_id", "event_type", "n"])
+        return _rename_agg(g, {"event_type_count": "n"})
 
     df = (
         ds.map_batches(partial, batch_format="pyarrow")

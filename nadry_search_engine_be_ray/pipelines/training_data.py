@@ -129,23 +129,86 @@ def curate(
     # (pairwise drop, not transitive closure: b is near a, but a third doc
     #  near b only drops if it pairs with a surviving doc itself — matches
     #  the SQL-oracle semantics; see near_dup_clusters for transitive CC)
-    pairs = minhash_lsh_pairs(deduped, threshold=near_dup_threshold).to_pandas()
-    near_losers = np.sort(pairs["b"].unique().astype(np.int64)) if len(pairs) \
-        else np.empty(0, dtype=np.int64)
-    metrics["near_dup_pairs"] = int(len(pairs))
-    metrics["near_dup_losers"] = int(near_losers.size)
-    nl_ref = ray.put(near_losers)
+    pairs_ds = minhash_lsh_pairs(deduped, threshold=near_dup_threshold) \
+        .materialize()
+    n_pairs = int(pairs_ds.count())
+    metrics["near_dup_pairs"] = n_pairs
 
-    def drop_near_losers(batch: pa.Table) -> pa.Table:
-        l = ray.get(nl_ref)
-        if l.size == 0:
-            return batch
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(l, ids)
-        idx[idx == l.size] = 0
-        return batch.filter(pa.array(~(l[idx] == ids)))
+    if n_pairs == 0:
+        metrics["near_dup_losers"] = 0
+        curated = deduped
+    elif n_pairs <= max_broadcast_losers:
+        # small side: broadcast the sorted loser ids once (same pattern as
+        # the exact-dup stage above)
+        pairs = pairs_ds.to_pandas()
+        near_losers = np.sort(pairs["b"].unique().astype(np.int64))
+        metrics["near_dup_losers"] = int(near_losers.size)
+        nl_ref = ray.put(near_losers)
 
-    curated = deduped.map_batches(drop_near_losers, batch_format="pyarrow")
+        def drop_near_losers(batch: pa.Table) -> pa.Table:
+            l = ray.get(nl_ref)
+            if l.size == 0:
+                return batch
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(l, ids)
+            idx[idx == l.size] = 0
+            return batch.filter(pa.array(~(l[idx] == ids)))
+
+        curated = deduped.map_batches(drop_near_losers, batch_format="pyarrow")
+    else:
+        # loser set too big to broadcast (a high-duplication 100 TB corpus
+        # can make it unbounded): distributed anti join instead — union the
+        # doc rows with loser-marker rows and keep only marker-free groups
+        print(
+            f"curate: {n_pairs} near-dup pairs exceed the broadcast cap "
+            f"({max_broadcast_losers}); falling back to shuffle anti join"
+        )
+        doc_schema_cols = [c for c in ("doc_id", "text")]
+
+        def to_markers(batch: pa.Table) -> pa.Table:
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(b, pa.int64()),
+                    "text": pa.nulls(len(b), pa.string()),
+                    "__loser__": pa.array(np.ones(len(b), np.int8), pa.int8()),
+                }
+            )
+
+        def to_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "text": batch["text"].cast(pa.string()),
+                    "__loser__": pa.array(
+                        np.zeros(len(batch), np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        markers = pairs_ds.map_batches(to_markers, batch_format="pyarrow")
+        rows = deduped.map_batches(to_rows, batch_format="pyarrow")
+
+        def keep_non_losers(group: pa.Table) -> pa.Table:
+            flags = group["__loser__"].to_numpy(zero_copy_only=False)
+            if flags.max() > 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "text": pa.array([], pa.string()),
+                    }
+                )
+            return group.select(doc_schema_cols).slice(0, 1)
+
+        curated = (
+            rows.union(markers)
+            .groupby("doc_id")
+            .map_groups(keep_non_losers, batch_format="pyarrow")
+        )
+        # loser count without driver materialization: distinct b ids
+        metrics["near_dup_losers"] = int(
+            pairs_ds.select_columns(["b"]).groupby("b").count().count()
+        )
 
     # --- enrich with stats ----------------------------------------------
     def enrich(batch: pa.Table) -> pa.Table:
@@ -177,10 +240,17 @@ def curate_to_parquet(
     never one giant file)."""
     import os
 
+    import shutil
+
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         out = ray.data.read_parquet(out_dir)
         return {"skipped": True, "rows": int(out.count())}
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        # _DONE absent but files present = a crashed previous write; Ray
+        # writes uniquely-named fragments per run, so stale files would
+        # survive the rerun and duplicate rows (build.py's _fresh pattern)
+        shutil.rmtree(out_dir)
 
     curated, metrics = curate(docs_ds, **curate_kwargs)
 

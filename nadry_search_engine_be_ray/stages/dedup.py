@@ -277,6 +277,53 @@ def candidate_pairs_from_buckets(group: pa.Table, cap: int = 200) -> pa.Table:
     return pa.table({"a": pa.array(arr[ii]), "b": pa.array(arr[jj])})
 
 
+def candidate_pairs_partitioned(group: pa.Table, cap: int = 200) -> pa.Table:
+    """Vectorized candidate-pair emission for one COARSE hash partition of
+    (doc_id, bucket) rows — all rows of any given bucket land in the same
+    partition (the partition key is a hash of the bucket), so this is
+    semantically identical to a per-bucket groupby but with ONE Python call
+    per partition instead of one per bucket (most buckets are singletons;
+    per-group call overhead dominated the wall time at ~10 µs x #buckets).
+    Multi-member runs are found with numpy run-length detection; the
+    quadratic emit + ``cap`` truncation only runs on those rare runs."""
+    b = group["bucket"].to_numpy(zero_copy_only=False)
+    d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if len(b) < 2:
+        return empty
+    order = np.lexsort((d, b))
+    b, d = b[order], d[order]
+    keep = np.ones(len(b), dtype=bool)   # drop (bucket, doc) duplicates
+    keep[1:] = (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+    b, d = b[keep], d[keep]
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], len(b)]
+    lens = ends - starts
+    multi = lens >= 2
+    if not multi.any():
+        return empty
+    out_a, out_b = [], []
+    for s, l in zip(starts[multi], lens[multi]):
+        ids = d[s : s + int(l)]
+        if ids.size > cap:
+            print(
+                f"candidate_pairs_partitioned: truncating bucket of "
+                f"{ids.size} docs to {cap}"
+            )
+            ids = ids[:cap]
+        ii, jj = np.triu_indices(ids.size, k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
 def _distinct_pairs(pairs_ds):
     """Dataset[(a, b, ...)] -> distinct canonical pairs via a vectorized
     sort-based aggregate (no driver materialization)."""
@@ -289,32 +336,171 @@ def _distinct_pairs(pairs_ds):
     )
 
 
+def _verify_pairs_broadcast(docs_ds, pairs_tbl: pa.Table,
+                            cand_ids: np.ndarray, n: int, threshold: float,
+                            id_col: str, text_col: str):
+    """Small-candidate-set verify: the candidate texts (bounded by the
+    caller's cap) are collected once and broadcast via ``ray.put``; the
+    deduped pairs are then verified by a shuffle-free ``map_batches`` with a
+    per-batch gram cache.  This is the brief's broadcast-small-side-lookup
+    pattern — zero all-to-all exchanges."""
+    import ray
+    import ray.data
+
+    ids_ref = ray.put(cand_ids)
+
+    def sel(batch: pa.Table) -> pa.Table:
+        cids = ray.get(ids_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(cids, ids)
+        idx[idx == cids.size] = 0
+        batch = batch.filter(pa.array(cids[idx] == ids))
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                text_col: batch[text_col].cast(pa.string()),
+            }
+        )
+
+    texts_pd = docs_ds.map_batches(sel, batch_format="pyarrow").to_pandas()
+    tids = texts_pd[id_col].to_numpy(np.int64)
+    order = np.argsort(tids)
+    tref = ray.put((tids[order], texts_pd[text_col].to_numpy()[order]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t_ids, t_texts = ray.get(tref)
+        cache: dict[int, frozenset] = {}
+
+        def grams_of(i: int) -> frozenset:
+            g = cache.get(i)
+            if g is None:
+                pos = np.searchsorted(t_ids, i)
+                txt = (
+                    t_texts[pos]
+                    if pos < t_ids.size and t_ids[pos] == i
+                    else ""
+                )
+                g = frozenset(ngram_strings(txt, n))
+                cache[i] = g
+            return g
+
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            ga, gb = grams_of(int(x)), grams_of(int(y))
+            union = len(ga | gb)
+            if union == 0:
+                continue
+            j = len(ga & gb) / union
+            if j >= threshold:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(round(j, 9))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    pairs = ray.data.from_arrow(pairs_tbl)
+    if len(pairs_tbl) > 10_000:
+        pairs = pairs.repartition(32)
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
                             threshold: float = 0.5,
                             id_col: str = "doc_id", text_col: str = "text",
-                            num_partitions: int = 16):
+                            num_partitions: int = 16,
+                            max_filter_ids: int = 5_000_000,
+                            max_broadcast_texts: int = 20_000):
     """Distributed exact n-gram Jaccard for candidate pairs.
 
-    Shape (no joins — union + double groupby, so it works on arbitrarily
-    small OR large partitions):
+    Two physical plans, chosen by candidate-set size (the VALUES are
+    identical — both compute exact DISTINCT-string-n-gram Jaccard):
+
+    * **broadcast fast path** (distinct candidate ids ≤
+      ``max_broadcast_texts``, the overwhelmingly common case — near-dup
+      candidates are sparse): candidate texts are collected once,
+      broadcast with ``ray.put``, and the deduped pairs verify in a
+      shuffle-free ``map_batches``.
+    * **distributed fallback** (huge candidate sets): union + double
+      groupby —
 
       1. membership rows  (doc_id, a, b, text=null)   — 2 rows per pair
-      2. doc rows         (doc_id, a=null, b=null, text)
-      3. union -> groupby(doc_id): docs with at least one membership compute
-         their DISTINCT gram set ONCE and emit (a, b, doc_id, gram) rows —
-         tokenization happens only for candidate docs
+      2. doc rows         (doc_id, a=null, b=null, text), PRUNED to
+         candidate-pair members by a broadcast sorted-id filter when the
+         distinct candidate set fits ``max_filter_ids``, so non-candidate
+         texts never enter the shuffle; above that cap, all texts shuffle
+         (correct, just corpus-sized)
+      3. union -> groupby(doc_id): docs with at least one membership
+         compute their DISTINCT gram set ONCE and emit (a, b, doc_id,
+         gram) rows
       4. groupby(a, b): exact |A∩B| / |A∪B| from the two sides' gram rows
-
-    The only all-to-all cost is one text shuffle keyed by doc_id (same
-    scale as the index build's posting shuffle) plus the candidate-gram
-    shuffle (bounded by the bucket caps).  At 100 TB the text shuffle
-    would additionally be pruned with a Bloom filter of candidate ids
-    broadcast to the read tasks.
 
     Jaccard semantics match the all-pairs SQL oracle exactly: DISTINCT
     string n-grams, docs with zero tokens produce no grams, pairs with no
     shared gram (or an empty union) are not emitted.
     """
+    import ray
+    import ray.data
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = int(pairs_ds.count())
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
+
+    # broadcast sorted candidate ids once (ray.put) unless the set is too
+    # big; 2*n_pairs bounds the distinct-id count without an extra pass
+    filter_ref = None
+    cand_ids = None
+    if 2 * n_pairs <= max_filter_ids:
+        def batch_ids(batch: pa.Table) -> pa.Table:
+            ids = np.unique(
+                np.concatenate(
+                    [
+                        batch["a"].to_numpy(zero_copy_only=False),
+                        batch["b"].to_numpy(zero_copy_only=False),
+                    ]
+                ).astype(np.int64)
+            )
+            return pa.table({"cid": pa.array(ids, pa.int64())})
+
+        cand_ids = np.unique(
+            pairs_ds.map_batches(batch_ids, batch_format="pyarrow")
+            .to_pandas()["cid"]
+            .to_numpy(np.int64)
+        )
+        filter_ref = ray.put(cand_ids)
+    else:
+        print(
+            f"exact_jaccard_for_pairs: {n_pairs} candidate pairs exceed the "
+            f"id-filter broadcast cap ({max_filter_ids}); shuffling all texts"
+        )
+
+    if cand_ids is not None and cand_ids.size <= max_broadcast_texts:
+        # dedup pairs on the driver (bounded by max_filter_ids) — the
+        # LSH band stream repeats a pair once per shared band
+        pairs_pd = pairs_ds.to_pandas()[["a", "b"]].drop_duplicates()
+        pairs_tbl = pa.table(
+            {
+                "a": pa.array(pairs_pd["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(pairs_pd["b"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+        return _verify_pairs_broadcast(
+            docs_ds, pairs_tbl, cand_ids, n, threshold, id_col, text_col
+        )
 
     def to_membership(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -330,6 +516,12 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
         )
 
     def to_docrows(batch: pa.Table) -> pa.Table:
+        if filter_ref is not None:
+            cids = ray.get(filter_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(cids, ids)
+            idx[idx == cids.size] = 0
+            batch = batch.filter(pa.array(cids[idx] == ids))
         m = len(batch)
         return pa.table(
             {
@@ -449,12 +641,28 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
         sig = sig.repartition(nparts)
 
     # no _distinct_pairs shuffle here: a pair can repeat once per shared
-    # band (<= bands times), and the set-based exact verify collapses the
-    # duplicate membership rows for free — cheaper than an extra all-to-all
+    # band (<= bands times), and the exact verify collapses duplicates for
+    # free (driver drop_duplicates on the broadcast path, set-based gram
+    # rows on the distributed path) — cheaper than an extra all-to-all
     # (the ngram path DOES dedup: gram buckets repeat a pair per shared
-    # gram, an unbounded multiplicity)
-    cands = sig.groupby("bucket").map_groups(
-        candidate_pairs_from_buckets, batch_format="pyarrow"
+    # gram, an unbounded multiplicity).
+    # Bucket grouping is COARSE: group on a 32-way hash of the bucket and
+    # detect per-bucket runs vectorized inside each partition — one Python
+    # call per partition instead of one per bucket (most buckets are
+    # singletons; per-group call overhead dominated wall time).
+    def add_cpart(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            cp = (
+                (b.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(59)
+            ).astype(np.int32)
+        return batch.append_column("cpart", pa.array(cp, pa.int32()))
+
+    cands = (
+        sig.map_batches(add_cpart, batch_format="pyarrow")
+        .groupby("cpart")
+        .map_groups(candidate_pairs_partitioned, batch_format="pyarrow")
     )
     return exact_jaccard_for_pairs(
         ds, cands, n=ngram, threshold=threshold,
