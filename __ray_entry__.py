@@ -309,17 +309,109 @@ def _q_ann_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# dumped-token-table oracle machinery: the real tokenizer isn't
+# SQL-expressible, but its OUTPUT (the map-side posting stream) is dumped to
+# parquet by the query fns, so DuckDB can independently recompute everything
+# DOWNSTREAM of tokenization — df aggregation, the exact Ranker arithmetic,
+# BM25, phrase adjacency — and the driver hash-compares both sides.
+# ---------------------------------------------------------------------------
+
+_MAIN_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/main"
+
+
+def _tokenizer():
+    from nadry_search_engine_be_ray.functions.tokenizer import Tokenizer
+
+    if not hasattr(_tokenizer, "_t"):
+        _tokenizer._t = Tokenizer()
+    return _tokenizer._t
+
+
+def _query_plans() -> list[dict]:
+    """Static per-query evaluation plan mirroring SearchEngine.search_auto:
+    quoted phrase -> phrase_search (1 token delegates back to term search),
+    else term search.  Computed once from the tokenizer (data-independent)."""
+    import re as _re
+
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    tok = _tokenizer()
+    quoted = _re.compile(r'"([^"]*)"')
+    plans = []
+    for q in reference_queries():
+        raw, page, size = q["query"], q["page"], q["page_size"]
+        m = quoted.search(raw)
+        if m:
+            terms = tok.tokenize(m.group(1))
+            if not terms:
+                plan = {"kind": "empty"}
+            elif len(terms) == 1:
+                bag_terms = tok.tokenize(terms[0])
+                plan = {"kind": "term", "tokens": bag_terms}
+            else:
+                plan = {"kind": "phrase", "tokens": terms}
+        else:
+            terms = tok.tokenize(raw)
+            plan = {"kind": "term", "tokens": terms} if terms else {"kind": "empty"}
+        plan.update(query=raw, page=max(0, page),
+                    size=size if size > 0 else 10, qid=q["query_id"])
+        plans.append(plan)
+    return plans
+
+
+def _phrase_terms() -> list[str]:
+    out: set[str] = set()
+    for p in _query_plans():
+        if p["kind"] == "phrase":
+            out.update(p["tokens"])
+    return sorted(out)
+
+
+def _ensure_popularity(index_dir: str) -> None:
+    """Deterministic popularity state for the shared /tmp index: run the
+    same synthetic-link pagerank `_q_pagerank` runs iff it hasn't yet
+    (idempotent — _q_pagerank rewrites identical values)."""
+    if os.path.exists(os.path.join(index_dir, "popularity", "popularity.parquet")):
+        return
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import run_pagerank
+    from nadry_search_engine_be_ray.sources.corpus import make_links
+    from nadry_search_engine_be_ray.stages.prep import derive_urls
+
+    urls = sorted(
+        derive_urls(
+            pads.dataset(os.path.join(index_dir, "prepped"), format="parquet")
+            .to_table(columns=["repo", "path", "commit"])
+        )
+    )
+    run_pagerank(ray.data.from_arrow(make_links(urls, seed=42)), index_dir)
+
+
+def _main_dump(sf_dir: str) -> str:
+    from nadry_search_engine_be_ray.pipelines.oracle_dump import dump_index_tables
+
+    _, index_dir = _built_index(sf_dir)
+    _ensure_popularity(index_dir)
+    return dump_index_tables(index_dir, _MAIN_DUMP_DIR, _phrase_terms())
+
+
 def _q_index_term_df_real(sf_dir: str):
-    """Real-tokenizer df table from the built segments (rows-only check;
-    pytest verifies it against the transcribed oracle)."""
+    """Real-tokenizer per-term df from the built SEGMENTS; the SQL oracle
+    recomputes df from the dumped pre-shuffle token stream, so the hash
+    compare covers the posting shuffle + encode + merge + read path."""
     import pandas as pd
 
     from nadry_search_engine_be_ray.state.segments import SegmentReader
 
     _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
     r = SegmentReader(index_dir)
-    rows = [(t, r.postings(t).df) for t in sorted(r.terms())]
-    return pd.DataFrame(rows, columns=["term", "df"])
+    rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
+    return pd.DataFrame({"term": [t for t, _ in rows],
+                         "df": pd.array([d for _, d in rows], dtype="int64")})
 
 
 def _q_search_reference(sf_dir: str):
@@ -330,6 +422,7 @@ def _q_search_reference(sf_dir: str):
     from nadry_search_engine_be_ray.sources.corpus import reference_queries
 
     _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)  # popularity made deterministic + oracle tables
     qs = reference_queries()
     qds = ray.data.from_arrow(
         pa.table(
@@ -341,6 +434,7 @@ def _q_search_reference(sf_dir: str):
         )
     )
     out = batch_search(qds, index_dir, mode="reference", concurrency=2).to_pandas()
+    out["score"] = out["score"].round(9)  # same rounding as the SQL oracle
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
 
@@ -352,9 +446,11 @@ def _q_search_bm25(sf_dir: str):
     from nadry_search_engine_be_ray.sources.corpus import reference_queries
 
     _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
     qs = [q["query"] for q in reference_queries() if not q["query"].startswith('"')]
     qds = ray.data.from_arrow(pa.table({"query": pa.array(qs, pa.string())}))
     out = batch_search(qds, index_dir, mode="bm25", concurrency=2).to_pandas()
+    out["score"] = out["score"].round(9)  # same rounding as the SQL oracle
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
 
@@ -689,6 +785,195 @@ def _pagerank_power_sql(n_iter: int = 5, damping: float = 0.85) -> str:
 
 
 _PAGERANK_POWER_SQL = _pagerank_power_sql()
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _search_reference_sql() -> str:
+    """Generated oracle for the EXACT reference scorer (Ranker.java:25-162)
+    over the dumped token tables: one CTE chain per reference query (term
+    union or positional phrase adjacency), candidate-relative df/N, the two
+    max-normalizations with Java IEEE semantics (x/0 -> ±inf, 0/0 -> NaN —
+    DuckDB's NULL-on-zero-division is CASE-guarded), 0.7/0.3 blend,
+    NaN-first (score DESC, doc ASC) ranking and pagination.  Scores rounded
+    to 9 dp on both sides (SUM order differs)."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _query_plans():
+        if p["kind"] == "empty":
+            continue
+        i = p["qid"]
+        start = p["page"] * p["size"]
+        bag = Counter(p["tokens"])
+        qlen = sum(bag.values())
+        if p["kind"] == "term":
+            terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(bag))
+            whens = " ".join(
+                f"WHEN '{_sqlq(t)}' THEN {bag[t] / qlen!r}" for t in sorted(bag)
+            )
+            idf = (f"log10(CAST((SELECT n FROM stat{i}) AS DOUBLE)"
+                   f" / (1.0 + d.df))")
+            dt = ("(CASE WHEN ds.total_words = 0 THEN 'infinity'::DOUBLE "
+                  "ELSE CAST(c.tf AS DOUBLE) / CAST(ds.total_words AS DOUBLE) "
+                  "END)")
+            ctes.append(f"""
+        cand{i} AS (
+            SELECT doc_int, term, SUM(tf) AS tf
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN ({terms_sql})
+            GROUP BY doc_int, term),
+        stat{i} AS (SELECT count(DISTINCT doc_int) AS n FROM cand{i}),
+        dfq{i} AS (SELECT term, count(*) AS df FROM cand{i} GROUP BY term),
+        rel{i} AS (
+            SELECT c.doc_int,
+                   SUM(((CASE c.term {whens} END) * {idf}) * ({dt} * {idf}))
+                       AS rel
+            FROM cand{i} c
+            JOIN dfq{i} d ON d.term = c.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = c.doc_int
+            GROUP BY c.doc_int)""")
+        else:  # phrase: chained same-field adjacency (SearchWrapper J2)
+            terms = p["tokens"]
+            joins = " ".join(
+                f"JOIN read_parquet('{D}/pos.parquet') p{k + 1} "
+                f"ON p{k + 1}.doc_int = p1.doc_int "
+                f"AND p{k + 1}.field = p1.field "
+                f"AND p{k + 1}.term = '{_sqlq(terms[k])}' "
+                f"AND p{k + 1}.pos = p1.pos + {k}"
+                for k in range(1, len(terms))
+            )
+            idf_p = (f"log10(CAST((SELECT n FROM stat{i}) AS DOUBLE)"
+                     f" / (1.0 + (SELECT n FROM stat{i})))")
+            dt_p = ("(CASE WHEN ds.total_words = 0 THEN 'infinity'::DOUBLE "
+                    "ELSE 1.0 / CAST(ds.total_words AS DOUBLE) END)")
+            sum_expr = " + ".join(
+                f"(({bag[t] / qlen!r}) * {idf_p}) * ({dt_p} * {idf_p})"
+                for t in sorted(bag)
+            )
+            ctes.append(f"""
+        pm{i} AS (
+            SELECT DISTINCT p1.doc_int AS doc_int
+            FROM read_parquet('{D}/pos.parquet') p1
+            {joins}
+            WHERE p1.term = '{_sqlq(terms[0])}'),
+        stat{i} AS (SELECT count(*) AS n FROM pm{i}),
+        rel{i} AS (
+            SELECT m.doc_int, {sum_expr} AS rel
+            FROM pm{i} m
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = m.doc_int)""")
+        ctes.append(f"""
+        mx{i} AS (SELECT greatest(0.0::DOUBLE, max(rel)) AS m FROM rel{i}),
+        mp{i} AS (SELECT greatest(0.0::DOUBLE, max(p.popularity)) AS m
+                  FROM rel{i} r
+                  JOIN read_parquet('{D}/pop.parquet') p
+                       ON p.doc_int = r.doc_int),
+        sc{i} AS (
+            SELECT r.doc_int,
+                   0.7 * (CASE WHEN (SELECT m FROM mx{i}) <> 0
+                               THEN r.rel / (SELECT m FROM mx{i})
+                               WHEN r.rel = 0 THEN 'nan'::DOUBLE
+                               WHEN r.rel > 0 THEN 'infinity'::DOUBLE
+                               ELSE '-infinity'::DOUBLE END)
+                 + 0.3 * (CASE WHEN (SELECT m FROM mp{i}) <> 0
+                               THEN p.popularity / (SELECT m FROM mp{i})
+                               WHEN p.popularity = 0 THEN 'nan'::DOUBLE
+                               WHEN p.popularity > 0 THEN 'infinity'::DOUBLE
+                               ELSE '-infinity'::DOUBLE END) AS score
+            FROM rel{i} r
+            JOIN read_parquet('{D}/pop.parquet') p ON p.doc_int = r.doc_int),
+        pg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM sc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn - {start} AS INTEGER) AS rank,
+               dm.doc_id AS doc_id,
+               round(score, 9) AS score,
+               (SELECT count(*) FROM sc{i}) AS total_results
+        FROM pg{i} g
+        JOIN read_parquet('{D}/docmap.parquet') dm ON dm.doc_int = g.doc_int
+        WHERE rn >= {start} AND rn < {start + p["size"]}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
+def _search_bm25_sql() -> str:
+    """Generated Okapi-BM25 oracle over the dumped token tables (global df,
+    engine stats.json n_docs/avgdl verbatim, expression tree mirroring
+    SearchEngine._scores_for including the (1.2 + 1) form of k1+1)."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _query_plans():
+        if p["query"].startswith('"') or p["kind"] != "term":
+            continue
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        whens = " ".join(
+            f"WHEN '{_sqlq(t)}' THEN {float(m)!r}" for t, m in sorted(mult.items())
+        )
+        idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+               f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+        denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+                 f"CAST(ds.total_words AS DOUBLE) / "
+                 f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+        ctes.append(f"""
+        bdf{i} AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN ({terms_sql}) GROUP BY term),
+        bsc{i} AS (
+            SELECT t.doc_int,
+                   SUM((CASE t.term {whens} END) * {idf}
+                       * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom}) AS score
+            FROM read_parquet('{D}/tok.parquet') t
+            JOIN bdf{i} d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            WHERE t.term IN ({terms_sql})
+            GROUP BY t.doc_int),
+        bpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM bsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score,
+               least(10::BIGINT, (SELECT count(*) FROM bsc{i}))
+                   AS total_results
+        FROM bpg{i} WHERE rn < 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
+_INDEX_MERGE_SQL = """
+    SELECT term, count(DISTINCT doc_int) AS df FROM (
+        SELECT term, doc_int
+        FROM read_parquet('/tmp/nadry_entry/index_merge_v1/ia/postings/*/*.parquet')
+        WHERE field >= 0
+        UNION ALL
+        SELECT term, doc_int
+        FROM read_parquet('/tmp/nadry_entry/index_merge_v1/ib/postings/*/*.parquet')
+        WHERE field >= 0
+    ) GROUP BY term ORDER BY term
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1113,4 +1398,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'other' END AS pred_lang
             FROM kept ORDER BY doc_id
         """,
+        # dumped-token-table oracles (the real-tokenizer stream is
+        # materialized to parquet by the query fns; everything downstream
+        # of tokenization — df, reference ranking, BM25, phrase adjacency,
+        # the incremental merge — is recomputed independently by DuckDB)
+        "index_term_df_real": (
+            f"SELECT term, count(*) AS df "
+            f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
+            f"GROUP BY term ORDER BY term"
+        ),
+        "search_reference": _search_reference_sql(),
+        "search_bm25_wand": _search_bm25_sql(),
+        "index_merge": _INDEX_MERGE_SQL,
     }

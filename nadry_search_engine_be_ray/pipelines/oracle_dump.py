@@ -1,0 +1,194 @@
+"""Dump the built index's internal tables as plain parquet for DuckDB
+oracles (the "dumped-token-table" trick).
+
+The real tokenizer (Porter2 + special tokens) is not SQL-expressible, but
+its OUTPUT is: the map-side posting stream (phase-3 parquet, pre-shuffle)
+is re-materialized here as flat tables so a DuckDB oracle can recompute —
+independently of the segment encode/merge/read path — per-term document
+frequencies, the exact reference-ranker arithmetic (Ranker.java:25-162),
+BM25 and the phrase adjacency join, and be hash-compared against the
+engine's answers.  The token stream itself is golden-tested (pytest
+tokenizer suite); the dump converts everything DOWNSTREAM of tokenization
+into driver-checkable SQL evidence.
+
+Tables written to ``dump_dir`` (single parquet file each, overwritten):
+
+* ``tok``       (term, doc_int, tf)            — per-doc tf summed across
+                 fields, field >= 0 rows only (sentinels excluded)
+* ``pos``       (term, doc_int, field, pos)    — exploded positions for the
+                 requested ``phrase_terms`` only (phrase adjacency oracle)
+* ``docstats``  (doc_int, total_words)
+* ``pop``       (doc_int, popularity)          — zeros when no pagerank ran
+* ``docmap``    (doc_int, doc_id)              — the API's doc_id hex string
+* ``stats``     (n_docs, avgdl)                — the engine's stats.json
+
+A ``_KEY`` file records (index_dir, stats mtime); an up-to-date dump is not
+rewritten.  The dump path is FIXED per logical query so the static oracle
+SQL strings can reference it; the driver always runs the Ray query fn (which
+refreshes the dump) before its oracle SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..functions.codec import decode_varints
+
+DUMP_ROOT = "/tmp/nadry_entry/oracle_dumps"
+
+
+def _decode_row_positions(buf: bytes) -> np.ndarray:
+    """Decode one map-side ``pos`` payload: [count][abs][deltas...]."""
+    vals = decode_varints(buf)
+    count = int(vals[0])
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(vals[1 : 1 + count]).astype(np.int64)
+
+
+def dump_index_tables(index_dir: str, dump_dir: str,
+                      phrase_terms: list[str]) -> str:
+    os.makedirs(dump_dir, exist_ok=True)
+    key_path = os.path.join(dump_dir, "_KEY")
+    stats_path = os.path.join(index_dir, "stats.json")
+    pop_dir = os.path.join(index_dir, "popularity")
+    key = json.dumps(
+        {
+            "index_dir": index_dir,
+            "stats_mtime": os.path.getmtime(stats_path),
+            "pop_mtime": os.path.getmtime(os.path.join(pop_dir, "popularity.parquet"))
+            if os.path.isdir(pop_dir)
+            else None,
+            "phrase_terms": sorted(phrase_terms),
+        }
+    )
+    if os.path.exists(key_path):
+        with open(key_path) as f:
+            if f.read() == key:
+                return dump_dir
+
+    postings = pads.dataset(
+        os.path.join(index_dir, "postings"), format="parquet",
+        partitioning="hive",
+    )
+    import pyarrow.compute as pc
+
+    t = postings.to_table(columns=["term", "doc_int", "field", "tf", "pos"])
+    real = t.filter(pc.field("field") >= 0)
+
+    # tok: per-(term, doc) tf summed across fields (matches the segment
+    # encoder's np.add.reduceat, stages/encode.py)
+    tok = (
+        real.select(["term", "doc_int", "tf"])
+        .group_by(["term", "doc_int"])
+        .aggregate([("tf", "sum")])
+    )
+    tok = tok.rename_columns(
+        ["tf" if c == "tf_sum" else c for c in tok.column_names]
+    )
+    pq.write_table(tok, os.path.join(dump_dir, "tok.parquet"))
+
+    # pos: exploded positions for the phrase terms only
+    if phrase_terms:
+        sel = real.filter(pc.is_in(pc.field("term"), pa.array(phrase_terms)))
+        terms_out, docs_out, fields_out, pos_out = [], [], [], []
+        for term, di, fld, buf in zip(
+            sel["term"].to_pylist(),
+            sel["doc_int"].to_pylist(),
+            sel["field"].to_pylist(),
+            sel["pos"].to_pylist(),
+        ):
+            positions = _decode_row_positions(buf)
+            terms_out.extend([term] * positions.size)
+            docs_out.extend([di] * positions.size)
+            fields_out.extend([fld] * positions.size)
+            pos_out.extend(positions.tolist())
+        pos_tbl = pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "doc_int": pa.array(docs_out, pa.int64()),
+                "field": pa.array(fields_out, pa.int8()),
+                "pos": pa.array(pos_out, pa.int64()),
+            }
+        )
+    else:
+        pos_tbl = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_int": pa.array([], pa.int64()),
+                "field": pa.array([], pa.int8()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+    pq.write_table(pos_tbl, os.path.join(dump_dir, "pos.parquet"))
+
+    # docstats
+    ds_tbl = pads.dataset(
+        os.path.join(index_dir, "doc_stats"), format="parquet"
+    ).to_table(columns=["doc_int", "total_words"])
+    pq.write_table(ds_tbl, os.path.join(dump_dir, "docstats.parquet"))
+
+    # pop (zeros when pagerank has not run — matches DocStore.load)
+    di = ds_tbl["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pop = np.zeros(di.size, dtype=np.float64)
+    if os.path.isdir(pop_dir):
+        p = pads.dataset(pop_dir, format="parquet").to_table()
+        pdi = p["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = p["popularity"].to_numpy(zero_copy_only=False)
+        order = np.argsort(di)
+        idx = np.searchsorted(di[order], pdi)
+        ok = (idx < di.size) & (di[order][np.minimum(idx, di.size - 1)] == pdi)
+        pop_sorted = np.zeros(di.size, dtype=np.float64)
+        pop_sorted[idx[ok]] = ps[ok]
+        inv = np.empty(di.size, dtype=np.int64)
+        inv[order] = np.arange(di.size)
+        pop = pop_sorted[inv]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_int": pa.array(di, pa.int64()),
+                "popularity": pa.array(pop, pa.float64()),
+            }
+        ),
+        os.path.join(dump_dir, "pop.parquet"),
+    )
+
+    # docmap: doc_int -> API doc_id hex (derived, same fns as DocStore)
+    from ..stages.prep import derive_urls, doc_id_of
+
+    prepped = pads.dataset(
+        os.path.join(index_dir, "prepped"), format="parquet"
+    ).to_table(columns=["doc_int", "repo", "path", "commit"])
+    urls = derive_urls(prepped)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_int": prepped["doc_int"].cast(pa.int64()),
+                "doc_id": pa.array([doc_id_of(u) for u in urls], pa.string()),
+            }
+        ),
+        os.path.join(dump_dir, "docmap.parquet"),
+    )
+
+    # stats (engine values verbatim, incl. the `or 1.0` avgdl fallback)
+    with open(stats_path) as f:
+        stats = json.load(f)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([int(stats["n_docs"])], pa.int64()),
+                "avgdl": pa.array([float(stats["avgdl"] or 1.0)], pa.float64()),
+            }
+        ),
+        os.path.join(dump_dir, "stats.parquet"),
+    )
+
+    with open(key_path, "w") as f:
+        f.write(key)
+    return dump_dir
