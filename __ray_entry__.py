@@ -318,6 +318,10 @@ def _q_ann_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _MAIN_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/main"
+_SIMHASH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/simhash"
+_FP_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/fingerprints"
+_ANN_LSH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_lsh"
+_ANN_IVF_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_ivf"
 
 
 def _tokenizer():
@@ -520,12 +524,37 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup over documents AUGMENTED with five planted exact
+    duplicates (doc_id + 1,000,000, identical text -> hamming-0 pairs), so
+    the green hash is non-trivial on random testdata.  The 64-bit simhash
+    itself is not SQL-expressible, so the per-doc signature/band table is
+    DUMPED to parquet and the oracle independently recomputes everything
+    DOWNSTREAM of the hash in DuckDB — band-bucket candidate generation,
+    the hamming verify (bit_count(xor(...))), and the cross-band pair
+    dedup (the dumped-token-table trick, same as index_term_df_real)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.dedup import simhash_pairs
+    from nadry_search_engine_be_ray.stages.dedup import SimHashBatch, simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    base = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"]
+    )
+    ids = base["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)[:5]
+    planted = pa.table(
+        {
+            "doc_id": pa.array(ids[order] + 1_000_000, pa.int64()),
+            "text": base["text"].combine_chunks().take(pa.array(order)),
+        }
+    )
+    aug = pa.concat_tables([base, planted])
+    os.makedirs(_SIMHASH_DUMP_DIR, exist_ok=True)
+    pq.write_table(SimHashBatch()(aug), f"{_SIMHASH_DUMP_DIR}/sig.parquet")
+    out = simhash_pairs(ray.data.from_arrow(aug), max_hamming=3).to_pandas()
     return _typed_empty(out, {"a": "int64", "b": "int64", "hamming": "int32"})
 
 
@@ -540,12 +569,47 @@ def _typed_empty(df, cols: dict):
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    """Embedding cosine near-dup over the testdata vectors AUGMENTED with
+    five deterministic planted near-duplicates (vec_id + 1,000,000 = the
+    original with its first coordinate scaled by exactly 1.25 — an exact
+    binary scaling, so the SQL oracle reproduces the planted vectors
+    bitwise).  Random testdata vectors have max cosine ~0.5, so without the
+    plants both sides agree on an EMPTY pair set — the plants make the
+    green hash non-trivial (5 expected pairs, cosine ~0.9999, LSH band-miss
+    probability < 1e-30)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
     import ray.data
 
     from nadry_search_engine_be_ray.stages.dedup import embedding_near_dup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    src = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(src["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)[:5]
+    planted = mat[order].copy()
+    planted[:, 0] *= 1.25
+    dim = mat.shape[1]
+
+    def to_f64(vals: np.ndarray, vid: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vals.reshape(-1), pa.float64()), dim
+                ),
+            }
+        )
+
+    aug = ray.data.from_arrow(
+        pa.concat_tables(
+            [to_f64(mat, ids), to_f64(planted, ids[order] + 1_000_000)]
+        )
+    )
+    out = embedding_near_dup_pairs(aug, threshold=0.95).to_pandas()
     out = _typed_empty(out, {"a": "int64", "b": "int64", "cosine": "float64"})
     out["cosine"] = out["cosine"].round(6)
     return out
@@ -577,9 +641,45 @@ def _q_near_dup_clusters(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
+    """Winnowed Rabin-Karp document fingerprints.  The tokenizer regex +
+    crc32 token hashing aren't SQL-expressible, so the exploded
+    (doc_id, pos, token_hash) stream is DUMPED to parquet and the oracle
+    independently recomputes everything DOWNSTREAM in DuckDB: the k=5
+    polynomial k-gram hash (HUGEINT mod-2^64 arithmetic over lead()
+    windows), the w=8 winnowing sliding minima, the distinct-min XOR fold,
+    and the short-doc list_reduce fallback."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.textstats import fingerprint_batch
+    from nadry_search_engine_be_ray.stages.textstats import (
+        _WORD,
+        _token_hashes,
+        fingerprint_batch,
+    )
+
+    base = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"]
+    )
+    d_o, p_o, h_o = [], [], []
+    for did, text in zip(base["doc_id"].to_pylist(), base["text"].to_pylist()):
+        th = _token_hashes(_WORD.findall((text or "").lower()))
+        d_o += [did] * len(th)
+        p_o += list(range(len(th)))
+        h_o += [int(x) for x in th]
+    os.makedirs(_FP_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(d_o, pa.int64()),
+                "pos": pa.array(p_o, pa.int64()),
+                "th": pa.array(np.array(h_o, dtype=np.uint64), pa.uint64()),
+            }
+        ),
+        f"{_FP_DUMP_DIR}/tok.parquet",
+    )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
@@ -587,30 +687,116 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    """LSH ANN top-k.  The random-hyperplane bucketing isn't SQL-
+    expressible, so the (vec_id, bucket) assignment and per-query probe
+    sets are DUMPED (recomputed on the driver with the SAME seeded
+    LshIndexBatch stage + probe rule the distributed path constructs) and
+    the oracle independently recomputes candidate selection, cosine, and
+    the (-cosine, vec_id) top-k ranking in DuckDB."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.similarity import lsh_topk
+    from nadry_search_engine_be_ray.stages.similarity import LshIndexBatch, lsh_topk
+
+    emb_tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table()
+    head = emb_tbl.to_pandas().sort_values("vec_id").head(3)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qv_ids = head["vec_id"].to_numpy()
+
+    n_planes, n_probes = 6, 16
+    stage = LshIndexBatch(q.shape[1], n_planes=n_planes, seed=11)
+    assigned = stage(emb_tbl)
+    q_signs = (q @ stage.planes.T) > 0
+    q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
+    all_buckets = np.arange(1 << n_planes)
+    probe_q, probe_b = [], []
+    for qi, qb in enumerate(q_buckets):
+        ham = np.array([bin(int(qb) ^ int(b)).count("1") for b in all_buckets])
+        near = all_buckets[np.argsort(ham, kind="stable")[:n_probes]]
+        probe_q += [int(qv_ids[qi])] * len(near)
+        probe_b += [int(x) for x in near]
+    os.makedirs(_ANN_LSH_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        assigned.select(["vec_id", "bucket"]),
+        f"{_ANN_LSH_DUMP_DIR}/assign.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(probe_q, pa.int64()),
+                "bucket": pa.array(probe_b, pa.int64()),
+            }
+        ),
+        f"{_ANN_LSH_DUMP_DIR}/probes.parquet",
+    )
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    head = emb.to_pandas().sort_values("vec_id").head(3)
-    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
-    out = lsh_topk(emb, q, k=5, n_planes=6, n_probes=16).to_pandas()
+    out = lsh_topk(emb, q, k=5, n_planes=n_planes, n_probes=n_probes).to_pandas()
+    out["query_id"] = qv_ids[out["query_id"].to_numpy()]
     out["cosine"] = out["cosine"].round(6)
+    out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF ANN top-k.  The k-means coarse quantizer isn't SQL-expressible,
+    so the quantizer is trained ONCE on the driver, its (vec_id, ivf_list)
+    assignment and per-query probed lists are DUMPED, the SAME centroids
+    are passed to the distributed path, and the oracle independently
+    recomputes candidate selection + cosine + top-k ranking in DuckDB."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.similarity import ivf_topk
+    from nadry_search_engine_be_ray.stages.similarity import (
+        IvfAssignBatch,
+        _normalize,
+        ivf_topk,
+        train_ivf_centroids,
+    )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    head = emb.to_pandas().sort_values("vec_id").head(3)
+    emb_tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table()
+    head = emb_tbl.to_pandas().sort_values("vec_id").head(3)
     q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
-    out = ivf_topk(emb, q, k=5, n_lists=8, n_probes=3).to_pandas()
+    qv_ids = head["vec_id"].to_numpy()
+
+    n_lists, n_probes = 8, 3
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_lists=n_lists, seed=13)
+    assigned = IvfAssignBatch(cent)(emb_tbl)
+    sims = _normalize(q) @ cent.T
+    np_probe = min(n_probes, cent.shape[0])
+    probe_q, probe_l = [], []
+    for qi in range(q.shape[0]):
+        near = np.argsort(-sims[qi], kind="stable")[:np_probe]
+        probe_q += [int(qv_ids[qi])] * len(near)
+        probe_l += [int(x) for x in near]
+    os.makedirs(_ANN_IVF_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        assigned.select(["vec_id", "ivf_list"]),
+        f"{_ANN_IVF_DUMP_DIR}/assign.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array(probe_q, pa.int64()),
+                "ivf_list": pa.array(probe_l, pa.int64()),
+            }
+        ),
+        f"{_ANN_IVF_DUMP_DIR}/probes.parquet",
+    )
+
+    out = ivf_topk(
+        emb, q, k=5, n_lists=n_lists, n_probes=n_probes, centroids=cent
+    ).to_pandas()
+    out["query_id"] = qv_ids[out["query_id"].to_numpy()]
     out["cosine"] = out["cosine"].round(6)
+    out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -1332,6 +1518,137 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rank < 5 ORDER BY query_id, rank
         """,
+        # dumped-assignment oracles: the query fn dumps the (seeded, non-SQL)
+        # bucket/list assignments + per-query probe sets; DuckDB independently
+        # recomputes candidate selection, cosine and the (-cosine, vec_id)
+        # top-k over them (same trick as the dumped-token-table oracles)
+        "ann_lsh_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            assign AS (SELECT * FROM read_parquet('{_ANN_LSH_DUMP_DIR}/assign.parquet')),
+            probes AS (SELECT * FROM read_parquet('{_ANN_LSH_DUMP_DIR}/probes.parquet')),
+            cand AS (
+                SELECT DISTINCT p.query_id, a.vec_id
+                FROM probes p JOIN assign a ON a.bucket = p.bucket
+            ),
+            sims AS (
+                SELECT c.query_id, c.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS cosine
+                FROM cand c
+                JOIN q ON q.query_id = c.query_id
+                JOIN embeddings e ON e.vec_id = c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) - 1 AS rank
+                FROM sims
+            )
+            SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        "ann_ivf_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            assign AS (SELECT * FROM read_parquet('{_ANN_IVF_DUMP_DIR}/assign.parquet')),
+            probes AS (SELECT * FROM read_parquet('{_ANN_IVF_DUMP_DIR}/probes.parquet')),
+            cand AS (
+                SELECT DISTINCT p.query_id, a.vec_id
+                FROM probes p JOIN assign a ON a.ivf_list = p.ivf_list
+            ),
+            sims AS (
+                SELECT c.query_id, c.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS cosine
+                FROM cand c
+                JOIN q ON q.query_id = c.query_id
+                JOIN embeddings e ON e.vec_id = c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) - 1 AS rank
+                FROM sims
+            )
+            SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        # dumped-signature oracle: band-bucket candidates + hamming verify +
+        # cross-band pair dedup recomputed in SQL over the dumped sig table
+        "simhash_pairs": f"""
+            WITH sig AS (
+                SELECT * FROM read_parquet('{_SIMHASH_DUMP_DIR}/sig.parquet')
+            ),
+            cand AS (
+                SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b,
+                       s1.simhash AS ha, s2.simhash AS hb
+                FROM sig s1 JOIN sig s2
+                  ON s1.band = s2.band AND s1.band_key = s2.band_key
+                 AND s1.doc_id < s2.doc_id
+            )
+            SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+            ORDER BY a, b
+        """,
+        # dumped-token-hash oracle: winnowed Rabin-Karp (k=5 polynomial
+        # k-gram hash, w=8 sliding minima, distinct-min XOR) recomputed in
+        # SQL with HUGEINT mod-2^64 arithmetic over the dumped crc32 stream
+        "fingerprints": f"""
+            WITH tok AS (
+                SELECT doc_id, pos, CAST(th AS HUGEINT) AS th
+                FROM read_parquet('{_FP_DUMP_DIR}/tok.parquet')
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            kgram AS (
+                SELECT t.doc_id, t.pos, c.n,
+                       (t.th * {pow(1000003, 4, 1 << 64)}
+                        + lead(t.th, 1) OVER w * {pow(1000003, 3, 1 << 64)}
+                        + lead(t.th, 2) OVER w * {pow(1000003, 2, 1 << 64)}
+                        + lead(t.th, 3) OVER w * 1000003
+                        + lead(t.th, 4) OVER w) % {1 << 64} AS kg
+                FROM tok t JOIN counts c USING (doc_id)
+                WHERE c.n >= 5
+                WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+                QUALIFY t.pos <= c.n - 5
+            ),
+            slid AS (
+                SELECT doc_id, pos, n,
+                       min(kg) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                           AS wmin
+                FROM kgram
+            ),
+            mins AS (
+                SELECT DISTINCT doc_id, wmin AS m
+                FROM slid WHERE n - 4 > 8 AND pos <= n - 12
+                UNION
+                SELECT doc_id, min(kg) AS m
+                FROM kgram WHERE n - 4 <= 8 GROUP BY doc_id
+            ),
+            long_fp AS (
+                SELECT doc_id, bit_xor(CAST(m AS UBIGINT)) AS fp
+                FROM mins GROUP BY doc_id
+            ),
+            short_fp AS (
+                SELECT t.doc_id,
+                       list_reduce(list(t.th ORDER BY t.pos),
+                                   (a, b) -> (a * 1000003 + b) % {1 << 64}) AS fp
+                FROM tok t JOIN counts c USING (doc_id)
+                WHERE c.n < 5
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(l.fp, s.fp, 0) AS UBIGINT) AS fingerprint
+            FROM documents d
+            LEFT JOIN long_fp l ON l.doc_id = d.doc_id
+            LEFT JOIN short_fp s ON s.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         # LSH candidates + distributed exact verify == the capless all-pairs
         # jaccard join up to the ~1e-8/pair LSH miss probability (dedup.py
         # MinHashBatch docstring) — same oracle as ngram_jaccard.
@@ -1354,12 +1671,22 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY u ORDER BY node
         """,
         "embedding_near_dup": """
-            SELECT e1.vec_id AS a, e2.vec_id AS b,
-                   round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
-                                                CAST(e2.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
-            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
-                                         CAST(e2.embedding AS DOUBLE[])) >= 0.95
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            aug AS (
+                SELECT vec_id, v FROM base
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_concat([v[1] * 1.25], v[2:])
+                FROM base
+                WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 5)
+            )
+            SELECT a1.vec_id AS a, a2.vec_id AS b,
+                   round(list_cosine_similarity(a1.v, a2.v), 6) AS cosine
+            FROM aug a1 JOIN aug a2 ON a1.vec_id < a2.vec_id
+            WHERE list_cosine_similarity(a1.v, a2.v) >= 0.95
             ORDER BY a, b
         """,
         "pagerank_power": _PAGERANK_POWER_SQL,

@@ -962,7 +962,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
 # connected-components clustering over near-dup pairs
 # ---------------------------------------------------------------------------
 
-def near_dup_clusters(pairs_ds, max_iter: int = 10_000):
+def near_dup_clusters(pairs_ds, max_iter: int = 10_000,
+                      method: str = "propagate"):
     """Transitive near-dup clusters from a pair Dataset (a, b): min-label
     propagation run to FIXPOINT — each round every node adopts the minimum
     label among itself and its neighbors, and the min label travels one hop
@@ -974,9 +975,15 @@ def near_dup_clusters(pairs_ds, max_iter: int = 10_000):
     Rounds are Dataset groupbys; returns a Dataset (node, cluster) where
     cluster = min doc_id of the component.  Scale note: diameter-bound
     rounds are fine for near-dup graphs (components are overwhelmingly
-    cliques/short chains); a 100 TB general-graph CC would use pointer
-    doubling instead.
+    cliques/short chains); for long-chain / general graphs pass
+    ``method="pointer_doubling"`` — O(log diameter) rounds (each round adds
+    a label-jump exchange, so it costs ~1.5x a propagate round but a
+    1000-chain converges in ~11 rounds instead of ~1000).
     """
+    if method == "pointer_doubling":
+        return _clusters_pointer_doubling(pairs_ds, max_iter)[0]
+    if method != "propagate":
+        raise ValueError(f"unknown method {method!r}")
     import ray.data
     from ray.data.aggregate import Min, Sum
 
@@ -1061,3 +1068,150 @@ def near_dup_clusters(pairs_ds, max_iter: int = 10_000):
             f"rounds (component diameter exceeds the backstop)"
         )
     return labels
+
+
+def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
+    """Min-label CC with POINTER DOUBLING (label-jumping): each round first
+    relaxes one hop (every node takes the min label over itself + its
+    neighbors, as in the propagate method), then JUMPS every node's label to
+    its label's label — L(v) <- L(L(v)) — halving the remaining distance to
+    the component minimum, so convergence takes O(log diameter) rounds (the
+    classic MapReduce-CC shortcutting; public algorithm, e.g. Kiveris et al.
+    "Connected Components in MapReduce and Beyond").
+
+    Invariant kept by both steps: L(v) is the id of a node in v's component
+    and L(v) >= component minimum — so the label-sum fixpoint equals the
+    propagate method's output exactly.  All exchanges are Dataset groupbys;
+    the jump is the union-of-(request, carrier)-rows pattern (no joins).
+
+    Returns (labels Dataset, rounds executed) — the round count backs the
+    O(log diameter) test."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "cluster": pa.array(node, pa.int64()),
+            }
+        )
+
+    pairs_m = pairs_ds.materialize()
+    labels = (
+        pairs_m.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("cluster", alias_name="cluster"))
+        .materialize()
+    )
+    if labels.count() == 0:
+        return labels, 0
+
+    def to_msgs(batch: pa.Table) -> pa.Table:
+        # each edge (a, b) will deliver L(a) to b and L(b) to a; encoded as
+        # neighbor-request rows keyed by the LABEL OWNER
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dest": pa.array(np.concatenate([b, a]), pa.int64()),
+                "cluster": pa.nulls(2 * len(a), pa.int64()),
+            }
+        )
+
+    edge_msgs = pairs_m.map_batches(to_msgs, batch_format="pyarrow").materialize()
+
+    def with_dest_null(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "dest": pa.nulls(len(batch), pa.int64()),
+                "cluster": batch["cluster"],
+            }
+        )
+
+    def relax_emit(group: pa.Table) -> pa.Table:
+        # group = one node's label row + its outgoing edge stubs: forward
+        # the label to every neighbor and keep it for self
+        labs = [c for c in group["cluster"].to_pylist() if c is not None]
+        lab = int(min(labs))
+        dests = [int(d) for d in group["dest"].to_pylist() if d is not None]
+        nodes = [int(group["node"][0].as_py())] + dests
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "cluster": pa.array([lab] * len(nodes), pa.int64()),
+            }
+        )
+
+    def jump_requests(batch: pa.Table) -> pa.Table:
+        # request rows keyed by the node's CURRENT label (asking for L(L(v)))
+        return pa.table(
+            {
+                "key": batch["cluster"].cast(pa.int64()),
+                "req": batch["node"].cast(pa.int64()),
+                "cluster": pa.nulls(len(batch), pa.int64()),
+            }
+        )
+
+    def jump_carriers(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["node"].cast(pa.int64()),
+                "req": pa.nulls(len(batch), pa.int64()),
+                "cluster": batch["cluster"].cast(pa.int64()),
+            }
+        )
+
+    def jump_emit(group: pa.Table) -> pa.Table:
+        labs = [c for c in group["cluster"].to_pylist() if c is not None]
+        lab = int(min(labs))  # exactly one carrier per key; min is cheap guard
+        reqs = [int(r) for r in group["req"].to_pylist() if r is not None]
+        return pa.table(
+            {
+                "node": pa.array(reqs, pa.int64()),
+                "cluster": pa.array([lab] * len(reqs), pa.int64()),
+            }
+        )
+
+    prev_sum = labels.aggregate(Sum("cluster", alias_name="s"))["s"]
+    # groupby().map_groups emits near-per-group blocks, so each round would
+    # multiply block counts (1000 nodes -> ~770 one-row blocks -> ~770 tasks
+    # PER STAGE next round, all scheduling overhead); coalesce the label set
+    # back to a data-proportional partition count between rounds
+    n_parts = max(8, int(labels.count()) // 500_000)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        relaxed = (
+            labels.map_batches(with_dest_null, batch_format="pyarrow")
+            .union(edge_msgs)
+            .groupby("node")
+            .map_groups(relax_emit, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .repartition(n_parts)
+            .materialize()
+        )
+        labels = (
+            relaxed.map_batches(jump_requests, batch_format="pyarrow")
+            .union(relaxed.map_batches(jump_carriers, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(jump_emit, batch_format="pyarrow")
+            .repartition(n_parts)
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("cluster", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters(pointer_doubling): no fixpoint within "
+            f"max_iter={max_iter} rounds"
+        )
+    return labels, rounds

@@ -240,6 +240,43 @@ def test_near_dup_clusters_transitive(ray_session):
     assert got[100] == 100 and got[101] == 100
 
 
+def test_near_dup_clusters_pointer_doubling_log_rounds(ray_session):
+    # a 1000-node chain: propagate needs ~diameter rounds; pointer doubling
+    # must converge in O(log n) rounds with the same labels
+    n = 1000
+    chain = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    labels, rounds = dedup._clusters_pointer_doubling(chain)
+    out = labels.to_pandas()
+    assert len(out) == n
+    assert set(out["cluster"]) == {0}
+    # relax+jump roughly triples reach per round; diameter 999 -> ~8 rounds
+    # (+1 fixpoint-detection round); 2*log2(1000) = 20 is a safe O(log n) bound
+    assert rounds <= 20, rounds
+
+
+def test_near_dup_clusters_pointer_doubling_matches_propagate(ray_session):
+    # branching component + clique + isolated pair: same labels as propagate
+    pairs = pa.table(
+        {
+            "a": pa.array([0, 0, 2, 3, 10, 10, 11, 20], pa.int64()),
+            "b": pa.array([1, 2, 3, 4, 11, 12, 12, 21], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(pairs)
+    prop = dedup.near_dup_clusters(ds).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    pd_out = dedup.near_dup_clusters(ds, method="pointer_doubling") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert prop.equals(pd_out)
+
+
 def test_curate_shuffle_fallback_matches_broadcast(ray_session, planted_docs):
     from nadry_search_engine_be_ray.pipelines.training_data import curate
 
