@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "fingerprint_sha": _q_fingerprint_sha,
         "near_dup_clusters": _q_near_dup_clusters,
+        # O(log diameter) pointer-doubling CC — same labels, same oracle
+        "near_dup_clusters_pd": lambda sf_dir: _q_near_dup_clusters(
+            sf_dir, method="pointer_doubling"
+        ),
         "pagerank_power": _q_pagerank_power,
         # search engine proper (reference-semantics; oracle = pytest
         # transcription, driver records rows-only)
@@ -625,7 +629,7 @@ def _q_fingerprint_sha(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _q_near_dup_clusters(sf_dir: str):
+def _q_near_dup_clusters(sf_dir: str, method: str = "propagate"):
     import ray.data
 
     from nadry_search_engine_be_ray.stages.dedup import (
@@ -635,7 +639,7 @@ def _q_near_dup_clusters(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, threshold=0.5)
-    out = near_dup_clusters(pairs).to_pandas()
+    out = near_dup_clusters(pairs, method=method).to_pandas()
     out = _typed_empty(out, {"node": "int64", "cluster": "int64"})
     return out.sort_values("node").reset_index(drop=True)
 
@@ -1166,7 +1170,7 @@ def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
     ws_tok = "string_split_regex(trim(text), '\\s+')"
     ws_list = f"CASE WHEN trim(text) = '' THEN [] ELSE list_filter({ws_tok}, t -> t <> '') END"
-    return {
+    sqls = {
         "agg_pushdown": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -1738,3 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _search_bm25_sql(),
         "index_merge": _INDEX_MERGE_SQL,
     }
+    # the pointer-doubling CC variant converges to the SAME labels as the
+    # propagate method (both = component-min transitive closure)
+    sqls["near_dup_clusters_pd"] = sqls["near_dup_clusters"]
+    return sqls
