@@ -179,16 +179,43 @@ def _q_crawl_sim(sf_dir: str):
 
 
 def _q_sketch_stats(sf_dir: str):
-    """Mergeable-sketch operators (rows-only: estimates are approximate by
-    design; pytest asserts the error bounds vs exact answers): HLL distinct
-    count of lineitem orderkeys + grid-sketch quantiles of events.value.
-    Hashing is deterministic, so the values are stable across runs."""
+    """Mergeable-sketch operators: HLL distinct count of lineitem orderkeys
+    + grid-sketch quantiles of events.value.  SQL-checked via the dumped-
+    table trick: the splitmix64 hash side of HLL (per-item register/rank
+    pairs) is DUMPED, and the oracle independently recomputes the register
+    max, the harmonic-mean estimator with small-range correction, and the
+    full grid-histogram quantile interpolation (which is pure arithmetic on
+    events.value, so it needs no dump at all).  Pytest separately asserts
+    the estimates' error bounds vs exact answers."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     import ray.data
 
     from nadry_search_engine_be_ray.stages.sketches import (
         hll_distinct,
+        hll_item_ranks,
         quantile_sketch,
+    )
+
+    keys = (
+        pads.dataset(f"{sf_dir}/lineitem.parquet")
+        .to_table(columns=["l_orderkey"])["l_orderkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    idx, rank = hll_item_ranks(keys)
+    os.makedirs(_HLL_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "idx": pa.array(idx, pa.int64()),
+                "rank": pa.array(rank.astype(np.int32), pa.int32()),
+            }
+        ),
+        f"{_HLL_DUMP_DIR}/ranks.parquet",
     )
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
@@ -324,6 +351,7 @@ def _q_ann_topk(sf_dir: str):
 _MAIN_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/main"
 _SIMHASH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/simhash"
 _FP_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/fingerprints"
+_HLL_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/hll"
 _ANN_LSH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_lsh"
 _ANN_IVF_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_ivf"
 
@@ -1652,6 +1680,65 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN long_fp l ON l.doc_id = d.doc_id
             LEFT JOIN short_fp s ON s.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        # dumped-hash oracle: the splitmix64 register/rank pairs are dumped;
+        # SQL recomputes the HLL register max + harmonic-mean estimator
+        # (with small-range correction) and the ENTIRE grid-quantile sketch
+        # (pure arithmetic over events.value — no dump needed for it)
+        "sketch_stats": f"""
+            WITH ranks AS (
+                SELECT idx, rank
+                FROM read_parquet('{_HLL_DUMP_DIR}/ranks.parquet')
+            ),
+            regs AS (SELECT idx, max(rank) AS r FROM ranks GROUP BY idx),
+            hll_parts AS (
+                SELECT (SELECT sum(pow(2.0, -r)) FROM regs)
+                       + (4096 - (SELECT count(*) FROM regs)) AS denom,
+                       4096 - (SELECT count(*) FROM regs) AS zeros
+            ),
+            hll_est AS (
+                SELECT CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                            THEN 4096 * ln(4096.0 / zeros)
+                            ELSE raw END AS e
+                FROM (SELECT (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                             / denom AS raw, zeros
+                      FROM hll_parts)
+            ),
+            hist AS (
+                SELECT CAST(floor(LEAST(GREATEST(
+                           value / 1000.0 * 2048, 0.0), 2047.0)) AS BIGINT)
+                           AS b,
+                       count(*) AS c
+                FROM events GROUP BY 1
+            ),
+            cdf AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM hist),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM hist),
+            qv(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))),
+            pick AS (
+                SELECT q, min(b) AS i
+                FROM qv, cdf, tot WHERE cum >= q * t GROUP BY q
+            ),
+            quant AS (
+                SELECT q,
+                       (i + (q * t - prev) / hc) * (1000.0 / 2048) AS v
+                FROM (
+                    SELECT p.q, p.i, tot.t,
+                           COALESCE((SELECT cum FROM cdf
+                                     WHERE b < p.i
+                                     ORDER BY b DESC LIMIT 1), 0) AS prev,
+                           (SELECT c FROM cdf WHERE b = p.i) AS hc
+                    FROM pick p, tot
+                )
+            )
+            SELECT 'hll_distinct_orderkeys' AS metric,
+                   round(e, 3) AS estimate FROM hll_est
+            UNION ALL
+            SELECT 'value_p50', round(v, 6) FROM quant WHERE q = 0.5
+            UNION ALL
+            SELECT 'value_p90', round(v, 6) FROM quant WHERE q = 0.9
+            UNION ALL
+            SELECT 'value_p99', round(v, 6) FROM quant WHERE q = 0.99
         """,
         # LSH candidates + distributed exact verify == the capless all-pairs
         # jaccard join up to the ~1e-8/pair LSH miss probability (dedup.py

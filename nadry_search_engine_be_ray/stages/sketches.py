@@ -39,8 +39,10 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
-def hll_update(values: np.ndarray) -> np.ndarray:
-    """One batch -> an m-register uint8 sketch (vectorized)."""
+def hll_item_ranks(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-item (register index, rank) pairs — the hash side of the sketch
+    (split out so oracles can dump it and recompute the register max /
+    estimator independently)."""
     h = _splitmix64(values.astype(np.int64).view(np.uint64))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
@@ -54,6 +56,12 @@ def hll_update(values: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
             cur[hi_zero] = cur[hi_zero] << np.uint64(shift)
     rank = (lz + 1).astype(np.uint8)
+    return idx, rank
+
+
+def hll_update(values: np.ndarray) -> np.ndarray:
+    """One batch -> an m-register uint8 sketch (vectorized)."""
+    idx, rank = hll_item_ranks(values)
     regs = np.zeros(HLL_M, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
