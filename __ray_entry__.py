@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup + ANN extras (rows-only)
         "simhash_pairs": _q_simhash_pairs,
         "fingerprints": _q_fingerprints,
+        "decontaminate": _q_decontaminate,
+        "chunk_windows": _q_chunk_windows,
+        "redact_pii": _q_redact_pii,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal,
@@ -352,6 +355,12 @@ _MAIN_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/main"
 _SIMHASH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/simhash"
 _FP_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/fingerprints"
 _HLL_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/hll"
+
+# RE2-and-Python-compatible PII patterns shared with the Ray stage
+from nadry_search_engine_be_ray.stages.curation import (  # noqa: E402
+    EMAIL_RE as _EMAIL_RE,
+    PHONE_RE as _PHONE_RE,
+)
 _ANN_LSH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_lsh"
 _ANN_IVF_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_ivf"
 
@@ -670,6 +679,83 @@ def _q_near_dup_clusters(sf_dir: str, method: str = "propagate"):
     out = near_dup_clusters(pairs, method=method).to_pandas()
     out = _typed_empty(out, {"node": "int64", "cluster": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the 10 lowest-doc_id documents form the
+    eval set; the train side is every other doc PLUS five planted
+    contaminated copies (doc_id + 2,000,000 = the text of the five lowest
+    eval docs verbatim), so the flagged set is non-trivially non-empty.
+    Grams are strings on both sides — the SQL oracle rebuilds the 8-gram
+    sets from scratch with regexp_extract_all + list slices."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import decontaminate
+
+    docs = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    bench = docs.slice(0, 10)
+    rest = docs.slice(10)
+    planted = pa.table(
+        {
+            "doc_id": pa.compute.add(bench["doc_id"].slice(0, 5), 2_000_000),
+            "text": bench["text"].combine_chunks().slice(0, 5),
+        }
+    )
+    train = pa.concat_tables([rest, planted])
+    out = decontaminate(
+        ray.data.from_arrow(train), bench["text"].to_pylist(), n=8
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_chunk_windows(sf_dir: str):
+    """Token-window chunking (window=32, stride=16) over every document."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import chunk_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = chunk_windows(ds, window=32, stride=16).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _q_redact_pii(sf_dir: str):
+    """PII redaction over documents AUGMENTED with five planted docs
+    (doc_id + 3,000,000) carrying a literal email + phone, so both rewrite
+    paths are exercised non-trivially."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import redact_pii
+
+    docs = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    head = docs.slice(0, 5)
+    planted = pa.table(
+        {
+            "doc_id": pa.compute.add(head["doc_id"], 3_000_000),
+            "text": pa.array(
+                [
+                    t + " contact john.doe@example.com or 555-123-4567 now"
+                    for t in head["text"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    aug = pa.concat_tables([docs, planted])
+    out = redact_pii(ray.data.from_arrow(aug)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir: str):
@@ -1680,6 +1766,106 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN long_fp l ON l.doc_id = d.doc_id
             LEFT JOIN short_fp s ON s.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        # curation ops: fully SQL-expressible (string n-grams / list slices /
+        # RE2-compatible regexes), so no dumps — DuckDB rebuilds everything
+        "decontaminate": """
+            WITH bench AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM documents
+                                 ORDER BY doc_id LIMIT 10)
+            ),
+            train AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+                UNION ALL
+                SELECT doc_id + 2000000, text
+                FROM (SELECT doc_id, text FROM bench ORDER BY doc_id LIMIT 5)
+            ),
+            btok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM bench
+            ),
+            bidx AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 7, 0)))
+                           AS i
+                FROM btok
+            ),
+            bgrams AS (
+                SELECT DISTINCT array_to_string(tk[i : i + 7], ' ') AS g
+                FROM bidx
+            ),
+            ttok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM train
+            ),
+            tidx AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 7, 0)))
+                           AS i
+                FROM ttok
+            ),
+            tgram AS (
+                SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS g
+                FROM tidx
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_contaminated
+                FROM tgram WHERE g IN (SELECT g FROM bgrams)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   greatest(len(tk) - 7, 0) AS n_grams,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+            FROM ttok t LEFT JOIN hits h USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "chunk_windows": """
+            WITH ttok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(
+                           0, CAST(len(tk) AS BIGINT) - 1, 16)) AS s
+                FROM ttok
+            )
+            SELECT doc_id,
+                   s // 16 AS chunk_id,
+                   CAST(s AS BIGINT) AS start_tok,
+                   least(32, len(tk) - s) AS n_tokens,
+                   array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_id
+        """,
+        "redact_pii": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       text || ' contact john.doe@example.com or 555-123-4567 now'
+                FROM (SELECT doc_id, text FROM documents
+                      ORDER BY doc_id LIMIT 5)
+            ),
+            pass1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+                           AS n_emails,
+                       regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g') AS t2
+                FROM aug
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '{_PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+                   n_emails,
+                   CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS BIGINT)
+                       AS n_phones
+            FROM pass1 ORDER BY doc_id
         """,
         # dumped-hash oracle: the splitmix64 register/rank pairs are dumped;
         # SQL recomputes the HLL register max + harmonic-mean estimator

@@ -1,0 +1,185 @@
+"""Corpus-curation transforms for LLM training-data pipelines: benchmark
+decontamination, token-window chunking, and PII redaction.
+
+These are the curation ops that sit beside dedup/quality in a 100 TB
+training-data pipeline (beyond the reference's own operator set; task brief
+"operations a large-scale training-data pipeline would need"):
+
+* ``decontaminate`` — flag training docs that share any token n-gram with a
+  benchmark (eval) set, the standard test-set-overlap guard (e.g. GPT-3
+  appendix C / PaLM-style 8-gram decontamination; public method).  Ray
+  shape: the benchmark gram set is small (eval sets are), so it broadcasts
+  ONCE via ``ray.put`` and the scan is an embarrassingly parallel
+  ``map_batches`` filter — no shuffle.  Grams stay strings here for exact
+  SQL-oracle parity; the 100 TB path would hash them to 64-bit and keep the
+  same broadcast shape (or shard the set if the benchmark were huge).
+* ``chunk_windows`` — split each doc's token stream into fixed-size windows
+  with stride (training context packing / RAG chunking).  Pure per-doc
+  ``map_batches`` flat emit; no shuffle.
+* ``redact_pii`` — regex redaction of emails / phone numbers with match
+  counts.  Patterns are RE2-compatible so a SQL oracle reproduces the
+  rewrite bitwise; compiled once per actor.
+
+All three loop Python over the docs WITHIN a batch (regex + set probes per
+text, the same per-doc shape as stages/textstats.py); the distributed story
+is batches × actors, not intra-batch SIMD.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .textstats import _WORD
+
+# RE2-compatible AND Python-re-compatible (no lookaround, no backrefs) so
+# the DuckDB oracle's regexp_replace is bit-identical
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def doc_ngrams(tokens: list[str], n: int) -> list[str]:
+    """Space-joined token n-grams (positions, not distinct)."""
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def benchmark_gram_set(texts: list[str], n: int = 8) -> frozenset[str]:
+    """The benchmark side: distinct n-grams over all eval texts."""
+    grams: set[str] = set()
+    for t in texts:
+        grams.update(doc_ngrams(_WORD.findall((t or "").lower()), n))
+    return frozenset(grams)
+
+
+class DecontaminateBatch:
+    """Actor-pool stage: per doc, count token n-gram positions that hit the
+    broadcast benchmark gram set.  ``bench_ref`` is a ``ray.put`` handle
+    (fetched once per actor in __init__) or a plain set for driver use."""
+
+    def __init__(self, bench_ref, n: int = 8):
+        import ray
+
+        self.n = n
+        self.bench = (
+            ray.get(bench_ref)
+            if isinstance(bench_ref, ray.ObjectRef)
+            else bench_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        bench = self.bench
+        ids = batch["doc_id"].to_pylist()
+        n_grams_o, n_cont_o, flag_o = [], [], []
+        for text in batch["text"].to_pylist():
+            toks = _WORD.findall((text or "").lower())
+            grams = doc_ngrams(toks, n)
+            hits = sum(1 for g in grams if g in bench)
+            n_grams_o.append(len(grams))
+            n_cont_o.append(hits)
+            flag_o.append(hits > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_grams_o, pa.int64()),
+                "n_contaminated": pa.array(n_cont_o, pa.int64()),
+                "contaminated": pa.array(flag_o, pa.bool_()),
+            }
+        )
+
+
+def decontaminate(ds, bench_texts: list[str], n: int = 8,
+                  concurrency: int | None = None):
+    """Flag docs in ``ds`` (doc_id, text) sharing any token ``n``-gram with
+    ``bench_texts``.  Returns a Dataset (doc_id, n_grams, n_contaminated,
+    contaminated) — the caller drops or audits the flagged docs."""
+    import ray
+
+    bench_ref = ray.put(benchmark_gram_set(bench_texts, n))
+    return ds.map_batches(
+        DecontaminateBatch,
+        fn_constructor_args=(bench_ref, n),
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+
+
+class ChunkWindowsBatch:
+    """Per-doc token-window splitter: windows of ``window`` tokens starting
+    every ``stride`` tokens (starts 0, stride, 2*stride, ... < n_tokens; the
+    tail window may be short).  Zero-token docs emit no chunks."""
+
+    def __init__(self, window: int = 32, stride: int = 16):
+        assert window > 0 and stride > 0
+        self.window, self.stride = window, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w, s = self.window, self.stride
+        d_o, c_o, st_o, nt_o, tx_o = [], [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _WORD.findall((text or "").lower())
+            for k, start in enumerate(range(0, len(toks), s)):
+                win = toks[start : start + w]
+                d_o.append(did)
+                c_o.append(k)
+                st_o.append(start)
+                nt_o.append(len(win))
+                tx_o.append(" ".join(win))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_o, pa.int64()),
+                "chunk_id": pa.array(c_o, pa.int64()),
+                "start_tok": pa.array(st_o, pa.int64()),
+                "n_tokens": pa.array(nt_o, pa.int64()),
+                "chunk_text": pa.array(tx_o, pa.string()),
+            }
+        )
+
+
+def chunk_windows(ds, window: int = 32, stride: int = 16):
+    """Split every doc into token windows; returns a Dataset
+    (doc_id, chunk_id, start_tok, n_tokens, chunk_text)."""
+    return ds.map_batches(
+        ChunkWindowsBatch(window, stride), batch_format="pyarrow"
+    )
+
+
+class RedactPiiBatch:
+    """Regex PII scrub with match counts; patterns compiled once per actor."""
+
+    def __init__(self):
+        self.email = re.compile(EMAIL_RE)
+        self.phone = re.compile(PHONE_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        clean_o, ne_o, np_o = [], [], []
+        for text in batch["text"].to_pylist():
+            t = text or ""
+            ne = len(self.email.findall(t))
+            t2 = self.email.sub("[EMAIL]", t)
+            np_ = len(self.phone.findall(t2))
+            clean_o.append(self.phone.sub("[PHONE]", t2))
+            ne_o.append(ne)
+            np_o.append(np_)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(clean_o, pa.string()),
+                "n_emails": pa.array(ne_o, pa.int64()),
+                "n_phones": pa.array(np_o, pa.int64()),
+            }
+        )
+
+
+def redact_pii(ds, concurrency: int | None = None):
+    """Redact emails then phone numbers (in that order — counts are taken
+    against the text AFTER the email pass so an email containing a
+    phone-shaped digit run is not double-counted).  Returns a Dataset
+    (doc_id, clean_text, n_emails, n_phones)."""
+    return ds.map_batches(
+        RedactPiiBatch, batch_format="pyarrow", concurrency=concurrency or 4
+    )

@@ -1,0 +1,83 @@
+"""Curation ops: decontamination, chunking, PII redaction (golden tests;
+driver-level SQL conformance lives in test_entry_contract)."""
+
+import pyarrow as pa
+import ray
+
+from nadry_search_engine_be_ray.stages import curation
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    bench = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    ds = _docs(
+        [
+            # full copy: every 8-gram hits
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # clean doc, same vocab but shuffled (no 8-gram match)
+            (2, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+            # embedded overlap: one benchmark 8-gram inside other text
+            (3, "x y alpha beta gamma delta epsilon zeta eta theta z"),
+            # too short for any 8-gram
+            (4, "alpha beta"),
+        ]
+    )
+    out = (
+        curation.decontaminate(ds, bench, n=8, concurrency=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_contaminated"] == 3
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_contaminated"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_grams"] == 4 and out.loc[3, "n_contaminated"] == 1
+    assert out.loc[4, "n_grams"] == 0 and not bool(out.loc[4, "contaminated"])
+
+
+def test_chunk_windows_shapes(ray_session):
+    toks = [f"t{i}" for i in range(40)]
+    ds = _docs([(7, " ".join(toks)), (8, ""), (9, "only three tokens")])
+    out = (
+        curation.chunk_windows(ds, window=32, stride=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d7 = out[out.doc_id == 7]
+    assert list(d7.start_tok) == [0, 16, 32]
+    assert list(d7.n_tokens) == [32, 24, 8]
+    assert d7.iloc[0].chunk_text.split() == toks[:32]
+    assert d7.iloc[2].chunk_text.split() == toks[32:]
+    assert (out.doc_id == 8).sum() == 0          # empty doc -> no chunks
+    d9 = out[out.doc_id == 9]
+    assert len(d9) == 1 and d9.iloc[0].n_tokens == 3
+
+
+def test_redact_pii_counts_and_order(ray_session):
+    ds = _docs(
+        [
+            (1, "mail a@b.com and b.c@d.org plus 555-123-4567 ok"),
+            (2, "no pii here"),
+            # digits inside an email local part must not double-count as
+            # a phone after the email pass removed them
+            (3, "x 555-123-4567abc@mail.com y"),
+        ]
+    )
+    out = (
+        curation.redact_pii(ds, concurrency=2).to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "clean_text"] == "mail [EMAIL] and [EMAIL] plus [PHONE] ok"
+    assert out.loc[2, "clean_text"] == "no pii here"
+    assert out.loc[3, "n_emails"] == 1 and out.loc[3, "n_phones"] == 0
+    assert out.loc[3, "clean_text"] == "x [EMAIL] y"
