@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "chunk_windows": _q_chunk_windows,
         "redact_pii": _q_redact_pii,
+        "pack_sequences": _q_pack_sequences,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal,
@@ -756,6 +757,18 @@ def _q_redact_pii(sf_dir: str):
     aug = pa.concat_tables([docs, planted])
     out = redact_pii(ray.data.from_arrow(aug)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (context=128) over documents; tiny part_docs so the
+    driver-scale corpus still exercises the multi-part prefix-sum path."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = pack_sequences(ds, context=128, part_docs=64).to_pandas()
+    return out.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir: str):
@@ -1843,6 +1856,34 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text
             FROM starts
             ORDER BY doc_id, chunk_id
+        """,
+        # GPT-style packing: concatenate token streams in doc_id order,
+        # split at 128-token boundaries; pure window-cumsum arithmetic
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                            AS BIGINT) AS n
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, n,
+                       CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS off
+                FROM t
+            ),
+            idx AS (
+                SELECT doc_id, n, off,
+                       unnest(generate_series(off // 128,
+                                              (off + n - 1) // 128)) AS seq_id
+                FROM o WHERE n > 0
+            )
+            SELECT seq_id, doc_id,
+                   greatest(seq_id * 128, off) - off AS doc_start_tok,
+                   least((seq_id + 1) * 128, off + n)
+                       - greatest(seq_id * 128, off) AS n_tokens
+            FROM idx ORDER BY seq_id, doc_id
         """,
         "redact_pii": f"""
             WITH aug AS (

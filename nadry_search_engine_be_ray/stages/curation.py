@@ -147,6 +147,108 @@ def chunk_windows(ds, window: int = 32, stride: int = 16):
     )
 
 
+class _CountTokensBatch:
+    """(part, doc_id, n_tokens) rows; part = doc_id // part_docs gives a
+    deterministic doc_id-range partitioning for the prefix-sum exchange."""
+
+    def __init__(self, part_docs: int):
+        self.part_docs = part_docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        n = [
+            len(_WORD.findall((t or "").lower()))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "part": pa.array(ids // self.part_docs, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(np.array(n, dtype="int64"), pa.int64()),
+            }
+        )
+
+
+def pack_sequences(ds, context: int = 128, part_docs: int = 4096):
+    """GPT-style sequence packing: conceptually concatenate every doc's
+    token stream in doc_id order and split at ``context``-token boundaries;
+    returns the (seq_id, doc_id, doc_start_tok, n_tokens) segment map (a
+    doc straddling a boundary emits one row per sequence it touches).
+
+    Distributed prefix sum, no driver-side doc materialization: pass 1
+    emits thin (part, doc_id, n_tokens) rows (part = doc_id // part_docs);
+    the per-part token sums — n_docs / part_docs rows, the ONLY driver
+    materialization — give each part its global base offset, broadcast via
+    ``ray.put``; pass 2 is a groupby("part") whose tasks cumsum within
+    their part and emit segments vectorized (np.repeat over per-doc
+    sequence counts)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        _CountTokensBatch(part_docs), batch_format="pyarrow"
+    ).materialize()
+    sums = (
+        counts.groupby("part")
+        .aggregate(Sum("n_tokens", alias_name="part_tokens"))
+        .to_pandas()
+        .sort_values("part")
+    )
+    parts = sums["part"].to_numpy().astype("int64")
+    bases = np.concatenate(
+        [[0], np.cumsum(sums["part_tokens"].to_numpy().astype("int64"))[:-1]]
+    )
+    base_ref = ray.put((parts, bases))
+
+    def emit_segments(group: pa.Table) -> pa.Table:
+        parts_a, bases_a = ray.get(base_ref)
+        part = int(group["part"][0].as_py())
+        base = int(bases_a[np.searchsorted(parts_a, part)])
+        g = group.sort_by("doc_id")
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        n = g["n_tokens"].to_numpy(zero_copy_only=False).astype("int64")
+        off = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        keep = n > 0
+        ids, n, off = ids[keep], n[keep], off[keep]
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "doc_start_tok": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        first = off // context
+        last = (off + n - 1) // context
+        cnt = last - first + 1
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(ids.size), cnt)
+        # within-doc sequence index 0..cnt-1, then the global seq id
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        k = np.arange(total) - np.repeat(starts, cnt)
+        seq = np.repeat(first, cnt) + k
+        o = off[rep]
+        nn = n[rep]
+        lo = np.maximum(seq * context, o)
+        hi = np.minimum((seq + 1) * context, o + nn)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq, pa.int64()),
+                "doc_id": pa.array(ids[rep], pa.int64()),
+                "doc_start_tok": pa.array(lo - o, pa.int64()),
+                "n_tokens": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return counts.groupby("part").map_groups(
+        emit_segments, batch_format="pyarrow"
+    )
+
+
 class RedactPiiBatch:
     """Regex PII scrub with match counts; patterns compiled once per actor."""
 

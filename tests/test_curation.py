@@ -63,6 +63,32 @@ def test_chunk_windows_shapes(ray_session):
     assert len(d9) == 1 and d9.iloc[0].n_tokens == 3
 
 
+def test_pack_sequences_segment_map(ray_session):
+    # docs of 5 / 3 / 4 tokens, context 4: global stream is 12 tokens ->
+    # seq 0 = d1[0:4], seq 1 = d1[4:5]+d2[0:3], seq 2 = d3[0:4]
+    ds = _docs(
+        [
+            (1, "a b c d e"),
+            (2, "f g h"),
+            (3, "i j k l"),
+            (4, ""),  # zero-token doc emits nothing
+        ]
+    )
+    out = (
+        curation.pack_sequences(ds, context=4, part_docs=2)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    assert rows == [
+        (0, 1, 0, 4),
+        (1, 1, 4, 1),
+        (1, 2, 0, 3),
+        (2, 3, 0, 4),
+    ]
+
+
 def test_redact_pii_counts_and_order(ray_session):
     ds = _docs(
         [
