@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": _q_chunk_windows,
         "redact_pii": _q_redact_pii,
         "pack_sequences": _q_pack_sequences,
+        "repetition_scores": _q_repetition_scores,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal,
@@ -756,6 +757,17 @@ def _q_redact_pii(sf_dir: str):
     )
     aug = pa.concat_tables([docs, planted])
     out = redact_pii(ray.data.from_arrow(aug)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition signals per document."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import repetition_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = repetition_scores(ds).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1856,6 +1868,56 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text
             FROM starts
             ORDER BY doc_id, chunk_id
+        """,
+        # Gopher repetition rules: n-gram multiplicity fractions per doc
+        "repetition_scores": """
+            WITH ttok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM documents
+            ),
+            g2i AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 1, 0)))
+                           AS i
+                FROM ttok
+            ),
+            g2c AS (
+                SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS g,
+                       count(*) AS c
+                FROM g2i GROUP BY doc_id, g
+            ),
+            g2s AS (
+                SELECT doc_id,
+                       CAST(max(c) AS DOUBLE) / sum(c) AS top2
+                FROM g2c GROUP BY doc_id
+            ),
+            g5i AS (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 4, 0)))
+                           AS i
+                FROM ttok
+            ),
+            g5c AS (
+                SELECT doc_id, array_to_string(tk[i : i + 4], ' ') AS g,
+                       count(*) AS c
+                FROM g5i GROUP BY doc_id, g
+            ),
+            g5s AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                           / sum(c) AS dup5
+                FROM g5c GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(COALESCE(g2s.top2, 0.0), 9) AS top2gram_frac,
+                   round(COALESCE(g5s.dup5, 0.0), 9) AS dup5gram_frac,
+                   COALESCE(g2s.top2, 0.0) > 0.20
+                       OR COALESCE(g5s.dup5, 0.0) > 0.30 AS repetitive
+            FROM ttok t
+            LEFT JOIN g2s ON g2s.doc_id = t.doc_id
+            LEFT JOIN g5s ON g5s.doc_id = t.doc_id
+            ORDER BY t.doc_id
         """,
         # GPT-style packing: concatenate token streams in doc_id order,
         # split at 128-token boundaries; pure window-cumsum arithmetic

@@ -147,6 +147,54 @@ def chunk_windows(ds, window: int = 32, stride: int = 16):
     )
 
 
+class RepetitionBatch:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public method), per doc over the token stream:
+
+    * ``top2gram_frac`` — occurrences of the MOST COMMON 2-gram as a
+      fraction of all 2-gram positions (0.0 when < 2 tokens)
+    * ``dup5gram_frac`` — fraction of 5-gram positions whose gram occurs
+      more than once in the doc (0.0 when < 5 tokens)
+    * ``repetitive`` — Gopher-ish rejection flag (top2 > 0.20 or
+      dup5 > 0.30)
+    """
+
+    TOP2_MAX = 0.20
+    DUP5_MAX = 0.30
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"].to_pylist()
+        top2_o, dup5_o, flag_o = [], [], []
+        for text in batch["text"].to_pylist():
+            toks = _WORD.findall((text or "").lower())
+            g2 = Counter(doc_ngrams(toks, 2))
+            t2 = sum(g2.values())
+            top2 = (max(g2.values()) / t2) if t2 else 0.0
+            g5 = Counter(doc_ngrams(toks, 5))
+            t5 = sum(g5.values())
+            dup5 = (
+                sum(c for c in g5.values() if c > 1) / t5 if t5 else 0.0
+            )
+            top2_o.append(round(top2, 9))
+            dup5_o.append(round(dup5, 9))
+            flag_o.append(top2 > self.TOP2_MAX or dup5 > self.DUP5_MAX)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "top2gram_frac": pa.array(top2_o, pa.float64()),
+                "dup5gram_frac": pa.array(dup5_o, pa.float64()),
+                "repetitive": pa.array(flag_o, pa.bool_()),
+            }
+        )
+
+
+def repetition_scores(ds):
+    """Per-doc Gopher repetition signals; shuffle-free map_batches."""
+    return ds.map_batches(RepetitionBatch(), batch_format="pyarrow")
+
+
 class _CountTokensBatch:
     """(part, doc_id, n_tokens) rows; part = doc_id // part_docs gives a
     deterministic doc_id-range partitioning for the prefix-sum exchange."""

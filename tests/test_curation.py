@@ -63,6 +63,29 @@ def test_chunk_windows_shapes(ray_session):
     assert len(d9) == 1 and d9.iloc[0].n_tokens == 3
 
 
+def test_repetition_scores_gopher_rules(ray_session):
+    ds = _docs(
+        [
+            # "a b" 2-gram repeats 3/5 of positions; every 5-gram unique?
+            # tokens: a b a b a b  -> 2-grams: ab ba ab ba ab (ab x3 / 5)
+            #         5-grams: ababa babab (each once) -> dup5 = 0
+            (1, "a b a b a b"),
+            # fully repeated phrase: all 5-grams occur twice or more
+            (2, "x y z w v x y z w v x y z w v"),
+            (3, "one two three four five six seven"),
+            (4, "solo"),
+        ]
+    )
+    out = (
+        curation.repetition_scores(ds).to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "top2gram_frac"] == 0.6 and bool(out.loc[1, "repetitive"])
+    assert out.loc[2, "dup5gram_frac"] > 0.3 and bool(out.loc[2, "repetitive"])
+    assert not bool(out.loc[3, "repetitive"])
+    # single token: no 2-grams at all
+    assert out.loc[4, "top2gram_frac"] == 0.0 and not bool(out.loc[4, "repetitive"])
+
+
 def test_pack_sequences_segment_map(ray_session):
     # docs of 5 / 3 / 4 tokens, context 4: global stream is 12 tokens ->
     # seq 0 = d1[0:4], seq 1 = d1[4:5]+d2[0:3], seq 2 = d3[0:4]
