@@ -70,10 +70,14 @@ def test_all_oracle_keys_have_queries():
 
 def test_rows_only_queries_run(ray_session):
     qs = entry_mod.queries()
-    rows_only = [k for k in qs if k not in entry_mod.oracle_sql()]
-    assert len(rows_only) >= 8
-    for name in ["search_reference", "pagerank", "minhash_lsh_pairs",
-                 "multimodal_decode"]:
+    rows_only = sorted(k for k in qs if k not in entry_mod.oracle_sql())
+    # every remaining rows-only query is genuinely non-SQL (iterative /
+    # stateful / binary decode); conversions should only shrink this list
+    assert set(rows_only) <= {
+        "crawl_sim", "multimodal_audio", "multimodal_decode",
+        "multimodal_frames", "pagerank", "search_api_page",
+    }, rows_only
+    for name in ["pagerank", "multimodal_decode"]:
         out = qs[name](SF)
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()
