@@ -169,10 +169,26 @@ def main() -> None:
     rel.q_window(SF_DIR)
     timings["relational_agg_window"] = time.time() - t0
 
+    # --- curation ops (reported, NOT in the headline total: the baseline
+    # series predates these keys; comparable keys stay comparable) ----------
+    from nadry_search_engine_be_ray.stages.curation import (
+        decontaminate, pack_sequences, repetition_scores,
+    )
+
+    extra_timings = {}
+    t0 = time.time()
+    docs_tbl = docs_ds.to_pandas().sort_values("doc_id")
+    bench_texts = docs_tbl["text"].head(10).tolist()
+    decontaminate(docs_ds, bench_texts, n=8).count()
+    pack_sequences(docs_ds, context=1024).count()
+    repetition_scores(docs_ds).count()
+    extra_timings["curation_suite"] = time.time() - t0
+
     shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
 
     total = sum(timings.values())
+    timings = {**timings, **extra_timings}
     print(
         json.dumps(
             {
