@@ -357,6 +357,7 @@ _MAIN_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/main"
 _SIMHASH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/simhash"
 _FP_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/fingerprints"
 _HLL_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/hll"
+_MM_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/multimodal"
 
 # RE2-and-Python-compatible PII patterns shared with the Ray stage
 from nadry_search_engine_be_ray.stages.curation import (  # noqa: E402
@@ -944,32 +945,192 @@ def _q_ann_ivf(sf_dir: str):
 
 
 def _q_multimodal(sf_dir: str):
+    """Image decode + grid-luminance features (SQL-checked via the
+    dumped-pixel trick: the PPM parse + nearest resize aren't SQL, so the
+    resized RGB pixels are DUMPED and DuckDB independently recomputes the
+    gray conversion and the 4x4 grid means; features are exploded to
+    (feat_idx, value) rows so no list-typed column rides the compare)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.multimodal import decode_images, synth_media_table
+    from nadry_search_engine_be_ray.stages.multimodal import (
+        decode_images,
+        decode_ppm,
+        resize_nearest,
+        synth_media_table,
+    )
 
-    media = ray.data.from_arrow(synth_media_table(64, "image"))
+    media_tbl = synth_media_table(64, "image")
+    m_o, y_o, x_o, r_o, g_o, b_o = [], [], [], [], [], []
+    meta_m, meta_w, meta_h = [], [], []
+    for mid, payload in zip(
+        media_tbl["media_id"].to_pylist(), media_tbl["payload"].to_pylist()
+    ):
+        img = decode_ppm(payload)
+        resized = resize_nearest(img, 64, 64)
+        meta_m.append(mid)
+        meta_w.append(img.shape[1])
+        meta_h.append(img.shape[0])
+        yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        m_o.append(np.full(64 * 64, mid, dtype=np.int64))
+        y_o.append(yy.reshape(-1))
+        x_o.append(xx.reshape(-1))
+        r_o.append(resized[:, :, 0].reshape(-1).astype(np.int32))
+        g_o.append(resized[:, :, 1].reshape(-1).astype(np.int32))
+        b_o.append(resized[:, :, 2].reshape(-1).astype(np.int32))
+    os.makedirs(_MM_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(np.concatenate(m_o), pa.int64()),
+                "y": pa.array(np.concatenate(y_o).astype(np.int64), pa.int64()),
+                "x": pa.array(np.concatenate(x_o).astype(np.int64), pa.int64()),
+                "r": pa.array(np.concatenate(r_o), pa.int32()),
+                "g": pa.array(np.concatenate(g_o), pa.int32()),
+                "b": pa.array(np.concatenate(b_o), pa.int32()),
+            }
+        ),
+        f"{_MM_DUMP_DIR}/pixels.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(meta_m, pa.int64()),
+                "width": pa.array(meta_w, pa.int32()),
+                "height": pa.array(meta_h, pa.int32()),
+            }
+        ),
+        f"{_MM_DUMP_DIR}/image_meta.parquet",
+    )
+
+    media = ray.data.from_arrow(media_tbl)
     out = decode_images(media, concurrency=2, batch_size=16).to_pandas()
-    out["features"] = out["features"].map(lambda v: [round(float(x), 6) for x in v])
-    return out.sort_values("media_id").reset_index(drop=True)
+    out = out.sort_values("media_id").reset_index(drop=True)
+    exploded = out.explode("features", ignore_index=True)
+    exploded["feat_idx"] = exploded.groupby("media_id").cumcount().astype("int64")
+    exploded["value"] = exploded["features"].astype("float64").round(6)
+    return exploded[["media_id", "width", "height", "feat_idx", "value"]]
 
 
 def _q_multimodal_frames(sf_dir: str):
+    """Video frame sampling (SQL-checked): the NVID container parse isn't
+    SQL, so every SOURCE frame's bytes + per-video (nf, fps) are DUMPED and
+    DuckDB independently recomputes the sampling arithmetic (src index,
+    truncated timestamp) and joins the sampled frames back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.multimodal import sample_frames, synth_media_table
+    from nadry_search_engine_be_ray.stages.multimodal import (
+        _NVID_MAGIC,
+        sample_frames,
+        synth_media_table,
+    )
+    import struct
 
-    media = ray.data.from_arrow(synth_media_table(32, "video"))
+    media_tbl = synth_media_table(32, "video")
+    fm, fs, fb = [], [], []
+    meta_m, meta_nf, meta_fps = [], [], []
+    for mid, payload in zip(
+        media_tbl["media_id"].to_pylist(), media_tbl["payload"].to_pylist()
+    ):
+        assert payload[:4] == _NVID_MAGIC
+        w, h, nf, fps = struct.unpack_from("<HHHH", payload, 4)
+        frame_bytes = w * h * 3
+        body = payload[12:]
+        meta_m.append(mid)
+        meta_nf.append(nf)
+        meta_fps.append(fps)
+        for s in range(nf):
+            fm.append(mid)
+            fs.append(s)
+            fb.append(body[s * frame_bytes : (s + 1) * frame_bytes])
+    os.makedirs(_MM_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(fm, pa.int64()),
+                "src": pa.array(fs, pa.int64()),
+                "frame_bytes": pa.array(fb, pa.binary()),
+            }
+        ),
+        f"{_MM_DUMP_DIR}/frames.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(meta_m, pa.int64()),
+                "nf": pa.array(meta_nf, pa.int64()),
+                "fps": pa.array(meta_fps, pa.int64()),
+            }
+        ),
+        f"{_MM_DUMP_DIR}/video_meta.parquet",
+    )
+
+    media = ray.data.from_arrow(media_tbl)
     out = sample_frames(media, n_frames=4, concurrency=2, batch_size=8).to_pandas()
+    # raw frame bytes aren't safely comparable through the driver's
+    # string-canonicalizing hash; fingerprint them (md5 of the lowercase
+    # hex, reproducible in SQL as md5(lower(hex(blob))))
+    out["frame_md5"] = out["frame_bytes"].map(
+        lambda b: hashlib.md5(bytes(b).hex().encode()).hexdigest()
+    )
+    out = out.drop(columns=["frame_bytes"])
     return out.sort_values(["media_id", "frame"]).reset_index(drop=True)
 
 
 def _q_multimodal_audio(sf_dir: str):
+    """Windowed audio RMS energy (SQL-checked): the WAV parse isn't SQL, so
+    the decoded PCM16 samples + rates are DUMPED and DuckDB independently
+    recomputes the windowing and sqrt(avg(s^2))/32768 energies."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.multimodal import audio_features, synth_media_table
+    from nadry_search_engine_be_ray.stages.multimodal import (
+        AudioFeaturesBatch,
+        audio_features,
+        synth_media_table,
+    )
 
-    media = ray.data.from_arrow(synth_media_table(32, "audio"))
+    media_tbl = synth_media_table(32, "audio")
+    dec = AudioFeaturesBatch()
+    sm, si, sv = [], [], []
+    meta_m, meta_r = [], []
+    for mid, payload in zip(
+        media_tbl["media_id"].to_pylist(), media_tbl["payload"].to_pylist()
+    ):
+        samples, rate = dec._decode(payload)
+        sm.append(np.full(samples.size, mid, dtype=np.int64))
+        si.append(np.arange(samples.size, dtype=np.int64))
+        sv.append(samples.astype(np.int32))
+        meta_m.append(mid)
+        meta_r.append(rate)
+    os.makedirs(_MM_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(np.concatenate(sm), pa.int64()),
+                "idx": pa.array(np.concatenate(si), pa.int64()),
+                "sample": pa.array(np.concatenate(sv), pa.int32()),
+            }
+        ),
+        f"{_MM_DUMP_DIR}/samples.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(meta_m, pa.int64()),
+                "rate": pa.array(meta_r, pa.int64()),
+            }
+        ),
+        f"{_MM_DUMP_DIR}/audio_meta.parquet",
+    )
+
+    media = ray.data.from_arrow(media_tbl)
     out = audio_features(media, window_ms=1000, concurrency=2, batch_size=8).to_pandas()
     out["energy"] = out["energy"].round(9)
     return out.sort_values(["media_id", "window"]).reset_index(drop=True)
@@ -1969,6 +2130,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS BIGINT)
                        AS n_phones
             FROM pass1 ORDER BY doc_id
+        """,
+        # dumped-decode oracles: the container parse (PPM/NVID/WAV) is the
+        # non-SQL stage; its output (resized pixels / source frames /
+        # PCM samples) is dumped and DuckDB recomputes everything
+        # downstream — gray + grid means, sampling arithmetic, windowed RMS
+        "multimodal_decode": f"""
+            WITH px AS (
+                SELECT * FROM read_parquet('{_MM_DUMP_DIR}/pixels.parquet')
+            ),
+            meta AS (
+                SELECT * FROM read_parquet('{_MM_DUMP_DIR}/image_meta.parquet')
+            ),
+            cells AS (
+                SELECT media_id,
+                       (y // 16) * 4 + (x // 16) AS feat_idx,
+                       avg((r + g + b) / 3.0 / 255.0) AS v
+                FROM px GROUP BY media_id, (y // 16) * 4 + (x // 16)
+            )
+            SELECT c.media_id, m.width, m.height,
+                   CAST(c.feat_idx AS BIGINT) AS feat_idx,
+                   round(c.v, 6) AS value
+            FROM cells c JOIN meta m USING (media_id)
+            ORDER BY c.media_id, feat_idx
+        """,
+        "multimodal_frames": f"""
+            WITH meta AS (
+                SELECT * FROM read_parquet('{_MM_DUMP_DIR}/video_meta.parquet')
+            ),
+            fr AS (
+                SELECT * FROM read_parquet('{_MM_DUMP_DIR}/frames.parquet')
+            ),
+            sel AS (
+                SELECT media_id, nf, fps,
+                       unnest(generate_series(0, 3)) AS f
+                FROM meta
+            ),
+            calc AS (
+                SELECT media_id, CAST(f AS INTEGER) AS frame,
+                       least(nf - 1, (f * nf) // 4) AS src,
+                       CAST(floor(least(nf - 1, (f * nf) // 4) * 1000.0 / fps)
+                            AS INTEGER) AS ts_ms
+                FROM sel
+            )
+            SELECT c.media_id, c.frame, c.ts_ms,
+                   md5(lower(hex(fr.frame_bytes))) AS frame_md5
+            FROM calc c
+            JOIN fr ON fr.media_id = c.media_id AND fr.src = c.src
+            ORDER BY c.media_id, c.frame
+        """,
+        "multimodal_audio": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_MM_DUMP_DIR}/samples.parquet')
+            ),
+            meta AS (
+                SELECT * FROM read_parquet('{_MM_DUMP_DIR}/audio_meta.parquet')
+            ),
+            cnt AS (SELECT media_id, count(*) AS n FROM s GROUP BY media_id),
+            par AS (
+                SELECT m.media_id, m.rate AS win,
+                       greatest(1, c.n // m.rate) AS n_windows
+                FROM meta m JOIN cnt c USING (media_id)
+            )
+            SELECT s.media_id,
+                   CAST(s.idx // p.win AS INTEGER) AS "window",
+                   CAST((s.idx // p.win) * 1000 AS INTEGER) AS window_start_ms,
+                   round(sqrt(avg(CAST(s.sample AS DOUBLE) * s.sample))
+                         / 32768.0, 9) AS energy
+            FROM s JOIN par p USING (media_id)
+            WHERE s.idx // p.win < p.n_windows
+            GROUP BY s.media_id, s.idx // p.win, p.win
+            ORDER BY s.media_id, "window"
         """,
         # dumped-hash oracle: the splitmix64 register/rank pairs are dumped;
         # SQL recomputes the HLL register max + harmonic-mean estimator

@@ -160,7 +160,7 @@ class DecodeImageBatch:
     def _features(self, payload: bytes) -> np.ndarray:
         h = hashlib.sha256(payload).digest()
         return (
-            np.frombuffer(h[: self.FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+            np.frombuffer(h[: self.FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64)
             / 65535.0
         )
 
@@ -181,11 +181,13 @@ class DecodeImageBatch:
             )
         tw, th = self.target_size
         resized = resize_nearest(img, tw, th)
-        gray = resized.astype(np.float32).mean(axis=2) / 255.0
+        # float64 throughout so the dumped-pixel SQL oracle's avg() is
+        # rounding-stable against these values at 6 decimals
+        gray = resized.astype(np.float64).mean(axis=2) / 255.0
         # 16-dim = mean luminance over a 4x4 grid of the resized image
         gh, gw = th // 4, tw // 4
         feats = gray[: gh * 4, : gw * 4].reshape(4, gh, 4, gw).mean(axis=(1, 3))
-        return feats.reshape(-1).astype(np.float32), img.shape[1], img.shape[0]
+        return feats.reshape(-1), img.shape[1], img.shape[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ws, hs = [], [], []
@@ -202,7 +204,7 @@ class DecodeImageBatch:
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
                 "features": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.concatenate(feats), pa.float32()), self.FEATURE_DIM
+                    pa.array(np.concatenate(feats), pa.float64()), self.FEATURE_DIM
                 ),
             }
         )

@@ -74,10 +74,9 @@ def test_rows_only_queries_run(ray_session):
     # every remaining rows-only query is genuinely non-SQL (iterative /
     # stateful / binary decode); conversions should only shrink this list
     assert set(rows_only) <= {
-        "crawl_sim", "multimodal_audio", "multimodal_decode",
-        "multimodal_frames", "pagerank", "search_api_page",
+        "crawl_sim", "pagerank", "search_api_page",
     }, rows_only
-    for name in ["pagerank", "multimodal_decode"]:
+    for name in ["pagerank"]:
         out = qs[name](SF)
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()
