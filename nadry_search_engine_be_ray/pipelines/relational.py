@@ -277,6 +277,9 @@ def q_cumulative_sum(sf_dir: str) -> pd.DataFrame:
         )
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    # input-sized result: to_pandas() is the declared query contract (the
+    # driver hashes the whole table); a 100x-scale caller would
+    # write_parquet the Dataset instead of collecting it
     out = ds.groupby("user_id").map_groups(running, batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
@@ -526,6 +529,9 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # input-sized result: to_pandas() is the declared query contract (the
+    # driver hashes the whole table); a 100x-scale caller would
+    # write_parquet the Dataset instead of collecting it
     out = ev.union(od).groupby("key").map_groups(asof, batch_format="pyarrow").to_pandas()
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
