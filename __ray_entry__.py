@@ -843,7 +843,12 @@ def _q_ann_lsh(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
 
-    from nadry_search_engine_be_ray.stages.similarity import LshIndexBatch, lsh_topk
+    from nadry_search_engine_be_ray.stages.similarity import (
+        LshIndexBatch,
+        _normalize,
+        lsh_probe_lists,
+        lsh_topk,
+    )
 
     emb_tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table()
     head = emb_tbl.to_pandas().sort_values("vec_id").head(3)
@@ -853,15 +858,12 @@ def _q_ann_lsh(sf_dir: str):
     n_planes, n_probes = 6, 16
     stage = LshIndexBatch(q.shape[1], n_planes=n_planes, seed=11)
     assigned = stage(emb_tbl)
-    q_signs = (q @ stage.planes.T) > 0
-    q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
-    all_buckets = np.arange(1 << n_planes)
     probe_q, probe_b = [], []
-    for qi, qb in enumerate(q_buckets):
-        ham = np.array([bin(int(qb) ^ int(b)).count("1") for b in all_buckets])
-        near = all_buckets[np.argsort(ham, kind="stable")[:n_probes]]
+    for qi, near in enumerate(
+        lsh_probe_lists(_normalize(q), stage.planes, n_planes, n_probes)
+    ):
         probe_q += [int(qv_ids[qi])] * len(near)
-        probe_b += [int(x) for x in near]
+        probe_b += near
     os.makedirs(_ANN_LSH_DUMP_DIR, exist_ok=True)
     pq.write_table(
         assigned.select(["vec_id", "bucket"]),
@@ -900,6 +902,7 @@ def _q_ann_ivf(sf_dir: str):
     from nadry_search_engine_be_ray.stages.similarity import (
         IvfAssignBatch,
         _normalize,
+        ivf_probe_lists,
         ivf_topk,
         train_ivf_centroids,
     )
@@ -913,13 +916,10 @@ def _q_ann_ivf(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cent = train_ivf_centroids(emb, n_lists=n_lists, seed=13)
     assigned = IvfAssignBatch(cent)(emb_tbl)
-    sims = _normalize(q) @ cent.T
-    np_probe = min(n_probes, cent.shape[0])
     probe_q, probe_l = [], []
-    for qi in range(q.shape[0]):
-        near = np.argsort(-sims[qi], kind="stable")[:np_probe]
+    for qi, near in enumerate(ivf_probe_lists(_normalize(q), cent, n_probes)):
         probe_q += [int(qv_ids[qi])] * len(near)
-        probe_l += [int(x) for x in near]
+        probe_l += near
     os.makedirs(_ANN_IVF_DUMP_DIR, exist_ok=True)
     pq.write_table(
         assigned.select(["vec_id", "ivf_list"]),
@@ -1886,7 +1886,12 @@ def oracle_sql() -> dict[str, str]:
         # cross-band pair dedup recomputed in SQL over the dumped sig table
         "simhash_pairs": f"""
             WITH sig AS (
+                -- replicate the engine's per-bucket cap: first 50 distinct
+                -- (doc_id, simhash) rows in sorted order (dedup.py
+                -- bucket_pairs truncation)
                 SELECT * FROM read_parquet('{_SIMHASH_DUMP_DIR}/sig.parquet')
+                QUALIFY row_number() OVER (PARTITION BY band, band_key
+                                           ORDER BY doc_id, simhash) <= 50
             ),
             cand AS (
                 SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b,

@@ -95,13 +95,13 @@ def curate(
         losers_ref = ray.put(exact_losers)
 
         def drop_exact_losers(batch: pa.Table) -> pa.Table:
+            from ..stages.prep import sorted_membership_mask
+
             l = ray.get(losers_ref)
             if l.size == 0:
                 return batch
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(l, ids)
-            idx[idx == l.size] = 0
-            return batch.filter(pa.array(~(l[idx] == ids)))
+            return batch.filter(pa.array(~sorted_membership_mask(l, ids)))
 
         deduped = quality.map_batches(drop_exact_losers, batch_format="pyarrow")
     else:
@@ -146,13 +146,13 @@ def curate(
         nl_ref = ray.put(near_losers)
 
         def drop_near_losers(batch: pa.Table) -> pa.Table:
+            from ..stages.prep import sorted_membership_mask
+
             l = ray.get(nl_ref)
             if l.size == 0:
                 return batch
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(l, ids)
-            idx[idx == l.size] = 0
-            return batch.filter(pa.array(~(l[idx] == ids)))
+            return batch.filter(pa.array(~sorted_membership_mask(l, ids)))
 
         curated = deduped.map_batches(drop_near_losers, batch_format="pyarrow")
     else:
@@ -163,7 +163,11 @@ def curate(
             f"curate: {n_pairs} near-dup pairs exceed the broadcast cap "
             f"({max_broadcast_losers}); falling back to shuffle anti join"
         )
-        doc_schema_cols = [c for c in ("doc_id", "text")]
+        # NOTE: this fallback pins curate's two-column (doc_id, text)
+        # schema; extend to_markers/to_rows/keep_non_losers together if
+        # curate's input ever grows a column (the broadcast path above is
+        # schema-agnostic)
+        doc_schema_cols = ["doc_id", "text"]
 
         def to_markers(batch: pa.Table) -> pa.Table:
             b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -350,11 +350,11 @@ def _verify_pairs_broadcast(docs_ds, pairs_tbl: pa.Table,
     ids_ref = ray.put(cand_ids)
 
     def sel(batch: pa.Table) -> pa.Table:
+        from .prep import sorted_membership_mask
+
         cids = ray.get(ids_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(cids, ids)
-        idx[idx == cids.size] = 0
-        batch = batch.filter(pa.array(cids[idx] == ids))
+        batch = batch.filter(pa.array(sorted_membership_mask(cids, ids)))
         return pa.table(
             {
                 id_col: batch[id_col].cast(pa.int64()),
@@ -448,7 +448,12 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
     import ray
     import ray.data
 
-    pairs_ds = pairs_ds.materialize()
+    # dedupe to DISTINCT canonical pairs first (one thin sort-based groupby):
+    # the LSH band stream repeats a pair once per shared band (up to
+    # n_bands x), so gating the broadcast/filter fast paths on the raw row
+    # count would prematurely fall back to the corpus-text shuffle, and the
+    # membership rows below would be band-duplicated through the exchange
+    pairs_ds = _distinct_pairs(pairs_ds).materialize()
     n_pairs = int(pairs_ds.count())
     empty = pa.table(
         {
@@ -461,7 +466,8 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
         return ray.data.from_arrow(empty)
 
     # broadcast sorted candidate ids once (ray.put) unless the set is too
-    # big; 2*n_pairs bounds the distinct-id count without an extra pass
+    # big; 2*n_pairs (now distinct pairs) bounds the distinct-id count
+    # without an extra pass
     filter_ref = None
     cand_ids = None
     if 2 * n_pairs <= max_filter_ids:
@@ -489,9 +495,9 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
         )
 
     if cand_ids is not None and cand_ids.size <= max_broadcast_texts:
-        # dedup pairs on the driver (bounded by max_filter_ids) — the
-        # LSH band stream repeats a pair once per shared band
-        pairs_pd = pairs_ds.to_pandas()[["a", "b"]].drop_duplicates()
+        # pairs are already distinct; driver materialization is bounded by
+        # the max_filter_ids gate above
+        pairs_pd = pairs_ds.to_pandas()[["a", "b"]]
         pairs_tbl = pa.table(
             {
                 "a": pa.array(pairs_pd["a"].to_numpy(np.int64), pa.int64()),
@@ -517,11 +523,11 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
 
     def to_docrows(batch: pa.Table) -> pa.Table:
         if filter_ref is not None:
+            from .prep import sorted_membership_mask
+
             cids = ray.get(filter_ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            idx = np.searchsorted(cids, ids)
-            idx[idx == cids.size] = 0
-            batch = batch.filter(pa.array(cids[idx] == ids))
+            batch = batch.filter(pa.array(sorted_membership_mask(cids, ids)))
         m = len(batch)
         return pa.table(
             {
@@ -1110,14 +1116,23 @@ def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
     if labels.count() == 0:
         return labels, 0
 
+    # group by a COARSE hash partition (part = node % P), not per node: the
+    # per-group Python emit would cost one call per node per round and
+    # fragment labels into one-row blocks (measured: ~770 tasks PER STAGE
+    # on a 1000-node chain); inside a partition everything is a vectorized
+    # searchsorted against that partition's label rows
+    n_parts = max(8, int(labels.count()) // 500_000)
+
     def to_msgs(batch: pa.Table) -> pa.Table:
         # each edge (a, b) will deliver L(a) to b and L(b) to a; encoded as
-        # neighbor-request rows keyed by the LABEL OWNER
+        # stub rows colocated with the LABEL OWNER's partition
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
         return pa.table(
             {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "part": pa.array(node % n_parts, pa.int64()),
+                "node": pa.array(node, pa.int64()),
                 "dest": pa.array(np.concatenate([b, a]), pa.int64()),
                 "cluster": pa.nulls(2 * len(a), pa.int64()),
             }
@@ -1125,73 +1140,126 @@ def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
 
     edge_msgs = pairs_m.map_batches(to_msgs, batch_format="pyarrow").materialize()
 
-    def with_dest_null(batch: pa.Table) -> pa.Table:
+    def label_rows(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "node": batch["node"],
+                "part": pa.array(node % n_parts, pa.int64()),
+                "node": batch["node"].cast(pa.int64()),
                 "dest": pa.nulls(len(batch), pa.int64()),
-                "cluster": batch["cluster"],
+                "cluster": batch["cluster"].cast(pa.int64()),
             }
         )
 
-    def relax_emit(group: pa.Table) -> pa.Table:
-        # group = one node's label row + its outgoing edge stubs: forward
-        # the label to every neighbor and keep it for self
-        labs = [c for c in group["cluster"].to_pylist() if c is not None]
-        lab = int(min(labs))
-        dests = [int(d) for d in group["dest"].to_pylist() if d is not None]
-        nodes = [int(group["node"][0].as_py())] + dests
+    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray,
+                query: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(sorted_keys, query)
+        if idx.size and (idx.max() >= sorted_keys.size
+                         or not np.array_equal(sorted_keys[idx], query)):
+            raise AssertionError("pointer-doubling invariant broken: "
+                                 "label row missing for a referenced node")
+        return vals[idx]
+
+    def relax_part(group: pa.Table) -> pa.Table:
+        # one partition: its label rows + the edge stubs of its nodes.
+        # Forward each stub node's label to the stub's dest, keep labels
+        # for self — all via one searchsorted against the label rows.
+        # (validity masks + fill_null keep int64 exact; a NaN-float
+        # conversion would corrupt >2^53 ids)
+        import pyarrow.compute as pc
+
+        is_stub = pc.is_valid(group["dest"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        dest = (
+            group["dest"].combine_chunks().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = (
+            group["cluster"].combine_chunks().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ln, lc = node[~is_stub], cluster[~is_stub]
+        order = np.argsort(ln, kind="stable")
+        ln, lc = ln[order], lc[order]
+        sn = node[is_stub]
+        sd = dest[is_stub]
+        lab = _lookup(ln, lc, sn)
         return pa.table(
             {
-                "node": pa.array(nodes, pa.int64()),
-                "cluster": pa.array([lab] * len(nodes), pa.int64()),
+                "node": pa.array(np.concatenate([ln, sd]), pa.int64()),
+                "cluster": pa.array(np.concatenate([lc, lab]), pa.int64()),
             }
         )
 
     def jump_requests(batch: pa.Table) -> pa.Table:
         # request rows keyed by the node's CURRENT label (asking for L(L(v)))
+        key = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["cluster"].cast(pa.int64()),
+                "part": pa.array(key % n_parts, pa.int64()),
+                "key": pa.array(key, pa.int64()),
                 "req": batch["node"].cast(pa.int64()),
                 "cluster": pa.nulls(len(batch), pa.int64()),
             }
         )
 
     def jump_carriers(batch: pa.Table) -> pa.Table:
+        key = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["node"].cast(pa.int64()),
+                "part": pa.array(key % n_parts, pa.int64()),
+                "key": pa.array(key, pa.int64()),
                 "req": pa.nulls(len(batch), pa.int64()),
                 "cluster": batch["cluster"].cast(pa.int64()),
             }
         )
 
-    def jump_emit(group: pa.Table) -> pa.Table:
-        labs = [c for c in group["cluster"].to_pylist() if c is not None]
-        lab = int(min(labs))  # exactly one carrier per key; min is cheap guard
-        reqs = [int(r) for r in group["req"].to_pylist() if r is not None]
+    def jump_part(group: pa.Table) -> pa.Table:
+        # resolve L(L(v)) for every request against this partition's
+        # carrier rows (one row per label-owner node)
+        import pyarrow.compute as pc
+
+        is_req = pc.is_valid(group["req"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        req = (
+            group["req"].combine_chunks().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        key = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = (
+            group["cluster"].combine_chunks().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        kn, kc = key[~is_req], cluster[~is_req]
+        order = np.argsort(kn, kind="stable")
+        kn, kc = kn[order], kc[order]
+        rk = key[is_req]
+        rq = req[is_req]
+        lab = _lookup(kn, kc, rk)
         return pa.table(
             {
-                "node": pa.array(reqs, pa.int64()),
-                "cluster": pa.array([lab] * len(reqs), pa.int64()),
+                "node": pa.array(rq, pa.int64()),
+                "cluster": pa.array(lab, pa.int64()),
             }
         )
 
     prev_sum = labels.aggregate(Sum("cluster", alias_name="s"))["s"]
-    # groupby().map_groups emits near-per-group blocks, so each round would
-    # multiply block counts (1000 nodes -> ~770 one-row blocks -> ~770 tasks
-    # PER STAGE next round, all scheduling overhead); coalesce the label set
-    # back to a data-proportional partition count between rounds
-    n_parts = max(8, int(labels.count()) // 500_000)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        # the trailing repartition(n_parts) is load-bearing: groupby output
+        # partition counts track INPUT block counts, so without a coalesce
+        # each round's unions/groupbys multiply blocks and task counts
+        # snowball round-over-round (measured: the 1000-node chain went
+        # from ~40 s to >10 min without it)
         relaxed = (
-            labels.map_batches(with_dest_null, batch_format="pyarrow")
+            labels.map_batches(label_rows, batch_format="pyarrow")
             .union(edge_msgs)
-            .groupby("node")
-            .map_groups(relax_emit, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(relax_part, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("cluster", alias_name="cluster"))
             .repartition(n_parts)
@@ -1200,8 +1268,8 @@ def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
         labels = (
             relaxed.map_batches(jump_requests, batch_format="pyarrow")
             .union(relaxed.map_batches(jump_carriers, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(jump_emit, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(jump_part, batch_format="pyarrow")
             .repartition(n_parts)
             .materialize()
         )

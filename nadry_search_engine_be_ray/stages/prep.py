@@ -114,6 +114,18 @@ def losers_from_group(group: pa.Table) -> pa.Table:
     return pa.table({"doc_int": pa.array(ints[ints != keep], pa.int64())})
 
 
+def sorted_membership_mask(sorted_ids: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in a SORTED int64 array — the shared
+    broadcast-anti-join idiom (searchsorted with the end-sentinel guard:
+    out-of-range indices compare against element [0], which can never equal
+    those values).  Returns a bool mask aligned with ``ids``."""
+    if sorted_ids.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    idx = np.searchsorted(sorted_ids, ids)
+    idx[idx == sorted_ids.size] = 0
+    return sorted_ids[idx] == ids
+
+
 def make_loser_filter(loser_doc_ints: np.ndarray):
     """Vectorized anti-join filter: drop rows whose doc_int is a known
     duplicate loser.  ``loser_doc_ints`` must be sorted; it is broadcast via
@@ -124,10 +136,7 @@ def make_loser_filter(loser_doc_ints: np.ndarray):
         if losers.size == 0:
             return batch
         ints = batch["doc_int"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(losers, ints)
-        idx[idx == losers.size] = 0  # out-of-range -> compare against [0],
-        is_loser = losers[idx] == ints  # which can never equal those values
-        return batch.filter(pa.array(~is_loser))
+        return batch.filter(pa.array(~sorted_membership_mask(losers, ints)))
 
     return _filter
 

@@ -172,6 +172,36 @@ def _probed_partial_topk(ds, q: np.ndarray, probe_of_query: list[set[int]],
     )
 
 
+def lsh_probe_lists(q: np.ndarray, planes: np.ndarray, n_planes: int,
+                    n_probes: int) -> list[list[int]]:
+    """Per-query probe buckets: the ``n_probes`` nearest buckets by hamming
+    distance on the sign pattern (stable argsort order).  Shared by
+    :func:`lsh_topk` and the dumped-assignment oracles so the dumped probe
+    sets can never drift from what the engine probes."""
+    q_signs = (q @ planes.T) > 0
+    q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
+    all_buckets = np.arange(1 << n_planes)
+    out = []
+    for qb in q_buckets:
+        ham = np.array([bin(int(qb) ^ int(b)).count("1") for b in all_buckets])
+        order = np.argsort(ham, kind="stable")
+        out.append([int(x) for x in all_buckets[order[:n_probes]]])
+    return out
+
+
+def ivf_probe_lists(q_norm: np.ndarray, centroids: np.ndarray,
+                    n_probes: int) -> list[list[int]]:
+    """Per-query probed IVF lists: the ``n_probes`` nearest centroids by
+    cosine (stable argsort).  Shared by :func:`ivf_topk` and the
+    dumped-assignment oracles."""
+    sims = q_norm @ centroids.T
+    np_probe = min(n_probes, centroids.shape[0])
+    return [
+        [int(x) for x in np.argsort(-sims[qi], kind="stable")[:np_probe]]
+        for qi in range(q_norm.shape[0])
+    ]
+
+
 def lsh_topk(ds, query_vectors: np.ndarray, k: int = 10, n_planes: int = 6,
              seed: int = 11, id_col: str = "vec_id",
              vec_col: str = "embedding", n_probes: int = 4) -> pa.Table:
@@ -183,16 +213,8 @@ def lsh_topk(ds, query_vectors: np.ndarray, k: int = 10, n_planes: int = 6,
     stage = LshIndexBatch(dim, n_planes, seed, vec_col)
     bucketed = ds.map_batches(stage, batch_format="pyarrow")
 
-    q_signs = (q @ stage.planes.T) > 0
-    q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
-    # probe set: the n_probes nearest buckets by hamming distance
-    all_buckets = np.arange(1 << n_planes)
-    probe_sets = []
-    for qb in q_buckets:
-        ham = np.array([bin(int(qb) ^ int(b)).count("1") for b in all_buckets])
-        order = np.argsort(ham, kind="stable")
-        probe_sets.append(set(all_buckets[order[:n_probes]].tolist()))
-
+    probe_sets = [set(p) for p in lsh_probe_lists(q, stage.planes,
+                                                  n_planes, n_probes)]
     merged = _probed_partial_topk(
         bucketed, q, probe_sets, "bucket", k, id_col, vec_col
     )
@@ -249,12 +271,7 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_lists: int = 16,
     assigned = ds.map_batches(
         IvfAssignBatch(centroids, vec_col), batch_format="pyarrow"
     )
-    sims = q @ centroids.T
-    np_probe = min(n_probes, centroids.shape[0])
-    probe_sets = [
-        set(np.argsort(-sims[qi], kind="stable")[:np_probe].tolist())
-        for qi in range(q.shape[0])
-    ]
+    probe_sets = [set(p) for p in ivf_probe_lists(q, centroids, n_probes)]
     merged = _probed_partial_topk(
         assigned, q, probe_sets, "ivf_list", k, id_col, vec_col
     )
