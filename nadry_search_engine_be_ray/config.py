@@ -53,6 +53,17 @@ class BuildConfig:
 
     # --- pipeline control ---------------------------------------------------
     compact_segments: bool = True
+    # how encoded salt-runs reach their per-shard merge task (compact path):
+    # "sort"    — Ray groupby("shard") sort-based shuffle through the object
+    #             store (no intermediate files)
+    # "storage" — hive-partitioned staging write (partition_cols=["shard"])
+    #             + one merge task per shard reading its dir: the same
+    #             shuffle-via-storage pattern as the postings phase.  The
+    #             sort barrier costs ~6 s wall for ~2 s of task time at 32
+    #             CPUs on the 1M-doc bench (a flat cost that caps 8->32
+    #             scaling efficiency); staging rides the page cache and
+    #             overlaps the exchange with encode compute.
+    segment_exchange: str = "storage"
     # M1 field extraction mode: "code" (path/leading-comment/content) or
     # "html" (reference DocumentProcessor selectors, stages/htmlproc.py)
     content_mode: str = "code"

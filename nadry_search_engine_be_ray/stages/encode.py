@@ -421,3 +421,27 @@ def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.
             "pos_offsets": pa.array(out["pos_offsets"], pa.binary()),
         }
     )
+
+
+def merge_shard_dirs(batch: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.Table:
+    """Reduce side of the STORAGE segment exchange
+    (``BuildConfig.segment_exchange == "storage"``): ``batch`` holds rows
+    (shard:int, path:str) where ``path`` is one ``shard=K`` hive directory of
+    encoded salt-run rows staged by the encode tasks' partitioned write.
+    Reads the directory (page-cache-backed — the staging files were written
+    moments ago) and k-way merges it exactly like :func:`merge_shard_runs`,
+    so the two exchange variants are byte-identical downstream."""
+    import pyarrow.dataset as pads
+
+    outs = []
+    for shard, path in zip(batch["shard"].to_pylist(), batch["path"].to_pylist()):
+        t = pads.dataset(path, format="parquet").to_table(use_threads=False)
+        # the hive write strips the partition column; restore it for
+        # merge_shard_runs (which reads group["shard"][0])
+        t = t.append_column(
+            "shard", pa.array(np.full(t.num_rows, shard, dtype=np.int32), pa.int32())
+        )
+        outs.append(merge_shard_runs(t, block_size=block_size))
+    if not outs:
+        return _empty_segment_table()
+    return pa.concat_tables(outs)
