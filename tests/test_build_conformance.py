@@ -229,3 +229,38 @@ def test_actor_pool_tokenize_matches_tasks(tiny_corpus_dir, built_index,
     for term in list(ra.terms())[:30]:
         assert ra.postings(term).docs.tolist() == rb.postings(term).docs.tolist()
         assert ra.postings(term).tfs.tolist() == rb.postings(term).tfs.tolist()
+
+
+def test_sort_exchange_build_is_byte_identical(tiny_corpus_dir, built_index,
+                                               ray_session, tmp_path):
+    """The two segment_exchange variants ("storage" staging write — the
+    default built_index — vs the groupby("shard") "sort" shuffle) must
+    produce byte-identical merged segment rows: same terms, same encoded
+    posting/position payload bytes per term."""
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import MERGED, build_index
+
+    idx = str(tmp_path / "sort_exchange")
+    build_index(
+        tiny_corpus_dir, idx,
+        BuildConfig(num_shards=4, salt_bits=1, segment_exchange="sort"),
+    )
+
+    def rows(index_dir):
+        t = pads.dataset(
+            os.path.join(index_dir, MERGED), format="parquet",
+            partitioning="hive",
+        ).to_table()
+        out = {}
+        for r in t.sort_by([("term", "ascending")]).to_pylist():
+            out[r["term"]] = (
+                r["df"], r["docs"], r["tfs"], r["weights"],
+                r["block_max"], r["positions"], r["pos_offsets"],
+            )
+        return out
+
+    a, b = rows(built_index), rows(idx)
+    assert a.keys() == b.keys()
+    assert a == b
