@@ -20,11 +20,17 @@ import sys
 
 
 def _ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # honor $RAY_ADDRESS so the same CLI attaches to a running
+        # multi-node cluster (RAY_ADDRESS=auto / an explicit head address)
+        # — ray.init(address="local") would IGNORE the env var and always
+        # spin up a private local instance
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
