@@ -144,6 +144,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": _q_training_pipeline,
         "crawl_sim": _q_crawl_sim,
         "sketch_stats": _q_sketch_stats,
+        # sampling / splitting / sharding (SURVEY §2.6 notes the reference
+        # has NO sampling; these are the training-data-scale additions)
+        "split_train_val": _q_split_train_val,
+        "stratified_sample": _q_stratified_sample,
+        "domain_cap": _q_domain_cap,
+        "quota_sample": _q_quota_sample,
+        "shuffle_shards": _q_shuffle_shards,
     }
     return out
 
@@ -782,6 +789,77 @@ def _q_pack_sequences(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = pack_sequences(ds, context=128, part_docs=64).to_pandas()
     return out.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
+
+
+def _q_split_train_val(sf_dir: str):
+    """Deterministic 90/5/5 split assignment from the salted sha256 bucket
+    of doc_id; the SQL oracle recomputes the identical hash with DuckDB's
+    sha256() hex prefix."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import assign_splits
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = assign_splits(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language deterministic subsampling (en 50 %, de 100 %, zh 25 %,
+    default 10 %)."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(
+        ds, "lang", {"en": 0.5, "de": 1.0, "zh": 0.25}, default_frac=0.1
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_domain_cap(sf_dir: str):
+    """Per-source cap (first 7 docs by doc_id per source) via the
+    partial-then-groupby head-per-key exchange."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import cap_per_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = cap_per_key(ds, "source", 7).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quota_sample(sf_dir: str):
+    """Mixture quotas per source (src0:10, src1:5, src2:3, others 0),
+    drawn in salted-hash order."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import quota_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = quota_sample(
+        ds, "source", {"src0": 10, "src1": 5, "src2": 3}, default_quota=0
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Seeded global shuffle into 8 training shards with dense within-shard
+    positions."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import shuffle_shards
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = shuffle_shards(ds, n_shards=8).to_pandas()
+    return out.sort_values(["shard", "pos"]).reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir: str):
@@ -2355,6 +2433,62 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _search_bm25_sql(),
         "index_merge": _INDEX_MERGE_SQL,
     }
+    # sampling family: the salted sha256-prefix bucket is recomputed by
+    # DuckDB byte-for-byte, so the whole decision path is SQL-checkable
+    from nadry_search_engine_be_ray.stages.sampling import split_thresholds
+
+    def _bkt(salt: str, col: str = "doc_id") -> str:
+        return (
+            f"cast(('0x' || substr(sha256('{salt}:' || "
+            f"cast({col} as varchar)), 1, 8)) as bigint)"
+        )
+
+    _sp = split_thresholds([("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    _f32 = 1 << 32
+    sqls["split_train_val"] = f"""
+        WITH b AS (SELECT doc_id, {_bkt('split-v1')} AS bucket FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {_sp[0][1]} THEN 'train'
+                    WHEN bucket < {_sp[1][1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+    """
+    sqls["stratified_sample"] = f"""
+        WITH b AS (SELECT doc_id, lang, {_bkt('sample-v1')} AS bucket
+                   FROM documents)
+        SELECT doc_id, lang, bucket FROM b
+        WHERE bucket < CASE lang
+            WHEN 'en' THEN {int(round(0.5 * _f32))}
+            WHEN 'de' THEN {int(round(1.0 * _f32))}
+            WHEN 'zh' THEN {int(round(0.25 * _f32))}
+            ELSE {int(round(0.1 * _f32))} END
+        ORDER BY doc_id
+    """
+    sqls["domain_cap"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 7 ORDER BY doc_id
+    """
+    sqls["quota_sample"] = f"""
+        WITH b AS (SELECT doc_id, source, {_bkt('quota-v1')} AS bucket
+                   FROM documents),
+        r AS (SELECT *, row_number() OVER
+                  (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+              FROM b)
+        SELECT doc_id, source, bucket FROM r
+        WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+                                WHEN 'src2' THEN 3 ELSE 0 END
+        ORDER BY doc_id
+    """
+    sqls["shuffle_shards"] = f"""
+        WITH b AS (SELECT doc_id, {_bkt('shuffle-v1')} AS bucket FROM documents)
+        SELECT doc_id, bucket, bucket % 8 AS shard,
+               row_number() OVER (PARTITION BY bucket % 8
+                                  ORDER BY bucket, doc_id) - 1 AS pos
+        FROM b ORDER BY shard, pos
+    """
     # the pointer-doubling CC variant converges to the SAME labels as the
     # propagate method (both = component-min transitive closure)
     sqls["near_dup_clusters_pd"] = sqls["near_dup_clusters"]
