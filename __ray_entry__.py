@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": _q_domain_cap,
         "quota_sample": _q_quota_sample,
         "shuffle_shards": _q_shuffle_shards,
+        # distributed embedding clustering (SemDeDup-style curation)
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup_pairs": _q_semdedup,
     }
     return out
 
@@ -373,6 +376,8 @@ from nadry_search_engine_be_ray.stages.curation import (  # noqa: E402
 )
 _ANN_LSH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_lsh"
 _ANN_IVF_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_ivf"
+_KM_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/kmeans"
+_SD_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/semdedup"
 
 
 def _tokenizer():
@@ -860,6 +865,104 @@ def _q_shuffle_shards(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = shuffle_shards(ds, n_shards=8).to_pandas()
     return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 5 iters, cosine) over the embeddings
+    table.  The iterative fit isn't SQL-expressible, so the FINAL centroid
+    matrix is DUMPED to parquet and the oracle independently recomputes the
+    nearest-centroid assignment in DuckDB (list_cosine_similarity rank,
+    ties → lowest cluster id — numpy argmax parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, normed = kmeans_fit(ds, k=8, n_iters=5)
+    os.makedirs(_KM_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(range(len(cent)), pa.int64()),
+                "v": pa.array([r for r in cent], pa.list_(pa.float64())),
+            }
+        ),
+        f"{_KM_DUMP_DIR}/centroids.parquet",
+    )
+    out = (
+        kmeans_assign(normed, cent, normalized=True)
+        .select_columns(["vec_id", "cluster"])
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (k-means then within-cluster cosine near-dup) over the
+    embeddings AUGMENTED with five planted near-duplicates (vec_id +
+    1,000,000 = the original with its first coordinate scaled by exactly
+    1.25 — same plant as embedding_near_dup, SQL-reproducible bitwise).
+    The k-means assignment is DUMPED; the oracle recomputes the
+    within-cluster pair join + cosine threshold independently in DuckDB."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        semdedup_pairs,
+    )
+
+    src = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(src["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)[:5]
+    planted = mat[order].copy()
+    planted[:, 0] *= 1.25
+    dim = mat.shape[1]
+
+    def to_f64(vals: np.ndarray, vid: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vals.reshape(-1), pa.float64()), dim
+                ),
+            }
+        )
+
+    aug = ray.data.from_arrow(
+        pa.concat_tables(
+            [to_f64(mat, ids), to_f64(planted, ids[order] + 1_000_000)]
+        )
+    )
+    cent, normed = kmeans_fit(aug, k=8, n_iters=5)
+    assigned = kmeans_assign(normed, cent, normalized=True)
+    os.makedirs(_SD_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(
+            assigned.select_columns(["vec_id", "cluster"]).to_pandas(),
+            preserve_index=False,
+        ),
+        f"{_SD_DUMP_DIR}/assign.parquet",
+    )
+    out = semdedup_pairs(aug, threshold=0.95, centroids=cent).to_pandas()
+    out = _typed_empty(
+        out, {"a": "int64", "b": "int64", "cluster": "int64", "cosine": "float64"}
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir: str):
@@ -2488,6 +2591,42 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY bucket % 8
                                   ORDER BY bucket, doc_id) - 1 AS pos
         FROM b ORDER BY shard, pos
+    """
+    # clustering: the iterative k-means fit is dumped (centroids /
+    # assignments); DuckDB independently recomputes the argmax-cosine
+    # assignment and the within-cluster near-dup pair join
+    sqls["kmeans_clusters"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c AS (SELECT cluster_id, v AS cv
+              FROM read_parquet('{_KM_DUMP_DIR}/centroids.parquet')),
+        r AS (SELECT e.vec_id, c.cluster_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                  c.cluster_id) AS rn
+              FROM e CROSS JOIN c)
+        SELECT vec_id, cluster_id AS cluster FROM r WHERE rn = 1
+        ORDER BY vec_id
+    """
+    sqls["semdedup_pairs"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+        aug AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, list_concat([v[1] * 1.25], v[2:])
+            FROM base
+            WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 5)
+        ),
+        asg AS (SELECT * FROM read_parquet('{_SD_DUMP_DIR}/assign.parquet'))
+        SELECT x.vec_id AS a, y.vec_id AS b, ax.cluster AS cluster,
+               round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+        FROM aug x JOIN asg ax ON x.vec_id = ax.vec_id
+             JOIN asg ay ON ay.cluster = ax.cluster
+             JOIN aug y ON y.vec_id = ay.vec_id
+        WHERE x.vec_id < y.vec_id
+          AND list_cosine_similarity(x.v, y.v) >= 0.95
+        ORDER BY a, b
     """
     # the pointer-doubling CC variant converges to the SAME labels as the
     # propagate method (both = component-min transitive closure)

@@ -1,0 +1,231 @@
+"""Distributed embedding clustering: Lloyd k-means + SemDeDup pruning.
+
+``stages/similarity.py`` trains its IVF quantizer on a bounded driver-side
+sample (standard ANN practice).  This module is the FULLY DISTRIBUTED
+variant a 100 TB curation pipeline needs when the corpus itself must be
+clustered — semantic dedup (SemDeDup, Abbas et al. 2023, public method:
+k-means the embeddings, then drop near-identical pairs WITHIN each
+cluster), topic bucketing, mixture analysis.
+
+Scale shape:
+
+* ``kmeans_fit`` — per-iteration exchange is the per-block partial
+  (cluster, count, sum-vector) table: at most k × n_blocks thin rows
+  (kilobytes for k≤4096), combined on the driver.  The vector matrix
+  itself never moves; each iteration is one shuffle-free ``map_batches``
+  over the object-store-resident normalized matrix.  Init is the k
+  smallest-id vectors via a per-batch partial min-k (no sort shuffle).
+* ``kmeans_assign`` — shuffle-free ``map_batches`` argmax against the
+  broadcast centroid matrix (``ray.put`` once, not per batch).
+* ``semdedup_pairs`` — one corpus shuffle keyed by cluster id, then
+  per-cluster O(|c|²) cosine via a single matmul.  Size k so a cluster
+  fits a task (SemDeDup's own sharding assumption); cluster sizes are
+  corpus/k on average, and the skew guard logs oversized clusters.
+
+Cosine metric throughout (argmax dot over unit vectors), matching the
+IVF/ANN stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .similarity import _normalize
+
+
+def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+
+
+def _vec_table(ids: np.ndarray, mat: np.ndarray, id_col: str,
+               vec_col: str) -> pa.Table:
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            vec_col: pa.array(
+                [row for row in mat], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def _min_k_rows(batch: pa.Table, id_col: str, k: int) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) <= k:
+        return batch
+    keep = np.argsort(ids, kind="stable")[:k]
+    return batch.take(pa.array(np.sort(keep)))
+
+
+def kmeans_fit(ds, k: int = 16, n_iters: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd k-means (cosine).  Returns ``(centroids,
+    normalized_ds)`` — the final unit-norm centroid matrix (k × dim) and
+    the materialized normalized-vector Dataset (reusable for assignment).
+
+    Deterministic: init = the k smallest-id vectors (per-batch partial
+    min-k, then a driver combine over ≤ k × n_blocks thin rows); empty
+    clusters keep their previous centroid.
+    """
+    import ray
+
+    def normalize_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch, vec_col))
+        return _vec_table(ids, m, id_col, vec_col)
+
+    normed = ds.map_batches(normalize_batch, batch_format="pyarrow").materialize()
+
+    # ---- init: k smallest-id vectors, no sort shuffle -------------------
+    heads = normed.map_batches(
+        lambda b: _min_k_rows(b, id_col, k), batch_format="pyarrow"
+    ).to_pandas()
+    heads = heads.sort_values(id_col).head(k)
+    cent = np.array(heads[vec_col].to_list(), dtype=np.float64)
+
+    def _make_partial_sums(cent_ref):
+        """Task fn (closure over the ray.put centroid handle — fetched
+        zero-copy per task, not re-shipped per batch): one thin row per
+        cluster present in the batch: (cluster, n, vector sum)."""
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _matrix(batch, vec_col)
+            a = np.argmax(m @ c.T, axis=1)
+            present = np.unique(a)
+            sums = np.zeros((len(present), m.shape[1]), dtype=np.float64)
+            counts = np.zeros(len(present), dtype=np.int64)
+            for i, cl in enumerate(present):
+                rows = m[a == cl]
+                sums[i] = rows.sum(axis=0)
+                counts[i] = rows.shape[0]
+            return pa.table(
+                {
+                    "cluster": pa.array(present.astype(np.int64), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "vsum": pa.array(
+                        [row for row in sums], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        return partial_sums
+
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent)
+        partials = normed.map_batches(
+            _make_partial_sums(cent_ref), batch_format="pyarrow"
+        ).to_pandas()  # ≤ k × n_blocks thin rows — the bounded combine
+        nxt = cent.copy()
+        for c, grp in partials.groupby("cluster"):
+            total = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
+            nxt[int(c)] = total / max(int(grp["n"].sum()), 1)
+        cent = _normalize(nxt)
+    return cent, normed
+
+
+class KmeansAssignBatch:
+    """Shuffle-free nearest-centroid assignment (broadcast centroids)."""
+
+    def __init__(self, cent_ref, vec_col: str = "embedding",
+                 normalized: bool = False):
+        import ray
+
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.cent = np.asarray(c, dtype=np.float64)
+        self.vec_col = vec_col
+        self.normalized = normalized
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, self.vec_col)
+        if not self.normalized:
+            m = _normalize(m)
+        a = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(a, pa.int64()))
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  normalized: bool = False):
+    """Append ``cluster`` = argmax-cosine centroid id (ties → lowest id,
+    numpy argmax semantics — the SQL oracle orders by (cos DESC, id)).
+    Task-based: the centroid matrix broadcasts once via ``ray.put`` and
+    each task fetches it zero-copy (no actor-pool startup for a stage with
+    no expensive per-worker state)."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return KmeansAssignBatch(ray.get(cent_ref), vec_col, normalized)(batch)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup_pairs(ds, k: int = 16, threshold: float = 0.95,
+                   n_iters: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding", cluster_cap: int = 100_000,
+                   centroids: np.ndarray | None = None):
+    """SemDeDup: k-means the embeddings, then report within-cluster pairs
+    with cosine ≥ ``threshold`` (the caller drops one side of each pair).
+    Returns a Dataset (a, b, cluster, cosine) with a < b, cosine rounded
+    to 6 decimals (float-stable for the SQL oracle).
+
+    Cross-cluster near-dups are invisible by design — that is SemDeDup's
+    published recall trade for never materializing the full O(n²) cosine.
+    """
+
+    if centroids is None:
+        centroids, normed = kmeans_fit(
+            ds, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        def normalize_batch(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _vec_table(
+                ids, _normalize(_matrix(batch, vec_col)), id_col, vec_col
+            )
+
+        normed = ds.map_batches(normalize_batch, batch_format="pyarrow")
+
+    assigned = kmeans_assign(normed, centroids, vec_col=vec_col, normalized=True)
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        n = len(group)
+        if n < 2:
+            return empty
+        if n > cluster_cap:
+            print(f"semdedup_pairs: skipping oversized cluster of {n} rows")
+            return empty
+        g = group.sort_by(id_col)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _matrix(g, vec_col)  # already unit-norm
+        sims = m @ m.T
+        ii, jj = np.triu_indices(n, k=1)
+        hit = sims[ii, jj] >= threshold
+        ii, jj = ii[hit], jj[hit]
+        return pa.table(
+            {
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(ids[jj], pa.int64()),
+                "cluster": pa.array(
+                    np.full(len(ii), group["cluster"][0].as_py(), dtype=np.int64),
+                    pa.int64(),
+                ),
+                "cosine": pa.array(
+                    np.round(sims[ii, jj], 6), pa.float64()
+                ),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        cluster_pairs, batch_format="pyarrow"
+    )
