@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed embedding clustering (SemDeDup-style curation)
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_pairs": _q_semdedup,
+        # exact-substring dedup (Lee et al. 2021 gram-shuffle variant)
+        "dup_spans": _q_dup_spans,
     }
     return out
 
@@ -865,6 +867,54 @@ def _q_shuffle_shards(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = shuffle_shards(ds, n_shards=8).to_pandas()
     return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+def _q_dup_spans(sf_dir: str):
+    """Exact-substring duplicate spans (8-gram) over documents AUGMENTED
+    with planted duplication: full copies of the three lowest docs
+    (doc_id + 4,000,000) and one token-slice excerpt (tokens 5..24 of the
+    lowest doc, doc_id 5,000,000).  The SQL oracle rebuilds the identical
+    augmented corpus (token slices re-join with single spaces, so
+    re-tokenization is exact) and recomputes gram explode → cross-doc dup
+    filter → gaps-and-islands span merge independently."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import _WORD, dup_spans
+
+    docs = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    head = docs.slice(0, 3)
+    toks0 = _WORD.findall((head["text"][0].as_py() or "").lower())
+    excerpt = " ".join(toks0[5:25])
+    planted = pa.table(
+        {
+            "doc_id": pa.array(
+                [i + 4_000_000 for i in head["doc_id"].to_pylist()]
+                + [5_000_000],
+                pa.int64(),
+            ),
+            "text": pa.array(
+                head["text"].to_pylist() + [excerpt], pa.string()
+            ),
+        }
+    )
+    aug = pa.concat_tables([docs, planted])
+    out = dup_spans(ray.data.from_arrow(aug), n=8).to_pandas()
+    out = _typed_empty(
+        out,
+        {
+            "doc_id": "int64",
+            "span_start": "int64",
+            "span_end": "int64",
+            "n_dup_grams": "int64",
+        },
+    )
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
 def _q_kmeans_clusters(sf_dir: str):
@@ -2627,6 +2677,57 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.vec_id < y.vec_id
           AND list_cosine_similarity(x.v, y.v) >= 0.95
         ORDER BY a, b
+    """
+    # exact-substring dup spans: rebuild the augmented corpus, explode
+    # 8-gram positions, keep grams in >= 2 distinct docs, merge surviving
+    # positions per doc with a gaps-and-islands window
+    _DSN = 8
+    sqls["dup_spans"] = f"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 4000000, text FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+            UNION ALL
+            SELECT 5000000,
+                   array_to_string(
+                       (regexp_extract_all(lower(text), '[a-z0-9_]+'))[6:25], ' ')
+            FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1)
+        ),
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+            FROM aug
+        ),
+        pg AS (
+            SELECT doc_id, u.s.i - 1 AS pos, u.s.g AS gram
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(1, len(ts) - {_DSN} + 2),
+                           i -> struct_pack(i := i,
+                               g := array_to_string(ts[i : i + {_DSN} - 1], ' '))) AS gs
+                FROM toks WHERE len(ts) >= {_DSN}
+            ), unnest(gs) AS u(s)
+        ),
+        dpos AS (
+            SELECT doc_id, pos FROM pg
+            WHERE gram IN (SELECT gram FROM pg
+                           GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + {_DSN}
+                        THEN 1 ELSE 0 END AS brk
+            FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        gisl AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM isl
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + {_DSN} AS span_end,
+               count(*) AS n_dup_grams
+        FROM gisl GROUP BY doc_id, gid ORDER BY doc_id, span_start
     """
     # the pointer-doubling CC variant converges to the SAME labels as the
     # propagate method (both = component-min transitive closure)

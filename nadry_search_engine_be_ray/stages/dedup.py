@@ -1283,3 +1283,95 @@ def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
             f"max_iter={max_iter} rounds"
         )
     return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — public method, re-expressed as a
+# gram-shuffle instead of a suffix array)
+# ---------------------------------------------------------------------------
+
+def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Find maximal token spans that appear verbatim in MORE THAN ONE doc:
+    explode every token ``n``-gram position, keep positions whose gram
+    occurs in >= 2 distinct docs, and merge surviving positions per doc
+    into maximal spans (two n-token windows merge when their starts are
+    within ``n`` of each other, i.e. the windows overlap or touch).
+    Returns (doc_id, span_start, span_end, n_dup_grams) with token-index
+    spans, span_end exclusive.
+
+    The caller trims ``[span_start, span_end)`` from each doc (keeping one
+    canonical copy is a policy layered on top — e.g. keep the span in the
+    min doc_id holder by anti-joining the others).
+
+    Scale shape: the gram explode is ~tokens×1 rows and the groupby(gram)
+    is THE inherent all-to-all of substring dedup (the suffix-array
+    equivalent); output of that stage is only the duplicated positions.
+    Grams travel as strings here for exact SQL-oracle parity — the 100 TB
+    variant hashes them to u64 (same shuffle shape, ~8 bytes/row; a
+    collision can only add a false dup position, and the merge makes the
+    span a superset — the standard trade).  The span merge shuffles thin
+    (doc_id, pos) rows once, grouped by doc.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_o, pos_o, gram_o = [], [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = _WORD.findall((text or "").lower())
+            for i in range(len(toks) - n + 1):
+                ids_o.append(did)
+                pos_o.append(i)
+                gram_o.append(" ".join(toks[i : i + n]))
+        return pa.table(
+            {
+                "gram": pa.array(gram_o, pa.string()),
+                "doc_id": pa.array(ids_o, pa.int64()),
+                "pos": pa.array(pos_o, pa.int64()),
+            }
+        )
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        # keep every position of a gram held by >= 2 distinct docs
+        if len(np.unique(docs)) < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        return group.select(["doc_id", "pos"])
+
+    def merge_spans(group: pa.Table) -> pa.Table:
+        g = group.sort_by("pos")
+        p = np.unique(g["pos"].to_numpy(zero_copy_only=False).astype(np.int64))
+        brk = np.empty(len(p), dtype=bool)
+        brk[0] = True
+        brk[1:] = p[1:] > p[:-1] + n
+        grp = np.cumsum(brk) - 1
+        starts = p[brk]
+        ends = np.maximum.reduceat(p, np.flatnonzero(brk)) + n
+        counts = np.bincount(grp)
+        did = group["doc_id"][0].as_py()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.full(len(starts), did, dtype=np.int64), pa.int64()
+                ),
+                "span_start": pa.array(starts, pa.int64()),
+                "span_end": pa.array(ends, pa.int64()),
+                "n_dup_grams": pa.array(counts, pa.int64()),
+            }
+        )
+
+    dups = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(dup_positions, batch_format="pyarrow")
+    )
+    return dups.groupby("doc_id").map_groups(
+        merge_spans, batch_format="pyarrow"
+    )
