@@ -184,6 +184,34 @@ def main() -> None:
     repetition_scores(docs_ds).count()
     extra_timings["curation_suite"] = time.time() - t0
 
+    # --- sampling + clustering + substring dedup (also non-headline) --------
+    from nadry_search_engine_be_ray.stages.clustering import semdedup_pairs
+    from nadry_search_engine_be_ray.stages.dedup import dup_spans
+    from nadry_search_engine_be_ray.stages.sampling import (
+        assign_splits, shuffle_shards,
+    )
+
+    t0 = time.time()
+    assign_splits(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    ).count()
+    shuffle_shards(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"]),
+        n_shards=32,
+    ).count()
+    extra_timings["sampling_suite"] = time.time() - t0
+
+    t0 = time.time()
+    semdedup_pairs(
+        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+        k=16, threshold=0.95, n_iters=5,
+    ).count()
+    extra_timings["semdedup"] = time.time() - t0
+
+    t0 = time.time()
+    dup_spans(docs_ds, n=8).count()
+    extra_timings["dup_spans"] = time.time() - t0
+
     shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
 
