@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_pairs": _q_semdedup,
         # exact-substring dedup (Lee et al. 2021 gram-shuffle variant)
         "dup_spans": _q_dup_spans,
+        # distributed BPE training primitive (merge loop is pytest-golden;
+        # the corpus-scale pair-count pass is the SQL-checked surface)
+        "bpe_pair_counts": _q_bpe_pair_counts,
     }
     return out
 
@@ -867,6 +870,19 @@ def _q_shuffle_shards(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = shuffle_shards(ds, n_shards=8).to_pandas()
     return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    """Top-50 adjacent intra-word character pairs over every word
+    occurrence (the first BPE training iteration's statistics; ties broken
+    (count DESC, a, b) on both sides)."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.bpe import pair_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = pair_counts(ds, top_k=50).to_pandas()
+    return out.reset_index(drop=True)
 
 
 def _q_dup_spans(sf_dir: str):
@@ -2728,6 +2744,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(pos) AS span_start, max(pos) + {_DSN} AS span_end,
                count(*) AS n_dup_grams
         FROM gisl GROUP BY doc_id, gid ORDER BY doc_id, span_start
+    """
+    # BPE pair counting: re-derive intra-word adjacent char pairs per word
+    # occurrence from scratch
+    sqls["bpe_pair_counts"] = """
+        WITH words AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+            FROM documents
+        ),
+        prs AS (
+            SELECT w[i:i] AS a, w[i+1:i+1] AS b
+            FROM (SELECT w, unnest(range(1, len(w))) AS i
+                  FROM words WHERE len(w) >= 2)
+        )
+        SELECT a, b, count(*) AS n FROM prs
+        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50
     """
     # the pointer-doubling CC variant converges to the SAME labels as the
     # propagate method (both = component-min transitive closure)
