@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed BPE training primitive (merge loop is pytest-golden;
         # the corpus-scale pair-count pass is the SQL-checked surface)
         "bpe_pair_counts": _q_bpe_pair_counts,
+        # distributed logistic-regression quality classifier
+        "lr_quality_scores": _q_lr_quality_scores,
     }
     return out
 
@@ -383,6 +385,7 @@ _ANN_LSH_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_lsh"
 _ANN_IVF_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_ivf"
 _KM_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/kmeans"
 _SD_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/semdedup"
+_LR_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/lr"
 
 
 def _tokenizer():
@@ -870,6 +873,49 @@ def _q_shuffle_shards(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = shuffle_shards(ds, n_shards=8).to_pandas()
     return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+def _q_lr_quality_scores(sf_dir: str):
+    """Distributed logistic-regression quality classifier: train on the
+    embeddings table (weak label y = label < 5), score every vector.  The
+    iterative fit isn't SQL-expressible, so the trained WEIGHTS are dumped
+    and the oracle independently recomputes the sigmoid scoring + 0.5
+    decision in DuckDB."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.classifier import lr_fit, lr_predict
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def add_y(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "y", pc.cast(pc.less(batch["label"], 5), pa.int64())
+        )
+
+    labeled = ds.map_batches(add_y, batch_format="pyarrow")
+    w = lr_fit(labeled, label_col="y", n_iters=30, lr=1.0)
+    os.makedirs(_LR_DUMP_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "w": pa.array([list(w[:-1])], pa.list_(pa.float64())),
+                "b": pa.array([float(w[-1])], pa.float64()),
+            }
+        ),
+        f"{_LR_DUMP_DIR}/weights.parquet",
+    )
+    out = (
+        lr_predict(ds, w)
+        .select_columns(["vec_id", "score", "pred"])
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_bpe_pair_counts(sf_dir: str):
@@ -2759,6 +2805,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a, b, count(*) AS n FROM prs
         GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50
+    """
+    # logistic-regression scoring from the dumped trained weights
+    sqls["lr_quality_scores"] = f"""
+        WITH wt AS (SELECT w, b FROM read_parquet('{_LR_DUMP_DIR}/weights.parquet')),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id,
+                     list_dot_product(v, (SELECT w FROM wt))
+                         + (SELECT b FROM wt) AS z
+              FROM e)
+        SELECT vec_id,
+               round(1 / (1 + exp(-z)), 6) AS score,
+               1 / (1 + exp(-z)) >= 0.5 AS pred
+        FROM s ORDER BY vec_id
     """
     # the pointer-doubling CC variant converges to the SAME labels as the
     # propagate method (both = component-min transitive closure)
