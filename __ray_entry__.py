@@ -161,8 +161,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         # distributed logistic-regression quality classifier
         "lr_quality_scores": _q_lr_quality_scores,
+        # Stupid-Backoff n-gram LM: count-training + CCNet-style
+        # perplexity scoring (both fully SQL-expressible — no dump)
+        "ngram_lm_top": _q_ngram_lm_top,
+        "lm_perplexity": _q_lm_perplexity,
     }
     return out
+
+
+def _q_ngram_lm_top(sf_dir: str):
+    """Top-100 corpus bigrams with min_count=2 (the bigram table of the
+    Stupid-Backoff model; ties broken (n DESC, v, w) on both sides)."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.lm import ngram_count_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    tbl = ngram_count_table(ds).to_pandas()
+    bi = tbl[tbl["gram"].str.contains(" ") & (tbl["count"] >= 2)].copy()
+    parts = bi["gram"].str.split(" ", n=1, expand=True)
+    bi["v"], bi["w"] = parts[0], parts[1]
+    bi = bi.rename(columns={"count": "n"})[["v", "w", "n"]]
+    return (
+        bi.sort_values(["n", "v", "w"], ascending=[False, True, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+def _q_lm_perplexity(sf_dir: str):
+    """Per-doc Stupid-Backoff log10-prob + perplexity against the
+    min_count=2 bigram model trained on the same corpus (the CCNet-style
+    quality-filter signal).  The scoring rule is closed-form, so the
+    oracle recomputes train AND score entirely in SQL."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.lm import lm_score, train_lm
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model = train_lm(ds, min_count=2)
+    out = lm_score(ds, model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_crawl_sim(sf_dir: str):
@@ -2822,4 +2863,63 @@ def oracle_sql() -> dict[str, str]:
     # the pointer-doubling CC variant converges to the SAME labels as the
     # propagate method (both = component-min transitive closure)
     sqls["near_dup_clusters_pd"] = sqls["near_dup_clusters"]
+    # Stupid-Backoff n-gram LM: the count-training AND the closed-form
+    # scoring rule are both SQL-expressible, so DuckDB recomputes the whole
+    # train->score pipeline independently (no dump)
+    sqls["ngram_lm_top"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+            FROM documents
+        ),
+        pos AS (
+            SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+            FROM toks WHERE len(ts) >= 2
+        )
+        SELECT ts[i - 1] AS v, ts[i] AS w, count(*) AS n
+        FROM pos GROUP BY ts[i - 1], ts[i]
+        HAVING count(*) >= 2
+        ORDER BY n DESC, v, w LIMIT 100
+    """
+    sqls["lm_perplexity"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+            FROM documents
+        ),
+        pw AS (
+            SELECT doc_id, ts[i] AS w,
+                   CASE WHEN i > 1 THEN ts[i - 1] END AS v
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+                  FROM toks WHERE len(ts) > 0)
+        ),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM pw),
+        unik AS (SELECT w, count(*)::DOUBLE AS c FROM pw
+                 GROUP BY w HAVING count(*) >= 2),
+        bigk AS (SELECT v, w, count(*)::DOUBLE AS c FROM pw
+                 WHERE v IS NOT NULL GROUP BY v, w HAVING count(*) >= 2),
+        sc AS (
+            SELECT p.doc_id,
+                   CASE
+                     WHEN p.v IS NULL THEN
+                       log10(coalesce(u.c, 0.4) / (SELECT n FROM tot))
+                     WHEN b.c IS NOT NULL AND uv.c IS NOT NULL THEN
+                       log10(b.c / uv.c)
+                     ELSE
+                       log10(0.4 * (coalesce(u.c, 0.4) / (SELECT n FROM tot)))
+                   END AS lp
+            FROM pw p
+            LEFT JOIN unik u ON u.w = p.w
+            LEFT JOIN unik uv ON uv.w = p.v
+            LEFT JOIN bigk b ON b.v = p.v AND b.w = p.w
+        ),
+        agg AS (SELECT doc_id, sum(lp) AS lp FROM sc GROUP BY doc_id)
+        SELECT t.doc_id,
+               len(t.ts) AS n_tokens,
+               round(coalesce(a.lp, 0.0), 6) AS log10_prob,
+               round(pow(10, -coalesce(a.lp, 0.0)
+                             / greatest(len(t.ts), 1)), 6) AS ppl
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
+    """
     return sqls

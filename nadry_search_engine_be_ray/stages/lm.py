@@ -1,0 +1,203 @@
+"""Distributed n-gram language model (Stupid Backoff) + perplexity filter.
+
+The CCNet-style quality-filter step of a training-data pipeline scores every
+document with a corpus-trained language model and keeps the low-perplexity
+tail.  At web scale the only LM whose TRAINING is a pure counting problem is
+the Stupid Backoff n-gram model (Brants et al. 2007, "Large Language Models
+in Machine Translation" — built for exactly this corpus size), so that is
+what we implement:
+
+* ``train_lm`` — one ``map_batches`` pass emits PER-BATCH partial
+  unigram/bigram counts (a pyarrow ``group_by`` inside the batch, so the
+  shuffle carries grams-per-batch, not tokens-per-batch), then ONE
+  ``groupby("gram").sum`` combines them.  The combined table IS the model
+  and is vocabulary-sized by construction — ``min_count`` / ``max_vocab``
+  bound it regardless of corpus size (at 100 TB a min_count of ~5 keeps the
+  kept-gram table in the low GBs; if it still exceeds one node, scoring
+  shards by ``hash(w)`` with one model shard per actor group).
+* ``lm_score`` — the model broadcasts ONCE via ``ray.put`` (fetched per
+  actor in ``__init__``), and scoring is a shuffle-free vectorized
+  ``map_batches`` pass: flat token array per batch, dict lookups for the
+  count arrays, ``np.where`` for the backoff cases, ``np.add.reduceat``
+  for the per-doc sums.
+
+Scoring rule (deterministic, closed-form, so a DuckDB oracle can recompute
+it exactly — driver correctness gate):
+
+    S1(w)       = c1(w)/N            if w kept          else  alpha/N
+    S2(w | v)   = c2(v,w)/c1(v)      if (v,w) and v kept else alpha * S1(w)
+    log10_prob  = log10(S1(w_0)) + sum_{i>0} log10(S2(w_i | w_{i-1}))
+    ppl         = 10 ** (-log10_prob / max(n_tokens, 1))
+
+where N is the TOTAL (unpruned) token count and "kept" means the gram
+survived ``min_count``/``max_vocab`` pruning.  Tokenization matches the
+curation stages: ``[a-z0-9_]+`` over the lowercased text.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD = re.compile(r"[a-z0-9_]+")
+
+
+def doc_tokens(text: str | None) -> list[str]:
+    return _WORD.findall((text or "").lower())
+
+
+@dataclass
+class LMModel:
+    """Pruned Stupid-Backoff bigram model.  ``uni``/``bi`` map token /
+    ``"v w"`` gram -> count; ``total`` is the UNPRUNED corpus token count."""
+
+    uni: dict[str, int]
+    bi: dict[str, int]
+    total: int
+    alpha: float = 0.4
+    min_count: int = 1
+
+
+def _partial_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial gram counts.  Unigrams are the token itself;
+    bigrams are ``"v w"`` (tokens cannot contain spaces, so the encoding is
+    unambiguous).  Combining within the batch first keeps the shuffle
+    gram-sized, not token-sized."""
+    grams: list[str] = []
+    for text in batch[text_col].to_pylist():
+        toks = doc_tokens(text)
+        grams.extend(toks)
+        grams.extend(f"{v} {w}" for v, w in zip(toks, toks[1:]))
+    if not grams:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    t = pa.table({"gram": pa.array(grams, pa.string())})
+    g = t.group_by("gram").aggregate([("gram", "count")])
+    return g.rename_columns(["gram", "count"])
+
+
+def ngram_count_table(ds, text_col: str = "text") -> pa.Table:
+    """Combined (gram, count) table over the corpus — the unpruned model.
+    Vocabulary-sized, so collecting it to the driver is collecting the
+    model, not the data."""
+    g = (
+        ds.map_batches(
+            lambda b, _c=text_col: _partial_counts(b, _c),
+            batch_format="pyarrow",
+        )
+        .groupby("gram")
+        .sum("count")
+    )
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in g.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"gram": pa.array([], pa.string()),
+                      "sum(count)": pa.array([], pa.int64())})]
+    )
+    return tbl.rename_columns(["gram", "count"])
+
+
+def train_lm(ds, text_col: str = "text", min_count: int = 1,
+             max_vocab: int | None = None, alpha: float = 0.4) -> LMModel:
+    """Count-train the model with ``min_count``/``max_vocab`` pruning.
+    ``total`` is computed from the UNPRUNED unigram counts (= corpus token
+    count), then both tables are pruned independently."""
+    tbl = ngram_count_table(ds, text_col)
+    grams = tbl["gram"].to_pylist()
+    counts = tbl["count"].to_pylist()
+    uni_all = {g: c for g, c in zip(grams, counts) if " " not in g}
+    bi_all = {g: c for g, c in zip(grams, counts) if " " in g}
+    total = sum(uni_all.values())
+
+    def prune(d: dict[str, int]) -> dict[str, int]:
+        kept = {g: c for g, c in d.items() if c >= min_count}
+        if max_vocab is not None and len(kept) > max_vocab:
+            top = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+            kept = dict(top[:max_vocab])
+        return kept
+
+    return LMModel(uni=prune(uni_all), bi=prune(bi_all), total=total,
+                   alpha=alpha, min_count=min_count)
+
+
+class LMScoreBatch:
+    """Actor-pool stage: Stupid-Backoff per-doc log10-prob + perplexity
+    against the broadcast model (``ray.put`` handle fetched once per actor,
+    or a plain ``LMModel`` for driver/unit-test use)."""
+
+    def __init__(self, model_ref, text_col: str = "text"):
+        import ray
+
+        self.m: LMModel = (
+            ray.get(model_ref)
+            if isinstance(model_ref, ray.ObjectRef)
+            else model_ref
+        )
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        uni, bi, alpha = m.uni, m.bi, m.alpha
+        n_total = float(max(m.total, 1))
+        per_doc = [doc_tokens(t) for t in batch[self.text_col].to_pylist()]
+        lens = np.array([len(t) for t in per_doc], dtype=np.int64)
+        flat = [tok for toks in per_doc for tok in toks]
+        n = len(flat)
+        if n:
+            # count arrays (0 = pruned/unseen); the dict probe per token is
+            # the irreducible hash-lookup kernel of n-gram scoring
+            cu = np.fromiter((uni.get(t, 0) for t in flat), np.float64, n)
+            cb = np.zeros(n, np.float64)
+            cu_prev = np.zeros(n, np.float64)
+            starts = np.zeros(n, np.bool_)
+            offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            starts[offs[lens > 0]] = True
+            inner = np.nonzero(~starts)[0]  # positions with a same-doc prev
+            cb[inner] = np.fromiter(
+                (bi.get(flat[i - 1] + " " + flat[i], 0) for i in inner),
+                np.float64, inner.size)
+            cu_prev[inner] = np.fromiter(
+                (uni.get(flat[i - 1], 0) for i in inner),
+                np.float64, inner.size)
+            s1 = np.where(cu > 0, cu, alpha) / n_total
+            lp_pos = np.where(
+                starts,
+                np.log10(s1),
+                np.where((cb > 0) & (cu_prev > 0),
+                         np.log10(np.maximum(cb, 1e-300)
+                                  / np.maximum(cu_prev, 1e-300)),
+                         np.log10(alpha * s1)),
+            )
+            # empty docs repeat an offset: clip for reduceat, zero after
+            lp_doc = np.add.reduceat(lp_pos, np.minimum(offs, n - 1))
+            lp_doc = np.where(lens > 0, lp_doc, 0.0)
+        else:
+            lp_doc = np.zeros(len(per_doc), np.float64)
+        ppl = np.power(10.0, -lp_doc / np.maximum(lens, 1))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "log10_prob": pc.round(pa.array(lp_doc, pa.float64()), 6),
+                "ppl": pc.round(pa.array(ppl, pa.float64()), 6),
+            }
+        )
+
+
+def lm_score(ds, model: LMModel, text_col: str = "text",
+             concurrency: int | None = None):
+    """Score every doc in ``ds`` (doc_id, text) against ``model``.  Returns
+    a Dataset (doc_id, n_tokens, log10_prob, ppl) — the caller thresholds
+    ``ppl`` (CCNet keeps the head/middle perplexity buckets)."""
+    import ray
+
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        LMScoreBatch,
+        fn_constructor_args=(model_ref, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )

@@ -1,0 +1,125 @@
+"""Stupid-Backoff n-gram LM: golden counts, brute-force scoring parity,
+pruning/backoff paths, edge docs (driver SQL conformance for
+ngram_lm_top / lm_perplexity lives in the sweep)."""
+
+import math
+
+import pyarrow as pa
+import ray
+
+from nadry_search_engine_be_ray.stages import lm
+
+DOCS = [
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "dogs chase the cat",
+    "",
+    "zebra",
+]
+
+
+def _docs_ds(texts=DOCS):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _brute_score(texts, model):
+    """Independent reference implementation of the documented rule."""
+    out = []
+    n_total = max(model.total, 1)
+    for t in texts:
+        toks = lm.doc_tokens(t)
+        lp = 0.0
+        for i, w in enumerate(toks):
+            cu = model.uni.get(w, 0)
+            s1 = (cu if cu > 0 else model.alpha) / n_total
+            if i == 0:
+                lp += math.log10(s1)
+            else:
+                v = toks[i - 1]
+                cb = model.bi.get(f"{v} {w}", 0)
+                cv = model.uni.get(v, 0)
+                if cb > 0 and cv > 0:
+                    lp += math.log10(cb / cv)
+                else:
+                    lp += math.log10(model.alpha * s1)
+        n = len(toks)
+        out.append((n, round(lp, 6),
+                    round(10.0 ** (-lp / max(n, 1)), 6)))
+    return out
+
+
+def test_golden_counts(ray_session):
+    model = lm.train_lm(_docs_ds())
+    assert model.uni["the"] == 5
+    assert model.uni["cat"] == 3
+    assert model.uni["zebra"] == 1
+    assert model.bi["the cat"] == 3
+    assert model.bi["cat sat"] == 1
+    assert "mat dogs" not in model.bi  # no cross-doc bigrams
+    assert model.total == sum(len(lm.doc_tokens(t)) for t in DOCS)
+
+
+def test_min_count_and_max_vocab_pruning(ray_session):
+    model = lm.train_lm(_docs_ds(), min_count=2)
+    assert "zebra" not in model.uni and "the" in model.uni
+    assert "cat sat" not in model.bi and model.bi["the cat"] == 3
+    # total stays the UNPRUNED corpus size
+    assert model.total == sum(len(lm.doc_tokens(t)) for t in DOCS)
+    capped = lm.train_lm(_docs_ds(), max_vocab=2)
+    assert set(capped.uni) == {"the", "cat"}  # top-2 by (count desc, gram)
+
+
+def test_score_matches_brute_force(ray_session):
+    model = lm.train_lm(_docs_ds(), min_count=2)
+    out = (
+        lm.lm_score(_docs_ds(), model, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_score(DOCS, model)
+    for i, (n, lp, ppl) in enumerate(exp):
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "log10_prob"] == lp
+        assert out.loc[i, "ppl"] == ppl
+
+
+def test_edge_docs(ray_session):
+    model = lm.train_lm(_docs_ds())
+    out = (
+        lm.lm_score(_docs_ds(), model, concurrency=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # empty doc: zero tokens, zero log-prob, ppl exactly 1
+    assert out.loc[3, "n_tokens"] == 0
+    assert out.loc[3, "log10_prob"] == 0.0
+    assert out.loc[3, "ppl"] == 1.0
+    # single-token doc: pure unigram path
+    n_total = model.total
+    assert out.loc[4, "log10_prob"] == round(math.log10(1 / n_total), 6)
+
+
+def test_oov_and_backoff_paths(ray_session):
+    model = lm.train_lm(_docs_ds())
+    new = ["quantum cat", "the zebra"]
+    out = (
+        lm.lm_score(_docs_ds(new), model, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_score(new, model)
+    for i, (n, lp, ppl) in enumerate(exp):
+        assert out.loc[i, "log10_prob"] == lp
+    # in-model text scores better (lower ppl) than OOV text
+    known = lm.lm_score(_docs_ds(["the cat sat"]), model, concurrency=2).to_pandas()
+    unk = lm.lm_score(_docs_ds(["qq ww ee"]), model, concurrency=2).to_pandas()
+    assert known.loc[0, "ppl"] < unk.loc[0, "ppl"]
