@@ -165,8 +165,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # perplexity scoring (both fully SQL-expressible — no dump)
         "ngram_lm_top": _q_ngram_lm_top,
         "lm_perplexity": _q_lm_perplexity,
+        # DSIR importance resampling (Xie et al. 2023): target = lang='en'
+        "dsir_select": _q_dsir_select,
     }
     return out
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR data selection: importance-weight every document by the log
+    ratio of add-0.1-smoothed bag-of-(uni+bi)gram models (target = the
+    lang='en' docs vs the whole corpus), keep the top-100 by
+    (weight DESC, doc_id).  Closed-form — the oracle recomputes both
+    models AND the weights entirely in SQL."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dsir import dsir_select
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = ds.filter(expr="lang == 'en'")
+    out = dsir_select(ds, target, k=100).to_pandas()
+    return out.sort_values("rank").reset_index(drop=True)
 
 
 def _q_ngram_lm_top(sf_dir: str):
@@ -2921,5 +2941,57 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(len(t.ts), 1)), 6) AS ppl
         FROM toks t LEFT JOIN agg a USING (doc_id)
         ORDER BY t.doc_id
+    """
+    # DSIR importance resampling: both bag-of-gram models and the per-doc
+    # log-ratio weights recomputed end-to-end in SQL; ranking uses the
+    # ROUNDED weight (both sides) so boundary ties break by doc_id
+    sqls["dsir_select"] = """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang, ts[i] AS g
+            FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i
+                  FROM toks WHERE len(ts) > 0)
+            UNION ALL
+            SELECT doc_id, lang, ts[i - 1] || ' ' || ts[i] AS g
+            FROM (SELECT doc_id, lang, ts, unnest(range(2, len(ts) + 1)) AS i
+                  FROM toks WHERE len(ts) >= 2)
+        ),
+        raw AS (SELECT g, count(*)::DOUBLE AS cr FROM pos GROUP BY g),
+        tgt AS (SELECT g, count(*)::DOUBLE AS ct FROM pos
+                WHERE lang = 'en' GROUP BY g),
+        consts AS (
+            SELECT (SELECT count(*) FROM raw)::DOUBLE AS v,
+                   (SELECT count(*) FROM pos)::DOUBLE AS nr,
+                   (SELECT count(*) FROM pos WHERE lang = 'en')::DOUBLE AS nt
+        ),
+        ratio AS (
+            SELECT r.g,
+                   log10(coalesce(t.ct, 0) + 0.1)
+                   - log10(c.nt + 0.1 * c.v)
+                   - log10(r.cr + 0.1)
+                   + log10(c.nr + 0.1 * c.v) AS lr
+            FROM raw r LEFT JOIN tgt t USING (g) CROSS JOIN consts c
+        ),
+        wts AS (
+            SELECT p.doc_id, round(sum(x.lr), 6) AS weight
+            FROM pos p JOIN ratio x USING (g)
+            GROUP BY p.doc_id
+        ),
+        everydoc AS (
+            SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+            FROM documents d LEFT JOIN wts w USING (doc_id)
+        ),
+        ranked AS (
+            SELECT doc_id, weight,
+                   row_number() OVER (ORDER BY weight DESC, doc_id) - 1
+                       AS rank
+            FROM everydoc
+        )
+        SELECT rank, doc_id, weight FROM ranked
+        WHERE rank < 100 ORDER BY rank
     """
     return sqls

@@ -171,9 +171,13 @@ class LMScoreBatch:
                                   / np.maximum(cu_prev, 1e-300)),
                          np.log10(alpha * s1)),
             )
-            # empty docs repeat an offset: clip for reduceat, zero after
-            lp_doc = np.add.reduceat(lp_pos, np.minimum(offs, n - 1))
-            lp_doc = np.where(lens > 0, lp_doc, 0.0)
+            # reduceat over non-empty docs' starts only: strictly
+            # increasing, in-bounds (a trailing empty doc would otherwise
+            # alias offset n), and segments stay contiguous because empty
+            # docs occupy no positions
+            nz = lens > 0
+            lp_doc = np.zeros(len(per_doc), np.float64)
+            lp_doc[nz] = np.add.reduceat(lp_pos, offs[nz])
         else:
             lp_doc = np.zeros(len(per_doc), np.float64)
         ppl = np.power(10.0, -lp_doc / np.maximum(lens, 1))

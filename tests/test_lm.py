@@ -107,6 +107,22 @@ def test_edge_docs(ray_session):
     assert out.loc[4, "log10_prob"] == round(math.log10(1 / n_total), 6)
 
 
+def test_trailing_empty_doc_in_batch(ray_session):
+    """Regression: an empty doc LAST in a batch must not steal the final
+    token from the previous doc's reduceat segment."""
+    model = lm.train_lm(_docs_ds())
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["the cat sat", ""], pa.string()),
+        }
+    )
+    out = lm.LMScoreBatch(model)(batch).to_pandas()
+    exp = _brute_score(["the cat sat", ""], model)
+    assert out.loc[0, "log10_prob"] == exp[0][1]
+    assert out.loc[1, "log10_prob"] == 0.0 and out.loc[1, "ppl"] == 1.0
+
+
 def test_oov_and_backoff_paths(ray_session):
     model = lm.train_lm(_docs_ds())
     new = ["quantum cat", "the zebra"]
