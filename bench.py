@@ -212,6 +212,19 @@ def main() -> None:
     dup_spans(docs_ds, n=8).count()
     extra_timings["dup_spans"] = time.time() - t0
 
+    # --- n-gram LM perplexity + DSIR selection (also non-headline) ----------
+    from nadry_search_engine_be_ray.stages.dsir import dsir_select
+    from nadry_search_engine_be_ray.stages.lm import lm_score, train_lm
+
+    t0 = time.time()
+    model = train_lm(docs_ds, min_count=2)
+    lm_score(docs_ds, model).count()
+    lang_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    dsir_select(lang_ds, lang_ds.filter(expr="lang == 'en'"), k=100)
+    extra_timings["lm_dsir"] = time.time() - t0
+
     shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
 
