@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .lm import doc_tokens, ngram_count_table
+from .lm import default_pool_size, doc_tokens, ngram_count_table
 
 
 def doc_grams(text: str | None) -> list[str]:
@@ -136,7 +136,7 @@ def dsir_weights(raw_ds, target_ds, text_col: str = "text",
         DsirScoreBatch,
         fn_constructor_args=(model_ref, text_col, n_buckets),
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        concurrency=concurrency or default_pool_size(),
     )
 
 

@@ -46,6 +46,19 @@ import pyarrow.compute as pc
 _WORD = re.compile(r"[a-z0-9_]+")
 
 
+def default_pool_size() -> int:
+    """Actor-pool size that always leaves CPUs for upstream read/map tasks
+    (an actor pool equal to the CPU count starves its own input and
+    deadlocks the streaming executor on small clusters)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(8, cpus - 2))
+
+
 def doc_tokens(text: str | None) -> list[str]:
     return _WORD.findall((text or "").lower())
 
@@ -203,5 +216,5 @@ def lm_score(ds, model: LMModel, text_col: str = "text",
         LMScoreBatch,
         fn_constructor_args=(model_ref, text_col),
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        concurrency=concurrency or default_pool_size(),
     )
