@@ -167,8 +167,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         # DSIR importance resampling (Xie et al. 2023): target = lang='en'
         "dsir_select": _q_dsir_select,
+        # product-quantization ANN (Jégou et al. 2011)
+        "pq_ann_topk": _q_pq_ann_topk,
     }
     return out
+
+
+def _q_pq_ann_topk(sf_dir: str):
+    """PQ ANN top-10 for the 3 smallest vec_ids (m=8 subspaces, k=16
+    codes).  The k-means codebook training isn't SQL-expressible, so the
+    trained codebook is DUMPED and the oracle independently recomputes
+    normalization, per-subspace code assignment, ADC distances and the
+    (rounded-dist, vec_id) ranking in DuckDB."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb_tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table()
+    head = emb_tbl.to_pandas().sort_values("vec_id").head(3)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qv_ids = head["vec_id"].to_numpy()
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    m, kk = 8, 16
+    cb, normed = pq_train(emb, m=m, k=kk, n_iters=8)
+    os.makedirs(_PQ_DUMP_DIR, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "sub": pa.array(
+                    [j for j in range(m) for _ in range(kk)], pa.int64()
+                ),
+                "cluster": pa.array(list(range(kk)) * m, pa.int64()),
+                "centroid": pa.array(
+                    [list(cb[j, c]) for j in range(m) for c in range(kk)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        f"{_PQ_DUMP_DIR}/codebooks.parquet",
+    )
+    out = pq_adc_topk(
+        pq_encode(normed, cb), q, cb, qv_ids=qv_ids, k=10
+    ).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _q_dsir_select(sf_dir: str):
@@ -447,6 +499,7 @@ _ANN_IVF_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ann_ivf"
 _KM_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/kmeans"
 _SD_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/semdedup"
 _LR_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/lr"
+_PQ_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/pq"
 
 
 def _tokenizer():
@@ -2993,5 +3046,62 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT rank, doc_id, weight FROM ranked
         WHERE rank < 100 ORDER BY rank
+    """
+    # PQ ANN: codebook dumped (k-means isn't SQL); DuckDB independently
+    # recomputes normalization, per-subspace code assignment (argmin with
+    # (distance, cluster) tiebreak), ADC distances, and the
+    # (rounded-dist, vec_id) ranking
+    sqls["pq_ann_topk"] = f"""
+        WITH cb AS (
+            SELECT sub, cluster, centroid
+            FROM read_parquet('{_PQ_DUMP_DIR}/codebooks.parquet')
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        n AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / greatest(
+                       sqrt(list_dot_product(v, v)), 1e-12)) AS v
+            FROM e
+        ),
+        subs AS (
+            SELECT vec_id, s.sub, n.v[s.sub * 8 + 1 : (s.sub + 1) * 8] AS sv
+            FROM n, (SELECT unnest(range(0, 8)) AS sub) s
+        ),
+        codes AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT subs.vec_id, subs.sub, cb.cluster,
+                       row_number() OVER (
+                           PARTITION BY subs.vec_id, subs.sub
+                           ORDER BY list_distance(subs.sv, cb.centroid),
+                                    cb.cluster
+                       ) AS rn
+                FROM subs JOIN cb ON cb.sub = subs.sub
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT vec_id AS query_id, sub, sv FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 3)
+        ),
+        qtab AS (
+            SELECT qs.query_id, qs.sub, cb.cluster,
+                   pow(list_distance(qs.sv, cb.centroid), 2) AS d2
+            FROM qsub qs JOIN cb ON cb.sub = qs.sub
+        ),
+        adc AS (
+            SELECT qt.query_id, c.vec_id, round(sum(qt.d2), 6) AS adc_dist
+            FROM codes c
+            JOIN qtab qt ON qt.sub = c.sub AND qt.cluster = c.cluster
+            GROUP BY qt.query_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, vec_id) - 1 AS rank
+            FROM adc
+        )
+        SELECT query_id, rank, vec_id, adc_dist FROM ranked
+        WHERE rank < 10 ORDER BY query_id, rank
     """
     return sqls
