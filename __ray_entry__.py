@@ -169,8 +169,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         # product-quantization ANN (Jégou et al. 2011)
         "pq_ann_topk": _q_pq_ann_topk,
+        # CCNet-style perplexity tercile bucketing (head/middle/tail)
+        "ppl_buckets": _q_ppl_buckets,
     }
     return out
+
+
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets over the min_count=2
+    Stupid-Backoff model: exact global (ppl, doc_id) rank via the
+    value-histogram prefix sum, bucket = rank*3//n.  The oracle recomputes
+    the whole LM + row_number() ranking in SQL."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.lm import (
+        lm_score,
+        ppl_rank_buckets,
+        train_lm,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model = train_lm(ds, min_count=2)
+    out = ppl_rank_buckets(lm_score(ds, model), n_buckets=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_pq_ann_topk(sf_dir: str):
@@ -3046,6 +3069,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT rank, doc_id, weight FROM ranked
         WHERE rank < 100 ORDER BY rank
+    """
+    # CCNet perplexity buckets: the full LM chain above + row_number()
+    # ranking (rank over the ROUNDED ppl, doc_id tiebreak — both sides)
+    sqls["ppl_buckets"] = f"""
+        WITH base AS ({sqls["lm_perplexity"]}),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY ppl, doc_id) - 1 AS rank,
+                   count(*) OVER () AS n
+            FROM base
+        )
+        SELECT doc_id, rank, rank * 3 // n AS bucket
+        FROM ranked ORDER BY doc_id
     """
     # PQ ANN: codebook dumped (k-means isn't SQL); DuckDB independently
     # recomputes normalization, per-subspace code assignment (argmin with

@@ -204,6 +204,54 @@ class LMScoreBatch:
         )
 
 
+def ppl_rank_buckets(scores_ds, n_buckets: int = 3):
+    """CCNet-style perplexity bucketing (head/middle/tail for
+    ``n_buckets=3``): exact global rank under (ppl, doc_id), then
+    ``bucket = rank * n_buckets // n_docs`` — integer arithmetic, so the
+    DuckDB oracle reproduces it bit-exactly from ``row_number()``.
+
+    Distributed shape: no global sort.  Pass 1 groups by the ROUNDED ppl
+    value and counts — the per-value histogram (bounded by the number of
+    distinct 6-decimal ppl values, the ONLY driver materialization) gives
+    each value its global base rank via a driver cumsum, broadcast with
+    ``ray.put``; pass 2 is a groupby(ppl) whose tasks rank within their
+    value by doc_id.  Input: the ``lm_score`` output (doc_id, ppl, ...)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    hist = (
+        scores_ds.groupby("ppl")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("ppl")
+    )
+    vals = hist["ppl"].to_numpy()
+    counts = hist["n"].to_numpy().astype(np.int64)
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    base_ref = ray.put((vals, bases))
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        vals_a, bases_a = ray.get(base_ref)
+        v = group["ppl"][0].as_py()
+        base = int(bases_a[np.searchsorted(vals_a, v)])
+        ids = np.sort(
+            group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        rank = base + np.arange(ids.size, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "bucket": pa.array(rank * n_buckets // n_total, pa.int64()),
+            }
+        )
+
+    return scores_ds.groupby("ppl").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
 def lm_score(ds, model: LMModel, text_col: str = "text",
              concurrency: int | None = None):
     """Score every doc in ``ds`` (doc_id, text) against ``model``.  Returns

@@ -123,6 +123,50 @@ def test_trailing_empty_doc_in_batch(ray_session):
     assert out.loc[1, "log10_prob"] == 0.0 and out.loc[1, "ppl"] == 1.0
 
 
+def test_ppl_rank_buckets(ray_session):
+    """Exact global (ppl, doc_id) ranks + tercile buckets, including ties
+    (shared ppl values must rank by doc_id)."""
+    scores = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 2, 4, 0], pa.int64()),
+            "ppl": pa.array([2.5, 1.0, 2.5, 9.0, 1.5, 2.5], pa.float64()),
+        }
+    )
+    out = (
+        lm.ppl_rank_buckets(
+            ray.data.from_arrow(scores).repartition(3), n_buckets=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute: sort by (ppl, doc_id) -> ranks; bucket = rank * 3 // 6
+    order = sorted(range(6), key=lambda i: (scores["ppl"][i].as_py(),
+                                            scores["doc_id"][i].as_py()))
+    exp_rank = {scores["doc_id"][i].as_py(): r for r, i in enumerate(order)}
+    for doc_id, rank in exp_rank.items():
+        assert out.loc[doc_id, "rank"] == rank
+        assert out.loc[doc_id, "bucket"] == rank * 3 // 6
+    # ties 2.5/2.5/2.5 ranked by doc_id
+    assert out.loc[0, "rank"] < out.loc[3, "rank"] < out.loc[5, "rank"]
+
+
+def test_ppl_buckets_end_to_end(ray_session):
+    model = lm.train_lm(_docs_ds(), min_count=2)
+    scores = lm.lm_score(_docs_ds(), model, concurrency=2)
+    out = (
+        lm.ppl_rank_buckets(scores, n_buckets=3)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(DOCS)
+    assert sorted(out["rank"]) == list(range(len(DOCS)))
+    assert out["bucket"].min() == 0 and out["bucket"].max() == 2
+    # the empty doc has ppl exactly 1.0 — the global minimum -> rank 0
+    assert out.loc[0, "doc_id"] == 3
+
+
 def test_oov_and_backoff_paths(ray_session):
     model = lm.train_lm(_docs_ds())
     new = ["quantum cat", "the zebra"]
