@@ -225,6 +225,19 @@ def main() -> None:
     dsir_select(lang_ds, lang_ds.filter(expr="lang == 'en'"), k=100)
     extra_timings["lm_dsir"] = time.time() - t0
 
+    from nadry_search_engine_be_ray.stages.pq import (
+        pq_adc_topk, pq_encode, pq_train,
+    )
+
+    t0 = time.time()
+    emb_ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb, normed = pq_train(emb_ds, m=8, k=16, n_iters=8)
+    pq_adc_topk(pq_encode(normed, cb), qv, cb,
+                qv_ids=head["vec_id"].to_numpy(), k=10)
+    extra_timings["pq_ann"] = time.time() - t0
+
     shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
 
