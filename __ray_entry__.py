@@ -91,6 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": rel.q_asof_join,
         "range_join": rel.q_range_join,
         "anti_join": rel.q_anti_join,
+        "hash_join": rel.q_hash_join,
+        "outer_join": rel.q_outer_join,
+        "semi_join": rel.q_semi_join,
+        "skew_join": rel.q_skew_join,
+        "rollup_agg": rel.q_rollup,
+        "grouped_median": rel.q_grouped_median,
+        "heavy_hitters": _q_heavy_hitters,
+        "top_grams_approx": _q_top_grams_approx,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -477,6 +485,21 @@ def _q_lang_id(sf_dir: str):
     out = ds.map_batches(lang_id_batch, batch_format="pyarrow").to_pandas()
     out["en_stop_ratio"] = out["en_stop_ratio"].round(9)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    from nadry_search_engine_be_ray.stages.heavyhitters import heavy_hitter_grams
+
+    return heavy_hitter_grams(sf_dir, threshold=30)
+
+
+def _q_top_grams_approx(sf_dir: str):
+    # capacity (4096) >= distinct-bigram count of the testdata corpus, so
+    # the space-saving result is EXACT here and the SQL top-k oracle
+    # hash-checks it; the approximation guarantee itself is pytest-covered.
+    from nadry_search_engine_be_ray.stages.heavyhitters import approx_top_grams
+
+    return approx_top_grams(sf_dir, k=25)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -2042,6 +2065,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT user_id FROM events)
             ORDER BY c_custkey
+        """,
+        "hash_join": """
+            SELECT o_orderpriority,
+                   count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "outer_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_order,
+                   round(sum(coalesce(o_totalprice, 0)), 4) AS sum_price
+            FROM customer c LEFT JOIN orders o ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "semi_join": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE p_partkey IN
+                  (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "skew_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "rollup_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "grouped_median": """
+            SELECT l_returnflag,
+                   round(quantile_disc(l_extendedprice, 0.5), 4) AS median_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "heavy_hitters": f"""
+            WITH toks AS (
+                SELECT list_filter({tok}, t -> length(t) >= 2) AS t
+                FROM documents
+            )
+            SELECT g AS gram, count(*) AS cnt FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks
+            ) GROUP BY g HAVING count(*) >= 30 ORDER BY gram
+        """,
+        "top_grams_approx": f"""
+            WITH toks AS (
+                SELECT list_filter({tok}, t -> length(t) >= 2) AS t
+                FROM documents
+            )
+            SELECT g AS gram, count(*) AS cnt FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks
+            ) GROUP BY g ORDER BY cnt DESC, gram LIMIT 25
         """,
         "term_df": f"""
             SELECT token AS term, count(DISTINCT doc_id) AS df

@@ -614,3 +614,365 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
     if out.empty:  # all-empty blocks can drop the schema on collection
         return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Native hash-shuffle joins (large x large — the shape broadcast can't do)
+# ---------------------------------------------------------------------------
+#
+# ``Dataset.join`` is Ray Data's hash-shuffle join: both sides repartition
+# by key hash into ``num_partitions`` aggregator actors, each of which joins
+# its co-located partitions.  This is the correct large x large join at
+# 100 TB (neither orders nor lineitem fits in one worker's heap, so the
+# broadcast pattern above is out).  Partition count scales with input bytes
+# so each aggregator holds a bounded slice.
+
+
+def _join_partitions(sf_dir: str, *tables: str,
+                     target_bytes: int = 256 << 20) -> int:
+    """Size a hash join's partition count from the on-disk footprint of the
+    participating tables (~target_bytes of input per aggregator)."""
+    import os
+
+    total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet") for t in tables)
+    return max(4, min(256, total // target_bytes + 1))
+
+
+def q_hash_join(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⨝ orders on orderkey via the native hash-shuffle join, then
+    revenue per order priority.  The post-join aggregation stays partial
+    (per-batch pyarrow group_by) so only priority-sized partials move."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = batch.append_column("revenue", rev)
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("revenue", "sum"), ("l_orderkey", "count")]
+        )
+        return _rename_agg(
+            g, {"revenue_sum": "revenue", "l_orderkey_count": "n_lines"}
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # bounded root combine: <= priorities x blocks rows
+        .groupby("o_orderpriority", as_index=False)
+        .agg(n_lines=("n_lines", "sum"), revenue=("revenue", "sum"))
+    )
+    out["revenue"] = out["revenue"].round(4)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_outer_join(sf_dir: str) -> pd.DataFrame:
+    """customer ⟕ orders (left outer, native hash shuffle): per market
+    segment the join-row count, the count of order-less customers (right
+    side null), and the coalesced price sum — exercising null semantics."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=_join_partitions(sf_dir, "customer", "orders"),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        null = pc.is_null(batch["o_totalprice"])
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_rows": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_no_order": pc.cast(null, pa.int64()),
+                "sum_price": pc.fill_null(batch["o_totalprice"], 0.0),
+            }
+        )
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("n_rows", "sum"), ("n_no_order", "sum"), ("sum_price", "sum")]
+        )
+        return _rename_agg(
+            g,
+            {
+                "n_rows_sum": "n_rows",
+                "n_no_order_sum": "n_no_order",
+                "sum_price_sum": "sum_price",
+            },
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_no_order=("n_no_order", "sum"),
+            sum_price=("sum_price", "sum"),
+        )
+    )
+    out["sum_price"] = out["sum_price"].round(4)
+    for c in ("n_rows", "n_no_order"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_semi_join(sf_dir: str) -> pd.DataFrame:
+    """part ⋉ lineitem (left semi, native): parts with at least one
+    high-quantity line, counted per brand.  The quantity filter pushes
+    down BEFORE the shuffle so only qualifying line keys move."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).filter(
+        expr="l_quantity >= 45"
+    )
+    joined = part.join(
+        li,
+        join_type="left_semi",
+        num_partitions=_join_partitions(sf_dir, "part", "lineitem"),
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["p_brand"]).aggregate([("p_partkey", "count")])
+        return _rename_agg(g, {"p_partkey_count": "n_parts"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("p_brand", as_index=False)
+        .agg(n_parts=("n_parts", "sum"))
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_SKEW_SALTS = 8
+
+
+def q_skew_join(sf_dir: str) -> pd.DataFrame:
+    """Salted hash join — the hot-key mitigation for skewed join keys.
+
+    events ⨝ customer on user_id, but instead of hashing the raw key (a
+    hot user would funnel its entire row mass into ONE aggregator), the
+    small side is replicated once per salt value and the big side salts
+    each row deterministically (event_id mod S), so a hot key's rows
+    spread across S aggregators.  Join on (key, salt); results are
+    identical to the unsalted join — the oracle is the plain SQL join."""
+    import ray.data  # noqa: F401  (Dataset.join registered on import)
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def salt_events(batch: pa.Table) -> pa.Table:
+        salt = pc.cast(
+            pc.bit_wise_and(batch["event_id"], _SKEW_SALTS - 1), pa.int64()
+        )
+        return batch.append_column("salt", salt)
+
+    def replicate_cust(batch: pa.Table) -> pa.Table:
+        reps = []
+        for s in range(_SKEW_SALTS):
+            reps.append(
+                batch.append_column(
+                    "salt", pa.array(np.full(batch.num_rows, s, np.int64))
+                )
+            )
+        return pa.concat_tables(reps)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        replicate_cust, batch_format="pyarrow"
+    )
+    joined = ev.map_batches(salt_events, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "events", "customer"),
+        on=("user_id", "salt"),
+        right_on=("c_custkey", "salt"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_events": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_value": batch["value"],
+            }
+        )
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
+        )
+        return _rename_agg(
+            g, {"n_events_sum": "n_events", "sum_value_sum": "sum_value"}
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(returnflag, linestatus): leaf, per-flag subtotal and
+    grand-total rows.  One partial-aggregated pass produces the leaf grid
+    (keys x blocks partial rows); the super-aggregate levels roll up from
+    that grid driver-side — no second scan, no extra shuffle."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return _rename_agg(
+            g, {"l_quantity_sum": "sum_qty", "l_quantity_count": "n_rows"}
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+    )
+    lvl1 = leaf.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")
+    )
+    lvl1["l_linestatus"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [leaf["sum_qty"].sum()],
+            "n_rows": [leaf["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([leaf, lvl1, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    return out[cols].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+_MEDIAN_BINS = 1024
+
+
+def q_grouped_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group median (lower median, = DuckDB quantile_disc 0.5)
+    without a global sort: (1) per-group count/min/max partials; (2) a
+    per-group fixed-grid histogram pass; the prefix sum locates the single
+    bin holding the median rank; (3) a filter pass collects only that
+    bin's values (tiny: n/_MEDIAN_BINS expected) for the exact driver-side
+    rank pick.  Three streaming scans, kilobyte exchanges — the exact-rank
+    analog of the quantile sketch (same trick as the LM tercile split)."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag"]).aggregate(
+            [
+                ("l_extendedprice", "count"),
+                ("l_extendedprice", "min"),
+                ("l_extendedprice", "max"),
+            ]
+        )
+        return _rename_agg(
+            g,
+            {
+                "l_extendedprice_count": "n",
+                "l_extendedprice_min": "lo",
+                "l_extendedprice_max": "hi",
+            },
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    groups = stats["l_returnflag"].to_numpy()
+    lo = stats["lo"].to_numpy(np.float64)
+    span = np.maximum(stats["hi"].to_numpy(np.float64) - lo, 1e-12)
+    ranks = (stats["n"].to_numpy(np.int64) - 1) // 2  # 0-based lower median
+    bounds_ref = ray.put((groups, lo, span))
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        gs, los, spans = ray.get(bounds_ref)
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(gs, flag)
+        b = np.clip(
+            ((v - los[gi]) / spans[gi] * _MEDIAN_BINS).astype(np.int64),
+            0,
+            _MEDIAN_BINS - 1,
+        )
+        h = np.zeros((gs.size, _MEDIAN_BINS), np.int64)
+        np.add.at(h, (gi, b), 1)
+        return pa.table({"h": pa.array([h.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(hist_batch, batch_format="pyarrow").to_pandas()
+    hist = np.zeros((groups.size, _MEDIAN_BINS), np.int64)
+    for raw in parts["h"]:
+        hist += np.frombuffer(raw, np.int64).reshape(groups.size, _MEDIAN_BINS)
+    cdf = np.cumsum(hist, axis=1)
+    med_bin = np.array(
+        [int(np.searchsorted(cdf[i], ranks[i], side="right")) for i in range(groups.size)]
+    )
+    # rank of the median within its bin (0-based)
+    below = np.where(med_bin > 0, cdf[np.arange(groups.size), med_bin - 1], 0)
+    in_bin_rank = ranks - below
+    pick_ref = ray.put((groups, lo, span, med_bin))
+
+    def bin_values(batch: pa.Table) -> pa.Table:
+        gs, los, spans, bins = ray.get(pick_ref)
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(gs, flag)
+        b = np.clip(
+            ((v - los[gi]) / spans[gi] * _MEDIAN_BINS).astype(np.int64),
+            0,
+            _MEDIAN_BINS - 1,
+        )
+        keep = b == bins[gi]
+        return pa.table(
+            {
+                "gi": pa.array(gi[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(bin_values, batch_format="pyarrow").to_pandas()
+    medians = np.empty(groups.size, np.float64)
+    for i in range(groups.size):
+        vals = np.sort(cand.loc[cand["gi"] == i, "v"].to_numpy())
+        medians[i] = vals[in_bin_rank[i]]
+    return pd.DataFrame(
+        {
+            "l_returnflag": groups,
+            "median_price": np.round(medians, 4),
+            "n": stats["n"].astype("int64"),
+        }
+    )
