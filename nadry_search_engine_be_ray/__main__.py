@@ -7,6 +7,7 @@ SearchApplication runners, as one `python -m nadry_search_engine_be_ray`):
     serve   index-dir [--port 3000]
     merge   index-dir [index-dir ...] out-dir
     curate  documents-parquet out-dir
+    ingest  src out-dir [--format parquet|jsonl|csv]
 
 The CLI owns its Ray session (library code never calls ray.init —
 the driver contract); `serve` blocks until Ctrl-C like the Spring app.
@@ -104,6 +105,15 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    _ray()
+    from .sources.ingest import ingest_to_parquet
+
+    out = ingest_to_parquet(args.src, args.out, format=args.format)
+    print(json.dumps({"out_dir": out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="nadry_search_engine_be_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -136,6 +146,12 @@ def main(argv=None) -> int:
     c = sub.add_parser("curate")
     c.add_argument("documents"); c.add_argument("out")
     c.set_defaults(fn=cmd_curate)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("src"); i.add_argument("out")
+    i.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+                   default=None)
+    i.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -29,3 +29,24 @@ def test_cli_curate(ray_session, tmp_path, capsys):
     assert main(["curate", docs, out_dir]) == 0
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert metrics["curated"] > 0
+
+
+def test_cli_ingest_then_build(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from nadry_search_engine_be_ray.sources.corpus import make_corpus
+
+    src = os.path.join(tmp_path, "dump.jsonl")
+    with open(src, "w") as f:
+        for row in make_corpus(48).to_pylist():
+            f.write(_json.dumps(row) + "\n")
+    canon = os.path.join(tmp_path, "canon")
+    assert main(["ingest", src, canon]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["out_dir"] == canon
+
+    index = os.path.join(tmp_path, "idx2")
+    assert main(["build", canon, index, "--shards", "2",
+                 "--salt-bits", "1"]) == 0
+    phases = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "segments" in phases
