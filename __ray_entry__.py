@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": rel.q_grouped_median,
         "heavy_hitters": _q_heavy_hitters,
         "top_grams_approx": _q_top_grams_approx,
+        "tpch_q3": rel.q_tpch_q3,
+        "set_intersect": rel.q_set_intersect,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2110,6 +2112,25 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_disc(l_extendedprice, 0.5), 4) AS median_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   o_orderdate
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "set_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         "heavy_hitters": f"""
             WITH toks AS (

@@ -976,3 +976,132 @@ def q_grouped_median(sf_dir: str) -> pd.DataFrame:
             "n": stats["n"].astype("int64"),
         }
     )
+
+
+def q_tpch_q3(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape — the composite the suite's primitives exist for:
+    broadcast semi-filter (BUILDING custkeys -> orders), predicate pushdown
+    on both big tables, native hash-shuffle join lineitem ⨝ orders, partial
+    aggregation by (orderkey, orderdate) inside each joined batch, one
+    orderkey-sized groupby, then top-k.  The join's hash partitioning
+    co-locates each orderkey, so the final groupby combines per-partition
+    partials rather than raw line items."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["c_mktsegment"], "BUILDING")
+        return batch.filter(m).select(["c_custkey"])
+
+    keys = np.sort(
+        cust.map_batches(building_keys, batch_format="pyarrow")
+        .to_pandas()["c_custkey"]
+        .to_numpy(np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ks, ck)
+        idx[idx == ks.size] = 0
+        return batch.filter(pa.array(ks[idx] == ck)).select(
+            ["o_orderkey", "o_orderdate"]
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+    def ship_after(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["l_shipdate"], cutoff)).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(ship_after, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "revenue": rev,
+            }
+        )
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("revenue", "sum")]
+        )
+        return _rename_agg(g, {"revenue_sum": "revenue"})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    out = (
+        agg.sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(4)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+def q_set_intersect(sf_dir: str) -> pd.DataFrame:
+    """Distributed INTERSECT: users who both clicked and purchased.  Each
+    batch emits per-user flag partials (deduped within the batch), one
+    user-sized groupby ORs the flags — no per-side distinct pre-shuffles."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = batch.filter(keep)
+        g = pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_click": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+                "is_purchase": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        ).group_by(["user_id"]).aggregate(
+            [("is_click", "max"), ("is_purchase", "max")]
+        )
+        return _rename_agg(
+            g, {"is_click_max": "is_click", "is_purchase_max": "is_purchase"}
+        )
+
+    out = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("is_click", alias_name="is_click"),
+            Max("is_purchase", alias_name="is_purchase"),
+        )
+        .to_pandas()
+    )
+    out = out[(out["is_click"] == 1) & (out["is_purchase"] == 1)]
+    out = out[["user_id"]].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
