@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_grams_approx": _q_top_grams_approx,
         "tpch_q3": rel.q_tpch_q3,
         "set_intersect": rel.q_set_intersect,
+        "event_deltas": rel.q_event_deltas,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2131,6 +2132,20 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id
+        """,
+        "event_deltas": """
+            WITH d AS (
+                SELECT user_id,
+                       (epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts)) / 1e6
+                           AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(avg(gap), 4) AS mean_gap_s,
+                   round(max(gap), 4) AS max_gap_s
+            FROM d GROUP BY user_id ORDER BY user_id
         """,
         "heavy_hitters": f"""
             WITH toks AS (

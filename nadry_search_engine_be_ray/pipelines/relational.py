@@ -1105,3 +1105,44 @@ def q_set_intersect(sf_dir: str) -> pd.DataFrame:
     out = out[(out["is_click"] == 1) & (out["is_purchase"] == 1)]
     out = out[["user_id"]].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_event_deltas(sf_dir: str) -> pd.DataFrame:
+    """LAG window: per-user mean/max gap (seconds) between consecutive
+    events.  User-keyed groupby + in-group vectorized diff — the shuffle is
+    by the analysis key (one group per user), the same partitioning every
+    other per-user op in the suite reuses (ray_guide: pick ONE partitioning
+    key and keep it)."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False)).astype(
+            "datetime64[us]"
+        )
+        uid = group["user_id"][0].as_py()
+        n = ts.size
+        if n < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "n_events": pa.array([n], pa.int64()),
+                    "mean_gap_s": pa.array([None], pa.float64()),
+                    "max_gap_s": pa.array([None], pa.float64()),
+                }
+            )
+        d = np.diff(ts).astype("timedelta64[us]").astype(np.int64) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "mean_gap_s": pa.array([round(float(d.mean()), 4)], pa.float64()),
+                "max_gap_s": pa.array([round(float(d.max()), 4)], pa.float64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
