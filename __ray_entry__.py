@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": rel.q_tpch_q3,
         "set_intersect": rel.q_set_intersect,
         "event_deltas": rel.q_event_deltas,
+        "corr_stats": rel.q_corr_stats,
+        "mode_per_group": rel.q_mode_per_group,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -143,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "chunk_windows": _q_chunk_windows,
         "redact_pii": _q_redact_pii,
+        "c4_clean": _q_c4_clean,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "token_entropy": tq.token_entropy,
         "pack_sequences": _q_pack_sequences,
         "repetition_scores": _q_repetition_scores,
         "ann_lsh_topk": _q_ann_lsh,
@@ -944,6 +949,83 @@ def _q_redact_pii(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_C4_JUNK_LINES = [
+    "too short line",
+    "please enable javascript to continue viewing",
+    "div style width height { color red }",
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+    "this is a perfectly ordinary content sentence kept by the filter",
+]
+
+_PARA_SHARED = "this exact shared paragraph is planted verbatim in several documents"
+
+
+def _q_c4_clean(sf_dir: str):
+    """C4-style line cleaning over documents AUGMENTED with five planted
+    multi-line docs (doc_id + 3,000,000) whose extra lines trip each filter
+    rule (short / javascript / brace / lorem-ipsum) plus one keeper line —
+    the base corpus has no newlines, so the plant makes every rule path
+    non-trivial."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import c4_clean
+
+    docs = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    head = docs.slice(0, 5)
+    planted = pa.table(
+        {
+            "doc_id": pa.compute.add(head["doc_id"], 3_000_000),
+            "text": pa.array(
+                [
+                    t + "\n" + "\n".join(_C4_JUNK_LINES)
+                    for t in head["text"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    aug = pa.concat_tables([docs, planted])
+    out = c4_clean(ray.data.from_arrow(aug)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide exact paragraph dedup over documents AUGMENTED with five
+    planted two-paragraph docs (doc_id + 3,000,000): paragraph 1 duplicates
+    the base doc's whole text (base keeps, plant loses) and paragraph 2 is
+    one shared sentence kept only by the smallest planted doc_id."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import paragraph_dedup
+
+    docs = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    head = docs.slice(0, 5)
+    planted = pa.table(
+        {
+            "doc_id": pa.compute.add(head["doc_id"], 3_000_000),
+            "text": pa.array(
+                [t + "\n" + _PARA_SHARED for t in head["text"].to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+    aug = pa.concat_tables([docs, planted])
+    out = paragraph_dedup(ray.data.from_arrow(aug)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_repetition_scores(sf_dir: str):
     """Gopher-style repetition signals per document."""
     import ray.data
@@ -1737,6 +1819,11 @@ def _sqlq(s: str) -> str:
     return s.replace("'", "''")
 
 
+def _sql_str(s: str) -> str:
+    """A full single-quoted SQL string literal (newlines pass through)."""
+    return "'" + _sqlq(s) + "'"
+
+
 def _search_reference_sql() -> str:
     """Generated oracle for the EXACT reference scorer (Ranker.java:25-162)
     over the dumped token tables: one CTE chain per reference query (term
@@ -2146,6 +2233,114 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(gap), 4) AS mean_gap_s,
                    round(max(gap), 4) AS max_gap_s
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "corr_stats": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "mode_per_group": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n DESC, event_type
+                ) AS rn FROM c
+            )
+            SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "c4_clean": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       text || chr(10) || {_sql_str(chr(10).join(_C4_JUNK_LINES))}
+                FROM (SELECT doc_id, text FROM documents
+                      ORDER BY doc_id LIMIT 5)
+            ),
+            split AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(
+                           string_split(text, chr(10)),
+                           x -> len(string_split(x, ' ')) >= 5
+                                AND trim(x) <> ''
+                                AND NOT contains(x, '{{')
+                                AND NOT contains(lower(x), 'javascript')
+                                AND NOT contains(lower(x), 'lorem ipsum')
+                       ) AS kept
+                FROM aug
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
+            FROM split
+            WHERE len(kept) >= 1
+              AND len(string_split(array_to_string(kept, chr(10)), ' ')) >= 50
+            ORDER BY doc_id
+        """,
+        "paragraph_dedup": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       text || chr(10) || {_sql_str(_PARA_SHARED)}
+                FROM (SELECT doc_id, text FROM documents
+                      ORDER BY doc_id LIMIT 5)
+            ),
+            ex AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS para,
+                       unnest(generate_series(
+                           1, len(string_split(text, chr(10))))) AS i
+                FROM aug
+            ),
+            marked AS (
+                SELECT doc_id, i, para,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY doc_id, i
+                       ) AS rn
+                FROM ex
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY i
+                   ), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                       AS n_paras_kept,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dupes_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "token_entropy": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter({tok}, t -> length(t) >= 2) AS t
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            cnt AS (
+                SELECT doc_id, term, count(*) AS c
+                FROM ex GROUP BY doc_id, term
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(c) AS n,
+                       sum(c * log2(c)) AS s
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN a.n > 0
+                        THEN round(log2(a.n) - a.s / a.n, 4) END
+                       AS entropy_bits
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "heavy_hitters": f"""
             WITH toks AS (

@@ -1146,3 +1146,88 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation per group (corr of l_quantity vs
+    l_extendedprice per l_returnflag).  Single pass of moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) per batch — the textbook mergeable-sketch
+    shape: the all-to-all carries <= groups × blocks tiny rows and the
+    root combine is O(groups)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"]
+        y = batch["l_extendedprice"]
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        return _rename_agg(
+            g,
+            {"x_count": "n", "x_sum": "sx", "y_sum": "sy",
+             "xx_sum": "sxx", "yy_sum": "syy", "xy_sum": "sxy"},
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine: <= flags x blocks rows
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+    )
+    n = m["n"].astype("float64")
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    out = pd.DataFrame(
+        {
+            "l_returnflag": m["l_returnflag"],
+            "n": m["n"].astype("int64"),
+            "corr_qty_price": (cov / np.sqrt(vx * vy)).round(6),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_mode_per_group(sf_dir: str) -> pd.DataFrame:
+    """Per-user modal event_type (most frequent; ties broken by smallest
+    event_type).  Partial (user, type) counts per batch collapse the
+    exchange to <= users × types × blocks rows; the root argmax is a
+    bounded combine."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return _rename_agg(g, {"event_type_count": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine
+        .groupby(["user_id", "event_type"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    counts = counts.sort_values(
+        ["user_id", "n", "event_type"], ascending=[True, False, True]
+    )
+    out = counts.groupby("user_id", as_index=False).first()
+    out = out.rename(columns={"event_type": "mode_type"})
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["user_id", "mode_type", "n"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

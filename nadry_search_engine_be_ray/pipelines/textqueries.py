@@ -299,3 +299,37 @@ def phrase_contains(sf_dir: str, phrase: str = "hash join") -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(match_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Shannon entropy (bits) of the valid-token distribution — the
+    classic gibberish / boilerplate quality signal.  Pure per-doc
+    map_batches (the counts are local to the doc): no shuffle, scan-bound
+    at 100 TB.  entropy = log2(n) - Σ c·log2(c) / n over term counts c."""
+    import math
+    from collections import Counter
+
+    def ent_batch(batch: pa.Table) -> pa.Table:
+        ents, ns = [], []
+        for text in batch["text"].to_pylist():
+            counts = Counter(
+                t for t in simple_tokens(text) if len(t) >= 2
+            )
+            n = sum(counts.values())
+            if n == 0:
+                ents.append(None)
+                ns.append(0)
+                continue
+            s = sum(c * math.log2(c) for c in counts.values())
+            ents.append(round(math.log2(n) - s / n, 4))
+            ns.append(n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(ns, pa.int64()),
+                "entropy_bits": pa.array(ents, pa.float64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(ent_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -333,3 +333,122 @@ def redact_pii(ds, concurrency: int | None = None):
     return ds.map_batches(
         RedactPiiBatch, batch_format="pyarrow", concurrency=concurrency or 4
     )
+
+
+def _c4_keep_line(line: str) -> bool:
+    """One C4-style line rule (Raffel et al. 2020 §2.2, simplified to the
+    subset that is exactly SQL-expressible): keep a line iff it has >= 5
+    whitespace words, contains no '{', and mentions neither 'javascript'
+    nor 'lorem ipsum' (case-insensitive)."""
+    if line.count(" ") + 1 < 5 or not line.strip():
+        return False
+    low = line.lower()
+    return (
+        "{" not in line
+        and "javascript" not in low
+        and "lorem ipsum" not in low
+    )
+
+
+def c4_clean(ds, min_words: int = 50):
+    """C4-style document cleaning: apply line filters, drop docs whose kept
+    text falls under ``min_words`` words.  Embarrassingly parallel per-doc
+    map_batches — no shuffle; the 100 TB shape is pure scan bandwidth.
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped).  Lines are
+    '\\n'-separated; a doc with no newline is a single line.
+    """
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids, txt_o, kept_o, drop_o = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            lines = (text or "").split("\n")
+            kept = [ln for ln in lines if _c4_keep_line(ln)]
+            clean_text = "\n".join(kept)
+            if clean_text.count(" ") + 1 < min_words or not kept:
+                continue
+            ids.append(did)
+            txt_o.append(clean_text)
+            kept_o.append(len(kept))
+            drop_o.append(len(lines) - len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(txt_o, pa.string()),
+                "n_lines_kept": pa.array(kept_o, pa.int64()),
+                "n_lines_dropped": pa.array(drop_o, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def paragraph_dedup(ds):
+    """Corpus-wide exact paragraph dedup (the C4 / RefinedWeb span-dedup
+    family at paragraph granularity): every '\\n'-separated paragraph keeps
+    only its globally FIRST occurrence (min (doc_id, position)); documents
+    are reassembled from their surviving paragraphs.
+
+    Ray shape (scale-honest): explode (doc_id, para_idx, para) ->
+    groupby(para) marks the min-(doc_id, idx) holder per group (the only
+    all-to-all; paragraph text is the key, so identical paragraphs
+    co-locate) -> groupby(doc_id) reassembles kept paragraphs in original
+    order.  At 100 TB the first groupby would key on a 128-bit paragraph
+    hash rather than the text to shrink the exchange; the text key keeps
+    the SQL oracle exact here and the shape is identical.
+
+    Returns (doc_id, clean_text, n_paras_kept, n_dupes_removed); docs whose
+    every paragraph was a duplicate come out with empty clean_text and
+    n_paras_kept = 0.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, paras = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for i, p in enumerate((text or "").split("\n")):
+                ids.append(did)
+                idxs.append(i)
+                paras.append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "para_idx": pa.array(idxs, pa.int64()),
+                "para": pa.array(paras, pa.string()),
+            }
+        )
+
+    def mark_first(group: pa.Table) -> pa.Table:
+        # min (doc_id, para_idx) holder keeps the paragraph
+        t = group.sort_by([("doc_id", "ascending"), ("para_idx", "ascending")])
+        keep = [True] + [False] * (t.num_rows - 1)
+        return t.append_column("keep", pa.array(keep, pa.bool_()))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("para_idx", "ascending")])
+        kept = [
+            p
+            for p, k in zip(t["para"].to_pylist(), t["keep"].to_pylist())
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
+                "clean_text": pa.array(["\n".join(kept)], pa.string()),
+                "n_paras_kept": pa.array([len(kept)], pa.int64()),
+                "n_dupes_removed": pa.array(
+                    [t.num_rows - len(kept)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("para")
+        .map_groups(mark_first, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

@@ -130,3 +130,44 @@ def test_redact_pii_counts_and_order(ray_session):
     assert out.loc[2, "clean_text"] == "no pii here"
     assert out.loc[3, "n_emails"] == 1 and out.loc[3, "n_phones"] == 0
     assert out.loc[3, "clean_text"] == "x [EMAIL] y"
+
+
+def test_c4_clean_line_rules(ray_session):
+    keeper = " ".join(["word"] * 60)          # one long kept line
+    ds = _docs(
+        [
+            # every rule path in one doc: keeper survives, junk dropped
+            (1, keeper + "\ntoo short line"
+                 + "\nplease enable JavaScript to continue viewing here"
+                 + "\ncss block { display none } is ugly markup"
+                 + "\nLorem Ipsum dolor sit amet consectetur adipiscing"),
+            # doc entirely under min_words -> dropped from output
+            (2, "just a handful of small words here"),
+            # no newline at all: single kept line
+            (3, " ".join(["token"] * 55)),
+        ]
+    )
+    out = curation.c4_clean(ds, min_words=50).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 3]
+    assert out.loc[1, "n_lines_kept"] == 1
+    assert out.loc[1, "n_lines_dropped"] == 4
+    assert out.loc[1, "clean_text"] == keeper
+    assert out.loc[3, "n_lines_kept"] == 1 and out.loc[3, "n_lines_dropped"] == 0
+
+
+def test_paragraph_dedup_keeps_global_first(ray_session):
+    ds = _docs(
+        [
+            (1, "unique one\nshared paragraph text"),
+            (2, "shared paragraph text\nunique two"),
+            (3, "shared paragraph text"),        # every para a dup -> empty
+            (4, "unique four"),
+        ]
+    )
+    out = curation.paragraph_dedup(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "unique one\nshared paragraph text"
+    assert out.loc[1, "n_dupes_removed"] == 0
+    assert out.loc[2, "clean_text"] == "unique two"
+    assert out.loc[2, "n_paras_kept"] == 1 and out.loc[2, "n_dupes_removed"] == 1
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_paras_kept"] == 0
+    assert out.loc[4, "n_paras_kept"] == 1
