@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": rel.q_event_deltas,
         "corr_stats": rel.q_corr_stats,
         "mode_per_group": rel.q_mode_per_group,
+        "histogram": rel.q_histogram,
+        "group_concat": rel.q_group_concat,
+        "weighted_sample": rel.q_weighted_sample,
+        "percent_rank": rel.q_percent_rank,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2252,6 +2256,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
             FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 50) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, bin
+            ORDER BY event_type, bin
+        """,
+        "group_concat": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                       AS types,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+                SELECT o_orderkey,
+                       ln(((o_orderkey * 2654435761) % 4294967296 + 0.5)
+                          / 4294967296.0) / o_totalprice AS es_key
+                FROM orders
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY es_key DESC, o_orderkey) AS BIGINT)
+                       AS sel_rank,
+                   o_orderkey
+            FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT 20
+        """,
+        "percent_rank": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER (
+                       PARTITION BY event_type ORDER BY value), 6)
+                       AS pct_rank
+            FROM events ORDER BY event_id
         """,
         "c4_clean": f"""
             WITH aug AS (

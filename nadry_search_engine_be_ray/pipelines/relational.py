@@ -1231,3 +1231,127 @@ def q_mode_per_group(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def q_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width value histogram per event_type (bin = floor(value/50)).
+    Bin key is computed per batch, partials collapse to <= types × bins ×
+    blocks rows — a mergeable-sketch exchange, never input-sized."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bin": pc.cast(
+                    pc.floor(pc.divide(batch["value"], 50.0)), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+        return _rename_agg(g, {"bin_count": "n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine: <= types x bins x blocks
+        .groupby(["event_type", "bin"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def q_group_concat(sf_dir: str) -> pd.DataFrame:
+    """Per-user sorted-distinct event-type list (array-agg / string_agg
+    parity).  Local distinct per batch, distinct shuffle on the pair key,
+    then a per-user combine of <= |types| strings."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "event_type"])
+        .to_pandas()       # bounded: <= users x distinct types rows
+    )
+    out = (
+        pairs.sort_values(["user_id", "event_type"])
+        .groupby("user_id", as_index=False)
+        .agg(types=("event_type", lambda s: ",".join(s)),
+             n_types=("event_type", "size"))
+    )
+    out["n_types"] = out["n_types"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_weighted_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006, public algorithm): each order draws
+    u from a fixed integer LCG of its key ((key * 2654435761) mod 2^32,
+    +0.5, /2^32 — exactly representable in float64 so SQL reproduces it
+    bitwise) and the k largest u^(1/weight) win, here ranked by the
+    equivalent ln(u)/weight.  Distributed shape = per-batch key compute ->
+    global top-k sort+limit (tiny result), the same K3 shape as topk_sort;
+    at 100 TB the sort is replaced by per-batch partial top-k + driver
+    merge, which ``search``'s additive scorer already implements."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        u = ((okey * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        w = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "es_key": pa.array(np.log(u) / w, pa.float64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .sort(["es_key", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top = top.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "sel_rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            "o_orderkey": top["o_orderkey"].astype("int64"),
+        }
+    )
+
+
+def q_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """percent_rank() OVER (PARTITION BY event_type ORDER BY value) for
+    every event: groupby(partition key) + in-group vectorized searchsorted
+    ranks.  NOTE the partition key here is low-cardinality (5 types), so a
+    group is corpus/5 — fine for the window-function contract at this
+    scale, but the 100 TB shape for low-cardinality partitions is a
+    distributed sort by (type, value) with block-offset rank stitching
+    (the cumulative-sum pattern); documented rather than built because
+    every other window op in this suite partitions on a high-cardinality
+    key."""
+
+    def ranks(group: pa.Table) -> pa.Table:
+        val = group["value"].to_numpy(zero_copy_only=False)
+        sv = np.sort(val)
+        n_less = np.searchsorted(sv, val, side="left")
+        n = val.size
+        pr = n_less / (n - 1) if n > 1 else np.zeros(n)
+        return pa.table(
+            {
+                "event_id": group["event_id"],
+                "event_type": group["event_type"],
+                "pct_rank": pa.array(np.round(pr, 6), pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    # input-sized result: declared query contract (driver hashes the table)
+    out = ds.groupby("event_type").map_groups(ranks, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
