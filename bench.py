@@ -172,7 +172,8 @@ def main() -> None:
     # --- curation ops (reported, NOT in the headline total: the baseline
     # series predates these keys; comparable keys stay comparable) ----------
     from nadry_search_engine_be_ray.stages.curation import (
-        decontaminate, pack_sequences, repetition_scores,
+        c4_clean, decontaminate, pack_sequences, paragraph_dedup,
+        repetition_scores,
     )
 
     extra_timings = {}
@@ -182,6 +183,8 @@ def main() -> None:
     decontaminate(docs_ds, bench_texts, n=8).count()
     pack_sequences(docs_ds, context=1024).count()
     repetition_scores(docs_ds).count()
+    c4_clean(docs_ds).count()
+    paragraph_dedup(docs_ds).count()
     extra_timings["curation_suite"] = time.time() - t0
 
     # --- sampling + clustering + substring dedup (also non-headline) --------
