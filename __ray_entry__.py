@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_concat": rel.q_group_concat,
         "weighted_sample": rel.q_weighted_sample,
         "percent_rank": rel.q_percent_rank,
+        "unpivot_long": rel.q_unpivot_long,
+        "merge_upsert": rel.q_merge_upsert,
+        "term_fuzzy_pairs": tq.term_fuzzy_pairs,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2290,6 +2293,65 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value), 6)
                        AS pct_rank
             FROM events ORDER BY event_id
+        """,
+        "unpivot_long": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   m.metric, round(m.val, 4) AS val
+            FROM lineitem,
+                 LATERAL (VALUES ('quantity', l_quantity),
+                                 ('extendedprice', l_extendedprice),
+                                 ('discount', l_discount)) m(metric, val)
+            ORDER BY l_orderkey, l_linenumber, m.metric
+        """,
+        "merge_upsert": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+            ),
+            head AS (
+                SELECT doc_id, text,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM base ORDER BY doc_id LIMIT 10
+            ),
+            delta AS (
+                SELECT doc_id, 'updated ' || text AS text, 'U' AS op
+                FROM head WHERE rn <= 5
+                UNION ALL
+                SELECT doc_id, NULL, 'D' FROM head WHERE rn > 5
+                UNION ALL
+                SELECT doc_id + 5000000,
+                       'inserted doc ' || CAST(doc_id AS VARCHAR), 'I'
+                FROM head WHERE rn <= 5
+            )
+            SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN d.op IS NOT NULL THEN d.text
+                        ELSE b.text END AS text
+            FROM base b FULL OUTER JOIN delta d USING (doc_id)
+            WHERE d.op IS NULL OR d.op <> 'D'
+            ORDER BY doc_id
+        """,
+        "term_fuzzy_pairs": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000, text || ' ' || mis
+                FROM (SELECT doc_id, text,
+                             row_number() OVER (ORDER BY doc_id) AS rn
+                      FROM documents ORDER BY doc_id LIMIT 5) h
+                JOIN (VALUES (1, 'tablee'), (2, 'valu'), (3, 'batchh'),
+                             (4, 'mergee'), (5, 'sorta')) m(rn, mis)
+                  USING (rn)
+            ),
+            terms AS (
+                SELECT DISTINCT unnest(
+                    list_filter({tok}, t -> length(t) >= 4)) AS term
+                FROM aug
+            )
+            SELECT a.term AS term_a, b.term AS term_b
+            FROM terms a JOIN terms b
+              ON a.term < b.term
+             AND abs(length(a.term) - length(b.term)) <= 1
+             AND levenshtein(a.term, b.term) <= 1
+            ORDER BY term_a, term_b
         """,
         "c4_clean": f"""
             WITH aug AS (

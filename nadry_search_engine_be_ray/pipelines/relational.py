@@ -1355,3 +1355,120 @@ def q_percent_rank(sf_dir: str) -> pd.DataFrame:
     out = ds.groupby("event_type").map_groups(ranks, batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_unpivot_long(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt: lineitem (quantity, extendedprice, discount) wide ->
+    long (one row per metric).  Pure per-batch Arrow reshape (three column
+    slices concatenated), no shuffle — scan-bound at any scale."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for metric, col in (
+            ("quantity", "l_quantity"),
+            ("extendedprice", "l_extendedprice"),
+            ("discount", "l_discount"),
+        ):
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": batch["l_orderkey"],
+                        "l_linenumber": pc.cast(
+                            batch["l_linenumber"], pa.int64()
+                        ),
+                        "metric": pa.array(
+                            [metric] * batch.num_rows, pa.string()
+                        ),
+                        "val": pc.round(
+                            pc.cast(batch[col], pa.float64()), 4
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    # input-sized result (x3): declared query contract (driver hashes it);
+    # a 100x caller would write_parquet the melted Dataset instead
+    out = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "metric"]
+    ).reset_index(drop=True)
+
+
+def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO (CDC delta apply): a deterministic delta of 5 updates,
+    5 deletes and 5 inserts applied to the documents base table.  Ray
+    shape: tag base and delta rows, union, one groupby(doc_id) resolves
+    each key (delta wins; delete drops the key) — the standard upsert
+    compaction for log-structured tables; the exchange is keyed on the
+    primary key, never wider than base + delta."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    base_tbl = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    head = base_tbl.slice(0, 10)
+    up_ids = head["doc_id"].to_pylist()[:5]
+    del_ids = head["doc_id"].to_pylist()[5:10]
+    delta_tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                up_ids
+                + del_ids
+                + [i + 5_000_000 for i in up_ids],
+                pa.int64(),
+            ),
+            "text": pa.array(
+                ["updated " + t for t in head["text"].to_pylist()[:5]]
+                + [None] * 5
+                + ["inserted doc " + str(i) for i in up_ids],
+                pa.string(),
+            ),
+            "op": pa.array(
+                ["U"] * 5 + ["D"] * 5 + ["I"] * 5, pa.string()
+            ),
+        }
+    )
+
+    base = ray.data.from_arrow(base_tbl).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "op": pa.array([""] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    delta = ray.data.from_arrow(delta_tbl)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        ops = group["op"].to_pylist()
+        # delta rows (op != "") win over base; a delete drops the key
+        for i, op in enumerate(ops):
+            if op == "D":
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string())}
+                )
+        for i, op in enumerate(ops):
+            if op in ("U", "I"):
+                return group.select(["doc_id", "text"]).slice(i, 1)
+        return group.select(["doc_id", "text"]).slice(0, 1)
+
+    out = (
+        base.union(delta)
+        .groupby("doc_id")
+        .map_groups(resolve, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -333,3 +333,115 @@ def token_entropy(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(ent_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 (a != b assumed)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a plus one inserted char: advance past the single mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
+    """Edit-distance-1 term pairs over the corpus vocabulary via the
+    SymSpell deletion-neighborhood join (Garbe's public algorithm): any two
+    terms at levenshtein <= 1 share at least one key in
+    {term} ∪ {single-char deletions of term}, so candidates come from a
+    keyed shuffle (bucket sizes are tiny — a key collides only for
+    1-edit-adjacent terms) and each bucket verifies exactly.  This is the
+    scale shape of spelling-correction / fuzzy suggestion joins: no all-
+    pairs comparison ever happens; the exchange is O(vocab × avg_len)
+    keys.  Five planted misspelling docs (doc_id + 3,000,000) make the
+    result non-trivial on the synthetic corpus."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    base = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    head = base.slice(0, 5)
+    planted = pa.table(
+        {
+            "doc_id": pa.compute.add(head["doc_id"], 3_000_000),
+            "text": pa.array(
+                [
+                    t + " " + mis
+                    for t, mis in zip(
+                        head["text"].to_pylist(),
+                        ["tablee", "valu", "batchh", "mergee", "sorta"],
+                    )
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    aug = pa.concat_tables([base, planted])
+
+    def explode_terms(batch: pa.Table) -> pa.Table:
+        terms = set()
+        for text in batch["text"].to_pylist():
+            terms.update(
+                t for t in simple_tokens(text) if len(t) >= min_len
+            )
+        return pa.table({"term": pa.array(sorted(terms), pa.string())})
+
+    def dedup_terms(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    def deletion_keys(batch: pa.Table) -> pa.Table:
+        keys, terms = [], []
+        for t in batch["term"].to_pylist():
+            keys.append(t)
+            terms.append(t)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1 :])
+                terms.append(t)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "term": pa.array(terms, pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ts = sorted(set(group["term"].to_pylist()))
+        a_o, b_o = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                if _lev_le1(ts[i], ts[j]):
+                    a_o.append(ts[i])
+                    b_o.append(ts[j])
+        return pa.table(
+            {
+                "term_a": pa.array(a_o, pa.string()),
+                "term_b": pa.array(b_o, pa.string()),
+            }
+        )
+
+    def dedup_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    out = (
+        ray.data.from_arrow(aug)
+        .map_batches(explode_terms, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(dedup_terms, batch_format="pyarrow")
+        .map_batches(deletion_keys, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .map_groups(dedup_pair, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
