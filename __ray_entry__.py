@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_long": rel.q_unpivot_long,
         "merge_upsert": rel.q_merge_upsert,
         "term_fuzzy_pairs": tq.term_fuzzy_pairs,
+        "funnel_conversion": rel.q_funnel_conversion,
+        "term_cooccur": tq.term_cooccur,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2293,6 +2295,52 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value), 6)
                        AS pct_rank
             FROM events ORDER BY event_id
+        """,
+        "funnel_conversion": """
+            WITH ev AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE value >= 100
+            ),
+            c AS (
+                SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'click' GROUP BY user_id
+            ),
+            v AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM ev e JOIN c USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= c.t1
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT DISTINCT e.user_id
+                FROM ev e JOIN v USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= v.t2
+            )
+            SELECT CAST((SELECT count(DISTINCT user_id) FROM ev)
+                        AS BIGINT) AS n_users,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_click_view,
+                   CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+        """,
+        "term_cooccur": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           list_filter({tok}, t -> length(t) >= 2))) AS term
+                FROM documents
+            ),
+            df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+            band AS (SELECT term FROM df WHERE df BETWEEN 10 AND 400),
+            bt AS (SELECT doc_id, term FROM toks JOIN band USING (term)),
+            pairs AS (
+                SELECT a.term AS term_a, b.term AS term_b,
+                       count(*) AS n_docs
+                FROM bt a JOIN bt b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2
+            )
+            SELECT term_a, term_b, CAST(n_docs AS BIGINT) AS n_docs
+            FROM pairs ORDER BY n_docs DESC, term_a, term_b LIMIT 20
         """,
         "unpivot_long": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -1472,3 +1472,54 @@ def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Ordered-funnel analysis (click -> view -> purchase): a user converts
+    a stage only by an event at-or-after their previous stage's first
+    event.  Only high-value events (value >= 100, ~p90) count, so on the dense
+    synthetic stream the stages actually discriminate.  Shape: filter at
+    the read, one groupby(user_id) shuffle, per-group vectorized
+    first-occurrence logic, then a four-counter combine — output is a
+    single row regardless of input size."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    ds = ds.filter(expr="value >= 100").select_columns(
+        ["user_id", "ts", "event_type"]
+    )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        et = np.asarray(group["event_type"].to_pylist())
+        c = ts[et == "click"]
+        stage1 = c.size > 0
+        stage2 = stage3 = False
+        if stage1:
+            t1 = c.min()
+            v = ts[(et == "view") & (ts >= t1)]
+            stage2 = v.size > 0
+            if stage2:
+                t2 = v.min()
+                stage3 = bool(((et == "purchase") & (ts >= t2)).any())
+        return pa.table(
+            {
+                "n_users": pa.array([1], pa.int64()),
+                "n_click": pa.array([int(stage1)], pa.int64()),
+                "n_click_view": pa.array([int(stage2)], pa.int64()),
+                "n_full_funnel": pa.array([int(stage3)], pa.int64()),
+            }
+        )
+
+    per_user = ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    out = per_user.sum(
+        ["n_users", "n_click", "n_click_view", "n_full_funnel"]
+    )
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([out["sum(n_users)"] or 0], dtype="int64"),
+            "n_click": pd.Series([out["sum(n_click)"] or 0], dtype="int64"),
+            "n_click_view": pd.Series([out["sum(n_click_view)"] or 0], dtype="int64"),
+            "n_full_funnel": pd.Series(
+                [out["sum(n_full_funnel)"] or 0], dtype="int64"
+            ),
+        }
+    )

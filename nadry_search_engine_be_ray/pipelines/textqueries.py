@@ -445,3 +445,79 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+def term_cooccur(
+    sf_dir: str, df_lo: int = 10, df_hi: int = 400, k: int = 20
+) -> pd.DataFrame:
+    """Top-k co-occurring mid-frequency term pairs (number of docs
+    containing both).  Scale shape: pass 1 computes df and the driver
+    broadcasts the SMALL mid-band vocabulary (df in [df_lo, df_hi] —
+    frequency banding is what bounds the pair fan-out: stop-word-like
+    terms would pair with everything); pass 2 emits per-doc pairs only
+    over broadcast-filtered terms, then partial pair counts collapse into
+    a groupby and a tiny top-k.  The pair exchange is O(docs × band²),
+    never O(vocab²)."""
+    import itertools
+
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: _explode(b, True), batch_format="pyarrow"
+    )
+    df = ds.groupby("term").aggregate(Count(alias_name="df"))
+    band = df.filter(
+        expr=f"df >= {df_lo} and df <= {df_hi}"
+    ).select_columns(["term"]).to_pandas()
+    band_ref = ray.put(frozenset(band["term"].tolist()))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(band_ref)
+        a_o, b_o = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            terms = sorted(
+                {
+                    t
+                    for t in simple_tokens(text)
+                    if len(t) >= 2 and t in vocab
+                }
+            )
+            for a, b in itertools.combinations(terms, 2):
+                a_o.append(a)
+                b_o.append(b)
+        return pa.table(
+            {
+                "term_a": pa.array(a_o, pa.string()),
+                "term_b": pa.array(b_o, pa.string()),
+            }
+        )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["term_a", "term_b"]).aggregate(
+            [("term_a", "count")]
+        )
+        # rename by generated name, not position (pyarrow ordering varies
+        # across versions)
+        return g.rename_columns(
+            [{"term_a_count": "n"}.get(c, c) for c in g.column_names]
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    out = (
+        counts.sort(
+            ["n_docs", "term_a", "term_b"], descending=[True, False, False]
+        )
+        .limit(k)
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.reset_index(drop=True)
