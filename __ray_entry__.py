@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_fuzzy_pairs": tq.term_fuzzy_pairs,
         "funnel_conversion": rel.q_funnel_conversion,
         "term_cooccur": tq.term_cooccur,
+        "json_extract_agg": rel.q_json_extract_agg,
+        "snapshot_diff": rel.q_snapshot_diff,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2295,6 +2297,39 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value), 6)
                        AS pct_rank
             FROM events ORDER BY event_id
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+                       AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "snapshot_diff": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            ordered AS (
+                SELECT doc_id, text,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM base
+            ),
+            snap2 AS (
+                SELECT doc_id,
+                       CASE WHEN rn BETWEEN 6 AND 10
+                            THEN 'changed ' || text ELSE text END AS text
+                FROM ordered WHERE rn > 5
+                UNION ALL
+                SELECT doc_id + 7000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+                FROM ordered WHERE rn <= 5
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.doc_id IS NULL THEN 'added'
+                        ELSE 'changed' END AS status
+            FROM base a FULL OUTER JOIN snap2 b USING (doc_id)
+            WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
+            ORDER BY doc_id
         """,
         "funnel_conversion": """
             WITH ev AS (

@@ -1523,3 +1523,116 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+def q_json_extract_agg(sf_dir: str) -> pd.DataFrame:
+    """Schema-on-read JSON extraction: pull ``k`` out of the ``props`` JSON
+    column with a vectorized Arrow regex (no Python json loop), then the
+    standard partial-aggregate -> bounded root combine per event_type.
+    The scan-side extraction is the 100 TB story: the JSON string never
+    leaves the read task; only (type, n, sum) partials shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract_partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum")]
+        )
+        return _rename_agg(g, {"k_count": "n", "k_sum": "sum_k"})
+
+    out = (
+        ds.map_batches(extract_partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine: <= types x blocks rows
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), sum_k=("sum_k", "sum"))
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["avg_k"] = (out["sum_k"] / out["n"]).round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff (data-versioning primitive): compare the documents
+    table against a deterministically perturbed second snapshot (5 rows
+    dropped, 5 texts changed, 5 rows added) and emit per-doc change status
+    for every changed key.  Shape: tagged union + one groupby(doc_id) —
+    identical keys co-locate, each group resolves locally; unchanged rows
+    are filtered inside the group task so the result is diff-sized, never
+    corpus-sized."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    base_tbl = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    ids = base_tbl["doc_id"].to_pylist()
+    texts = base_tbl["text"].to_pylist()
+    removed, changed = set(ids[0:5]), set(ids[5:10])
+    new_rows = pa.table(
+        {
+            "doc_id": pa.array([i + 7_000_000 for i in ids[:5]], pa.int64()),
+            "text": pa.array([f"new doc {i}" for i in ids[:5]], pa.string()),
+        }
+    )
+    snap2 = pa.table(
+        {
+            "doc_id": pa.array(
+                [i for i in ids if i not in removed]
+                + new_rows["doc_id"].to_pylist(),
+                pa.int64(),
+            ),
+            "text": pa.array(
+                [
+                    ("changed " + t) if i in changed else t
+                    for i, t in zip(ids, texts)
+                    if i not in removed
+                ]
+                + new_rows["text"].to_pylist(),
+                pa.string(),
+            ),
+        }
+    )
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side", pa.array([side] * b.num_rows, pa.string())
+            )
+        return fn
+
+    def resolve(group: pa.Table) -> pa.Table:
+        sides = dict(zip(group["side"].to_pylist(), group["text"].to_pylist()))
+        a, b = sides.get("a"), sides.get("b")
+        if a is not None and b is None:
+            status = "removed"
+        elif a is None and b is not None:
+            status = "added"
+        elif a != b:
+            status = "changed"
+        else:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "status": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "doc_id": group.select(["doc_id"]).slice(0, 1)["doc_id"],
+                "status": pa.array([status], pa.string()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(base_tbl).map_batches(tag("a"), batch_format="pyarrow")
+        .union(
+            ray.data.from_arrow(snap2).map_batches(tag("b"), batch_format="pyarrow")
+        )
+        .groupby("doc_id")
+        .map_groups(resolve, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
