@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccur": tq.term_cooccur,
         "json_extract_agg": rel.q_json_extract_agg,
         "snapshot_diff": rel.q_snapshot_diff,
+        "data_card": tq.data_card,
         # inverted-index mechanics on the documents table (SQL-checked)
         "term_df": tq.term_df,
         "top_terms": tq.top_terms,
@@ -2297,6 +2298,19 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY value), 6)
                        AS pct_rank
             FROM events ORDER BY event_id
+        """,
+        "data_card": f"""
+            WITH per_doc AS (
+                SELECT lang, source, n_chars,
+                       len(list_filter({tok}, t -> length(t) >= 2))
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM per_doc GROUP BY lang, source ORDER BY lang, source
         """,
         "json_extract_agg": """
             SELECT event_type,

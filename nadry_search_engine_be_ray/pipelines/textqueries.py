@@ -521,3 +521,58 @@ def term_cooccur(
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def data_card(sf_dir: str) -> pd.DataFrame:
+    """Dataset-card statistics: per (lang, source) doc counts, token
+    totals and mean doc length — the summary table a training-data release
+    ships with.  Per-batch partials (token counting local to the doc)
+    collapse to <= langs × sources × blocks rows before one tiny root
+    combine; the corpus never shuffles."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "source", "text", "n_chars"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = [
+            sum(1 for t in simple_tokens(x) if len(t) >= 2)
+            for x in batch["text"].to_pylist()
+        ]
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_tokens": pa.array(toks, pa.int64()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("n_tokens", "count"), ("n_tokens", "sum"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(
+            [
+                {
+                    "n_tokens_count": "n_docs",
+                    "n_tokens_sum": "sum_tokens",
+                    "n_chars_sum": "sum_chars",
+                }.get(c, c)
+                for c in g.column_names
+            ]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()       # bounded root combine
+        .groupby(["lang", "source"], as_index=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_tokens=("sum_tokens", "sum"),
+            sum_chars=("sum_chars", "sum"),
+        )
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
+    out = out.drop(columns=["sum_chars"])
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)

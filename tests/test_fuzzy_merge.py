@@ -49,3 +49,30 @@ def test_merge_upsert_semantics(ray_session):
         assert got.loc[i + 5_000_000, "text"] == f"inserted doc {i}"
     # untouched rows intact, total = base - 5 + 5
     assert len(got) == base.num_rows
+
+
+# -- property: _lev_le1 agrees with a reference DP levenshtein ------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _lev_dp(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=6),
+    st.text(alphabet="abc", min_size=0, max_size=6),
+)
+def test_lev_le1_matches_dp(a, b):
+    if a == b:
+        return
+    assert _lev_le1(a, b) == (_lev_dp(a, b) <= 1)
