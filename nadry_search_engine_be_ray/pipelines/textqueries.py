@@ -12,8 +12,10 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
@@ -21,7 +23,31 @@ _SIMPLE = re.compile(r"[^a-z0-9]+")
 
 
 def simple_tokens(text: str) -> list[str]:
+    """Scalar path (query parsing / oracles); batch stages use _exploded."""
     return _SIMPLE.split((text or "").lower())
+
+
+def _exploded(batch: pa.Table, min_len: int = 2):
+    """Vectorized simple-tokenizer explode of ``batch['text']``: returns
+    ``(doc_pos, flat, lengths, ok)`` where ``flat`` is the RAW re.split
+    token stream (empty edge tokens preserved, verified char-identical to
+    ``re.split`` — Arrow re2 split + utf8_lower match Python semantics),
+    ``doc_pos[i]`` is the batch row owning ``flat[i]``, ``lengths`` the raw
+    per-doc token counts, and ``ok`` the ``len >= min_len`` validity mask.
+    This is the shared hot core: no Python loop ever touches a token."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), pattern="[^a-z0-9]+"
+    )
+    lengths = pc.list_value_length(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    doc_pos = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    ok = pc.greater_equal(pc.utf8_length(flat), min_len).to_numpy(
+        zero_copy_only=False
+    )
+    return doc_pos, flat, lengths, ok
 
 
 def _docs(sf_dir: str):
@@ -29,17 +55,16 @@ def _docs(sf_dir: str):
 
 
 def _explode(batch: pa.Table, distinct_per_doc: bool) -> pa.Table:
-    ids, terms = [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        toks = [t for t in simple_tokens(text) if len(t) >= 2]
-        if distinct_per_doc:
-            toks = set(toks)
-        for t in toks:
-            ids.append(did)
-            terms.append(t)
-    return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "term": pa.array(terms, pa.string())}
+    doc_pos, flat, _, ok = _exploded(batch)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_pos[ok]]
+    terms = flat.filter(pa.array(ok))
+    out = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "term": terms}
     )
+    if distinct_per_doc:
+        g = out.group_by(["doc_id", "term"]).aggregate([])
+        out = g.select(["doc_id", "term"])
+    return out
 
 
 def term_df(sf_dir: str) -> pd.DataFrame:
@@ -67,10 +92,8 @@ def doc_token_count(sf_dir: str) -> pd.DataFrame:
     """Valid-token count per doc (A2 totalWords mechanics)."""
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        ns = [
-            sum(1 for t in simple_tokens(text) if len(t) >= 2)
-            for text in batch["text"].to_pylist()
-        ]
+        doc_pos, _, _, ok = _exploded(batch)
+        ns = np.bincount(doc_pos[ok], minlength=len(batch))
         return pa.table(
             {"doc_id": batch["doc_id"], "n_tokens": pa.array(ns, pa.int64())}
         )
@@ -84,15 +107,17 @@ def first_position(sf_dir: str, term: str = "spark") -> pd.DataFrame:
     (positional-index mechanics; matches DuckDB list_position semantics)."""
 
     def pos_batch(batch: pa.Table) -> pa.Table:
-        ids, poss = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = simple_tokens(text)
-            try:
-                p = toks.index(term)
-            except ValueError:
-                continue
-            ids.append(did)
-            poss.append(p)
+        doc_pos, flat, lengths, _ = _exploded(batch)
+        hits = np.flatnonzero(
+            pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        )
+        docs_hit = doc_pos[hits]
+        # first hit per doc: flat indices are doc-major, so the first
+        # occurrence of each doc id in docs_hit is its first match
+        uniq, first = np.unique(docs_hit, return_index=True)
+        starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        poss = hits[first] - starts[uniq]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[uniq]
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()), "pos": pa.array(poss, pa.int64())}
         )
@@ -111,15 +136,14 @@ def search_additive(sf_dir: str, query: str = "hash join performance",
     single field), so Σ weight == Σ tf."""
     qset = {t for t in simple_tokens(query) if len(t) >= 2}
 
+    qarr = pa.array(sorted(qset), pa.string())
+
     def explode_q(batch: pa.Table) -> pa.Table:
-        ids, terms = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for t in simple_tokens(text):
-                if t in qset:
-                    ids.append(did)
-                    terms.append(t)
+        doc_pos, flat, _, _ = _exploded(batch)
+        hit = pc.is_in(flat, value_set=qarr).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_pos[hit]]
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "term": pa.array(terms, pa.string())}
+            {"doc_id": pa.array(ids, pa.int64()), "term": flat.filter(pa.array(hit))}
         )
 
     ds = _docs(sf_dir).map_batches(explode_q, batch_format="pyarrow")
@@ -150,25 +174,27 @@ def tfidf_rank(sf_dir: str, query: str = "hash join performance",
     qset = set(qterms)
     qlen = float(len(qterms))
 
+    qarr = pa.array(sorted(qset), pa.string())
+
     def cand_batch(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs, tws = [], [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = [t for t in simple_tokens(text) if len(t) >= 2]
-            hit: dict[str, int] = {}
-            for t in toks:
-                if t in qset:
-                    hit[t] = hit.get(t, 0) + 1
-            for t, c in hit.items():
-                ids.append(did)
-                terms.append(t)
-                tfs.append(c)
-                tws.append(len(toks))
+        doc_pos, flat, _, ok = _exploded(batch)
+        total = np.bincount(doc_pos[ok], minlength=len(batch))
+        hit = ok & pc.is_in(flat, value_set=qarr).to_numpy(zero_copy_only=False)
+        occ = pa.table(
+            {
+                "row": pa.array(doc_pos[hit], pa.int64()),
+                "term": flat.filter(pa.array(hit)),
+            }
+        )
+        g = occ.group_by(["row", "term"]).aggregate([("term", "count")])
+        rows = g["row"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[rows]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
-                "total_words": pa.array(tws, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": g["term"],
+                "tf": pc.cast(g["term_count"], pa.int64()),
+                "total_words": pa.array(total[rows], pa.int64()),
             }
         )
 
@@ -215,20 +241,17 @@ def bm25_simple(sf_dir: str, query: str = "hash join performance",
     terms = [t for t in simple_tokens(query) if len(t) >= 2]
 
     def partials(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        cols: dict[str, list] = {"doc_id": [], "dl": []}
+        doc_pos, flat, _, ok = _exploded(batch)
+        dl = np.bincount(doc_pos[ok], minlength=len(batch))
+        out = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
         for i, t in enumerate(terms):
-            cols[f"tf{i}"] = []
-        for did, text in zip(ids, batch["text"].to_pylist()):
-            toks = [t for t in simple_tokens(text) if len(t) >= 2]
-            cols["doc_id"].append(did)
-            cols["dl"].append(len(toks))
-            for i, t in enumerate(terms):
-                cols[f"tf{i}"].append(toks.count(t))
-        out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
-               "dl": pa.array(cols["dl"], pa.int64())}
-        for i in range(len(terms)):
-            out[f"tf{i}"] = pa.array(cols[f"tf{i}"], pa.int64())
+            hit = ok & pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            out[f"tf{i}"] = pa.array(
+                np.bincount(doc_pos[hit], minlength=len(batch)), pa.int64()
+            )
         return pa.table(out)
 
     stats_ds = _docs(sf_dir).map_batches(partials, batch_format="pyarrow")
@@ -290,11 +313,17 @@ def phrase_contains(sf_dir: str, phrase: str = "hash join") -> pd.DataFrame:
     needle = " " + " ".join(simple_tokens(phrase)) + " "
 
     def match_batch(batch: pa.Table) -> pa.Table:
-        ids = [
-            did
-            for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
-            if needle in (" " + " ".join(simple_tokens(text)) + " ")
-        ]
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        split = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern="[^a-z0-9]+"
+        )
+        joined = pc.binary_join_element_wise(
+            " ", pc.binary_join(split, " "), " ", ""
+        )
+        hit = pc.match_substring(joined, needle).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[hit]
         return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
     out = _docs(sf_dir).map_batches(match_batch, batch_format="pyarrow").to_pandas()
@@ -306,28 +335,27 @@ def token_entropy(sf_dir: str) -> pd.DataFrame:
     classic gibberish / boilerplate quality signal.  Pure per-doc
     map_batches (the counts are local to the doc): no shuffle, scan-bound
     at 100 TB.  entropy = log2(n) - Σ c·log2(c) / n over term counts c."""
-    import math
-    from collections import Counter
-
     def ent_batch(batch: pa.Table) -> pa.Table:
-        ents, ns = [], []
-        for text in batch["text"].to_pylist():
-            counts = Counter(
-                t for t in simple_tokens(text) if len(t) >= 2
-            )
-            n = sum(counts.values())
-            if n == 0:
-                ents.append(None)
-                ns.append(0)
-                continue
-            s = sum(c * math.log2(c) for c in counts.values())
-            ents.append(round(math.log2(n) - s / n, 4))
-            ns.append(n)
+        doc_pos, flat, _, ok = _exploded(batch)
+        occ = pa.table(
+            {
+                "row": pa.array(doc_pos[ok], pa.int64()),
+                "term": flat.filter(pa.array(ok)),
+            }
+        )
+        g = occ.group_by(["row", "term"]).aggregate([("term", "count")])
+        rows = g["row"].to_numpy(zero_copy_only=False)
+        c = g["term_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.bincount(rows, weights=c, minlength=len(batch))
+        s = np.bincount(rows, weights=c * np.log2(c), minlength=len(batch))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.round(np.log2(n) - s / n, 4)
+        ent_arr = pa.array(ent, pa.float64(), mask=(n == 0))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(ns, pa.int64()),
-                "entropy_bits": pa.array(ents, pa.float64()),
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "entropy_bits": ent_arr,
             }
         )
 
@@ -389,12 +417,9 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
     aug = pa.concat_tables([base, planted])
 
     def explode_terms(batch: pa.Table) -> pa.Table:
-        terms = set()
-        for text in batch["text"].to_pylist():
-            terms.update(
-                t for t in simple_tokens(text) if len(t) >= min_len
-            )
-        return pa.table({"term": pa.array(sorted(terms), pa.string())})
+        _, flat, _, ok = _exploded(batch, min_len=min_len)
+        uniq = pc.unique(flat.filter(pa.array(ok)))
+        return pa.table({"term": uniq.take(pc.array_sort_indices(uniq))})
 
     def dedup_terms(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
@@ -473,19 +498,23 @@ def term_cooccur(
     band_ref = ray.put(frozenset(band["term"].tolist()))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        vocab = ray.get(band_ref)
+        # tokenize + vocab filter + per-doc distinct fully vectorized; only
+        # the pair fan-out loops, over each doc's tiny (<= band) term list
+        vocab_arr = pa.array(sorted(ray.get(band_ref)), pa.string())
+        doc_pos, flat, _, ok = _exploded(batch)
+        hit = ok & pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False
+        )
+        occ = pa.table(
+            {
+                "row": pa.array(doc_pos[hit], pa.int64()),
+                "term": flat.filter(pa.array(hit)),
+            }
+        ).group_by(["row", "term"]).aggregate([])
+        df = occ.to_pandas().sort_values(["row", "term"])
         a_o, b_o = [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            terms = sorted(
-                {
-                    t
-                    for t in simple_tokens(text)
-                    if len(t) >= 2 and t in vocab
-                }
-            )
-            for a, b in itertools.combinations(terms, 2):
+        for _, terms in df.groupby("row", sort=False)["term"]:
+            for a, b in itertools.combinations(terms.tolist(), 2):
                 a_o.append(a)
                 b_o.append(b)
         return pa.table(
@@ -535,10 +564,8 @@ def data_card(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = [
-            sum(1 for t in simple_tokens(x) if len(t) >= 2)
-            for x in batch["text"].to_pylist()
-        ]
+        doc_pos, _, _, ok = _exploded(batch)
+        toks = np.bincount(doc_pos[ok], minlength=len(batch)).astype(np.int64)
         t = pa.table(
             {
                 "lang": batch["lang"],
