@@ -33,7 +33,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .lm import default_pool_size, doc_tokens, ngram_count_table
+from .lm import (
+    bigram_grams,
+    default_pool_size,
+    doc_tokens,
+    exploded_tokens,
+    lookup_counts,
+    ngram_count_table,
+)
 
 
 def doc_grams(text: str | None) -> list[str]:
@@ -94,13 +101,47 @@ class DsirScoreBatch:
         )
         self.text_col = text_col
         self.n_buckets = n_buckets
+        # once per ACTOR: ratio dict -> Arrow key array + numpy values so
+        # per-batch probes are a single index_in kernel
+        self.keys = pa.array(list(self.ratio.keys()), pa.string())
+        self.vals = np.fromiter(
+            self.ratio.values(), np.float64, len(self.ratio))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ratio = self.ratio
         nb = self.n_buckets
-        per_doc = [doc_grams(t) for t in batch[self.text_col].to_pylist()]
         if nb is not None:
-            per_doc = [[str(_bucket(g, nb)) for g in gs] for gs in per_doc]
+            return self._call_hashed(batch)
+        doc_pos, flat, toklens = exploded_tokens(batch[self.text_col])
+        n_rows = len(batch)
+        bg, bg_pos = bigram_grams(doc_pos, flat)
+        w = np.bincount(
+            doc_pos, weights=lookup_counts(flat, self.keys, self.vals),
+            minlength=n_rows,
+        )
+        bglens = np.zeros(n_rows, np.int64)
+        if len(bg):
+            bg_doc = doc_pos[bg_pos]
+            w += np.bincount(
+                bg_doc, weights=lookup_counts(bg, self.keys, self.vals),
+                minlength=n_rows,
+            )
+            bglens = np.bincount(bg_doc, minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(toklens + bglens, pa.int64()),
+                "weight": pc.round(pa.array(w, pa.float64()), 6),
+            }
+        )
+
+    def _call_hashed(self, batch: pa.Table) -> pa.Table:
+        """sha256-bucketed variant (paper's hashed features): the bucket
+        hash is inherently per-gram Python; pytest-verified, non-hot."""
+        ratio, nb = self.ratio, self.n_buckets
+        per_doc = [
+            [str(_bucket(g, nb)) for g in doc_grams(t)]
+            for t in batch[self.text_col].to_pylist()
+        ]
         lens = np.array([len(g) for g in per_doc], dtype=np.int64)
         flat = [g for gs in per_doc for g in gs]
         n = len(flat)

@@ -63,6 +63,57 @@ def doc_tokens(text: str | None) -> list[str]:
     return _WORD.findall((text or "").lower())
 
 
+def exploded_tokens(texts):
+    """Vectorized batch tokenization: Arrow regex split of the lowercased
+    column on ``[^a-z0-9_]+`` with empty edge tokens dropped — token-stream
+    identical to per-doc ``doc_tokens`` (findall) but no Python loop ever
+    touches a token.  Returns ``(doc_pos, flat, lens)``: the owning row per
+    flat token, the flat token array, and per-row token counts."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), pattern="[^a-z0-9_]+"
+    )
+    raw_lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    doc_pos = np.repeat(np.arange(len(raw_lens), dtype=np.int64), raw_lens)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    doc_pos = doc_pos[keep]
+    lens = np.bincount(doc_pos, minlength=len(raw_lens)).astype(np.int64)
+    return doc_pos, flat, lens
+
+
+def bigram_grams(doc_pos: np.ndarray, flat: pa.Array):
+    """Same-doc adjacent ``"v w"`` bigram strings (vectorized join) plus the
+    flat position of each bigram's SECOND token."""
+    n = len(flat)
+    if n < 2:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    m = doc_pos[1:] == doc_pos[:-1]
+    mask = pa.array(m)
+    a = flat.slice(0, n - 1).filter(mask)
+    b = flat.slice(1, n - 1).filter(mask)
+    if len(a) == 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    return (
+        pc.binary_join_element_wise(a, b, " "),
+        np.flatnonzero(m) + 1,
+    )
+
+
+def lookup_counts(flat: pa.Array, keys: pa.Array, vals: np.ndarray) -> np.ndarray:
+    """Vectorized ``dict.get(gram, 0)`` over a flat gram array: one
+    ``index_in`` probe against the broadcast key array, then a numpy
+    gather.  The hash probe stays in Arrow's kernel, not Python."""
+    if len(flat) == 0 or len(keys) == 0:
+        return np.zeros(len(flat), np.float64)
+    idx = pc.fill_null(pc.index_in(flat, value_set=keys), -1).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    return np.where(idx >= 0, vals[np.maximum(idx, 0)], 0.0)
+
+
 @dataclass
 class LMModel:
     """Pruned Stupid-Backoff bigram model.  ``uni``/``bi`` map token /
@@ -80,15 +131,12 @@ def _partial_counts(batch: pa.Table, text_col: str) -> pa.Table:
     bigrams are ``"v w"`` (tokens cannot contain spaces, so the encoding is
     unambiguous).  Combining within the batch first keeps the shuffle
     gram-sized, not token-sized."""
-    grams: list[str] = []
-    for text in batch[text_col].to_pylist():
-        toks = doc_tokens(text)
-        grams.extend(toks)
-        grams.extend(f"{v} {w}" for v, w in zip(toks, toks[1:]))
-    if not grams:
+    doc_pos, flat, _ = exploded_tokens(batch[text_col])
+    if len(flat) == 0:
         return pa.table({"gram": pa.array([], pa.string()),
                          "count": pa.array([], pa.int64())})
-    t = pa.table({"gram": pa.array(grams, pa.string())})
+    bi, _ = bigram_grams(doc_pos, flat)
+    t = pa.table({"gram": pa.chunked_array([flat, bi])})
     g = t.group_by("gram").aggregate([("gram", "count")])
     return g.rename_columns(["gram", "count"])
 
@@ -150,31 +198,34 @@ class LMScoreBatch:
             else model_ref
         )
         self.text_col = text_col
+        # once per ACTOR: model dicts -> Arrow key arrays + numpy value
+        # gathers, so per-batch probes are one index_in kernel each
+        self.uni_keys = pa.array(list(self.m.uni.keys()), pa.string())
+        self.uni_vals = np.fromiter(
+            self.m.uni.values(), np.float64, len(self.m.uni))
+        self.bi_keys = pa.array(list(self.m.bi.keys()), pa.string())
+        self.bi_vals = np.fromiter(
+            self.m.bi.values(), np.float64, len(self.m.bi))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = self.m
-        uni, bi, alpha = m.uni, m.bi, m.alpha
+        alpha = m.alpha
         n_total = float(max(m.total, 1))
-        per_doc = [doc_tokens(t) for t in batch[self.text_col].to_pylist()]
-        lens = np.array([len(t) for t in per_doc], dtype=np.int64)
-        flat = [tok for toks in per_doc for tok in toks]
+        doc_pos, flat, lens = exploded_tokens(batch[self.text_col])
         n = len(flat)
         if n:
-            # count arrays (0 = pruned/unseen); the dict probe per token is
-            # the irreducible hash-lookup kernel of n-gram scoring
-            cu = np.fromiter((uni.get(t, 0) for t in flat), np.float64, n)
+            # count arrays (0 = pruned/unseen); one vectorized index_in
+            # probe per gram table replaces the per-token dict loop
+            cu = lookup_counts(flat, self.uni_keys, self.uni_vals)
             cb = np.zeros(n, np.float64)
             cu_prev = np.zeros(n, np.float64)
             starts = np.zeros(n, np.bool_)
             offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
             starts[offs[lens > 0]] = True
             inner = np.nonzero(~starts)[0]  # positions with a same-doc prev
-            cb[inner] = np.fromiter(
-                (bi.get(flat[i - 1] + " " + flat[i], 0) for i in inner),
-                np.float64, inner.size)
-            cu_prev[inner] = np.fromiter(
-                (uni.get(flat[i - 1], 0) for i in inner),
-                np.float64, inner.size)
+            bg, bg_pos = bigram_grams(doc_pos, flat)
+            cb[bg_pos] = lookup_counts(bg, self.bi_keys, self.bi_vals)
+            cu_prev[inner] = cu[inner - 1]
             s1 = np.where(cu > 0, cu, alpha) / n_total
             lp_pos = np.where(
                 starts,
@@ -189,10 +240,10 @@ class LMScoreBatch:
             # alias offset n), and segments stay contiguous because empty
             # docs occupy no positions
             nz = lens > 0
-            lp_doc = np.zeros(len(per_doc), np.float64)
+            lp_doc = np.zeros(lens.size, np.float64)
             lp_doc[nz] = np.add.reduceat(lp_pos, offs[nz])
         else:
-            lp_doc = np.zeros(len(per_doc), np.float64)
+            lp_doc = np.zeros(lens.size, np.float64)
         ppl = np.power(10.0, -lp_doc / np.maximum(lens, 1))
         return pa.table(
             {
