@@ -20,17 +20,21 @@ training-data pipeline (beyond the reference's own operator set; task brief
   counts.  Patterns are RE2-compatible so a SQL oracle reproduces the
   rewrite bitwise; compiled once per actor.
 
-All three loop Python over the docs WITHIN a batch (regex + set probes per
-text, the same per-doc shape as stages/textstats.py); the distributed story
-is batches × actors, not intra-batch SIMD.
+Intra-batch work is vectorized: tokens and n-grams come from the Arrow
+regex-split / join kernels in ``stages/lm.py`` and PII redaction uses
+Arrow's RE2 replace/count kernels; no Python loop touches a token in the
+hot paths.
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from .lm import exploded_tokens, ngram_strings
 from .textstats import _WORD
 
 # RE2-compatible AND Python-re-compatible (no lookaround, no backrefs) so
@@ -61,30 +65,33 @@ class DecontaminateBatch:
         import ray
 
         self.n = n
-        self.bench = (
+        bench = (
             ray.get(bench_ref)
             if isinstance(bench_ref, ray.ObjectRef)
             else bench_ref
         )
+        # once per actor: gram set -> Arrow array for vectorized is_in
+        self.bench_arr = pa.array(sorted(bench), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = self.n
-        bench = self.bench
-        ids = batch["doc_id"].to_pylist()
-        n_grams_o, n_cont_o, flag_o = [], [], []
-        for text in batch["text"].to_pylist():
-            toks = _WORD.findall((text or "").lower())
-            grams = doc_ngrams(toks, n)
-            hits = sum(1 for g in grams if g in bench)
-            n_grams_o.append(len(grams))
-            n_cont_o.append(hits)
-            flag_o.append(hits > 0)
+        n_rows = len(batch)
+        doc_pos, flat, _ = exploded_tokens(batch["text"])
+        grams, starts = ngram_strings(doc_pos, flat, self.n)
+        gdoc = doc_pos[starts]
+        n_grams = np.bincount(gdoc, minlength=n_rows)
+        if len(grams) and len(self.bench_arr):
+            hit = pc.is_in(grams, value_set=self.bench_arr).to_numpy(
+                zero_copy_only=False
+            )
+            n_cont = np.bincount(gdoc[hit], minlength=n_rows)
+        else:
+            n_cont = np.zeros(n_rows, np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_grams": pa.array(n_grams_o, pa.int64()),
-                "n_contaminated": pa.array(n_cont_o, pa.int64()),
-                "contaminated": pa.array(flag_o, pa.bool_()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_contaminated": pa.array(n_cont, pa.int64()),
+                "contaminated": pa.array(n_cont > 0, pa.bool_()),
             }
         )
 
@@ -162,30 +169,46 @@ class RepetitionBatch:
     TOP2_MAX = 0.20
     DUP5_MAX = 0.30
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids = batch["doc_id"].to_pylist()
-        top2_o, dup5_o, flag_o = [], [], []
-        for text in batch["text"].to_pylist():
-            toks = _WORD.findall((text or "").lower())
-            g2 = Counter(doc_ngrams(toks, 2))
-            t2 = sum(g2.values())
-            top2 = (max(g2.values()) / t2) if t2 else 0.0
-            g5 = Counter(doc_ngrams(toks, 5))
-            t5 = sum(g5.values())
-            dup5 = (
-                sum(c for c in g5.values() if c > 1) / t5 if t5 else 0.0
+    @staticmethod
+    def _gram_stats(doc_pos, flat, n: int, n_rows: int):
+        """Per-row (total gram positions, max single-gram count, positions
+        of grams occurring > once) via one arrow group_by — no token loop."""
+        grams, starts = ngram_strings(doc_pos, flat, n)
+        gdoc = doc_pos[starts]
+        total = np.bincount(gdoc, minlength=n_rows).astype(np.float64)
+        top = np.zeros(n_rows, np.float64)
+        dup = np.zeros(n_rows, np.float64)
+        if len(grams):
+            g = pa.table(
+                {"d": pa.array(gdoc, pa.int64()), "g": grams}
+            ).group_by(["d", "g"]).aggregate([("g", "count")])
+            dd = g["d"].to_numpy(zero_copy_only=False)
+            cc = g["g_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+            np.maximum.at(top, dd, cc)
+            dup = np.bincount(
+                dd, weights=np.where(cc > 1, cc, 0.0), minlength=n_rows
             )
-            top2_o.append(round(top2, 9))
-            dup5_o.append(round(dup5, 9))
-            flag_o.append(top2 > self.TOP2_MAX or dup5 > self.DUP5_MAX)
+        return total, top, dup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = len(batch)
+        doc_pos, flat, _ = exploded_tokens(batch["text"])
+        t2, top2c, _ = self._gram_stats(doc_pos, flat, 2, n_rows)
+        t5, _, dup5c = self._gram_stats(doc_pos, flat, 5, n_rows)
+        with np.errstate(invalid="ignore"):
+            top2 = np.where(t2 > 0, top2c / np.maximum(t2, 1.0), 0.0)
+            dup5 = np.where(t5 > 0, dup5c / np.maximum(t5, 1.0), 0.0)
+        flag = (top2 > self.TOP2_MAX) | (dup5 > self.DUP5_MAX)
+        # Python round per doc (cheap: one call per ROW, not per token)
+        # keeps the emitted values bit-identical to the original loop
+        top2_o = [round(float(x), 9) for x in top2]
+        dup5_o = [round(float(x), 9) for x in dup5]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
                 "top2gram_frac": pa.array(top2_o, pa.float64()),
                 "dup5gram_frac": pa.array(dup5_o, pa.float64()),
-                "repetitive": pa.array(flag_o, pa.bool_()),
+                "repetitive": pa.array(flag, pa.bool_()),
             }
         )
 
@@ -203,18 +226,13 @@ class _CountTokensBatch:
         self.part_docs = part_docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
-        n = [
-            len(_WORD.findall((t or "").lower()))
-            for t in batch["text"].to_pylist()
-        ]
+        _, _, lens = exploded_tokens(batch["text"])
         return pa.table(
             {
                 "part": pa.array(ids // self.part_docs, pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array(np.array(n, dtype="int64"), pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
             }
         )
 
@@ -298,29 +316,29 @@ def pack_sequences(ds, context: int = 128, part_docs: int = 4096):
 
 
 class RedactPiiBatch:
-    """Regex PII scrub with match counts; patterns compiled once per actor."""
-
-    def __init__(self):
-        self.email = re.compile(EMAIL_RE)
-        self.phone = re.compile(PHONE_RE)
+    """Regex PII scrub with match counts — Arrow's RE2 replace/count
+    kernels over the whole column (the patterns are RE2-compatible by
+    design, the same property the DuckDB oracle relies on)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        clean_o, ne_o, np_o = [], [], []
-        for text in batch["text"].to_pylist():
-            t = text or ""
-            ne = len(self.email.findall(t))
-            t2 = self.email.sub("[EMAIL]", t)
-            np_ = len(self.phone.findall(t2))
-            clean_o.append(self.phone.sub("[PHONE]", t2))
-            ne_o.append(ne)
-            np_o.append(np_)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        ne = pc.count_substring_regex(texts, pattern=EMAIL_RE)
+        t2 = pc.replace_substring_regex(
+            texts, pattern=EMAIL_RE, replacement="[EMAIL]"
+        )
+        np_ = pc.count_substring_regex(t2, pattern=PHONE_RE)
+        clean = pc.replace_substring_regex(
+            t2, pattern=PHONE_RE, replacement="[PHONE]"
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "clean_text": pa.array(clean_o, pa.string()),
-                "n_emails": pa.array(ne_o, pa.int64()),
-                "n_phones": pa.array(np_o, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "clean_text": clean,
+                "n_emails": pc.cast(ne, pa.int64()),
+                "n_phones": pc.cast(np_, pa.int64()),
             }
         )
 
@@ -360,25 +378,52 @@ def c4_clean(ds, min_words: int = 50):
     """
 
     def clean(batch: pa.Table) -> pa.Table:
-        ids, txt_o, kept_o, drop_o = [], [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            lines = (text or "").split("\n")
-            kept = [ln for ln in lines if _c4_keep_line(ln)]
-            clean_text = "\n".join(kept)
-            if clean_text.count(" ") + 1 < min_words or not kept:
-                continue
-            ids.append(did)
-            txt_o.append(clean_text)
-            kept_o.append(len(kept))
-            drop_o.append(len(lines) - len(kept))
+        # vectorized line rules: split to a list<string>, evaluate every
+        # rule as an Arrow kernel over the flat line array, reassemble kept
+        # lines per doc via ListArray offsets + binary_join
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lines = pc.split_pattern(pc.fill_null(texts, ""), "\n")
+        nl = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lines)
+        doc_pos = np.repeat(np.arange(len(batch), dtype=np.int64), nl)
+        low = pc.utf8_lower(flat)
+        keep_line = pc.and_(
+            pc.and_(
+                pc.greater_equal(pc.add(pc.count_substring(flat, " "), 1), 5),
+                pc.not_equal(pc.utf8_trim_whitespace(flat), ""),
+            ),
+            pc.and_(
+                pc.invert(pc.match_substring(flat, "{")),
+                pc.and_(
+                    pc.invert(pc.match_substring(low, "javascript")),
+                    pc.invert(pc.match_substring(low, "lorem ipsum")),
+                ),
+            ),
+        ).to_numpy(zero_copy_only=False)
+        kept_counts = np.bincount(doc_pos[keep_line], minlength=len(batch))
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate(([0], np.cumsum(kept_counts))), pa.int32()
+            ),
+            flat.filter(pa.array(keep_line)),
+        )
+        joined = pc.binary_join(kept_lists, "\n")
+        doc_words = pc.add(pc.count_substring(joined, " "), 1).to_numpy(
+            zero_copy_only=False
+        )
+        doc_keep = pa.array((kept_counts > 0) & (doc_words >= min_words))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "clean_text": pa.array(txt_o, pa.string()),
-                "n_lines_kept": pa.array(kept_o, pa.int64()),
-                "n_lines_dropped": pa.array(drop_o, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(doc_keep),
+                "clean_text": joined.filter(doc_keep),
+                "n_lines_kept": pa.array(
+                    kept_counts, pa.int64()
+                ).filter(doc_keep),
+                "n_lines_dropped": pa.array(
+                    nl - kept_counts, pa.int64()
+                ).filter(doc_keep),
             }
         )
 

@@ -102,6 +102,23 @@ def bigram_grams(doc_pos: np.ndarray, flat: pa.Array):
     )
 
 
+def ngram_strings(doc_pos: np.ndarray, flat: pa.Array, n: int):
+    """Space-joined same-doc token ``n``-grams (one vectorized join over
+    ``n`` shifted slices) plus the flat position of each gram's FIRST
+    token.  Gram strings match ``" ".join(tokens[i:i+n])`` exactly."""
+    total = len(flat)
+    if total < n:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    if n == 1:
+        return flat, np.arange(total, dtype=np.int64)
+    valid = doc_pos[: total - n + 1] == doc_pos[n - 1 :]
+    mask = pa.array(valid)
+    cols = [flat.slice(k, total - n + 1).filter(mask) for k in range(n)]
+    if len(cols[0]) == 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    return pc.binary_join_element_wise(*cols, " "), np.flatnonzero(valid)
+
+
 def lookup_counts(flat: pa.Array, keys: pa.Array, vals: np.ndarray) -> np.ndarray:
     """Vectorized ``dict.get(gram, 0)`` over a flat gram array: one
     ``index_in`` probe against the broadcast key array, then a numpy
