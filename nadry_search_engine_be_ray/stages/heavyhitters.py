@@ -43,7 +43,10 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+
+from .lm import ngram_strings
 
 _SIMPLE = re.compile(r"[^a-z0-9]+")
 
@@ -63,6 +66,29 @@ def simple_grams(text: str, n: int = 2) -> list[str]:
     if len(toks) < n:
         return []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def batch_gram_counter(texts, n: int = 2) -> Counter:
+    """Exact batch-level gram counts via Arrow kernels (regex split,
+    same-doc n-gram join, group count) — gram stream identical to
+    ``simple_grams`` per doc; Python cost is per DISTINCT gram (the
+    vocab-sized sketch feed), never per token."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), pattern="[^a-z0-9]+"
+    )
+    lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    doc_pos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.greater_equal(pc.utf8_length(flat), 2).to_numpy(
+        zero_copy_only=False
+    )
+    grams, _ = ngram_strings(doc_pos[keep], flat.filter(pa.array(keep)), n)
+    if len(grams) == 0:
+        return Counter()
+    g = pa.table({"g": grams}).group_by("g").aggregate([("g", "count")])
+    return Counter(dict(zip(g["g"].to_pylist(), g["g_count"].to_pylist())))
 
 
 def _gram_hashes(grams: list[str]) -> np.ndarray:
@@ -153,9 +179,7 @@ def build_gram_cms(ds: ray.data.Dataset, text_col: str = "text",
     associative merge runs as a tree reduce."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        counter: Counter = Counter()
-        for text in batch[text_col].to_pylist():
-            counter.update(simple_grams(text, n))
+        counter = batch_gram_counter(batch[text_col], n)
         cms = CountMinSketch()
         cms.add_counter(counter)
         return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
@@ -189,9 +213,7 @@ def heavy_hitter_grams(sf_dir: str, threshold: int = 30,
             .reshape(CMS_DEPTH, CMS_WIDTH)
             .copy()
         )
-        counter: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            counter.update(simple_grams(text, n))
+        counter = batch_gram_counter(batch["text"], n)
         grams = list(counter.keys())
         est = cms.estimate(grams)
         keep = [
@@ -224,9 +246,7 @@ def approx_top_grams(sf_dir: str, k: int = 25, capacity: int = 4096,
 
     def ss_batch(batch: pa.Table) -> pa.Table:
         ss = SpaceSavingTopK(capacity)
-        counter: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            counter.update(simple_grams(text, n))
+        counter = batch_gram_counter(batch["text"], n)
         for g, c in counter.items():
             ss.add(g, c)
         items = list(ss.counters.items())
