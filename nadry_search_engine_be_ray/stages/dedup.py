@@ -710,14 +710,37 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            for g in ngram_strings(text, n):
-                ids.append(did)
-                grams.append(g)
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
-        )
+        # vectorized distinct-gram explode (same stream as ngram_strings:
+        # lowered [a-z0-9_]+ tokens, whole-doc join fallback when < n)
+        import pyarrow.compute as pc
+
+        from .lm import exploded_tokens
+        from .lm import ngram_strings as _tok_ngrams
+
+        doc_pos, flat, lens = exploded_tokens(batch[text_col])
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams, starts = _tok_ngrams(doc_pos, flat, n)
+        occ = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[doc_pos[starts]], pa.int64()),
+                "gram": grams,
+            }
+        ).group_by(["doc_id", "gram"]).aggregate([])
+        short = (lens > 0) & (lens < n)
+        if short.any():
+            lists = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()),
+                flat,
+            )
+            fb_mask = pa.array(short)
+            fb = pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[short], pa.int64()),
+                    "gram": pc.binary_join(lists.filter(fb_mask), " "),
+                }
+            )
+            occ = pa.concat_tables([occ.select(["doc_id", "gram"]), fb])
+        return occ.select(["doc_id", "gram"])
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group["doc_id"].to_pylist()))
