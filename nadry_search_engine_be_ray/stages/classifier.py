@@ -6,11 +6,15 @@ The fasttext-style quality-classifier step of a training-data pipeline
 and PREDICT.  Both are expressed with the same bounded-combine shape as
 ``stages/clustering.py``:
 
-* ``lr_fit`` — full-batch gradient descent; each iteration is one
-  shuffle-free ``map_batches`` over the (object-store-resident) feature
-  matrix emitting ONE thin row per block — the (dim+1)-vector partial
-  gradient and its row count — combined on the driver (≤ n_blocks rows).
-  The weight vector broadcasts per iteration via ``ray.put``.
+* ``lr_fit`` — full-batch gradient descent in the data-parallel
+  parameter-server shape: the feature blocks are pinned in the object
+  store ONCE (Dataset -> Arrow block refs), a pool of gradient workers
+  each fetches ITS shard of blocks once in ``__init__`` (and pre-builds
+  the design matrix), and every iteration is one actor-method wave —
+  weights out, one thin (dim+1)-vector partial PER BLOCK back, combined
+  on the driver (≤ n_blocks rows).  No per-iteration pipeline launch, no
+  per-iteration block fetch; the per-iteration exchange is kilobytes
+  regardless of corpus size.
 * ``lr_predict`` — shuffle-free ``map_batches`` sigmoid scoring against
   the broadcast weights.
 
@@ -46,33 +50,54 @@ def lr_fit(ds, label_col: str = "y", vec_col: str = "embedding",
 
     feats = ds.map_batches(
         lambda b: b.select([label_col, vec_col]), batch_format="pyarrow"
-    ).materialize()
+    )
+    # pin the feature blocks in the object store once; a worker pool holds
+    # shard state across iterations (fetch + design-matrix build happen
+    # ONCE per worker, not once per iteration).  A worker still emits one
+    # partial PER BLOCK, so the combined multiset (and the float sum) is
+    # independent of how blocks are sharded over workers.
+    block_refs = feats.to_arrow_refs()
+    n_workers = max(
+        1,
+        min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))),
+    )
 
-    n_total = feats.count()
+    @ray.remote
+    class _GradWorker:
+        def __init__(self, refs: list):
+            self.blocks = []
+            for tbl in ray.get(refs):
+                x = _matrix(tbl, vec_col)
+                xa = np.hstack([x, np.ones((x.shape[0], 1))])
+                y = np.asarray(
+                    tbl[label_col].to_pylist(), dtype=np.float64
+                )
+                self.blocks.append((xa, y))
+
+        def grad(self, cur) -> list:
+            out = []
+            for xa, y in self.blocks:
+                c = np.zeros(xa.shape[1]) if cur is None else cur
+                p = _sigmoid(xa @ c)
+                out.append((xa.T @ (p - y), xa.shape[0]))
+            return out
+
+    workers = [
+        _GradWorker.remote(block_refs[i::n_workers])
+        for i in range(n_workers)
+    ]
+
+    n_total = None
     w: np.ndarray | None = None
     for _ in range(n_iters):
-        w_ref = ray.put(w)
-
-        def grad_partial(batch: pa.Table, _w_ref=w_ref) -> pa.Table:
-            cur = ray.get(_w_ref)
-            x = _matrix(batch, vec_col)
-            xa = np.hstack([x, np.ones((x.shape[0], 1))])
-            if cur is None:
-                cur = np.zeros(xa.shape[1])
-            y = np.asarray(batch[label_col].to_pylist(), dtype=np.float64)
-            p = _sigmoid(xa @ cur)
-            g = xa.T @ (p - y)
-            return pa.table(
-                {
-                    "g": pa.array([g], pa.list_(pa.float64())),
-                    "n": pa.array([x.shape[0]], pa.int64()),
-                }
-            )
-
-        parts = feats.map_batches(
-            grad_partial, batch_format="pyarrow"
-        ).to_pandas()  # ≤ n_blocks thin rows — the bounded combine
-        gs = np.stack(parts["g"].to_list())
+        parts = [
+            p
+            for chunk in ray.get([wk.grad.remote(w) for wk in workers])
+            for p in chunk
+        ]  # ≤ n_blocks thin rows — the bounded combine
+        if n_total is None:
+            n_total = sum(p[1] for p in parts)
+        gs = np.stack([p[0] for p in parts])
         # sort partials bytewise so the float sum order is independent of
         # block arrival order
         order = np.lexsort(gs.T[::-1])
