@@ -84,43 +84,68 @@ def kmeans_fit(ds, k: int = 16, n_iters: int = 10,
     heads = heads.sort_values(id_col).head(k)
     cent = np.array(heads[vec_col].to_list(), dtype=np.float64)
 
-    def _make_partial_sums(cent_ref):
-        """Task fn (closure over the ray.put centroid handle — fetched
-        zero-copy per task, not re-shipped per batch): one thin row per
-        cluster present in the batch: (cluster, n, vector sum)."""
+    # ---- iterations: pinned-shard worker pool ----------------------------
+    # (same parameter-server shape as classifier.lr_fit: each worker
+    # fetches + decodes its blocks ONCE; an iteration exchanges only the
+    # k × dim centroid matrix out and ≤ k thin partial rows per block
+    # back — no per-iteration pipeline launch or block fetch)
+    block_refs = normed.to_arrow_refs()
+    n_workers = max(
+        1,
+        min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))),
+    )
 
-        def partial_sums(batch: pa.Table) -> pa.Table:
-            c = ray.get(cent_ref)
-            m = _matrix(batch, vec_col)
-            a = np.argmax(m @ c.T, axis=1)
-            present = np.unique(a)
-            sums = np.zeros((len(present), m.shape[1]), dtype=np.float64)
-            counts = np.zeros(len(present), dtype=np.int64)
-            for i, cl in enumerate(present):
-                rows = m[a == cl]
-                sums[i] = rows.sum(axis=0)
-                counts[i] = rows.shape[0]
-            return pa.table(
-                {
-                    "cluster": pa.array(present.astype(np.int64), pa.int64()),
-                    "n": pa.array(counts, pa.int64()),
-                    "vsum": pa.array(
-                        [row for row in sums], pa.list_(pa.float64())
-                    ),
-                }
-            )
+    @ray.remote
+    class _SumWorker:
+        def __init__(self, refs: list):
+            self.mats = [
+                _matrix(tbl, vec_col) for tbl in ray.get(refs)
+            ]
 
-        return partial_sums
+        def partial_sums(self, c) -> list:
+            """Per block: (clusters present, counts, sum vectors)."""
+            out = []
+            for m in self.mats:
+                a = np.argmax(m @ c.T, axis=1)
+                present = np.unique(a)
+                sums = np.zeros(
+                    (len(present), m.shape[1]), dtype=np.float64
+                )
+                counts = np.zeros(len(present), dtype=np.int64)
+                for i, cl in enumerate(present):
+                    rows = m[a == cl]
+                    sums[i] = rows.sum(axis=0)
+                    counts[i] = rows.shape[0]
+                out.append((present, counts, sums))
+            return out
+
+    workers = [
+        _SumWorker.remote(block_refs[i::n_workers])
+        for i in range(n_workers)
+    ]
+    n_blocks = len(block_refs)
 
     for _ in range(n_iters):
-        cent_ref = ray.put(cent)
-        partials = normed.map_batches(
-            _make_partial_sums(cent_ref), batch_format="pyarrow"
-        ).to_pandas()  # ≤ k × n_blocks thin rows — the bounded combine
+        chunks = ray.get(
+            [wk.partial_sums.remote(cent) for wk in workers]
+        )  # ≤ k × n_blocks thin rows — the bounded combine
+        # reassemble per-block partials in ORIGINAL block order (worker i
+        # holds blocks i, i+n, ...) so the float combine order matches the
+        # previous map_batches->to_pandas layout exactly
+        by_block: list = [None] * n_blocks
+        for wi, chunk in enumerate(chunks):
+            for li, p in enumerate(chunk):
+                by_block[wi + li * n_workers] = p
+        sums_acc: dict[int, list] = {}
+        counts_acc: dict[int, int] = {}
+        for present, counts, sums in by_block:
+            for cl, nn, vs in zip(present, counts, sums):
+                sums_acc.setdefault(int(cl), []).append(vs)
+                counts_acc[int(cl)] = counts_acc.get(int(cl), 0) + int(nn)
         nxt = cent.copy()
-        for c, grp in partials.groupby("cluster"):
-            total = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
-            nxt[int(c)] = total / max(int(grp["n"].sum()), 1)
+        for cl, vlist in sums_acc.items():
+            total = np.sum(np.stack(vlist), axis=0)
+            nxt[cl] = total / max(counts_acc[cl], 1)
         cent = _normalize(nxt)
     return cent, normed
 
