@@ -69,44 +69,67 @@ def pq_train(ds, m: int = 8, k: int = 16, n_iters: int = 8,
         _sub_view(init, m).transpose(1, 0, 2)
     )  # (m, k, dsub)
 
-    def _make_partials(cb_ref):
-        def partials(batch: pa.Table) -> pa.Table:
-            c = ray.get(cb_ref)  # (m, k, dsub)
-            sub = _sub_view(_batch_matrix(batch, vec_col), m)
-            out_sub, out_cl, out_n, out_sum = [], [], [], []
-            for j in range(m):
-                d2 = ((sub[:, j, None, :] - c[j][None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                a = np.argmin(d2, axis=1)
-                for cl in np.unique(a):
-                    rows = sub[a == cl, j, :]
-                    out_sub.append(j)
-                    out_cl.append(int(cl))
-                    out_n.append(rows.shape[0])
-                    out_sum.append(rows.sum(axis=0))
-            return pa.table(
-                {
-                    "sub": pa.array(out_sub, pa.int64()),
-                    "cluster": pa.array(out_cl, pa.int64()),
-                    "n": pa.array(out_n, pa.int64()),
-                    "vsum": pa.array(
-                        [list(s) for s in out_sum], pa.list_(pa.float64())
-                    ),
-                }
-            )
+    # pinned-shard worker pool (the lr_fit / kmeans_fit shape): workers
+    # decode their subvector views once; an iteration exchanges only the
+    # (m, k, dsub) codebook out and ≤ m × k thin partials per block back
+    block_refs = normed.to_arrow_refs()
+    n_workers = max(
+        1,
+        min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))),
+    )
 
-        return partials
+    @ray.remote
+    class _PqWorker:
+        def __init__(self, refs: list):
+            self.subs = [
+                _sub_view(_batch_matrix(tbl, vec_col), m)
+                for tbl in ray.get(refs)
+            ]
+
+        def partials(self, c) -> list:
+            out = []
+            for sub in self.subs:
+                rows_out = []
+                for j in range(m):
+                    d2 = (
+                        (sub[:, j, None, :] - c[j][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    a = np.argmin(d2, axis=1)
+                    for cl in np.unique(a):
+                        rows = sub[a == cl, j, :]
+                        rows_out.append(
+                            (j, int(cl), rows.shape[0], rows.sum(axis=0))
+                        )
+                out.append(rows_out)
+            return out
+
+    workers = [
+        _PqWorker.remote(block_refs[i::n_workers])
+        for i in range(n_workers)
+    ]
+    n_blocks = len(block_refs)
 
     for _ in range(n_iters):
-        cb_ref = ray.put(cb)
-        parts = normed.map_batches(
-            _make_partials(cb_ref), batch_format="pyarrow"
-        ).to_pandas()  # <= m x k x n_blocks thin rows — bounded combine
+        chunks = ray.get(
+            [wk.partials.remote(cb) for wk in workers]
+        )  # <= m x k x n_blocks thin rows — bounded combine
+        # reassemble per-block partials in ORIGINAL block order so the
+        # float combine matches the previous map_batches layout exactly
+        by_block: list = [None] * n_blocks
+        for wi, chunk in enumerate(chunks):
+            for li, p in enumerate(chunk):
+                by_block[wi + li * n_workers] = p
+        sums_acc: dict[tuple, list] = {}
+        counts_acc: dict[tuple, int] = {}
+        for rows_out in by_block:
+            for j, cl, nn, vs in rows_out:
+                key = (j, cl)
+                sums_acc.setdefault(key, []).append(vs)
+                counts_acc[key] = counts_acc.get(key, 0) + nn
         nxt = cb.copy()
-        for (j, cl), grp in parts.groupby(["sub", "cluster"]):
-            total = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
-            nxt[int(j), int(cl)] = total / max(int(grp["n"].sum()), 1)
+        for (j, cl), vlist in sums_acc.items():
+            total = np.sum(np.stack(vlist), axis=0)
+            nxt[j, cl] = total / max(counts_acc[(j, cl)], 1)
         cb = nxt
     return cb, normed
 
