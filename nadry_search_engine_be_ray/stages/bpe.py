@@ -38,14 +38,24 @@ from .textstats import _WORD
 
 
 def _batch_word_counts(batch: pa.Table, text_col: str) -> pa.Table:
-    c: Counter = Counter()
-    for text in batch[text_col].to_pylist():
-        c.update(_WORD.findall((text or "").lower()))
-    words = sorted(c)
+    import pyarrow.compute as pc
+
+    from .lm import exploded_tokens
+
+    _, flat, _ = exploded_tokens(batch[text_col])
+    if len(flat) == 0:
+        return pa.table(
+            {"word": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    g = pa.table({"word": flat}).group_by("word").aggregate(
+        [("word", "count")]
+    )
+    order = pc.sort_indices(g["word"])
     return pa.table(
         {
-            "word": pa.array(words, pa.string()),
-            "n": pa.array([c[w] for w in words], pa.int64()),
+            "word": g["word"].take(order),
+            "n": pc.cast(g["word_count"].take(order), pa.int64()),
         }
     )
 

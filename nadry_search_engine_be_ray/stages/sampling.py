@@ -111,16 +111,26 @@ class StratifiedSampleBatch:
         self.default_t = int(round(default_frac * _BUCKET_SPACE))
         self.salt = salt
         self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        b = sha_bucket(batch[self.id_col].to_pylist(), self.salt)
-        thr = np.array(
-            [
-                self.thresholds.get(k, self.default_t)
-                for k in batch[self.key].to_pylist()
-            ],
+        # vectorized per-row threshold lookup (index_in probe)
+        self.t_keys = pa.array(sorted(self.thresholds), pa.string())
+        self.t_vals = np.array(
+            [self.thresholds[k] for k in sorted(self.thresholds)],
             dtype=np.int64,
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = sha_bucket(batch[self.id_col].to_pylist(), self.salt)
+        if len(self.t_keys):
+            idx = pc.fill_null(
+                pc.index_in(batch[self.key], value_set=self.t_keys), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            thr = np.where(
+                idx >= 0, self.t_vals[np.maximum(idx, 0)], self.default_t
+            )
+        else:
+            thr = np.full(len(batch), self.default_t, dtype=np.int64)
         keep = b < thr
         return batch.append_column(
             "bucket", pa.array(b, pa.int64())
