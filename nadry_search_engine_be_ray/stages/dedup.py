@@ -795,22 +795,65 @@ class SimHashBatch:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
 
+    @staticmethod
+    def _simhash_column(texts) -> np.ndarray:
+        """Batch-wide simhash64 (integer-exact vs the scalar fn): tokens
+        dictionary-encode so crc32 runs once per DISTINCT token per batch;
+        the bit-vote accumulates per (doc, token) pair via np.add.at."""
+        from .lm import exploded_tokens
+
+        doc_pos, flat, lens = exploded_tokens(texts)
+        n_rows = len(lens)
+        out = np.zeros(n_rows, dtype=np.uint64)
+        if len(flat) == 0:
+            return out
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = de.dictionary.to_pylist()
+        base = np.array(
+            [zlib.crc32(t.encode()) for t in toks], dtype=np.uint64
+        )
+        h = (base * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            base << np.uint64(31)
+        )
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        votes = bits * 2 - 1  # (n_dict, 64)
+        # Σ over distinct tokens of count×vote == Σ over OCCURRENCES of
+        # the vote, so accumulate per doc-major segment (vectorized inner
+        # gather+sum; the only Python loop is per DOC)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(n_rows):
+            lo, hi = bounds[i], bounds[i + 1]
+            if lo == hi:
+                continue
+            acc = votes[codes[lo:hi]].sum(axis=0)
+            out[i] = ((acc > 0).astype(np.uint64) * weights).sum(
+                dtype=np.uint64
+            )
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        hs = [simhash64(t) for t in batch[self.text_col].to_pylist()]
-        out_id, out_band, out_key, out_h = [], [], [], []
-        for did, h in zip(ids, hs):
-            for band in range(4):  # 4 x 16-bit bands: catches hamming<=3 pairs
-                out_id.append(did)
-                out_band.append(band)
-                out_key.append((h >> (16 * band)) & 0xFFFF)
-                out_h.append(h)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        hs = self._simhash_column(batch[self.text_col])
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        rep_ids = np.repeat(ids, 4)
+        rep_h = np.repeat(hs, 4)
+        keys = (
+            rep_h >> (np.uint64(16) * bands.astype(np.uint64))
+        ) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
-                "simhash": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "simhash": pa.array(rep_h, pa.uint64()),
             }
         )
 

@@ -111,3 +111,16 @@ def test_batch_gram_counter_matches_simple_grams(texts, n):
     for t in texts:
         exp.update(simple_grams(t, n))
     assert got == exp
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts_st)
+def test_simhash_column_matches_scalar(texts):
+    from nadry_search_engine_be_ray.stages.dedup import (
+        SimHashBatch,
+        simhash64,
+    )
+
+    col = SimHashBatch._simhash_column(pa.array(texts, pa.string()))
+    exp = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (col == exp).all()
