@@ -175,34 +175,49 @@ class MinHashBatch:
         self.a, self.b = _perm_params(num_perm)
         self.text_col, self.id_col = text_col, id_col
 
-    def _shingle_hashes(self, texts: list) -> list:
-        """Distinct n-gram hashes per doc, vectorized: per-token crc32 with
-        a batch-level cache (tokens repeat heavily), then the n-gram hash is
-        a wrapping linear combination of the token hashes (computed with
-        shifted-slice adds, no per-gram Python) + np.unique.  Only feeds the
-        SIGNATURES — the exact verify uses string grams — so the gram-hash
-        family only needs to be uniform, not reproduce word_ngrams."""
-        cache: dict[str, int] = {}
+    def _shingle_hashes(self, texts) -> list:
+        """Distinct n-gram hashes per doc: tokenization is one Arrow
+        regex-split kernel, crc32 runs once per DISTINCT token per batch
+        (dictionary encode), and each doc's gram hashes are a wrapping
+        linear combination over its token-hash segment view (shifted-slice
+        adds) + np.unique — the only Python loop is per DOC.  Only feeds
+        the SIGNATURES — the exact verify uses string grams — so the
+        gram-hash family only needs to be uniform, not reproduce
+        word_ngrams."""
+        from .lm import exploded_tokens
+
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(texts, pa.string())
+        _, flat, lens = exploded_tokens(texts)
         n = self.ngram
         C = [np.uint64(0x9E3779B97F4A7C15 + 2 * k + 1) for k in range(n)]
         out = []
+        if len(flat):
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            base = np.array(
+                [zlib.crc32(t.encode()) for t in de.dictionary.to_pylist()],
+                dtype=np.uint64,
+            )
+            th_flat = base[codes]
+        else:
+            th_flat = np.empty(0, dtype=np.uint64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
         with np.errstate(over="ignore"):
-            for t in texts:
-                toks = _WORD.findall((t or "").lower())
-                if not toks:
+            for i in range(lens.size):
+                th = th_flat[bounds[i] : bounds[i + 1]]
+                if th.size == 0:
                     out.append(np.empty(0, dtype=np.uint64))
                     continue
-                th = np.array(
-                    [cache.setdefault(x, zlib.crc32(x.encode())) for x in toks],
-                    dtype=np.uint64,
-                )
-                if len(toks) < n:
+                if th.size < n:
                     h = np.uint64(0)
-                    for k, v in enumerate(th):
+                    for v in th:
                         h = h * C[0] + v
                     out.append(np.array([h], dtype=np.uint64))
                     continue
-                m = len(toks) - n + 1
+                m = th.size - n + 1
                 acc = np.zeros(m, dtype=np.uint64)
                 for k in range(n):
                     acc += th[k : k + m] * C[k]
@@ -215,9 +230,8 @@ class MinHashBatch:
         minimum.reduceat; bucket keys are a vectorized uint64 fold — no
         per-doc or per-band Python work."""
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        texts = batch[self.text_col].to_pylist()
         n = len(ids)
-        shingle_lists = self._shingle_hashes(texts)
+        shingle_lists = self._shingle_hashes(batch[self.text_col])
         lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
         flat = (
             np.concatenate(shingle_lists)
