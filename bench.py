@@ -211,6 +211,27 @@ def main() -> None:
     ).count()
     extra_timings["semdedup"] = time.time() - t0
 
+    # --- logistic-regression quality classifier (train + score) ------------
+    from nadry_search_engine_be_ray.stages.classifier import lr_fit, lr_predict
+
+    t0 = time.time()
+    emb_lbl = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def _add_y(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "y", pc.cast(pc.less(batch["label"], 5), pa.int64())
+        )
+
+    labeled = emb_lbl.map_batches(_add_y, batch_format="pyarrow")
+    w_lr = lr_fit(labeled, label_col="y", n_iters=30, lr=1.0)
+    lr_predict(emb_lbl, w_lr).count()
+    extra_timings["classifier"] = time.time() - t0
+
     t0 = time.time()
     dup_spans(docs_ds, n=8).count()
     extra_timings["dup_spans"] = time.time() - t0
@@ -358,8 +379,50 @@ def scaling() -> None:
     )
 
 
+def probe() -> None:
+    """Cheap calm-host pre-check before burning a full ``--scaling`` run:
+    the pure-compute spin ceiling (8-vs-32-wide) plus ONE 8-CPU 1M-doc
+    build.  The spin ceiling alone is insufficient — contention windows
+    were observed where it read 0.82 yet the 8-CPU build ran 2.2× slow
+    (memory-bandwidth steal the register-spin probe can't see) — so the
+    verdict requires BOTH: ceiling ≥ 0.78 AND build throughput within 75 %
+    of the recorded calm best (20 407 docs/s, BASELINE.md)."""
+    import multiprocessing as mp
+
+    rates = {}
+    for width in (8, 32):
+        with mp.Pool(width) as pool:
+            iters = pool.map(_spin_burn, range(width))
+        rates[width] = sum(iters) / width
+    ceiling = rates[32] / rates[8]
+
+    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "1000000")
+    env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_BENCH_DOCS=n_docs)
+    env.setdefault("GRAFT_TMP", "/dev/shm")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--build-only"],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    build = json.loads(out.strip().splitlines()[-1])
+    dps = build["docs_per_sec"]
+    calm_best = 20407.0
+    print(
+        json.dumps(
+            {
+                "metric": "host_probe",
+                "host_spin_ceiling": round(ceiling, 3),
+                "docs_per_sec_8cpu": dps,
+                "vs_calm_best": round(dps / calm_best, 3),
+                "calm": bool(ceiling >= 0.78 and dps >= 0.75 * calm_best),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--probe" in sys.argv:
+        probe()
     else:
         main()
