@@ -3,7 +3,7 @@ IndexerConfig.java:3-23, InvertedIndex.java:13-15, Main.java:26-27)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

@@ -486,7 +486,6 @@ def term_cooccur(
     import itertools
 
     import ray
-    from ray.data.aggregate import Count as _Count
 
     ds = _docs(sf_dir).map_batches(
         lambda b: _explode(b, True), batch_format="pyarrow"

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-import numpy as np
 import pyarrow as pa
 
 from .textstats import _WORD

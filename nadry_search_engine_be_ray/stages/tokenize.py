@@ -38,7 +38,7 @@ import pyarrow as pa
 from ..config import BuildConfig
 from ..functions import codec
 from ..functions.tokenizer import Tokenizer
-from ..stages.fieldsplit import FIELD_BODY, FIELD_DESCRIPTION, FIELD_TITLE, FIELD_WEIGHTS
+from ..stages.fieldsplit import FIELD_BODY, FIELD_DESCRIPTION, FIELD_TITLE
 
 POSTING_SCHEMA = pa.schema(
     [
