@@ -547,6 +547,16 @@ def term_cooccur(
         .limit(k)
         .to_pandas()
     )
+    if out.empty:
+        # a band with < 2 terms (corpus-size dependent) emits no pairs and
+        # the empty Dataset loses its schema — return the typed empty frame
+        return pd.DataFrame(
+            {
+                "term_a": pd.Series([], dtype=object),
+                "term_b": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+            }
+        )
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.reset_index(drop=True)
 
