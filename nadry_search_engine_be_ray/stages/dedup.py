@@ -709,18 +709,21 @@ def ngram_strings(text: str, n: int = 3) -> list[str]:
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
                         bucket_cap: int = 200):
-    """All-pairs n-gram Jaccard >= threshold: gram-inverted-index candidate
-    generation (explode DISTINCT grams, groupby(gram) emits co-occurring
-    pairs) followed by the DISTRIBUTED exact verify — reported jaccard
-    values are always exact set-overlap numbers, never bucket-co-occurrence
-    counts, so a capped hot gram can only lower candidate recall, not skew
-    values.
+    """All-pairs n-gram Jaccard >= threshold via the count-based exact
+    plan: explode DISTINCT grams (with each doc's gram-set size attached),
+    emit co-occurring pairs per gram bucket, and count shared grams in the
+    SAME groupby that dedups the pairs.  When no bucket capped anywhere,
+    that count c is exactly |A ∩ B| and jaccard = c / (na + nb - c) —
+    no document text is ever re-read or re-shuffled for verification.
 
     Scale notes: the per-gram pair fan-out is quadratic in bucket size, so
     buckets above ``bucket_cap`` (ultra-common grams — the same head-term
-    skew as A3) are dropped with a log line.  A pair is lost only if EVERY
-    gram it shares is that common; at threshold >= 0.5 a near-dup pair
-    shares many grams, which would all have to be ultra-common at once.
+    skew as A3) are dropped with a log line AND flagged with a meta row;
+    any capped bucket means c may undercount for pairs that also shared
+    the capped gram, so the run falls back to the distributed exact text
+    verify for all candidates (values stay exact in both branches —
+    capping can only lower candidate RECALL, with the same guarantee as
+    before: a pair is lost only if EVERY gram it shares is that common).
     """
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -754,28 +757,131 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                 }
             )
             occ = pa.concat_tables([occ.select(["doc_id", "gram"]), fb])
-        return occ.select(["doc_id", "gram"])
+        occ = occ.select(["doc_id", "gram"])
+        # attach each doc's distinct-gram-set SIZE (complete here: a doc's
+        # text is processed in exactly one batch) — it rides the pair rows
+        # so the count-based exact jaccard needs no size join later
+        ids_arr = occ["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv, counts = np.unique(
+            ids_arr, return_inverse=True, return_counts=True
+        )
+        return occ.append_column(
+            "n_doc", pa.array(counts[inv], pa.int64())
+        )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        if len(ids) > bucket_cap:
-            print(f"ngram_jaccard_pairs: dropping gram bucket of size {len(ids)}")
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        m = len(ids)
-        if m < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        arr = np.array(ids, dtype=np.int64)
-        ii, jj = np.triu_indices(m, k=1)
-        return pa.table({"a": pa.array(arr[ii]), "b": pa.array(arr[jj])})
+    def add_part(batch: pa.Table) -> pa.Table:
+        # coarse hash partition of the gram key: all rows of a gram land in
+        # one partition, so per-gram pair emission below is semantically a
+        # groupby(gram) — but with ONE Python call per PARTITION instead of
+        # one per gram (most grams are singletons; per-group call overhead
+        # dominated the wall time, same fix as candidate_pairs_partitioned)
+        if len(batch) == 0:
+            return batch.append_column("part", pa.array([], pa.int64()))
+        de = batch["gram"].combine_chunks().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.array(
+            [zlib.crc32(g.encode()) for g in de.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.append_column(
+            "part", pa.array(base[codes] % 64, pa.int64())
+        )
 
-    cands = _distinct_pairs(
+    def emit_pairs_partition(group: pa.Table) -> pa.Table:
+        # vectorized per-partition: sort rows by (gram, doc), slice gram
+        # segments, emit triu pairs (with both docs' set sizes) only for
+        # the FEW multi-doc grams; a capped bucket emits ONE meta row
+        # (a = -1) so the driver knows the count-based jaccard may
+        # undercount and must fall back to the text verify
+        de = group["gram"].combine_chunks().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = group["n_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids, ns = codes[order], ids[order], ns[order]
+        seg_start = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [codes.size])
+        )
+        a_o, b_o, na_o, nb_o = [], [], [], []
+        for s, e in zip(seg_start[:-1], seg_start[1:]):
+            uniq, first = np.unique(ids[s:e], return_index=True)
+            m = uniq.size
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                print(
+                    f"ngram_jaccard_pairs: dropping gram bucket of size {m}"
+                )
+                a_o.append(np.array([-1], np.int64))
+                b_o.append(np.array([-1], np.int64))
+                na_o.append(np.array([m], np.int64))
+                nb_o.append(np.array([0], np.int64))
+                continue
+            un = ns[s:e][first]
+            ii, jj = np.triu_indices(m, k=1)
+            a_o.append(uniq[ii])
+            b_o.append(uniq[jj])
+            na_o.append(un[ii])
+            nb_o.append(un[jj])
+        if not a_o:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_o), pa.int64()),
+                "b": pa.array(np.concatenate(b_o), pa.int64()),
+                "na": pa.array(np.concatenate(na_o), pa.int64()),
+                "nb": pa.array(np.concatenate(nb_o), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count as _Count
+
+    counted = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("gram")
-        .map_groups(emit_pairs, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_pairs_partition, batch_format="pyarrow")
+        .groupby(["a", "b", "na", "nb"])
+        .aggregate(_Count(alias_name="c"))
+        .materialize()
+    )
+    n_capped = counted.filter(expr="a < 0").count()
+    if n_capped == 0:
+        # no bucket capped anywhere -> the shared-gram count c IS the exact
+        # |A ∩ B| (every shared gram's bucket emitted), so jaccard =
+        # c / (na + nb - c) needs NO text re-processing at all
+        def score(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+            nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            j = c / (na + nb - c)
+            keep = j >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(
+                        [round(float(x), 9) for x in j[keep]], pa.float64()
+                    ),
+                }
+            )
+
+        return counted.map_batches(score, batch_format="pyarrow")
+
+    # a capped bucket means c may UNDERCOUNT |A ∩ B| for pairs that also
+    # share a capped gram — fall back to the exact distributed text verify
+    # for every candidate (today's 100 TB head-gram path)
+    cands = _distinct_pairs(
+        counted.filter(expr="a >= 0").select_columns(["a", "b"])
     )
     return exact_jaccard_for_pairs(
         ds, cands, n=n, threshold=threshold, id_col=id_col, text_col=text_col
