@@ -1502,34 +1502,67 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids_o, pos_o, gram_o = [], [], []
-        for did, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            toks = _WORD.findall((text or "").lower())
-            for i in range(len(toks) - n + 1):
-                ids_o.append(did)
-                pos_o.append(i)
-                gram_o.append(" ".join(toks[i : i + n]))
+        # vectorized position-gram explode + coarse gram partition key
+        from .lm import exploded_tokens
+        from .lm import ngram_strings as _tok_ngrams
+
+        doc_pos, flat, lens = exploded_tokens(batch[text_col])
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        grams, starts = _tok_ngrams(doc_pos, flat, n)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        gdoc = doc_pos[starts]
+        pos = starts - offsets[gdoc]
+        if len(grams):
+            de = grams.combine_chunks().dictionary_encode() if isinstance(
+                grams, pa.ChunkedArray
+            ) else grams.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            base = np.array(
+                [zlib.crc32(g.encode()) for g in de.dictionary.to_pylist()],
+                dtype=np.int64,
+            )
+            part = base[codes] % 64
+        else:
+            part = np.empty(0, np.int64)
         return pa.table(
             {
-                "gram": pa.array(gram_o, pa.string()),
-                "doc_id": pa.array(ids_o, pa.int64()),
-                "pos": pa.array(pos_o, pa.int64()),
+                "gram": grams,
+                "doc_id": pa.array(doc_ids[gdoc], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
-    def dup_positions(group: pa.Table) -> pa.Table:
-        docs = group["doc_id"].to_numpy(zero_copy_only=False)
-        # keep every position of a gram held by >= 2 distinct docs
-        if len(np.unique(docs)) < 2:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "pos": pa.array([], pa.int64()),
-                }
-            )
-        return group.select(["doc_id", "pos"])
+    def dup_positions_partition(group: pa.Table) -> pa.Table:
+        # one vectorized call per coarse gram partition: a gram's rows
+        # survive iff the gram spans >= 2 distinct docs (min != max doc
+        # within its sorted segment)
+        de = group["gram"].combine_chunks().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        codes, docs, pos = codes[order], docs[order], pos[order]
+        brk = np.concatenate(
+            ([True], codes[1:] != codes[:-1])
+        )
+        seg_starts = np.flatnonzero(brk)
+        seg_id = np.cumsum(brk) - 1
+        dmin = np.minimum.reduceat(docs, seg_starts)
+        dmax = np.maximum.reduceat(docs, seg_starts)
+        keep = (dmin != dmax)[seg_id]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keep], pa.int64()),
+                "pos": pa.array(pos[keep], pa.int64()),
+            }
+        )
 
     def merge_spans(group: pa.Table) -> pa.Table:
         g = group.sort_by("pos")
@@ -1555,8 +1588,8 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
 
     dups = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("gram")
-        .map_groups(dup_positions, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_positions_partition, batch_format="pyarrow")
     )
     return dups.groupby("doc_id").map_groups(
         merge_spans, batch_format="pyarrow"
