@@ -447,51 +447,108 @@ def paragraph_dedup(ds):
     n_paras_kept = 0.
     """
 
+    import zlib
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids, idxs, paras = [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            for i, p in enumerate((text or "").split("\n")):
-                ids.append(did)
-                idxs.append(i)
-                paras.append(p)
+        # vectorized split + coarse partition of the paragraph key (all
+        # occurrences of a paragraph land in one partition, so first-marking
+        # below is semantically a groupby(para) with ONE Python call per
+        # partition, not one per distinct paragraph)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(texts, ""), "\n")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lists)
+        doc_pos = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.arange(doc_pos.size, dtype=np.int64) - starts[doc_pos]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(flat):
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            base = np.array(
+                [zlib.crc32(p.encode()) for p in de.dictionary.to_pylist()],
+                dtype=np.int64,
+            )
+            part = base[codes] % 64
+        else:
+            part = np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "para_idx": pa.array(idxs, pa.int64()),
-                "para": pa.array(paras, pa.string()),
+                "doc_id": pa.array(doc_ids[doc_pos], pa.int64()),
+                "para_idx": pa.array(idx, pa.int64()),
+                "para": flat,
+                "part": pa.array(part, pa.int64()),
             }
         )
 
-    def mark_first(group: pa.Table) -> pa.Table:
-        # min (doc_id, para_idx) holder keeps the paragraph
-        t = group.sort_by([("doc_id", "ascending"), ("para_idx", "ascending")])
-        keep = [True] + [False] * (t.num_rows - 1)
-        return t.append_column("keep", pa.array(keep, pa.bool_()))
-
-    def reassemble(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("para_idx", "ascending")])
-        kept = [
-            p
-            for p, k in zip(t["para"].to_pylist(), t["keep"].to_pylist())
-            if k
-        ]
+    def mark_first_partition(group: pa.Table) -> pa.Table:
+        # min (doc_id, para_idx) holder keeps the paragraph — one sorted
+        # pass over the partition, keep = first row of each para segment
+        de = group["para"].combine_chunks().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idxs = group["para_idx"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((idxs, docs, codes))
+        keep = np.zeros(codes.size, dtype=bool)
+        sc = codes[order]
+        first = np.concatenate(([True], sc[1:] != sc[:-1]))
+        keep[order[first]] = True
         return pa.table(
             {
-                "doc_id": pa.array([t["doc_id"][0].as_py()], pa.int64()),
-                "clean_text": pa.array(["\n".join(kept)], pa.string()),
-                "n_paras_kept": pa.array([len(kept)], pa.int64()),
-                "n_dupes_removed": pa.array(
-                    [t.num_rows - len(kept)], pa.int64()
-                ),
+                "doc_id": group["doc_id"],
+                "para_idx": group["para_idx"],
+                "para": group["para"],
+                "dpart": pa.array(docs % 64, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    def reassemble_partition(group: pa.Table) -> pa.Table:
+        # per coarse doc partition: sort by (doc, idx), rebuild each doc's
+        # surviving text with ListArray offsets + one binary_join kernel
+        docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idxs = group["para_idx"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = group["keep"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idxs, docs))
+        docs, idxs, keep = docs[order], idxs[order], keep[order]
+        paras = group["para"].combine_chunks().take(pa.array(order))
+        uniq, inv = np.unique(docs, return_inverse=True)
+        total = np.bincount(inv)
+        kept_n = np.bincount(inv[keep], minlength=uniq.size)
+        kept_paras = paras.filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate(([0], np.cumsum(kept_n))), pa.int32()
+            ),
+            kept_paras,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "clean_text": pc.binary_join(lists, "\n"),
+                "n_paras_kept": pa.array(kept_n, pa.int64()),
+                "n_dupes_removed": pa.array(total - kept_n, pa.int64()),
             }
         )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("para")
-        .map_groups(mark_first, batch_format="pyarrow")
-        .groupby("doc_id")
-        .map_groups(reassemble, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_first_partition, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(reassemble_partition, batch_format="pyarrow")
     )

@@ -41,23 +41,18 @@ def add_text_sha(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """groupby(sha) -> (doc_id=min id, n_dups).  One row per distinct text."""
-
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array([int(ids.min())], pa.int64()),
-                "n_dups": pa.array([len(ids)], pa.int64()),
-            }
-        )
+    """groupby(sha) -> (doc_id=min id, n_dups).  One row per distinct text.
+    Native Min/Count aggregates (mergeable partials inside the sort-based
+    shuffle) — no per-group Python call."""
+    from ray.data.aggregate import Count, Min
 
     withsha = ds.map_batches(
         lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
     )
-    return withsha.groupby("text_sha256").map_groups(
-        keep_min, batch_format="pyarrow"
+    agg = withsha.groupby("text_sha256").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
     )
+    return agg.select_columns([id_col, "n_dups"])
 
 
 # ---------------------------------------------------------------------------
@@ -96,19 +91,15 @@ def compact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     near-dup skip (M9/D2) as a shuffle dedup with the declared keep-min
     order."""
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array([int(ids.min())], pa.int64()),
-                "n_members": pa.array([len(ids)], pa.int64()),
-            }
-        )
+    from ray.data.aggregate import Count, Min
 
     sigs = ds.map_batches(
         lambda b: compact_signature_batch(b, text_col), batch_format="pyarrow"
     )
-    return sigs.groupby("signature").map_groups(keep_min, batch_format="pyarrow")
+    agg = sigs.groupby("signature").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_members")
+    )
+    return agg.select_columns([id_col, "n_members"])
 
 
 # ---------------------------------------------------------------------------
