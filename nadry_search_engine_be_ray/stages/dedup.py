@@ -1003,12 +1003,22 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         bucket_pairs, batch_format="pyarrow"
     )
 
-    def dedup_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # hamming is pair-determined (same value from every band that emitted
+    # the pair), so a native Min aggregate dedups across bands exactly —
+    # no per-pair Python call
+    from ray.data.aggregate import Min
 
     return (
         pairs.groupby(["a", "b"])
-        .map_groups(dedup_first, batch_format="pyarrow")
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("hamming"),
+                "hamming",
+                t["hamming"].cast(pa.int32()),
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["a", "b"])
     )
 
@@ -1131,12 +1141,12 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         bucket_pairs, batch_format="pyarrow"
     )
 
-    def dedup_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # cosine is pair-determined, so Min dedups across bands exactly
+    from ray.data.aggregate import Min
 
     return (
         pairs.groupby(["a", "b"])
-        .map_groups(dedup_first, batch_format="pyarrow")
+        .aggregate(Min("cosine", alias_name="cosine"))
         .sort(["a", "b"])
     )
 
