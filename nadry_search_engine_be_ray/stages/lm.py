@@ -299,14 +299,31 @@ def ppl_rank_buckets(scores_ds, n_buckets: int = 3):
     n_total = int(counts.sum())
     base_ref = ray.put((vals, bases))
 
-    def rank_group(group: pa.Table) -> pa.Table:
-        vals_a, bases_a = ray.get(base_ref)
-        v = group["ppl"][0].as_py()
-        base = int(bases_a[np.searchsorted(vals_a, v)])
-        ids = np.sort(
-            group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def add_part(batch: pa.Table) -> pa.Table:
+        # coarse partition of the ppl key: all rows of a value land in one
+        # partition, so ranking below is semantically a groupby(ppl) with
+        # ONE Python call per partition, not one per distinct value
+        v = batch["ppl"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part",
+            pa.array(v.view(np.uint64).astype(np.int64) % 64, pa.int64()),
         )
-        rank = base + np.arange(ids.size, dtype=np.int64)
+
+    def rank_partition(group: pa.Table) -> pa.Table:
+        vals_a, bases_a = ray.get(base_ref)
+        v = group["ppl"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((ids, v))
+        v, ids = v[order], ids[order]
+        # global base rank per value + within-value offset by doc_id
+        base = bases_a[np.searchsorted(vals_a, v)]
+        brk = np.concatenate(([True], v[1:] != v[:-1]))
+        seg_id = np.cumsum(brk) - 1
+        seg_starts = np.flatnonzero(brk)
+        offset = np.arange(v.size, dtype=np.int64) - seg_starts[seg_id]
+        rank = base + offset
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -315,8 +332,10 @@ def ppl_rank_buckets(scores_ds, n_buckets: int = 3):
             }
         )
 
-    return scores_ds.groupby("ppl").map_groups(
-        rank_group, batch_format="pyarrow"
+    return (
+        scores_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_partition, batch_format="pyarrow")
     )
 
 
