@@ -1451,24 +1451,30 @@ def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
     )
     delta = ray.data.from_arrow(delta_tbl)
 
-    def resolve(group: pa.Table) -> pa.Table:
-        ops = group["op"].to_pylist()
-        # delta rows (op != "") win over base; a delete drops the key
-        for i, op in enumerate(ops):
-            if op == "D":
-                return pa.table(
-                    {"doc_id": pa.array([], pa.int64()),
-                     "text": pa.array([], pa.string())}
-                )
-        for i, op in enumerate(ops):
-            if op in ("U", "I"):
-                return group.select(["doc_id", "text"]).slice(i, 1)
-        return group.select(["doc_id", "text"]).slice(0, 1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(ids % 64, pa.int64()))
+
+    def resolve_partition(group: pa.Table) -> pa.Table:
+        # vectorized per coarse key partition (one Python call per
+        # partition, not per key): delta rows (op != "") win over base, a
+        # delete drops the key — winner = max-priority row per key
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ops = group["op"].to_numpy(zero_copy_only=False)
+        pri = np.where(ops == "D", 3, np.where(ops == "", 0, 2))
+        order = np.lexsort((-pri, ids))
+        sid, spri = ids[order], pri[order]
+        first = np.concatenate(([True], sid[1:] != sid[:-1]))
+        win = order[first]
+        keep = win[pri[win] < 3]
+        t = group.select(["doc_id", "text"]).take(pa.array(np.sort(keep)))
+        return t
 
     out = (
         base.union(delta)
-        .groupby("doc_id")
-        .map_groups(resolve, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve_partition, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1605,24 +1611,42 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
             )
         return fn
 
-    def resolve(group: pa.Table) -> pa.Table:
-        sides = dict(zip(group["side"].to_pylist(), group["text"].to_pylist()))
-        a, b = sides.get("a"), sides.get("b")
-        if a is not None and b is None:
-            status = "removed"
-        elif a is None and b is not None:
-            status = "added"
-        elif a != b:
-            status = "changed"
-        else:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "status": pa.array([], pa.string())}
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(ids % 64, pa.int64()))
+
+    def resolve_partition(group: pa.Table) -> pa.Table:
+        # vectorized diff per coarse key partition: each key has <= 1 row
+        # per side; added/removed via membership, changed via aligned text
+        # compare on the sorted common keys
+        import pyarrow.compute as pc
+
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = group["text"].combine_chunks()
+        am, bm = sides == "a", sides == "b"
+        a_ids, b_ids = ids[am], ids[bm]
+        removed = np.setdiff1d(a_ids, b_ids)
+        added = np.setdiff1d(b_ids, a_ids)
+        common, ai, bi = np.intersect1d(a_ids, b_ids, return_indices=True)
+        a_rows = np.flatnonzero(am)[ai]
+        b_rows = np.flatnonzero(bm)[bi]
+        neq = pc.invert(
+            pc.equal(
+                texts.take(pa.array(a_rows)), texts.take(pa.array(b_rows))
             )
+        ).to_numpy(zero_copy_only=False)
+        changed = common[neq]
+        out_ids = np.concatenate([removed, added, changed])
+        status = (
+            ["removed"] * removed.size
+            + ["added"] * added.size
+            + ["changed"] * changed.size
+        )
         return pa.table(
             {
-                "doc_id": group.select(["doc_id"]).slice(0, 1)["doc_id"],
-                "status": pa.array([status], pa.string()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "status": pa.array(status, pa.string()),
             }
         )
 
@@ -1631,8 +1655,9 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
         .union(
             ray.data.from_arrow(snap2).map_batches(tag("b"), batch_format="pyarrow")
         )
-        .groupby("doc_id")
-        .map_groups(resolve, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve_partition, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -73,14 +73,31 @@ def curate(
         withsha = add_text_sha(batch)
         return withsha.select(["text_sha256", "doc_id"])
 
-    def emit_losers(group: pa.Table) -> pa.Table:
-        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-        return pa.table({"doc_id": pa.array(ids[1:], pa.int64())})
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in batch["text_sha256"].to_pylist()],
+            dtype=np.int64,
+        ) if len(batch) else np.empty(0, np.int64)
+        return batch.append_column("part", pa.array(h % 64, pa.int64()))
+
+    def emit_losers_partition(group: pa.Table) -> pa.Table:
+        # one sorted pass per coarse sha partition: losers = every row of a
+        # sha segment except its min-doc_id first
+        de = group["text_sha256"].combine_chunks().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        sc, sid = codes[order], ids[order]
+        first = np.concatenate(([True], sc[1:] != sc[:-1]))
+        return pa.table({"doc_id": pa.array(sid[~first], pa.int64())})
 
     losers_ds = (
         quality.map_batches(to_sha_ids, batch_format="pyarrow")
-        .groupby("text_sha256")
-        .map_groups(emit_losers, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_losers_partition, batch_format="pyarrow")
         .materialize()
     )
     n_exact_losers = int(losers_ds.count())
