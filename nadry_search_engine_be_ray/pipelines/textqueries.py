@@ -421,9 +421,6 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
         uniq = pc.unique(flat.filter(pa.array(ok)))
         return pa.table({"term": uniq.take(pc.array_sort_indices(uniq))})
 
-    def dedup_terms(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
     def deletion_keys(batch: pa.Table) -> pa.Table:
         keys, terms = [], []
         for t in batch["term"].to_pylist():
@@ -439,14 +436,34 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ts = sorted(set(group["term"].to_pylist()))
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        h = np.array(
+            [zlib.crc32(k.encode()) for k in batch["key"].to_pylist()],
+            dtype=np.int64,
+        ) if len(batch) else np.empty(0, np.int64)
+        return batch.append_column("part", pa.array(h % 64, pa.int64()))
+
+    def bucket_pairs_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse key partition: slice deletion-key segments,
+        # verify exact levenshtein <= 1 only within each tiny segment
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        terms = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, keys))
+        keys, terms = keys[order], terms[order]
+        brk = np.concatenate(([True], keys[1:] != keys[:-1]))
+        seg_starts = np.concatenate(
+            (np.flatnonzero(brk), [keys.size])
+        )
         a_o, b_o = [], []
-        for i in range(len(ts)):
-            for j in range(i + 1, len(ts)):
-                if _lev_le1(ts[i], ts[j]):
-                    a_o.append(ts[i])
-                    b_o.append(ts[j])
+        for s, e in zip(seg_starts[:-1], seg_starts[1:]):
+            ts = sorted(set(terms[s:e]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    if _lev_le1(ts[i], ts[j]):
+                        a_o.append(ts[i])
+                        b_o.append(ts[j])
         return pa.table(
             {
                 "term_a": pa.array(a_o, pa.string()),
@@ -454,19 +471,21 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
             }
         )
 
-    def dedup_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from ray.data.aggregate import Count as _CntA
 
     out = (
         ray.data.from_arrow(aug)
         .map_batches(explode_terms, batch_format="pyarrow")
         .groupby("term")
-        .map_groups(dedup_terms, batch_format="pyarrow")
+        .aggregate(_CntA(alias_name="_c"))
+        .select_columns(["term"])
         .map_batches(deletion_keys, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs_partition, batch_format="pyarrow")
         .groupby(["term_a", "term_b"])
-        .map_groups(dedup_pair, batch_format="pyarrow")
+        .aggregate(_CntA(alias_name="_c"))
+        .select_columns(["term_a", "term_b"])
         .to_pandas()
     )
     return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
