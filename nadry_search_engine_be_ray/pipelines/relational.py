@@ -263,25 +263,47 @@ def q_cumulative_sum(sf_dir: str) -> pd.DataFrame:
     numpy cumsum per group; partition key = window partition key, so one
     shuffle."""
 
-    def running(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def running_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse user partition; cumsum runs per user SEGMENT
+        # (not via prefix subtraction) so the float math is identical to
+        # the per-group version
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        out = np.empty(val.size, np.float64)
+        brk = np.concatenate(([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1,
+                              [uid.size]))
+        for s, e in zip(brk[:-1], brk[1:]):
+            out[s:e] = np.cumsum(val[s:e])
         return pa.table(
             {
-                "event_id": g["event_id"],
-                "user_id": g["user_id"],
-                "running_value": pa.array(
-                    np.round(np.cumsum(val), 4), pa.float64()
-                ),
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "running_value": pa.array(np.round(out, 4), pa.float64()),
             }
         )
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % 64,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
     # input-sized result: to_pandas() is the declared query contract (the
     # driver hashes the whole table); a 100x-scale caller would
     # write_parquet the Dataset instead of collecting it
-    out = ds.groupby("user_id").map_groups(running, batch_format="pyarrow") \
-        .to_pandas()
+    out = ds.groupby("part").map_groups(
+        running_partition, batch_format="pyarrow"
+    ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -434,21 +456,35 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     key is the session key, so no second shuffle."""
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def sessions(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        brk = np.ones(len(ts), dtype=np.int64)
+    def sessions_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse user partition: a user change forces a
+        # session break, so reduceat session segments are identical to the
+        # per-user version's
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        brk = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
-            brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        sess = np.cumsum(brk)
-        starts = np.flatnonzero(brk == 1)
-        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        sess_user = uid[starts]
+        ufirst = np.concatenate(([True], sess_user[1:] != sess_user[:-1]))
+        ubase = np.flatnonzero(ufirst)
+        runlen = np.diff(np.append(ubase, starts.size))
+        session_no = (
+            np.arange(starts.size, dtype=np.int64)
+            - np.repeat(ubase, runlen)
+            + 1
+        )
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(starts.size, int(g["user_id"][0].as_py())), pa.int64()
-                ),
-                "session_no": pa.array(sess[starts], pa.int64()),
+                "user_id": pa.array(sess_user, pa.int64()),
+                "session_no": pa.array(session_no, pa.int64()),
                 "n_events": pa.array(
                     np.diff(np.append(starts, len(ts))), pa.int64()
                 ),
@@ -466,7 +502,20 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         )
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow").to_pandas()
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % 64,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("part").map_groups(
+        sessions_partition, batch_format="pyarrow"
+    ).to_pandas()
     return out.sort_values(["user_id", "session_no"]).reset_index(drop=True)
 
 
@@ -502,26 +551,38 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    def asof(group: pa.Table) -> pa.Table:
+    def asof_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse key partition; the backward searchsorted
+        # match runs per key SEGMENT with identical integer semantics
         side = np.asarray(group["side"].to_pylist())
         is_e = side == "e"
-        if not is_e.any():
-            return pa.table(
-                {"event_id": pa.array([], pa.int64()),
-                 "o_orderkey": pa.array([], pa.int64())}
-            )
+        keys = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
+        ekey, ets = keys[is_e], ts[is_e]
         ev_ids = group["event_id"].to_numpy(zero_copy_only=False)[is_e] \
             .astype(np.int64)
-        ets = ts[is_e]
+        okey, ots = keys[~is_e], ts[~is_e]
         okeys = group["o_orderkey"].to_numpy(zero_copy_only=False)[~is_e] \
             .astype(np.int64)
-        ots = ts[~is_e]
-        o_order = np.lexsort((okeys, ots))
-        ots, okeys = ots[o_order], okeys[o_order]
-        idx = np.searchsorted(ots, ets, side="right") - 1
-        matched = np.where(idx >= 0, okeys[np.maximum(idx, 0)], np.int64(-1))
+        e_order = np.lexsort((ets, ekey))
+        ekey, ets, ev_ids = ekey[e_order], ets[e_order], ev_ids[e_order]
+        o_order = np.lexsort((okeys, ots, okey))
+        okey, ots, okeys = okey[o_order], ots[o_order], okeys[o_order]
+        matched = np.full(ets.size, -1, dtype=np.int64)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(ekey[1:] != ekey[:-1]) + 1, [ekey.size])
+        )
+        for s, e in zip(seg[:-1], seg[1:]):
+            k = ekey[s]
+            lo = np.searchsorted(okey, k, side="left")
+            hi = np.searchsorted(okey, k, side="right")
+            if lo == hi:
+                continue
+            idx = np.searchsorted(ots[lo:hi], ets[s:e], side="right") - 1
+            matched[s:e] = np.where(
+                idx >= 0, okeys[lo:hi][np.maximum(idx, 0)], np.int64(-1)
+            )
         return pa.table(
             {
                 "event_id": pa.array(ev_ids, pa.int64()),
@@ -529,10 +590,20 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(k % 64, pa.int64()))
+
     # input-sized result: to_pandas() is the declared query contract (the
     # driver hashes the whole table); a 100x-scale caller would
     # write_parquet the Dataset instead of collecting it
-    out = ev.union(od).groupby("key").map_groups(asof, batch_format="pyarrow").to_pandas()
+    out = (
+        ev.union(od)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -1114,35 +1185,56 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
     other per-user op in the suite reuses (ray_guide: pick ONE partitioning
     key and keep it)."""
 
-    def gaps(group: pa.Table) -> pa.Table:
-        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False)).astype(
+    def gaps_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse user partition; per-user diff/mean/max over
+        # sorted segment views (float math identical to the per-group fn)
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]"
+        ).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        seg = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [uid.size])
         )
-        uid = group["user_id"][0].as_py()
-        n = ts.size
-        if n < 2:
-            return pa.table(
-                {
-                    "user_id": pa.array([uid], pa.int64()),
-                    "n_events": pa.array([n], pa.int64()),
-                    "mean_gap_s": pa.array([None], pa.float64()),
-                    "max_gap_s": pa.array([None], pa.float64()),
-                }
-            )
-        d = np.diff(ts).astype("timedelta64[us]").astype(np.int64) / 1e6
+        u_o, n_o, mean_o, max_o = [], [], [], []
+        for s, e in zip(seg[:-1], seg[1:]):
+            n = e - s
+            u_o.append(uid[s])
+            n_o.append(n)
+            if n < 2:
+                mean_o.append(None)
+                max_o.append(None)
+                continue
+            d = np.diff(ts[s:e]) / 1e6
+            mean_o.append(round(float(d.mean()), 4))
+            max_o.append(round(float(d.max()), 4))
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_events": pa.array([n], pa.int64()),
-                "mean_gap_s": pa.array([round(float(d.mean()), 4)], pa.float64()),
-                "max_gap_s": pa.array([round(float(d.max()), 4)], pa.float64()),
+                "user_id": pa.array(u_o, pa.int64()),
+                "n_events": pa.array(n_o, pa.int64()),
+                "mean_gap_s": pa.array(mean_o, pa.float64()),
+                "max_gap_s": pa.array(max_o, pa.float64()),
             }
         )
 
     out = (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(gaps, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    b["user_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    % 64,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(gaps_partition, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
@@ -1493,29 +1585,56 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
         ["user_id", "ts", "event_type"]
     )
 
-    def funnel(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    def funnel_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse user partition; the ordered-stage logic runs
+        # per user segment with identical semantics
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
         et = np.asarray(group["event_type"].to_pylist())
-        c = ts[et == "click"]
-        stage1 = c.size > 0
-        stage2 = stage3 = False
-        if stage1:
-            t1 = c.min()
-            v = ts[(et == "view") & (ts >= t1)]
-            stage2 = v.size > 0
-            if stage2:
-                t2 = v.min()
-                stage3 = bool(((et == "purchase") & (ts >= t2)).any())
+        order = np.argsort(uid, kind="stable")
+        uid, ts, et = uid[order], ts[order], et[order]
+        seg = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [uid.size])
+        )
+        n_users = seg.size - 1
+        n1 = n2 = n3 = 0
+        for s, e in zip(seg[:-1], seg[1:]):
+            t_seg, e_seg = ts[s:e], et[s:e]
+            c = t_seg[e_seg == "click"]
+            if c.size == 0:
+                continue
+            n1 += 1
+            v = t_seg[(e_seg == "view") & (t_seg >= c.min())]
+            if v.size == 0:
+                continue
+            n2 += 1
+            if ((e_seg == "purchase") & (t_seg >= v.min())).any():
+                n3 += 1
         return pa.table(
             {
-                "n_users": pa.array([1], pa.int64()),
-                "n_click": pa.array([int(stage1)], pa.int64()),
-                "n_click_view": pa.array([int(stage2)], pa.int64()),
-                "n_full_funnel": pa.array([int(stage3)], pa.int64()),
+                "n_users": pa.array([n_users], pa.int64()),
+                "n_click": pa.array([n1], pa.int64()),
+                "n_click_view": pa.array([n2], pa.int64()),
+                "n_full_funnel": pa.array([n3], pa.int64()),
             }
         )
 
-    per_user = ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % 64,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    per_user = ds.groupby("part").map_groups(
+        funnel_partition, batch_format="pyarrow"
+    )
     out = per_user.sum(
         ["n_users", "n_click", "n_click_view", "n_full_funnel"]
     )
