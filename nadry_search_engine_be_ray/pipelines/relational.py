@@ -570,6 +570,13 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
         o_order = np.lexsort((okeys, ots, okey))
         okey, ots, okeys = okey[o_order], ots[o_order], okeys[o_order]
         matched = np.full(ets.size, -1, dtype=np.int64)
+        if ekey.size == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                }
+            )
         seg = np.concatenate(
             ([0], np.flatnonzero(ekey[1:] != ekey[:-1]) + 1, [ekey.size])
         )
@@ -1200,6 +1207,8 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
         u_o, n_o, mean_o, max_o = [], [], [], []
         for s, e in zip(seg[:-1], seg[1:]):
             n = e - s
+            if n == 0:
+                continue
             u_o.append(uid[s])
             n_o.append(n)
             if n < 2:
@@ -1552,6 +1561,11 @@ def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
         # partition, not per key): delta rows (op != "") win over base, a
         # delete drops the key — winner = max-priority row per key
         ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
         ops = group["op"].to_numpy(zero_copy_only=False)
         pri = np.where(ops == "D", 3, np.where(ops == "", 0, 2))
         order = np.lexsort((-pri, ids))
@@ -1598,7 +1612,7 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
         seg = np.concatenate(
             ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [uid.size])
         )
-        n_users = seg.size - 1
+        n_users = seg.size - 1 if uid.size else 0
         n1 = n2 = n3 = 0
         for s, e in zip(seg[:-1], seg[1:]):
             t_seg, e_seg = ts[s:e], et[s:e]

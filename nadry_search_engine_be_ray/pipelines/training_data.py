@@ -85,6 +85,8 @@ def curate(
     def emit_losers_partition(group: pa.Table) -> pa.Table:
         # one sorted pass per coarse sha partition: losers = every row of a
         # sha segment except its min-doc_id first
+        if len(group) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
         de = group["text_sha256"].combine_chunks().dictionary_encode()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

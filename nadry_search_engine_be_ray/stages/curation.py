@@ -490,6 +490,16 @@ def paragraph_dedup(ds):
     def mark_first_partition(group: pa.Table) -> pa.Table:
         # min (doc_id, para_idx) holder keeps the paragraph — one sorted
         # pass over the partition, keep = first row of each para segment
+        if len(group) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "para_idx": pa.array([], pa.int64()),
+                    "para": pa.array([], pa.string()),
+                    "dpart": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
         de = group["para"].combine_chunks().dictionary_encode()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(

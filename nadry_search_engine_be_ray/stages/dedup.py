@@ -1542,6 +1542,11 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
         # one vectorized call per coarse gram partition: a gram's rows
         # survive iff the gram spans >= 2 distinct docs (min != max doc
         # within its sorted segment)
+        if len(group) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}
+            )
         de = group["gram"].combine_chunks().dictionary_encode()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(

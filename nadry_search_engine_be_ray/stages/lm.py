@@ -315,6 +315,14 @@ def ppl_rank_buckets(scores_ds, n_buckets: int = 3):
         ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
         order = np.lexsort((ids, v))
         v, ids = v[order], ids[order]
         # global base rank per value + within-value offset by doc_id
