@@ -144,7 +144,12 @@ def kmeans_fit(ds, k: int = 16, n_iters: int = 10,
                 counts_acc[int(cl)] = counts_acc.get(int(cl), 0) + int(nn)
         nxt = cent.copy()
         for cl, vlist in sums_acc.items():
-            total = np.sum(np.stack(vlist), axis=0)
+            arr = np.stack(vlist)
+            # bytewise sort -> the float sum is independent of block
+            # layout / worker sharding (materialization under load can
+            # produce different block boundaries between runs)
+            arr = arr[np.lexsort(arr.T[::-1])]
+            total = np.sum(arr, axis=0)
             nxt[cl] = total / max(counts_acc[cl], 1)
         cent = _normalize(nxt)
     return cent, normed

@@ -128,7 +128,12 @@ def pq_train(ds, m: int = 8, k: int = 16, n_iters: int = 8,
                 counts_acc[key] = counts_acc.get(key, 0) + nn
         nxt = cb.copy()
         for (j, cl), vlist in sums_acc.items():
-            total = np.sum(np.stack(vlist), axis=0)
+            arr = np.stack(vlist)
+            # bytewise sort -> the float sum is independent of block
+            # layout / worker sharding (materialization under load can
+            # produce different block boundaries between runs)
+            arr = arr[np.lexsort(arr.T[::-1])]
+            total = np.sum(arr, axis=0)
             nxt[j, cl] = total / max(counts_acc[(j, cl)], 1)
         cb = nxt
     return cb, normed
