@@ -169,6 +169,16 @@ def main() -> None:
     rel.q_window(SF_DIR)
     timings["relational_agg_window"] = time.time() - t0
 
+    # --- per-user window/session ops (partition-fused; non-headline) -------
+    extra_timings: dict[str, float] = {}
+    t0 = time.time()
+    rel.q_cumulative_sum(SF_DIR)
+    rel.q_sessionize(SF_DIR)
+    rel.q_asof_join(SF_DIR)
+    rel.q_event_deltas(SF_DIR)
+    rel.q_funnel_conversion(SF_DIR)
+    extra_timings["window_suite"] = time.time() - t0
+
     # --- curation ops (reported, NOT in the headline total: the baseline
     # series predates these keys; comparable keys stay comparable) ----------
     from nadry_search_engine_be_ray.stages.curation import (
@@ -176,7 +186,6 @@ def main() -> None:
         repetition_scores,
     )
 
-    extra_timings = {}
     t0 = time.time()
     docs_tbl = docs_ds.to_pandas().sort_values("doc_id")
     bench_texts = docs_tbl["text"].head(10).tolist()
