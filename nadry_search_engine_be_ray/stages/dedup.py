@@ -587,14 +587,20 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
         .map_groups(per_doc, batch_format="pyarrow")
     )
 
-    def per_pair(group: pa.Table) -> pa.Table:
-        a = int(group["a"][0].as_py())
-        doc = group[id_col].to_numpy(zero_copy_only=False)
-        grams = group["gram"].to_pylist()
-        ga = {g for g, d in zip(grams, doc) if d == a}
-        gb = {g for g, d in zip(grams, doc) if d != a}
-        union = len(ga | gb)
-        if union == 0:
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("ppart", pa.array([], pa.int64()))
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "ppart", pa.array((a * 1_000_003 + b) % 64, pa.int64())
+        )
+
+    def per_pair_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse pair partition: per-pair set ops run over
+        # dictionary CODES within sorted (a, b) segments — no per-pair
+        # Ray group and no Python gram-string sets
+        if len(group) == 0:
             return pa.table(
                 {
                     "a": pa.array([], pa.int64()),
@@ -602,24 +608,45 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
-        j = len(ga & gb) / union
-        if j < threshold:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        de = group["gram"].combine_chunks().dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, b, a))
+        a, b, doc, codes = a[order], b[order], doc[order], codes[order]
+        brk = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        seg = np.concatenate((np.flatnonzero(brk), [a.size]))
+        a_o, b_o, j_o = [], [], []
+        for s, e in zip(seg[:-1], seg[1:]):
+            pa_id = a[s]
+            ga = np.unique(codes[s:e][doc[s:e] == pa_id])
+            gb = np.unique(codes[s:e][doc[s:e] != pa_id])
+            inter = np.intersect1d(ga, gb, assume_unique=True).size
+            union = ga.size + gb.size - inter
+            if union == 0:
+                continue
+            j = inter / union
+            if j < threshold:
+                continue
+            a_o.append(pa_id)
+            b_o.append(b[s])
+            j_o.append(round(j, 9))
         return pa.table(
             {
-                "a": pa.array([a], pa.int64()),
-                "b": pa.array([int(group["b"][0].as_py())], pa.int64()),
-                "jaccard": pa.array([round(j, 9)], pa.float64()),
+                "a": pa.array(a_o, pa.int64()),
+                "b": pa.array(b_o, pa.int64()),
+                "jaccard": pa.array(j_o, pa.float64()),
             }
         )
 
-    return keyed.groupby(["a", "b"]).map_groups(per_pair, batch_format="pyarrow")
+    return (
+        keyed.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(per_pair_partition, batch_format="pyarrow")
+    )
 
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
