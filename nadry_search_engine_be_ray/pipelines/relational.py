@@ -626,38 +626,76 @@ def q_range_join(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def window_join(group: pa.Table) -> pa.Table:
+    def window_join_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse user partition; the searchsorted window match
+        # runs per user SEGMENT with identical integer semantics
         et = np.asarray(group["event_type"].to_pylist())
-        is_p = et == "purchase"
-        is_c = et == "click"
         empty = pa.table(
             {"purchase_id": pa.array([], pa.int64()),
              "click_id": pa.array([], pa.int64())}
         )
-        if not is_p.any() or not is_c.any():
+        if len(group) == 0:
             return empty
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
         eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pts, pid = ts[is_p], eid[is_p]
-        c_order = np.lexsort((eid[is_c], ts[is_c]))
-        cts, cid = ts[is_c][c_order], eid[is_c][c_order]
-        lo = np.searchsorted(cts, pts - win_us, side="left")
-        hi = np.searchsorted(cts, pts, side="right")
-        counts = hi - lo
-        if counts.sum() == 0:
+        is_p, is_c = et == "purchase", et == "click"
+        puid, pts, pid = uid[is_p], ts[is_p], eid[is_p]
+        cuid, cts, cid = uid[is_c], ts[is_c], eid[is_c]
+        c_order = np.lexsort((cid, cts, cuid))
+        cuid, cts, cid = cuid[c_order], cts[c_order], cid[c_order]
+        p_order = np.argsort(puid, kind="stable")
+        puid, pts, pid = puid[p_order], pts[p_order], pid[p_order]
+        if pid.size == 0 or cid.size == 0:
             return empty
-        out_p = np.repeat(pid, counts)
-        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        p_o, c_o = [], []
+        seg = np.concatenate(
+            ([0], np.flatnonzero(puid[1:] != puid[:-1]) + 1, [puid.size])
+        )
+        for s, e in zip(seg[:-1], seg[1:]):
+            u = puid[s]
+            clo = np.searchsorted(cuid, u, side="left")
+            chi = np.searchsorted(cuid, u, side="right")
+            if clo == chi:
+                continue
+            lo = clo + np.searchsorted(
+                cts[clo:chi], pts[s:e] - win_us, side="left"
+            )
+            hi = clo + np.searchsorted(cts[clo:chi], pts[s:e], side="right")
+            counts = hi - lo
+            if counts.sum() == 0:
+                continue
+            p_o.append(np.repeat(pid[s:e], counts))
+            c_o.append(
+                cid[
+                    np.concatenate(
+                        [np.arange(l, h) for l, h in zip(lo, hi)]
+                    )
+                ]
+            )
+        if not p_o:
+            return empty
         return pa.table(
             {
-                "purchase_id": pa.array(out_p, pa.int64()),
-                "click_id": pa.array(cid[idx], pa.int64()),
+                "purchase_id": pa.array(np.concatenate(p_o), pa.int64()),
+                "click_id": pa.array(np.concatenate(c_o), pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(
-        window_join, batch_format="pyarrow"
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % 64,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("part").map_groups(
+        window_join_partition, batch_format="pyarrow"
     ).to_pandas()
     if out.empty:
         return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
