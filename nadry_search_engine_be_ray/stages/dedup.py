@@ -1004,20 +1004,66 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     materializes pairs on the driver."""
     sig = ds.map_batches(SimHashBatch(text_col, id_col), batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()))
+    def add_bpart(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bpart", pa.array([], pa.int64()))
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        if len(rows) > 50:
-            print(f"simhash_pairs: truncating bucket of {len(rows)} docs to 50")
-            rows = rows[:50]
+        return batch.append_column(
+            "bpart", pa.array((key * 4 + band) % 64, pa.int64())
+        )
+
+    def bucket_pairs_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse bucket partition; per-BUCKET semantics
+        # (dedup, deterministic truncation at 50, pairwise hamming) are
+        # preserved exactly within each sorted (band, band_key) segment
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = group["band_key"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = group["simhash"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        order = np.lexsort((hs, ids, key, band))
+        band, key, ids, hs = band[order], key[order], ids[order], hs[order]
+        brk = np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (key[1:] != key[:-1]))
+        )
+        seg = np.concatenate((np.flatnonzero(brk), [band.size]))
         a_o, b_o, d_o = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                (ida, ha), (idb, hb) = rows[i], rows[j]
-                dist = bin(int(ha) ^ int(hb)).count("1")
-                if dist <= max_hamming:
-                    a_o.append(ida); b_o.append(idb); d_o.append(dist)
+        for s, e in zip(seg[:-1], seg[1:]):
+            # distinct (doc, hash) rows, already sorted
+            sid, sh = ids[s:e], hs[s:e]
+            keep = np.concatenate(
+                ([True], (sid[1:] != sid[:-1]) | (sh[1:] != sh[:-1]))
+            )
+            sid, sh = sid[keep], sh[keep]
+            if sid.size > 50:
+                print(
+                    f"simhash_pairs: truncating bucket of {sid.size} docs to 50"
+                )
+                sid, sh = sid[:50], sh[:50]
+            for i in range(sid.size):
+                for j in range(i + 1, sid.size):
+                    dist = bin(int(sh[i]) ^ int(sh[j])).count("1")
+                    if dist <= max_hamming:
+                        a_o.append(sid[i])
+                        b_o.append(sid[j])
+                        d_o.append(dist)
+        if not a_o:
+            return empty
         return pa.table(
             {
                 "a": pa.array(a_o, pa.int64()),
@@ -1026,8 +1072,10 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             }
         )
 
-    pairs = sig.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        sig.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("bpart")
+        .map_groups(bucket_pairs_partition, batch_format="pyarrow")
     )
 
     # hamming is pair-determined (same value from every band that emitted
