@@ -1174,46 +1174,80 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def add_bpart(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bpart", pa.array([], pa.int64()))
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bpart", pa.array((bkt * 31 + band) % 64, pa.int64())
+        )
+
+    def bucket_pairs_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse bucket partition; per-BUCKET dedupe /
+        # truncation / matmul semantics preserved within each sorted
+        # (band, bucket) segment, vectors decoded once per partition
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        uniq_mask = np.ones(len(ids), dtype=bool)
-        uniq_mask[1:] = ids[1:] != ids[:-1]
-        sel = order[uniq_mask]
-        ids = ids[uniq_mask]
-        if len(ids) > bucket_cap:
-            print(
-                f"embedding_near_dup_pairs: truncating bucket of {len(ids)} "
-                f"vectors to {bucket_cap}"
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.array(group[vec_col].to_pylist(), dtype=np.float64)
+        order = np.lexsort((ids, bkt, band))
+        ids, band, bkt = ids[order], band[order], bkt[order]
+        vecs = vecs[order]
+        brk = np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (bkt[1:] != bkt[:-1]))
+        )
+        seg = np.concatenate((np.flatnonzero(brk), [ids.size]))
+        out = []
+        for s, e in zip(seg[:-1], seg[1:]):
+            sid = ids[s:e]
+            keep_u = np.concatenate(([True], sid[1:] != sid[:-1]))
+            sel = np.flatnonzero(keep_u) + s
+            sid = sid[keep_u]
+            if sid.size > bucket_cap:
+                print(
+                    f"embedding_near_dup_pairs: truncating bucket of "
+                    f"{sid.size} vectors to {bucket_cap}"
+                )
+                sel, sid = sel[:bucket_cap], sid[:bucket_cap]
+            if sid.size < 2:
+                continue
+            m = vecs[sel]
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
             )
-            sel, ids = sel[:bucket_cap], ids[:bucket_cap]
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        vec_list = group[vec_col].to_pylist()
-        m = np.array([vec_list[i] for i in sel], dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        vals = sims[ii, jj]
-        keep = vals >= threshold
-        # ids are sorted ascending and ii < jj, so a < b canonically
+            sims = m @ m.T
+            ii, jj = np.triu_indices(sid.size, k=1)
+            vals = sims[ii, jj]
+            keep = vals >= threshold
+            if keep.any():
+                # ids sorted ascending and ii < jj, so a < b canonically
+                out.append((sid[ii[keep]], sid[jj[keep]], vals[keep]))
+        if not out:
+            return empty
         return pa.table(
             {
-                "a": pa.array(ids[ii[keep]], pa.int64()),
-                "b": pa.array(ids[jj[keep]], pa.int64()),
-                "cosine": pa.array(vals[keep], pa.float64()),
+                "a": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                "b": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate([o[2] for o in out]), pa.float64()
+                ),
             }
         )
 
-    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        bucketed.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("bpart")
+        .map_groups(bucket_pairs_partition, batch_format="pyarrow")
     )
 
     # cosine is pair-determined, so Min dedups across bands exactly
