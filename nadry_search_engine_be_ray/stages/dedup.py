@@ -546,33 +546,71 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
     mem = pairs_ds.map_batches(to_membership, batch_format="pyarrow")
     docrows = docs_ds.map_batches(to_docrows, batch_format="pyarrow")
 
-    def per_doc(group: pa.Table) -> pa.Table:
-        a_list = group["a"].to_pylist()
-        if all(x is None for x in a_list):
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "gram": pa.array([], pa.string()),
-                }
-            )
-        texts = group[text_col].to_pylist()
-        text = next((t for t in texts if t is not None), "")
-        grams = ngram_strings(text, n)
-        doc = int(group[id_col][0].as_py())
-        b_list = group["b"].to_pylist()
-        a_m = np.array([x for x in a_list if x is not None], dtype=np.int64)
-        b_m = np.array(
-            [y for x, y in zip(a_list, b_list) if x is not None], dtype=np.int64
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("dpart", pa.array([], pa.int64()))
+        d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("dpart", pa.array(d % 64, pa.int64()))
+
+    def per_doc_partition(group: pa.Table) -> pa.Table:
+        # one call per coarse doc partition: memberships and doc rows
+        # split per doc SEGMENT; gram computation stays the scalar
+        # ngram_strings per doc (same <n fallback semantics), only the Ray
+        # per-group dispatch is fused away
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+            }
         )
-        g = len(grams)
+        if len(group) == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        doc = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_mem = pc.is_valid(group["a"]).to_numpy(zero_copy_only=False)
+        a_arr = pc.fill_null(group["a"], -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        b_arr = pc.fill_null(group["b"], -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        texts = group[text_col].to_pylist()
+        order = np.argsort(doc, kind="stable")
+        seg = np.concatenate(
+            ([0],
+             np.flatnonzero(doc[order][1:] != doc[order][:-1]) + 1,
+             [doc.size])
+        )
+        a_o, b_o, d_o, g_o = [], [], [], []
+        for s, e in zip(seg[:-1], seg[1:]):
+            rows = order[s:e]
+            mem_rows = rows[is_mem[rows]]
+            if mem_rows.size == 0:
+                continue
+            text = next(
+                (texts[r] for r in rows if texts[r] is not None), ""
+            )
+            grams = ngram_strings(text, n)
+            g = len(grams)
+            if g == 0:
+                continue
+            a_m = a_arr[mem_rows]
+            b_m = b_arr[mem_rows]
+            a_o.append(np.repeat(a_m, g))
+            b_o.append(np.repeat(b_m, g))
+            d_o.append(np.full(mem_rows.size * g, doc[rows[0]], np.int64))
+            g_o.extend(grams * mem_rows.size)
+        if not g_o:
+            return empty
         return pa.table(
             {
-                "a": pa.array(np.repeat(a_m, g), pa.int64()),
-                "b": pa.array(np.repeat(b_m, g), pa.int64()),
-                id_col: pa.array(np.full(len(a_m) * g, doc), pa.int64()),
-                "gram": pa.array(grams * len(a_m), pa.string()),
+                "a": pa.array(np.concatenate(a_o), pa.int64()),
+                "b": pa.array(np.concatenate(b_o), pa.int64()),
+                id_col: pa.array(np.concatenate(d_o), pa.int64()),
+                "gram": pa.array(g_o, pa.string()),
             }
         )
 
@@ -583,8 +621,9 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
     keyed = (
         mem.union(docrows)
         .repartition(num_partitions)
-        .groupby(id_col)
-        .map_groups(per_doc, batch_format="pyarrow")
+        .map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(per_doc_partition, batch_format="pyarrow")
     )
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
