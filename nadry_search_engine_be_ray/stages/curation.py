@@ -120,26 +120,42 @@ class ChunkWindowsBatch:
         self.window, self.stride = window, stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # fully vectorized: window start arithmetic in numpy, token gather
+        # + per-chunk space join as Arrow take/ListArray/binary_join
         w, s = self.window, self.stride
-        d_o, c_o, st_o, nt_o, tx_o = [], [], [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = _WORD.findall((text or "").lower())
-            for k, start in enumerate(range(0, len(toks), s)):
-                win = toks[start : start + w]
-                d_o.append(did)
-                c_o.append(k)
-                st_o.append(start)
-                nt_o.append(len(win))
-                tx_o.append(" ".join(win))
+        _, flat, lens = exploded_tokens(batch["text"])
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        n_chunks = np.where(lens > 0, (lens + s - 1) // s, 0)
+        doc_of_chunk = np.repeat(
+            np.arange(len(batch), dtype=np.int64), n_chunks
+        )
+        cbase = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_id = (
+            np.arange(int(n_chunks.sum()), dtype=np.int64)
+            - cbase[doc_of_chunk]
+        )
+        start_tok = chunk_id * s
+        chunk_len = np.minimum(w, lens[doc_of_chunk] - start_tok)
+        tok_base = offsets[doc_of_chunk] + start_tok
+        run_off = np.concatenate(([0], np.cumsum(chunk_len)))
+        intra = (
+            np.arange(int(chunk_len.sum()), dtype=np.int64)
+            - np.repeat(run_off[:-1], chunk_len)
+        )
+        gather = np.repeat(tok_base, chunk_len) + intra
+        lists = pa.ListArray.from_arrays(
+            pa.array(run_off, pa.int32()), flat.take(pa.array(gather))
+        )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         return pa.table(
             {
-                "doc_id": pa.array(d_o, pa.int64()),
-                "chunk_id": pa.array(c_o, pa.int64()),
-                "start_tok": pa.array(st_o, pa.int64()),
-                "n_tokens": pa.array(nt_o, pa.int64()),
-                "chunk_text": pa.array(tx_o, pa.string()),
+                "doc_id": pa.array(doc_ids[doc_of_chunk], pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "start_tok": pa.array(start_tok, pa.int64()),
+                "n_tokens": pa.array(chunk_len, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
             }
         )
 
