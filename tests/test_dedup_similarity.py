@@ -320,3 +320,46 @@ def test_training_pipeline_curates(ray_session):
     # deterministic across runs
     df2 = q_training_pipeline(SF)
     assert df.equals(df2)
+
+
+def test_ngram_jaccard_capped_fallback_equivalent(ray_session):
+    """Forcing the text-verify fallback (tiny bucket_cap) may only LOWER
+    candidate recall (the documented cap contract) — every pair it does
+    emit must carry the identical exact jaccard as the count-based path."""
+    from nadry_search_engine_be_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    fast = ngram_jaccard_pairs(docs, n=3, threshold=0.5).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    slow = ngram_jaccard_pairs(docs, n=3, threshold=0.5, bucket_cap=3) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(fast) > 0 and len(slow) > 0
+    merged = fast.merge(slow, on=["a", "b"], suffixes=("_f", "_s"))
+    # fallback pairs are a subset with identical values
+    assert len(merged) == len(slow)
+    assert (merged["jaccard_f"] == merged["jaccard_s"]).all()
+
+
+def test_exact_jaccard_shuffle_path_matches_broadcast(ray_session):
+    """Forcing the distributed text-verify shuffle (caps at 0) must match
+    the broadcast fast path row-for-row."""
+    from nadry_search_engine_be_ray.stages.dedup import (
+        exact_jaccard_for_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cands = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()[["a", "b"]]
+    cands_ds = ray.data.from_pandas(cands)
+    bc = exact_jaccard_for_pairs(docs, cands_ds, threshold=0.5) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    sh = exact_jaccard_for_pairs(
+        docs, cands_ds, threshold=0.5,
+        max_filter_ids=0, max_broadcast_texts=0,
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert bc.equals(sh)
+    assert len(bc) > 0
