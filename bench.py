@@ -42,6 +42,15 @@ def bench_corpus_docs(sf: float) -> int:
 
 
 def main() -> None:
+    # Contention self-documentation (VERDICT r3 #1): the pure-compute spin
+    # ceiling is measured BEFORE ray.init (mp.Pool forks cleanly) and lands
+    # in the headline JSON, so every snapshot records whether the window was
+    # calm (~>=0.78 on this sandbox) or degraded — a 2.6x-slow reading on a
+    # contended host is then distinguishable from a code regression.
+    host_spin_ceiling = None
+    if "--build-only" not in sys.argv:
+        host_spin_ceiling = _spin_ceiling_pair(8, 32)
+
     import ray
 
     ray.init(
@@ -71,103 +80,125 @@ def main() -> None:
 
     sf = _sf()
     n_docs = bench_corpus_docs(sf)
-    timings: dict[str, float] = {}
 
     # --- corpus generation (untimed, cached) + page-cache warm read --------
     corpus_dir = f"/tmp/nadry_bench/corpus_{n_docs}"
     write_corpus(corpus_dir, n_docs=n_docs, seed=42)
     ray.data.read_parquet(corpus_dir).count()  # warm the OS page cache
 
-    # --- index build -------------------------------------------------------
-    # GRAFT_TMP lets the scaling harness put index artifacts on tmpfs: the
-    # single-box CPU-scaling substitute shares ONE disk between "clusters",
-    # while a real N -> 4N cluster scales disk with nodes — tmpfs isolates
-    # the compute+shuffle scaling the criterion actually targets.
-    index_dir = tempfile.mkdtemp(
-        prefix="nadry_bench_index_", dir=os.environ.get("GRAFT_TMP")
+    # Best-of-N headline (VERDICT r3 #1): the comparable headline keys run
+    # N>=2 times and the JSON reports the per-key MIN (min filters transient
+    # interference; both raw totals are also emitted).  --build-only stays
+    # single-run — scaling() does its own min-of-2 at the run level.
+    n_runs = 1 if "--build-only" in sys.argv else int(
+        os.environ.get("GRAFT_BENCH_RUNS", "2")
     )
-    t0 = time.time()
-    # partition count scales with data (standard practice): enough reduce
-    # tasks to use every core at 1M docs without drowning a 20k-doc corpus
-    # in per-partition fixed costs
-    n_shards = 32 if n_docs > 100_000 else 8
-    build_index(
-        corpus_dir, index_dir,
-        BuildConfig(
-            num_shards=n_shards, salt_bits=2,
-            # the coalesce before the hash-partitioned write bounds file
-            # count but ALSO caps write parallelism — size it to the cores
-            postings_write_blocks=max(16, NUM_CPUS),
-        ),
-    )
-    timings["index_build"] = time.time() - t0
-    docs_per_sec = n_docs / timings["index_build"]
+    run_timings: list[dict[str, float]] = []
+    run_p50: list[float] = []
+    for _attempt in range(n_runs):
+        timings = {}
 
-    if "--build-only" in sys.argv:
-        shutil.rmtree(index_dir, ignore_errors=True)
-        ray.shutdown()
-        print(
-            json.dumps(
-                {
-                    "metric": "index_build_sec",
-                    "value": round(timings["index_build"], 3),
-                    "unit": "sec",
-                    "queries": {k: round(v, 3) for k, v in timings.items()},
-                    "sf": sf,
-                    "num_cpus": NUM_CPUS,
-                    "n_docs": n_docs,
-                    "docs_per_sec": round(docs_per_sec, 1),
-                }
-            )
+        # --- index build ---------------------------------------------------
+        # GRAFT_TMP lets the scaling harness put index artifacts on tmpfs: the
+        # single-box CPU-scaling substitute shares ONE disk between "clusters",
+        # while a real N -> 4N cluster scales disk with nodes — tmpfs isolates
+        # the compute+shuffle scaling the criterion actually targets.
+        index_dir = tempfile.mkdtemp(
+            prefix="nadry_bench_index_", dir=os.environ.get("GRAFT_TMP")
         )
-        return
+        t0 = time.time()
+        # partition count scales with data (standard practice): enough reduce
+        # tasks to use every core at 1M docs without drowning a 20k-doc corpus
+        # in per-partition fixed costs
+        n_shards = 32 if n_docs > 100_000 else 8
+        build_index(
+            corpus_dir, index_dir,
+            BuildConfig(
+                num_shards=n_shards, salt_bits=2,
+                # the coalesce before the hash-partitioned write bounds file
+                # count but ALSO caps write parallelism — size it to the cores
+                postings_write_blocks=max(16, NUM_CPUS),
+            ),
+        )
+        timings["index_build"] = time.time() - t0
+        docs_per_sec = n_docs / timings["index_build"]
 
-    # --- query latency (reference scorer + BM25 block-max WAND) ------------
-    engine = SearchEngine(index_dir)
-    queries = [q["query"] for q in reference_queries()]
-    lat_ref, lat_bm25 = [], []
-    for rep in range(3):
-        for q in queries:
-            t0 = time.time()
-            engine.search_auto(q + ("" if rep == 0 else f" {rep}"), 0, 10)
-            lat_ref.append(time.time() - t0)
-    plain = [q for q in queries if not q.startswith('"')]
-    for rep in range(3):
-        for q in plain:
-            t0 = time.time()
-            engine.bm25_search(q, k=10, use_wand=False)
-            lat_bm25.append(time.time() - t0)
-    timings["query_reference_total"] = sum(lat_ref)
-    timings["query_bm25_total"] = sum(lat_bm25)
-    p50_ms = statistics.median(lat_bm25) * 1000
+        if "--build-only" in sys.argv:
+            shutil.rmtree(index_dir, ignore_errors=True)
+            ray.shutdown()
+            print(
+                json.dumps(
+                    {
+                        "metric": "index_build_sec",
+                        "value": round(timings["index_build"], 3),
+                        "unit": "sec",
+                        "queries": {k: round(v, 3) for k, v in timings.items()},
+                        "sf": sf,
+                        "num_cpus": NUM_CPUS,
+                        "n_docs": n_docs,
+                        "docs_per_sec": round(docs_per_sec, 1),
+                    }
+                )
+            )
+            return
 
-    # --- batch query throughput via the actor pool --------------------------
-    many = (plain * 20)[:200]
-    qds = ray.data.from_arrow(pa.table({"query": pa.array(many, pa.string())}))
-    t0 = time.time()
-    batch_search(qds, index_dir, mode="bm25",
-                 concurrency=min(4, max(1, NUM_CPUS // 4))).count()
-    timings["batch_queries_200"] = time.time() - t0
+        # --- query latency (reference scorer + BM25 block-max WAND) ------------
+        engine = SearchEngine(index_dir)
+        queries = [q["query"] for q in reference_queries()]
+        lat_ref, lat_bm25 = [], []
+        for rep in range(3):
+            for q in queries:
+                t0 = time.time()
+                engine.search_auto(q + ("" if rep == 0 else f" {rep}"), 0, 10)
+                lat_ref.append(time.time() - t0)
+        plain = [q for q in queries if not q.startswith('"')]
+        for rep in range(3):
+            for q in plain:
+                t0 = time.time()
+                engine.bm25_search(q, k=10, use_wand=False)
+                lat_bm25.append(time.time() - t0)
+        timings["query_reference_total"] = sum(lat_ref)
+        timings["query_bm25_total"] = sum(lat_bm25)
+        p50_ms = statistics.median(lat_bm25) * 1000
 
-    # --- training-data extras over the sf tables ----------------------------
-    t0 = time.time()
-    docs_ds = ray.data.read_parquet(
-        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
-    )
-    minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()  # lazy -> consume
-    timings["dedup_minhash"] = time.time() - t0
+        # --- batch query throughput via the actor pool --------------------------
+        many = (plain * 20)[:200]
+        qds = ray.data.from_arrow(pa.table({"query": pa.array(many, pa.string())}))
+        t0 = time.time()
+        batch_search(qds, index_dir, mode="bm25",
+                     concurrency=min(4, max(1, NUM_CPUS // 4))).count()
+        timings["batch_queries_200"] = time.time() - t0
 
-    t0 = time.time()
-    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    head = emb.to_pandas().sort_values("vec_id").head(8)
-    qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
-    brute_force_topk(ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), qv, k=10)
-    timings["ann_topk"] = time.time() - t0
+        # --- training-data extras over the sf tables ----------------------------
+        t0 = time.time()
+        docs_ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()  # lazy -> consume
+        timings["dedup_minhash"] = time.time() - t0
 
-    t0 = time.time()
-    rel.q_agg_pushdown(SF_DIR)
-    rel.q_window(SF_DIR)
-    timings["relational_agg_window"] = time.time() - t0
+        t0 = time.time()
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        head = emb.to_pandas().sort_values("vec_id").head(8)
+        qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+        brute_force_topk(ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), qv, k=10)
+        timings["ann_topk"] = time.time() - t0
+
+        t0 = time.time()
+        rel.q_agg_pushdown(SF_DIR)
+        rel.q_window(SF_DIR)
+        timings["relational_agg_window"] = time.time() - t0
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        run_timings.append(timings)
+        run_p50.append(p50_ms)
+
+    # per-key min across the N runs is the comparable headline; both raw
+    # totals are reported so a noisy run is visible, not hidden
+    headline_totals = [round(sum(rt.values()), 3) for rt in run_timings]
+    timings = {k: min(rt[k] for rt in run_timings) for k in run_timings[0]}
+    p50_ms = min(run_p50)
+    docs_per_sec = n_docs / timings["index_build"]
 
     # --- per-user window/session ops (partition-fused; non-headline) -------
     extra_timings: dict[str, float] = {}
@@ -271,8 +302,12 @@ def main() -> None:
                 qv_ids=head["vec_id"].to_numpy(), k=10)
     extra_timings["pq_ann"] = time.time() - t0
 
-    shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
+
+    from nadry_search_engine_be_ray.benchconst import (
+        CALM_BEST_DOCS_PER_SEC_32CPU_SF01,
+        SPIN_CEILING_CALM,
+    )
 
     total = sum(timings.values())
     timings = {**timings, **extra_timings}
@@ -288,6 +323,20 @@ def main() -> None:
                 "n_docs": n_docs,
                 "docs_per_sec": round(docs_per_sec, 1),
                 "query_p50_ms": round(p50_ms, 3),
+                # contention evidence (VERDICT r3 #1): value/queries above are
+                # per-key MINs over headline_runs; host_spin_ceiling < ~0.78
+                # or vs_calm_best << 1 marks a degraded measurement window
+                "headline_runs": n_runs,
+                "headline_totals_raw": headline_totals,
+                "host_spin_ceiling": round(host_spin_ceiling, 3),
+                "host_spin_ceiling_calm_ref": SPIN_CEILING_CALM,
+                # only comparable at the default bench shape the constant
+                # was recorded at (sf0.1, 32 CPUs, 20k docs)
+                "vs_calm_best": (
+                    round(docs_per_sec / CALM_BEST_DOCS_PER_SEC_32CPU_SF01, 3)
+                    if sf == 0.1 and NUM_CPUS == 32 and n_docs == 20000
+                    else None
+                ),
             }
         )
     )
@@ -295,14 +344,31 @@ def main() -> None:
 
 def _spin_burn(_) -> int:
     """Module-level (mp.Pool-picklable) pure-compute spin for the host
-    calibration in ``scaling()``: 3 s of register arithmetic, returns the
-    iteration count."""
+    calibration: 3 s of register arithmetic, returns the iteration count."""
     end = time.time() + 3
     x = 0
     while time.time() < end:
         for _ in range(10_000):
             x += 1
     return x
+
+
+def _spin_ceiling_pair(lo: int, hi: int) -> float:
+    """Host calibration shared by main()/scaling()/probe(): per-core
+    pure-compute throughput at lo-wide vs hi-wide concurrency (a 3 s spin
+    per width, no memory traffic, no Ray).  On bare metal this is ~1.0; on
+    a virtualized box the hypervisor's core sharing shows up here directly
+    — measured ~0.78 calm on this sandbox (see benchconst.py), which is
+    the CEILING any lo-vs-hi pipeline efficiency can reach.  Readings well
+    below the calm reference mark a contended measurement window."""
+    import multiprocessing as mp
+
+    rates = {}
+    for width in (lo, hi):
+        with mp.Pool(width) as pool:
+            iters = pool.map(_spin_burn, range(width))
+        rates[width] = sum(iters) / width
+    return rates[hi] / rates[lo]
 
 
 def scaling() -> None:
@@ -337,32 +403,13 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def _spin_ceiling(lo: int, hi: int) -> float:
-        """Host calibration: per-core pure-compute throughput at lo-wide vs
-        hi-wide concurrency (a 3 s spin per width, no memory traffic, no
-        Ray).  On bare metal this is ~1.0; on a virtualized box the
-        hypervisor's core sharing shows up here directly — measured 0.78 on
-        this sandbox (per-core spin throughput drops 22% going 8->32 wide),
-        which is the CEILING any 8-vs-32 pipeline efficiency can reach.
-        Reported alongside the raw number so the record separates code
-        scaling from hardware scaling (a real N vs 4N node cluster adds
-        whole machines and does not share cores)."""
-        import multiprocessing as mp
-
-        rates = {}
-        for width in (lo, hi):
-            with mp.Pool(width) as pool:
-                iters = pool.map(_spin_burn, range(width))
-            rates[width] = sum(iters) / width
-        return rates[hi] / rates[lo]
-
     # min of 2 runs per level (standard practice: min filters interference);
     # the CPU pair is overridable (GRAFT_SCALING_CPUS="4,16") for
     # environment-control experiments at other N:4N points
     lo, hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
-    ceiling = _spin_ceiling(lo, hi)
+    ceiling = _spin_ceiling_pair(lo, hi)
     results = {}
     for ncpu in (lo, hi):
         runs = [_run(ncpu), _run(ncpu)]
@@ -395,15 +442,13 @@ def probe() -> None:
     were observed where it read 0.82 yet the 8-CPU build ran 2.2× slow
     (memory-bandwidth steal the register-spin probe can't see) — so the
     verdict requires BOTH: ceiling ≥ 0.78 AND build throughput within 75 %
-    of the recorded calm best (20 407 docs/s, BASELINE.md)."""
-    import multiprocessing as mp
+    of the recorded calm best (benchconst.py, mirroring BASELINE.md)."""
+    from nadry_search_engine_be_ray.benchconst import (
+        CALM_BEST_DOCS_PER_SEC_8CPU_1M,
+        SPIN_CEILING_CALM,
+    )
 
-    rates = {}
-    for width in (8, 32):
-        with mp.Pool(width) as pool:
-            iters = pool.map(_spin_burn, range(width))
-        rates[width] = sum(iters) / width
-    ceiling = rates[32] / rates[8]
+    ceiling = _spin_ceiling_pair(8, 32)
 
     n_docs = os.environ.get("GRAFT_SCALING_DOCS", "1000000")
     env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_BENCH_DOCS=n_docs)
@@ -414,7 +459,7 @@ def probe() -> None:
     ).stdout
     build = json.loads(out.strip().splitlines()[-1])
     dps = build["docs_per_sec"]
-    calm_best = 20407.0
+    calm_best = CALM_BEST_DOCS_PER_SEC_8CPU_1M
     print(
         json.dumps(
             {
@@ -422,7 +467,9 @@ def probe() -> None:
                 "host_spin_ceiling": round(ceiling, 3),
                 "docs_per_sec_8cpu": dps,
                 "vs_calm_best": round(dps / calm_best, 3),
-                "calm": bool(ceiling >= 0.78 and dps >= 0.75 * calm_best),
+                "calm": bool(
+                    ceiling >= SPIN_CEILING_CALM and dps >= 0.75 * calm_best
+                ),
             }
         )
     )

@@ -1,0 +1,21 @@
+"""Calm-host calibration constants shared by bench.py's probe/scaling/main.
+
+Single source of truth so the probe verdict and the headline bench's
+``vs_calm_best`` field cannot drift from each other (they previously
+duplicated an inline literal).  Refresh these whenever BASELINE.md records
+a new calm-host best; each constant cites the BASELINE.md table it mirrors.
+"""
+
+# Best recorded calm-host index-build throughput, 8 CPUs, 1M synthetic docs
+# (BASELINE.md, round-3 scaling tables — the probe's reference point).
+CALM_BEST_DOCS_PER_SEC_8CPU_1M = 20407.0
+
+# Best recorded calm-host index-build throughput for the DEFAULT bench shape
+# (32 CPUs, sf0.1 -> 20k docs, index on disk).  BASELINE.md round-1 measured
+# 2 956 docs/s; round-3's calm 12.71 s e2e implies a similar build rate.
+CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 2956.0
+
+# Pure-compute spin throughput ratio (32-wide vs 8-wide per-core) measured on
+# a calm window of this sandbox — the hypervisor's core-sharing ceiling any
+# 8-vs-32 efficiency can reach (BASELINE.md round-2 control experiment).
+SPIN_CEILING_CALM = 0.78
