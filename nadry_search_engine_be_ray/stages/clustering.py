@@ -31,11 +31,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .similarity import _normalize
+from .similarity import _batch_matrix, _normalize, matrix_to_list_column
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+    # zero-copy uniform-length flatten (VERDICT r3 #4: no per-row Python)
+    return _batch_matrix(batch, vec_col)
 
 
 def _vec_table(ids: np.ndarray, mat: np.ndarray, id_col: str,
@@ -43,9 +44,7 @@ def _vec_table(ids: np.ndarray, mat: np.ndarray, id_col: str,
     return pa.table(
         {
             id_col: pa.array(ids.astype(np.int64), pa.int64()),
-            vec_col: pa.array(
-                [row for row in mat], pa.list_(pa.float64())
-            ),
+            vec_col: matrix_to_list_column(mat, pa.float64()),
         }
     )
 

@@ -1238,7 +1238,9 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = group["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = np.array(group[vec_col].to_pylist(), dtype=np.float64)
+        from .similarity import _batch_matrix
+
+        vecs = _batch_matrix(group, vec_col)
         order = np.lexsort((ids, bkt, band))
         ids, band, bkt = ids[order], band[order], bkt[order]
         vecs = vecs[order]

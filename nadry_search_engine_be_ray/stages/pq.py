@@ -208,7 +208,7 @@ def pq_adc_topk(ds_normed_codes, query_vectors: np.ndarray,
     def partial_topk(batch: pa.Table) -> pa.Table:
         tabs, qids = ray.get(bc_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        codes = np.array(batch["code"].to_pylist(), dtype=np.int64)
+        codes = _batch_matrix(batch, "code", dtype=np.int64)
         out = []
         for qi in range(tabs.shape[0]):
             dist = tabs[qi][sub_idx[None, :], codes].sum(axis=1)

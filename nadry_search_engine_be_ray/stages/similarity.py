@@ -18,23 +18,39 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    """(n, dim) float64 from a list<float> / fixed_size_list column —
+def _batch_matrix(
+    batch: pa.Table, vec_col: str, dtype=np.float64
+) -> np.ndarray:
+    """(n, dim) matrix from a list<numeric> / fixed_size_list column —
     zero-copy flatten when row lengths are uniform (the common case),
-    Python fallback otherwise."""
+    Python fallback otherwise.  The single vector-decode helper for every
+    hot stage (similarity / clustering / PQ / embedding dedup)."""
     col = batch[vec_col].combine_chunks()
     try:
         flat = col.flatten().to_numpy(zero_copy_only=False)
         n = len(col)
         if n and flat.size % n == 0:
             if pa.types.is_fixed_size_list(col.type):
-                return flat.astype(np.float64).reshape(n, -1)
+                return flat.astype(dtype).reshape(n, -1)
             lens = col.value_lengths().to_numpy(zero_copy_only=False)
             if lens.min() == lens.max():
-                return flat.astype(np.float64).reshape(n, -1)
+                return flat.astype(dtype).reshape(n, -1)
     except (pa.ArrowInvalid, ValueError):
         pass
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    return np.stack([np.asarray(v, dtype=dtype) for v in col.to_pylist()])
+
+
+def matrix_to_list_column(mat: np.ndarray, value_type=None) -> pa.Array:
+    """Inverse of ``_batch_matrix``: a (n, dim) matrix -> list<value_type>
+    array built from the flattened values + arithmetic offsets, with no
+    per-row Python objects."""
+    n, d = mat.shape
+    value_type = value_type or pa.from_numpy_dtype(mat.dtype)
+    offsets = pa.array(
+        np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32()
+    )
+    values = pa.array(np.ascontiguousarray(mat).ravel()).cast(value_type)
+    return pa.ListArray.from_arrays(offsets, values)
 
 
 def _topk_deterministic(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
