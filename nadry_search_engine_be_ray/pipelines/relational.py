@@ -26,6 +26,23 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _fused_parts(sf_dir: str, *tables: str) -> int:
+    """Coarse fused-partition count for the per-key window/session ops,
+    sized from the participating tables' parquet footprint (ADVICE r3:
+    a fixed 64 capped shuffle parallelism and let per-task memory grow
+    with the input).  Resolves to the historical 64 at test scale."""
+    import os
+
+    from ..stages.partitioning import fused_parts
+
+    total = sum(
+        os.path.getsize(f"{sf_dir}/{t}.parquet")
+        for t in tables
+        if os.path.isfile(f"{sf_dir}/{t}.parquet")
+    )
+    return fused_parts(bytes_hint=total)
+
+
 def _rename_agg(t: pa.Table, mapping: dict) -> pa.Table:
     """Rename pyarrow group_by().aggregate() outputs BY GENERATED NAME
     ("col_func" -> alias) rather than by position — aggregate output column
@@ -262,6 +279,7 @@ def q_cumulative_sum(sf_dir: str) -> pd.DataFrame:
     analog SUM() OVER (PARTITION BY user ORDER BY ts)): groupby(user) ->
     numpy cumsum per group; partition key = window partition key, so one
     shuffle."""
+    n_parts = _fused_parts(sf_dir, "events")
 
     def running_partition(group: pa.Table) -> pa.Table:
         # one call per coarse user partition; cumsum runs per user SEGMENT
@@ -292,7 +310,7 @@ def q_cumulative_sum(sf_dir: str) -> pd.DataFrame:
             "part",
             pa.array(
                 b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                % 64,
+                % n_parts,
                 pa.int64(),
             ),
         ),
@@ -454,6 +472,7 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     per session.  Ray shape: groupby(user) -> vectorized numpy map_groups
     (sort, diff, cumsum of breaks, reduceat aggregates) — the partitioning
     key is the session key, so no second shuffle."""
+    n_parts = _fused_parts(sf_dir, "events")
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
     def sessions_partition(group: pa.Table) -> pa.Table:
@@ -507,7 +526,7 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             "part",
             pa.array(
                 b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                % 64,
+                % n_parts,
                 pa.int64(),
             ),
         ),
@@ -526,6 +545,7 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     key, per-group sort + searchsorted backward match — the documented
     partitioning assumption is that one key's rows fit in a task (salt by
     time range if a key is hot).  Oracle: DuckDB native ASOF JOIN."""
+    n_parts = _fused_parts(sf_dir, "events", "orders")
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
         lambda b: pa.table(
             {
@@ -599,7 +619,7 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("part", pa.array(k % 64, pa.int64()))
+        return batch.append_column("part", pa.array(k % n_parts, pa.int64()))
 
     # input-sized result: to_pandas() is the declared query contract (the
     # driver hashes the whole table); a 100x-scale caller would
@@ -622,6 +642,7 @@ def q_range_join(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
     group by user, per-group sort + searchsorted window slices (vectorized
     emit via repeat/concatenate) — the partitioning assumption (one user's
     rows fit a task) is documented; salt by time range when a key is hot."""
+    n_parts = _fused_parts(sf_dir, "events")
     win_us = np.int64(window_minutes * 60 * 1_000_000)
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
@@ -688,7 +709,7 @@ def q_range_join(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
             "part",
             pa.array(
                 b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                % 64,
+                % n_parts,
                 pa.int64(),
             ),
         ),
@@ -1229,6 +1250,7 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
     by the analysis key (one group per user), the same partitioning every
     other per-user op in the suite reuses (ray_guide: pick ONE partitioning
     key and keep it)."""
+    n_parts = _fused_parts(sf_dir, "events")
 
     def gaps_partition(group: pa.Table) -> pa.Table:
         # one call per coarse user partition; per-user diff/mean/max over
@@ -1274,7 +1296,7 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
                     b["user_id"].to_numpy(zero_copy_only=False).astype(
                         np.int64
                     )
-                    % 64,
+                    % n_parts,
                     pa.int64(),
                 ),
             ),
@@ -1547,6 +1569,7 @@ def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
     each key (delta wins; delete drops the key) — the standard upsert
     compaction for log-structured tables; the exchange is keyed on the
     primary key, never wider than base + delta."""
+    n_parts = _fused_parts(sf_dir, "documents")
     import pyarrow.dataset as pads
     import ray.data
 
@@ -1592,7 +1615,7 @@ def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
 
     def add_part(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("part", pa.array(ids % 64, pa.int64()))
+        return batch.append_column("part", pa.array(ids % n_parts, pa.int64()))
 
     def resolve_partition(group: pa.Table) -> pa.Table:
         # vectorized per coarse key partition (one Python call per
@@ -1632,6 +1655,7 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
     the read, one groupby(user_id) shuffle, per-group vectorized
     first-occurrence logic, then a four-counter combine — output is a
     single row regardless of input size."""
+    n_parts = _fused_parts(sf_dir, "events")
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
     ds = ds.filter(expr="value >= 100").select_columns(
         ["user_id", "ts", "event_type"]
@@ -1678,7 +1702,7 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
             "part",
             pa.array(
                 b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                % 64,
+                % n_parts,
                 pa.int64(),
             ),
         ),
@@ -1739,6 +1763,7 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     identical keys co-locate, each group resolves locally; unchanged rows
     are filtered inside the group task so the result is diff-sized, never
     corpus-sized."""
+    n_parts = _fused_parts(sf_dir, "documents")
     import pyarrow.dataset as pads
     import ray.data
 
@@ -1784,7 +1809,7 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
 
     def add_part(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("part", pa.array(ids % 64, pa.int64()))
+        return batch.append_column("part", pa.array(ids % n_parts, pa.int64()))
 
     def resolve_partition(group: pa.Table) -> pa.Table:
         # vectorized diff per coarse key partition: each key has <= 1 row

@@ -11,12 +11,15 @@ against the transcribed oracle in pytest; it is not SQL-expressible.
 from __future__ import annotations
 
 import re
+import os as _os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from ..stages.partitioning import fused_parts
 from ray.data.aggregate import Count, Sum
 
 _SIMPLE = re.compile(r"[^a-z0-9]+")
@@ -390,6 +393,7 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
     pairs comparison ever happens; the exchange is O(vocab × avg_len)
     keys.  Five planted misspelling docs (doc_id + 3,000,000) make the
     result non-trivial on the synthetic corpus."""
+    n_parts_fused = fused_parts(bytes_hint=_os.path.getsize(f"{sf_dir}/documents.parquet"))
     import pyarrow.dataset as pads
     import ray.data
 
@@ -443,7 +447,7 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
             [zlib.crc32(k.encode()) for k in batch["key"].to_pylist()],
             dtype=np.int64,
         ) if len(batch) else np.empty(0, np.int64)
-        return batch.append_column("part", pa.array(h % 64, pa.int64()))
+        return batch.append_column("part", pa.array(h % n_parts_fused, pa.int64()))
 
     def bucket_pairs_partition(group: pa.Table) -> pa.Table:
         # one call per coarse key partition: slice deletion-key segments,

@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.dedup import add_text_sha, minhash_lsh_pairs
+from ..stages.partitioning import fused_parts
 from ..stages.textstats import EN_STOPS, lang_id_batch, token_count_batch
 
 
@@ -48,6 +49,7 @@ def curate(
     populated except ``curated`` / ``after_exact_dedup``, which the caller
     finalizes from the materialized row count via ``finalize_metrics``
     (no extra counting pass)."""
+    n_parts_fused = fused_parts(docs_ds)
     import ray
 
     metrics: dict[str, int] = {}
@@ -80,7 +82,7 @@ def curate(
             [zlib.crc32(s.encode()) for s in batch["text_sha256"].to_pylist()],
             dtype=np.int64,
         ) if len(batch) else np.empty(0, np.int64)
-        return batch.append_column("part", pa.array(h % 64, pa.int64()))
+        return batch.append_column("part", pa.array(h % n_parts_fused, pa.int64()))
 
     def emit_losers_partition(group: pa.Table) -> pa.Table:
         # one sorted pass per coarse sha partition: losers = every row of a

@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .lm import exploded_tokens, ngram_strings
+from .partitioning import fused_parts
 from .textstats import _WORD
 
 # RE2-compatible AND Python-re-compatible (no lookaround, no backrefs) so
@@ -462,6 +463,7 @@ def paragraph_dedup(ds):
     every paragraph was a duplicate come out with empty clean_text and
     n_paras_kept = 0.
     """
+    n_parts_fused = fused_parts(ds)
 
     import zlib
 
@@ -491,7 +493,7 @@ def paragraph_dedup(ds):
                 [zlib.crc32(p.encode()) for p in de.dictionary.to_pylist()],
                 dtype=np.int64,
             )
-            part = base[codes] % 64
+            part = base[codes] % n_parts_fused
         else:
             part = np.empty(0, np.int64)
         return pa.table(
@@ -534,7 +536,7 @@ def paragraph_dedup(ds):
                 "doc_id": group["doc_id"],
                 "para_idx": group["para_idx"],
                 "para": group["para"],
-                "dpart": pa.array(docs % 64, pa.int64()),
+                "dpart": pa.array(docs % n_parts_fused, pa.int64()),
                 "keep": pa.array(keep, pa.bool_()),
             }
         )

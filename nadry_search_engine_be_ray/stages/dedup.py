@@ -25,6 +25,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .partitioning import fused_parts
+
 _WORD = re.compile(r"[A-Za-z0-9_]+")
 
 
@@ -450,6 +452,7 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
     string n-grams, docs with zero tokens produce no grams, pairs with no
     shared gram (or an empty union) are not emitted.
     """
+    n_parts_fused = fused_parts(docs_ds)
     import ray
     import ray.data
 
@@ -550,7 +553,7 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
         if len(batch) == 0:
             return batch.append_column("dpart", pa.array([], pa.int64()))
         d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("dpart", pa.array(d % 64, pa.int64()))
+        return batch.append_column("dpart", pa.array(d % n_parts_fused, pa.int64()))
 
     def per_doc_partition(group: pa.Table) -> pa.Table:
         # one call per coarse doc partition: memberships and doc rows
@@ -632,7 +635,7 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column(
-            "ppart", pa.array((a * 1_000_003 + b) % 64, pa.int64())
+            "ppart", pa.array((a * 1_000_003 + b) % n_parts_fused, pa.int64())
         )
 
     def per_pair_partition(group: pa.Table) -> pa.Table:
@@ -782,6 +785,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
     capping can only lower candidate RECALL, with the same guarantee as
     before: a pair is lost only if EVERY gram it shares is that common).
     """
+    n_parts_fused = fused_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
         # vectorized distinct-gram explode (same stream as ngram_strings:
@@ -841,7 +845,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
             dtype=np.int64,
         )
         return batch.append_column(
-            "part", pa.array(base[codes] % 64, pa.int64())
+            "part", pa.array(base[codes] % n_parts_fused, pa.int64())
         )
 
     def emit_pairs_partition(group: pa.Table) -> pa.Table:
@@ -1041,6 +1045,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     inside the bucket, dedup across bands with a sort-based groupby —
     returns a Dataset (a, b, hamming) sorted by (a, b); no stage
     materializes pairs on the driver."""
+    n_parts_fused = fused_parts(ds)
     sig = ds.map_batches(SimHashBatch(text_col, id_col), batch_format="pyarrow")
 
     def add_bpart(batch: pa.Table) -> pa.Table:
@@ -1051,7 +1056,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             np.int64
         )
         return batch.append_column(
-            "bpart", pa.array((key * 4 + band) % 64, pa.int64())
+            "bpart", pa.array((key * 4 + band) % n_parts_fused, pa.int64())
         )
 
     def bucket_pairs_partition(group: pa.Table) -> pa.Table:
@@ -1207,6 +1212,7 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
     at the defaults; planted near-identical pairs (cosine > 0.99) miss with
     probability < 1e-6.  Returns a Dataset (a, b, cosine) sorted by (a, b).
     """
+    n_parts_fused = fused_parts(ds)
     dim = len(ds.take(1)[0][vec_col])
     bucketed = ds.map_batches(
         HyperplaneBandBatch(dim, n_bands, band_bits, seed, vec_col, id_col),
@@ -1219,7 +1225,7 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column(
-            "bpart", pa.array((bkt * 31 + band) % 64, pa.int64())
+            "bpart", pa.array((bkt * 31 + band) % n_parts_fused, pa.int64())
         )
 
     def bucket_pairs_partition(group: pa.Table) -> pa.Table:
@@ -1651,6 +1657,7 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
     span a superset — the standard trade).  The span merge shuffles thin
     (doc_id, pos) rows once, grouped by doc.
     """
+    n_parts_fused = fused_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
         # vectorized position-gram explode + coarse gram partition key
@@ -1676,7 +1683,7 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
                 [zlib.crc32(g.encode()) for g in de.dictionary.to_pylist()],
                 dtype=np.int64,
             )
-            part = base[codes] % 64
+            part = base[codes] % n_parts_fused
         else:
             part = np.empty(0, np.int64)
         return pa.table(
