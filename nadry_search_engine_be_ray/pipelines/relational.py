@@ -26,6 +26,19 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _sorted_lookup(ks: np.ndarray, vals: np.ndarray):
+    """Membership probe against a sorted broadcast key array: returns
+    (hit mask, clamped searchsorted index).  Centralizes the empty-build-
+    side guard (ADVICE r3: ``ks[idx]`` on an empty ks raised IndexError
+    for any non-empty probe batch)."""
+    if ks.size == 0:
+        z = np.zeros(vals.size, dtype=np.int64)
+        return np.zeros(vals.size, dtype=bool), z
+    idx = np.searchsorted(ks, vals)
+    idx[idx == ks.size] = 0
+    return ks[idx] == vals, idx
+
+
 def _fused_parts(sf_dir: str, *tables: str) -> int:
     """Coarse fused-partition count for the per-key window/session ops,
     sized from the participating tables' parquet footprint (ADVICE r3:
@@ -109,9 +122,7 @@ def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
         ks, codes, seg_names = ray.get(ref)
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, ck)
-        idx[idx == ks.size] = 0
-        hit = ks[idx] == ck
+        hit, idx = _sorted_lookup(ks, ck)
         c = codes[idx[hit]]
         sums = np.bincount(c, weights=price[hit], minlength=seg_names.size)
         counts = np.bincount(c, minlength=seg_names.size)
@@ -342,9 +353,7 @@ def q_grouped_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, ck)
-        idx[idx == ks.size] = 0
-        hit = ks[idx] == ck
+        hit, idx = _sorted_lookup(ks, ck)
         seg = seg_names[idx[hit]]
         okey, price = okey[hit], price[hit]
         out_seg, out_key, out_price = [], [], []
@@ -739,9 +748,8 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
     def drop_with_orders(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
         c = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, c)
-        idx[idx == ks.size] = 0
-        return batch.filter(pa.array(~(ks[idx] == c)))
+        hit, _ = _sorted_lookup(ks, c)
+        return batch.filter(pa.array(~hit))
 
     out = (
         _read(sf_dir, "customer", ["c_custkey"])
@@ -1144,9 +1152,8 @@ def q_tpch_q3(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ks = ray.get(keys_ref)
         batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(ks, ck)
-        idx[idx == ks.size] = 0
-        return batch.filter(pa.array(ks[idx] == ck)).select(
+        hit, _ = _sorted_lookup(ks, ck)
+        return batch.filter(pa.array(hit)).select(
             ["o_orderkey", "o_orderdate"]
         )
 

@@ -135,7 +135,24 @@ def ingest_to_parquet(
     resumable-sink contract used by build/curate)."""
     fmt = format or _detect_format(src)
     marker = os.path.join(out_dir, "_meta")
-    tag = f"ingest:{os.path.abspath(src)}:{fmt}:v1"
+    # content fingerprint (size + mtime_ns) in the tag: re-running after
+    # the source file changed re-ingests instead of silently reusing the
+    # stale canonical output (ADVICE r3).  Directory sources fingerprint
+    # the per-file stats of their direct children.
+    src_abs = os.path.abspath(src)
+    if os.path.isdir(src_abs):
+        st = [
+            (n, os.stat(os.path.join(src_abs, n)).st_size,
+             os.stat(os.path.join(src_abs, n)).st_mtime_ns)
+            for n in sorted(os.listdir(src_abs))
+        ]
+    else:
+        s = os.stat(src_abs)
+        st = [(os.path.basename(src_abs), s.st_size, s.st_mtime_ns)]
+    import hashlib
+
+    fp = hashlib.sha256(repr(st).encode()).hexdigest()[:16]
+    tag = f"ingest:{src_abs}:{fmt}:{fp}:v2"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == tag:

@@ -145,6 +145,10 @@ class SpaceSavingTopK:
     def __init__(self, capacity: int):
         self.capacity = capacity
         self.counters: dict[str, int] = {}
+        # eviction count: nonzero means estimates may over-count — the
+        # exact regime (what the SQL oracle checks) requires 0 evictions
+        # everywhere (ADVICE r3)
+        self.evictions = 0
 
     def add(self, item: str, count: int = 1) -> None:
         c = self.counters
@@ -156,6 +160,7 @@ class SpaceSavingTopK:
             victim = min(c, key=c.__getitem__)
             floor = c.pop(victim)
             c[item] = floor + count
+            self.evictions += 1
 
     def merge(self, other: "SpaceSavingTopK") -> None:
         for k, v in other.counters.items():
@@ -254,6 +259,11 @@ def approx_top_grams(sf_dir: str, k: int = 25, capacity: int = 4096,
             {
                 "gram": pa.array([g for g, _ in items], pa.string()),
                 "cnt": pa.array([c for _, c in items], pa.int64()),
+                # per-batch eviction flag rides along so the root can tell
+                # whether ANY batch left the exact regime (ADVICE r3)
+                "evicted": pa.array(
+                    [ss.evictions > 0] * len(items), pa.bool_()
+                ),
             }
         )
 
@@ -262,13 +272,24 @@ def approx_top_grams(sf_dir: str, k: int = 25, capacity: int = 4096,
     )
     merged = SpaceSavingTopK(capacity)
     parts = ds.map_batches(ss_batch, batch_format="pyarrow").to_pandas()
+    approximate = bool(parts["evicted"].any()) if len(parts) else False
     for g, c in zip(parts["gram"], parts["cnt"]):
         merged.counters[g] = merged.counters.get(g, 0) + int(c)
     if len(merged.counters) > merged.capacity:
+        approximate = True
         merged.counters = dict(
             sorted(
                 merged.counters.items(), key=lambda kv: (-kv[1], kv[0])
             )[: merged.capacity]
+        )
+    if approximate:
+        # counts may over-estimate from here on; the exact-vs-SQL-oracle
+        # guarantee no longer applies — size capacity above the distinct
+        # gram count (e.g. from a distinct-count pre-pass) to restore it
+        print(
+            f"approx_top_grams: capacity {capacity} exceeded "
+            "(space-saving evictions occurred) — result is approximate, "
+            "not exact"
         )
     top = merged.top(k)
     return pd.DataFrame(

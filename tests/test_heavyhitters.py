@@ -121,3 +121,24 @@ def test_approx_top_grams_exact_regime(ray_session):
     assert list(zip(got["gram"], got["cnt"])) == [
         (g, c) for g, c in expect
     ]
+
+
+def test_space_saving_eviction_flag():
+    """ADVICE r3: leaving the exact regime (any eviction) must be
+    detectable — counters flag evictions; under capacity they stay 0."""
+    from nadry_search_engine_be_ray.stages.heavyhitters import SpaceSavingTopK
+
+    ss = SpaceSavingTopK(capacity=2)
+    ss.add("a", 5)
+    ss.add("b", 3)
+    assert ss.evictions == 0
+    ss.add("c", 1)  # evicts the min counter
+    assert ss.evictions == 1
+    assert "c" in ss.counters and ss.counters["c"] == 4  # floor-inherited
+
+
+def test_approx_top_grams_warns_when_capacity_exceeded(ray_session, capsys):
+    got = approx_top_grams(SF, k=5, capacity=3)
+    out = capsys.readouterr().out
+    assert "approximate" in out
+    assert len(got) == 3  # capped at capacity

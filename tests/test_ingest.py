@@ -106,3 +106,22 @@ def test_ingest_to_parquet_feeds_build(ray_session, tmp_path, small_corpus):
     ingest_to_parquet(str(src), out_dir)
     after = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
     assert before == after
+
+
+def test_ingest_reingests_on_source_change(ray_session, tmp_path, small_corpus):
+    """ADVICE r3: the idempotence marker must include a content
+    fingerprint — changing the source file re-ingests instead of reusing
+    the stale canonical parquet."""
+    src = tmp_path / "dump.jsonl"
+    rows = small_corpus.to_pylist()
+    with open(src, "w") as f:
+        for row in rows[:2]:
+            f.write(json.dumps(row) + "\n")
+    out_dir = str(tmp_path / "canon2")
+    ingest_to_parquet(str(src), out_dir)
+    assert pq.read_table(out_dir).num_rows == 2
+    # append a row -> size/mtime fingerprint changes -> re-ingestion
+    with open(src, "a") as f:
+        f.write(json.dumps(rows[2]) + "\n")
+    ingest_to_parquet(str(src), out_dir)
+    assert pq.read_table(out_dir).num_rows == 3
