@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, method="pointer_doubling"
         ),
         "pagerank_power": _q_pagerank_power,
+        # fixed-iteration variant of the AS-IMPLEMENTED PageRank.java quirk
+        # recurrence (in-degree divisor, skip in-linkless contributors) —
+        # SQL-checkable, shrinking rows-only to pagerank's stop rule alone
+        "pagerank_quirk": _q_pagerank_quirk,
         # search engine proper (reference-semantics; oracle = pytest
         # transcription, driver records rows-only)
         "index_term_df_real": _q_index_term_df_real,
@@ -750,6 +754,45 @@ def _q_pagerank_power(sf_dir: str):
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return (
         pagerank_power_int(edges, n, damping=0.85, n_iter=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _q_pagerank_quirk(sf_dir: str):
+    """Fixed-iteration variant of the AS-IMPLEMENTED reference recurrence
+    (``nadry/ranker/PageRank.java:44-81``: divisor = contributor's
+    IN-degree, in-linkless contributors skipped, node set = targets) over
+    the same synthetic link graph as `pagerank_power` — the SQL-checkable
+    witness for the quirk arithmetic (the converge-to-tolerance `pagerank`
+    stays rows-only for its stop rule only)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        pagerank_quirk_int,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    n = int(docs.count())  # metadata-only for a fresh parquet read
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return (
+        pagerank_quirk_int(edges, n, damping=0.85, n_iter=5)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -1825,6 +1868,49 @@ def _pagerank_power_sql(n_iter: int = 5, damping: float = 0.85) -> str:
 
 
 _PAGERANK_POWER_SQL = _pagerank_power_sql()
+
+
+def _pagerank_quirk_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE oracle for the AS-IMPLEMENTED quirk recurrence
+    (PageRank.java:44-81): nodes = DISTINCT targets; a contribution is
+    rank(src) / IN-degree(src); a src with no in-links has no row in
+    ``ind``/``r{k}`` so its contribution is NULL and drops out of sum()
+    — exactly the reference's skip branch (PageRank.java:63-66)."""
+    iters = []
+    prev = "q0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            q{k} AS (
+                SELECT n.node,
+                       (1 - {damping}) / (SELECT cnt FROM nc)
+                       + {damping} * coalesce(sum(rp.rank / ind.id), 0)
+                           AS rank
+                FROM nodes n
+                LEFT JOIN e ON e.dst = n.node
+                LEFT JOIN ind ON ind.dst = e.src
+                LEFT JOIN {prev} rp ON rp.node = e.src
+                GROUP BY n.node
+            )""")
+        prev = f"q{k}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        e AS (
+            SELECT doc_id AS src,
+                   (doc_id * 31 + k * 97) % (SELECT cnt FROM nn) AS dst
+            FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        ),
+        nodes AS (SELECT DISTINCT dst AS node FROM e),
+        nc AS (SELECT count(*) AS cnt FROM nodes),
+        ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS id
+                FROM e GROUP BY dst),
+        q0 AS (SELECT node, 1.0 / (SELECT cnt FROM nc) AS rank
+               FROM nodes),
+        {','.join(iters)}
+        SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node
+    """
+
+
+_PAGERANK_QUIRK_SQL = _pagerank_quirk_sql()
 
 
 def _sqlq(s: str) -> str:
@@ -3255,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "pagerank_power": _PAGERANK_POWER_SQL,
+        "pagerank_quirk": _PAGERANK_QUIRK_SQL,
         "fingerprint_sha": """
             SELECT doc_id,
                    substr(md5(array_to_string(

@@ -122,3 +122,95 @@ def test_popularity_feeds_scoring(ray_session, built_index, edges_and_urls, orac
                 assert math.isnan(g["score"])
             else:
                 assert g["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_quirk_int_matches_brute_force(ray_session):
+    """pagerank_quirk_int (the SQL-checkable fixed-iteration quirk variant)
+    vs an independent per-rule brute force: in-degree divisor, in-linkless
+    contributors skipped, node set = targets with >= 1 in-link."""
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        pagerank_quirk_int,
+    )
+
+    # node 0 has NO in-links (it only contributes -> must be skipped);
+    # parallel edge (2 -> 3) twice must count twice
+    src = [0, 0, 1, 2, 2, 3, 4]
+    dst = [1, 2, 2, 3, 3, 4, 1]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ).repartition(3)
+    got = pagerank_quirk_int(edges, 5, damping=0.85, n_iter=5).to_pandas()
+
+    # brute force over the documented rule
+    import collections
+
+    indeg = collections.Counter(dst)
+    nodes = sorted(indeg)            # targets with >= 1 in-link: 1,2,3,4
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        new = {}
+        for v in nodes:
+            s = 0.0
+            for sv, dv in zip(src, dst):
+                if dv == v and sv in rank:      # skip in-linkless src (0)
+                    s += rank[sv] / indeg[sv]   # IN-degree divisor
+            new[v] = 0.15 / n + 0.85 * s
+        rank = new
+    assert got["node"].tolist() == nodes
+    for v, r in zip(got["node"], got["rank"]):
+        assert math.isclose(r, round(rank[v], 9), abs_tol=1e-9)
+
+
+def test_quirk_int_matches_url_pipeline(ray_session):
+    """Same arithmetic as compute_pagerank(as_implemented=True) when the
+    stop rule is pinned to a fixed iteration count (tolerance=0)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        compute_pagerank,
+        pagerank_quirk_int,
+    )
+
+    # url graph whose sorted-url order equals int order (u0..u5)
+    iedges = [(0, 1), (1, 2), (2, 0), (3, 1), (4, 2), (0, 2), (5, 0)]
+    urls = [f"https://e.com/u{i}" for i in range(6)]
+    str_edges = pa.table(
+        {
+            "src": pa.array([urls[a] for a, _ in iedges], pa.string()),
+            "dst": pa.array([urls[b] for _, b in iedges], pa.string()),
+        }
+    )
+    corpus_ints = np.array(
+        [int(hashlib.sha256(u.encode()).hexdigest()[:15], 16) for u in urls],
+        dtype=np.int64,
+    )
+    cfg = PageRankConfig(tolerance=0.0, max_iter=7, as_implemented=True)
+    ref = (
+        compute_pagerank(
+            ray.data.from_arrow(str_edges), corpus_ints, cfg
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    int_edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in iedges], pa.int64()),
+                "dst": pa.array([b for _, b in iedges], pa.int64()),
+            }
+        )
+    )
+    got = pagerank_quirk_int(int_edges, 6, damping=0.85, n_iter=7).to_pandas()
+    # node ids map to sorted urls 1:1 (u0..u5 sort lexicographically)
+    exp = {int(u.rsplit("u", 1)[1]): p
+           for u, p in zip(ref["url"], ref["popularity"])}
+    assert sorted(got["node"].tolist()) == sorted(exp)
+    for v, r in zip(got["node"], got["rank"]):
+        assert math.isclose(r, exp[v], abs_tol=1e-9)
