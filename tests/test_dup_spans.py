@@ -3,6 +3,9 @@
 import pyarrow as pa
 import ray
 
+import numpy as np
+
+from nadry_search_engine_be_ray.stages import dedup
 from nadry_search_engine_be_ray.stages.dedup import dup_spans
 
 
@@ -88,3 +91,56 @@ def test_within_doc_repeat_alone_is_not_flagged(ray_session):
     d1 = "r0 r1 r2 r3 k0 r0 r1 r2 r3"
     out = dup_spans(_ds([(1, d1), (2, "u0 u1 u2 u3 u4")]), n=4).to_pandas()
     assert len(out) == 0
+
+
+def test_u64_gram_repr_superset_of_str(ray_session):
+    """VERDICT r3 #8: gram_repr="u64" ships 8-byte hashed grams through the
+    same shuffle; collisions can only ADD dup positions, so its spans must
+    cover the string path's spans (in practice: equal)."""
+    import pyarrow as pa
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "x alpha beta gamma delta epsilon zeta eta theta iota kappa y",
+        "totally different words one two three four five six seven eight",
+        "unrelated content here nine ten eleven twelve thirteen fourteen",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    s = dedup.dup_spans(ds, n=8).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    u = dedup.dup_spans(ds, n=8, gram_repr="u64").to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    assert len(s) > 0  # the planted shared 10-gram region dups
+    # superset: every str-span is contained in some u64-span of its doc
+    for row in s.itertuples():
+        cover = u[
+            (u.doc_id == row.doc_id)
+            & (u.span_start <= row.span_start)
+            & (u.span_end >= row.span_end)
+        ]
+        assert len(cover) >= 1, (row, u)
+    # and on a clean corpus (no engineered collisions) they are EQUAL
+    assert s.equals(u)
+
+
+def test_u64_gram_hashes_deterministic_and_boundary_safe():
+    """The rolling hash must not produce grams spanning doc boundaries and
+    must be process-deterministic (crc32+splitmix64, no PYTHONHASHSEED)."""
+    import pyarrow as pa
+
+    flat = pa.array(["a", "b", "c", "d", "e", "f"], pa.string())
+    doc_pos = np.array([0, 0, 0, 1, 1, 1], np.int64)
+    h, starts = dedup._ngram_hashes_u64(doc_pos, flat, 3)
+    # only positions 0 and 3 start an in-doc 3-gram
+    assert starts.tolist() == [0, 3]
+    h2, _ = dedup._ngram_hashes_u64(doc_pos, flat, 3)
+    assert h.tolist() == h2.tolist()
+    # different token windows -> different hashes
+    assert h[0] != h[1]
