@@ -278,15 +278,17 @@ def test_near_dup_clusters_pointer_doubling_matches_propagate(ray_session):
 
 
 def test_curate_shuffle_fallback_matches_broadcast(ray_session, planted_docs):
+    """VERDICT r3 #7: forcing the distributed anti-join fallback
+    (max_broadcast_losers=0 — the path a real 100 TB run takes) must equal
+    the broadcast loser-set fast path on EVERY column."""
     from nadry_search_engine_be_ray.pipelines.training_data import curate
 
     bcast, _ = curate(planted_docs, min_tokens=1)
     shuf, _ = curate(planted_docs, min_tokens=1, max_broadcast_losers=0)
     a = bcast.to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = shuf.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert a[["doc_id", "n_tokens", "pred_lang"]].equals(
-        b[["doc_id", "n_tokens", "pred_lang"]]
-    )
+    assert sorted(a.columns) == sorted(b.columns)
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
 
 
 def test_curate_to_parquet_resumable(ray_session, tmp_path):
@@ -363,3 +365,10 @@ def test_exact_jaccard_shuffle_path_matches_broadcast(ray_session):
     ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     assert bc.equals(sh)
     assert len(bc) > 0
+    # middle path (VERDICT r3 #7): broadcast disabled but candidate-id
+    # FILTERED shuffle still allowed — the first fallback a 100 TB run
+    # takes; must also be row-identical
+    filt = exact_jaccard_for_pairs(
+        docs, cands_ds, threshold=0.5, max_broadcast_texts=0,
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert bc.equals(filt)
