@@ -253,10 +253,11 @@ def q_window_sliding(sf_dir: str) -> pd.DataFrame:
         sec = ts.astype(np.int64) // 1_000_000
         s0 = (sec // 1800) * 1800          # the window starting <= t, 30m grid
         starts = np.concatenate([s0, s0 - 1800])
-        et = batch["event_type"].to_pylist()
+        # duplicate the string column Arrow-side (no Python round trip)
+        et = batch["event_type"].combine_chunks().cast(pa.string())
         return pa.table(
             {
-                "event_type": pa.array(et * 2, pa.string()),
+                "event_type": pa.concat_arrays([et, et]),
                 "window_start_s": pa.array(starts, pa.int64()),
                 "value": pa.array(
                     np.tile(
