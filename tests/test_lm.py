@@ -248,3 +248,28 @@ def test_ppl_coarse_bin_monotonic():
     bins = lm._ppl_coarse_bin(v, 4096)
     assert (np.diff(bins) >= 0).all()
     assert bins.min() >= 0 and bins.max() <= 4095
+
+
+def test_ppl_buckets_independent_of_bin_count(ray_session):
+    """Output ranks/buckets must be invariant to the coarse bin count
+    (bins affect partitioning only, like fused partition counts)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = np.round(10 ** rng.normal(1.5, 1.2, 300), 6)
+    ids = rng.permutation(300).astype(np.int64)
+    scores = pa.table(
+        {"doc_id": pa.array(ids), "ppl": pa.array(vals, pa.float64())}
+    )
+    outs = []
+    for nb in (16, 4096):
+        outs.append(
+            lm.ppl_rank_buckets(
+                ray.data.from_arrow(scores).repartition(5),
+                n_buckets=3, n_bins=nb,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
