@@ -410,10 +410,20 @@ def scaling() -> None:
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
     ceiling = _spin_ceiling_pair(lo, hi)
-    results = {}
-    for ncpu in (lo, hi):
-        runs = [_run(ncpu), _run(ncpu)]
-        results[ncpu] = min(runs, key=lambda r: r["queries"]["index_build"])
+    # INTERLEAVED tier order (lo, hi, lo, hi): contention on this sandbox
+    # arrives in multi-minute waves, and a grouped order (lo, lo, hi, hi)
+    # lets one wave wipe BOTH wide-tier runs (observed twice on
+    # 2026-08-18: the 16-CPU pair alone degraded 1.5-1.9x mid-run).
+    # Interleaving decorrelates which tier a wave hits; min per level
+    # then picks each tier's clean run.
+    runs: dict[int, list] = {lo: [], hi: []}
+    for ncpu in (lo, hi, lo, hi):
+        runs[ncpu].append(_run(ncpu))
+    results = {
+        ncpu: min(rs, key=lambda r: r["queries"]["index_build"])
+        for ncpu, rs in runs.items()
+    }
+    ceiling_end = _spin_ceiling_pair(lo, hi)
     b8 = results[lo]["queries"]["index_build"]
     b32 = results[hi]["queries"]["index_build"]
     eff = (b8 / b32) / (hi / lo)
@@ -429,7 +439,16 @@ def scaling() -> None:
                 f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "host_spin_ceiling": round(ceiling, 3),
+                # re-probed AFTER the runs: a big start/end delta marks a
+                # contention wave arriving mid-measurement
+                "host_spin_ceiling_end": round(ceiling_end, 3),
                 "efficiency_vs_ceiling": round(eff / ceiling, 3),
+                "all_runs_sec": {
+                    str(ncpu): [
+                        round(r["queries"]["index_build"], 2) for r in rs
+                    ]
+                    for ncpu, rs in runs.items()
+                },
             }
         )
     )
