@@ -103,3 +103,33 @@ def test_semdedup_empty_on_random(ray_session):
     assert len(out) == 0
     # (empty-Dataset to_pandas drops column metadata — the driver queries
     # normalize with _typed_empty, same as embedding_near_dup)
+
+
+def test_matrix_list_column_roundtrip():
+    """matrix_to_list_column must invert _batch_matrix zero-copy (the
+    unified vector codec for clustering/PQ/dedup — VERDICT r3 #4)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.stages.similarity import (
+        _batch_matrix,
+        matrix_to_list_column,
+    )
+
+    mat = np.arange(12, dtype=np.float64).reshape(4, 3) / 7.0
+    col = matrix_to_list_column(mat, pa.float64())
+    assert col.type == pa.list_(pa.float64())
+    t = pa.table({"v": col})
+    back = _batch_matrix(t, "v")
+    assert np.array_equal(back, mat)
+    # non-contiguous input (sliced) still encodes correctly
+    sl = mat[::2]
+    back2 = _batch_matrix(pa.table({"v": matrix_to_list_column(sl)}), "v")
+    assert np.array_equal(back2, sl)
+    # int dtype path (PQ codes)
+    codes = np.array([[1, 2], [3, 4]], dtype=np.int64)
+    backi = _batch_matrix(
+        pa.table({"v": matrix_to_list_column(codes, pa.int64())}),
+        "v", dtype=np.int64,
+    )
+    assert np.array_equal(backi, codes)
