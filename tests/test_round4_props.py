@@ -1,0 +1,88 @@
+"""Hypothesis property tests for the round-4 pure helpers: coarse-bin
+monotonicity, u64 gram hashing vs the string path, guarded broadcast
+probe, and fused-partition sizing."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nadry_search_engine_be_ray.pipelines.relational import _sorted_lookup
+from nadry_search_engine_be_ray.stages import partitioning
+from nadry_search_engine_be_ray.stages.dedup import _ngram_hashes_u64
+from nadry_search_engine_be_ray.stages.lm import (
+    _ppl_coarse_bin,
+    exploded_tokens,
+    ngram_strings,
+)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0, max_value=1e30, allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=2, max_size=200,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_ppl_coarse_bin_monotone_on_sorted(vals):
+    """For ANY nonnegative perplexities: sorted values -> nondecreasing
+    bins, bins in range, equal values -> equal bins (the invariants the
+    O(bins) base-rank cumsum needs)."""
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    bins = _ppl_coarse_bin(v, 4096)
+    assert (np.diff(bins) >= 0).all()
+    assert bins.min() >= 0 and bins.max() < 4096
+    same = v[1:] == v[:-1]
+    assert (bins[1:][same] == bins[:-1][same]).all()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz 0_", min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_u64_gram_hash_tracks_string_grams(texts, n):
+    """The u64 rolling hash must produce one hash per string-path gram at
+    the same start position, with equal grams -> equal hashes."""
+    doc_pos, flat, _ = exploded_tokens(pa.array(texts, pa.string()))
+    grams, starts_s = ngram_strings(doc_pos, flat, n)
+    hashes, starts_h = _ngram_hashes_u64(doc_pos, flat, n)
+    assert starts_h.tolist() == list(np.asarray(starts_s).tolist())
+    gl = grams.to_pylist() if hasattr(grams, "to_pylist") else list(grams)
+    assert len(hashes) == len(gl)
+    seen: dict[str, int] = {}
+    for g, h in zip(gl, hashes.tolist()):
+        if g in seen:
+            assert seen[g] == h  # equal grams hash equal
+        seen[g] = h
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), max_size=50),
+    st.lists(st.integers(min_value=-1000, max_value=1000), max_size=50),
+)
+@settings(max_examples=80, deadline=None)
+def test_sorted_lookup_equals_naive_membership(build, probe):
+    ks = np.unique(np.asarray(build, dtype=np.int64))
+    vals = np.asarray(probe, dtype=np.int64)
+    hit, idx = _sorted_lookup(ks, vals)
+    naive = np.isin(vals, ks)
+    assert hit.tolist() == naive.tolist()
+    if ks.size:
+        assert (ks[idx[hit]] == vals[hit]).all()
+
+
+@given(st.integers(min_value=0, max_value=1 << 55))
+@settings(max_examples=60, deadline=None)
+def test_fused_parts_bounded_and_monotone(nbytes):
+    p = partitioning.fused_parts(bytes_hint=nbytes)
+    assert partitioning.DEFAULT_PARTS <= p <= partitioning.MAX_PARTS
+    # monotone in the footprint
+    p2 = partitioning.fused_parts(bytes_hint=nbytes * 2)
+    assert p2 >= p
