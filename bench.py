@@ -416,8 +416,9 @@ def scaling() -> None:
     # 2026-08-18: the 16-CPU pair alone degraded 1.5-1.9x mid-run).
     # Interleaving decorrelates which tier a wave hits; min per level
     # then picks each tier's clean run.
+    n_per_level = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
     runs: dict[int, list] = {lo: [], hi: []}
-    for ncpu in (lo, hi, lo, hi):
+    for ncpu in (lo, hi) * n_per_level:
         runs[ncpu].append(_run(ncpu))
     results = {
         ncpu: min(rs, key=lambda r: r["queries"]["index_build"])
