@@ -145,6 +145,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, method="pointer_doubling"
         ),
         "pagerank_power": _q_pagerank_power,
+        # Bloom-filter semi join — the documented 10^12-scale replacement
+        # for broadcast sorted-key membership (pipelines/pagerank.py):
+        # exact output (prefilter + verify), SQL-checkable; bloom_stats'
+        # oracle recomputes the BITMAP itself from the closed-form affine
+        # hashes (no dumped state)
+        "bloom_semi_join": _q_bloom_semi_join,
+        "bloom_stats": _q_bloom_stats,
         # fixed-iteration variant of the AS-IMPLEMENTED PageRank.java quirk
         # recurrence (in-degree divisor, skip in-linkless contributors) —
         # SQL-checkable, shrinking rows-only to pagerank's stop rule alone
@@ -757,6 +764,75 @@ def _q_pagerank_power(sf_dir: str):
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
+    )
+
+
+_BLOOM_M, _BLOOM_K = 1 << 17, 3
+
+
+def _q_bloom_semi_join(sf_dir: str):
+    """Orders that have lineitems, via the scale-shaped semi join: Bloom
+    prefilter (m-bit broadcast bitmap over l_orderkey) + exact verify.
+    False positives are removed by the verify, so the oracle is the plain
+    SQL semi join (`stages/bloom.py`)."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.bloom import bloom_semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    joined, _ = bloom_semi_join(
+        orders, li, "o_orderkey", "l_orderkey", m=_BLOOM_M, k=_BLOOM_K
+    )
+    return (
+        joined.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+
+
+def _q_bloom_stats(sf_dir: str):
+    """Observability row for the Bloom prefilter: set-bit count, candidate
+    count (bloom-passing orders), exact member count, false positives.
+    The DuckDB oracle recomputes the whole BITMAP from the closed-form
+    affine hashes (key mod 2^31-1 arithmetic) — no dumped state."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.bloom import (
+        bloom_build,
+        bloom_filter_ds,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    bitmap = bloom_build(li, "l_orderkey", m=_BLOOM_M, k=_BLOOM_K)
+    cand = bloom_filter_ds(orders, "o_orderkey", ray.put(bitmap), _BLOOM_K)
+    n_cand = int(cand.count())
+    rkeys = np.unique(
+        li.to_pandas()["l_orderkey"].to_numpy(np.int64)
+    )
+    okeys = orders.to_pandas()["o_orderkey"].to_numpy(np.int64)
+    n_exact = int(np.isin(okeys, rkeys).sum())
+    return pd.DataFrame(
+        {
+            "m": pd.Series([_BLOOM_M], dtype="int64"),
+            "k": pd.Series([_BLOOM_K], dtype="int64"),
+            "n_set_bits": pd.Series([int(bitmap.sum())], dtype="int64"),
+            "n_candidates": pd.Series([n_cand], dtype="int64"),
+            "n_exact": pd.Series([n_exact], dtype="int64"),
+            "n_false_positives": pd.Series(
+                [n_cand - n_exact], dtype="int64"
+            ),
+        }
     )
 
 
@@ -3342,6 +3418,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_power": _PAGERANK_POWER_SQL,
         "pagerank_quirk": _PAGERANK_QUIRK_SQL,
+        # exact output after prefilter+verify -> plain semi join
+        "bloom_semi_join": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+            ORDER BY o_orderkey
+        """,
+        # the oracle REBUILDS the bitmap from the closed-form affine
+        # hashes (stages/bloom.py docstring): bit_i(key) =
+        # ((a_i * (|key| % P) + b_i) % P) % m, P = 2^31 - 1
+        "bloom_stats": """
+            WITH iv AS (SELECT unnest(range(1, 4)) AS i),
+            hc AS (
+                SELECT i,
+                       (1103515245 * i + 12345) % 2147483647 AS a,
+                       (i * 2654435761) % 2147483647 AS b
+                FROM iv
+            ),
+            rk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+            bits AS (
+                SELECT DISTINCT
+                    ((hc.a * (abs(rk.key) % 2147483647) + hc.b)
+                     % 2147483647) % 131072 AS bit
+                FROM rk CROSS JOIN hc
+            ),
+            probe AS (SELECT o_orderkey AS key FROM orders),
+            ph AS (
+                SELECT probe.key, hc.i,
+                    ((hc.a * (abs(probe.key) % 2147483647) + hc.b)
+                     % 2147483647) % 131072 AS bit
+                FROM probe CROSS JOIN hc
+            ),
+            cand AS (
+                SELECT ph.key FROM ph LEFT JOIN bits USING (bit)
+                GROUP BY ph.key HAVING count(bits.bit) = 3
+            ),
+            exact AS (SELECT key FROM probe
+                      WHERE key IN (SELECT key FROM rk))
+            SELECT CAST(131072 AS BIGINT) AS m,
+                   CAST(3 AS BIGINT) AS k,
+                   (SELECT count(*) FROM bits) AS n_set_bits,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM exact) AS n_exact,
+                   (SELECT count(*) FROM cand)
+                   - (SELECT count(*) FROM exact) AS n_false_positives
+        """,
         "fingerprint_sha": """
             SELECT doc_id,
                    substr(md5(array_to_string(
