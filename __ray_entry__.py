@@ -210,8 +210,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": _q_pq_ann_topk,
         # CCNet-style perplexity tercile bucketing (head/middle/tail)
         "ppl_buckets": _q_ppl_buckets,
+        # code-aware analysis over the source-code corpus (the graft
+        # payload): ctags-lite symbol extraction, camelCase/snake_case
+        # subtoken df, import fan-in — all RE2-mirrorable, SQL-checked
+        "code_def_symbols": _q_code_def_symbols,
+        "ident_subtokens": _q_ident_subtokens,
+        "import_graph": _q_import_graph,
     }
     return out
+
+
+_CODE_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/code"
+
+
+def _code_src(sf_dir: str) -> str:
+    """Write the code-analysis input (synthetic corpus + planted real-code
+    fixtures) to the fixed dump path the static oracle SQL reads.  The
+    corpus itself is the deterministic generator output (cached by
+    write_corpus); the dump makes the extraction + aggregation path — not
+    the generator — the SQL-checked surface (the tok.parquet trick)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.codequeries import (
+        augment_with_plants,
+    )
+    from nadry_search_engine_be_ray.sources.corpus import write_corpus
+
+    n_docs = _corpus_docs_for(sf_dir)
+    os.makedirs(_CODE_DUMP_DIR, exist_ok=True)
+    key_path = os.path.join(_CODE_DUMP_DIR, "_KEY")
+    key = f"docs={n_docs}:plants=v1"
+    src_path = os.path.join(_CODE_DUMP_DIR, "src.parquet")
+    if os.path.exists(key_path) and os.path.exists(src_path):
+        with open(key_path) as f:
+            if f.read() == key:
+                return src_path
+    corpus_dir = f"/tmp/nadry_entry/code_corpus/{n_docs}"
+    write_corpus(corpus_dir, n_docs=n_docs, seed=42)
+    tbl = pads.dataset(corpus_dir, format="parquet").to_table(
+        columns=["repo", "path", "commit", "lang", "content"]
+    )
+    pq.write_table(augment_with_plants(tbl), src_path)
+    with open(key_path, "w") as f:
+        f.write(key)
+    return src_path
+
+
+def _q_code_def_symbols(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.codequeries import (
+        code_def_symbols,
+    )
+
+    return code_def_symbols(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_ident_subtokens(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.codequeries import (
+        ident_subtokens,
+    )
+
+    return ident_subtokens(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_import_graph(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.codequeries import import_graph
+
+    return import_graph(ray.data.read_parquet(_code_src(sf_dir)))
 
 
 def _q_ppl_buckets(sf_dir: str):
@@ -3510,6 +3581,59 @@ def oracle_sql() -> dict[str, str]:
         "search_reference": _search_reference_sql(),
         "search_bm25_wand": _search_bm25_sql(),
         "index_merge": _INDEX_MERGE_SQL,
+        # code-aware analysis: the dumped src table is corpus + plants;
+        # DuckDB replays the IDENTICAL RE2 token stream / next-token rule /
+        # camel-split rewrite (verified kernel-equal in pytest), so the
+        # whole extraction + aggregation path is hash-checked
+        "code_def_symbols": f"""
+            WITH t AS (SELECT repo, path,
+                              string_split_regex(content, '\\s+') AS ts
+                       FROM read_parquet('{_CODE_DUMP_DIR}/src.parquet')),
+            m AS (SELECT repo, path, list_filter(
+                    list_transform(range(1, len(ts)),
+                                   i -> {{'kw': ts[i], 'nx': ts[i+1]}}),
+                    s -> s.kw IN ('def', 'class', 'function')
+                         AND regexp_full_match(s.nx,
+                                               '[A-Za-z_][A-Za-z0-9_]*')
+                  ) AS ms FROM t),
+            u AS (SELECT repo, path, unnest(ms, recursive := true) FROM m)
+            SELECT repo, path, kw AS kind, nx AS symbol, count(*) AS n
+            FROM u GROUP BY repo, path, kw, nx
+            ORDER BY repo, path, kind, symbol
+        """,
+        "ident_subtokens": f"""
+            WITH t AS (SELECT string_split_regex(content, '\\s+') AS ts
+                       FROM read_parquet('{_CODE_DUMP_DIR}/src.parquet')),
+            tok AS (SELECT unnest(ts) AS w FROM t),
+            ids AS (SELECT w FROM tok
+                    WHERE regexp_full_match(w, '[A-Za-z_][A-Za-z0-9_]*')
+                          AND length(w) >= 2),
+            subs AS (SELECT unnest(string_split_regex(lower(
+                       regexp_replace(
+                         regexp_replace(w, '([A-Z]+)([A-Z][a-z])',
+                                        '\\1 \\2', 'g'),
+                         '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+                       '[_\\s]+')) AS sub
+                     FROM ids)
+            SELECT sub, count(*) AS n FROM subs WHERE sub <> ''
+            GROUP BY sub ORDER BY sub
+        """,
+        "import_graph": f"""
+            WITH t AS (SELECT repo,
+                              string_split_regex(content, '\\s+') AS ts
+                       FROM read_parquet('{_CODE_DUMP_DIR}/src.parquet')),
+            m AS (SELECT repo, list_filter(
+                    list_transform(range(1, len(ts)),
+                                   i -> {{'kw': ts[i], 'nx': ts[i+1]}}),
+                    s -> s.kw = 'import'
+                         AND regexp_full_match(s.nx,
+                                               '[A-Za-z_][A-Za-z0-9_.]*')
+                  ) AS ms FROM t),
+            u AS (SELECT repo, unnest(ms, recursive := true) FROM m)
+            SELECT nx AS module, count(DISTINCT repo) AS n_repos,
+                   count(*) AS n_imports
+            FROM u GROUP BY nx ORDER BY module
+        """,
     }
     # sampling family: the salted sha256-prefix bucket is recomputed by
     # DuckDB byte-for-byte, so the whole decision path is SQL-checkable
