@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search engine proper (reference-semantics; oracle = pytest
         # transcription, driver records rows-only)
         "index_term_df_real": _q_index_term_df_real,
+        # posting-codec size comparison (varint delta-gap vs FOR bit
+        # packing); the oracle recomputes BOTH framings analytically
+        "posting_codec_sizes": _q_posting_codec_sizes,
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
         "pagerank": _q_pagerank,
@@ -742,6 +745,20 @@ def _q_index_term_df_real(sf_dir: str):
     rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
     return pd.DataFrame({"term": [t for t, _ in rows],
                          "df": pd.array([d for _, d in rows], dtype="int64")})
+
+
+def _q_posting_codec_sizes(sf_dir: str):
+    """Docs-stream bytes per term under varint delta-gap vs FOR bit packing
+    (functions/codec.py encode_bitpack), computed from the DECODED segments
+    by an actor-pool map_batches; the SQL oracle recomputes both framings
+    analytically (bin()-length bit widths, 128-value blocks) from the dumped
+    pre-shuffle token table, so the compare covers shuffle + encode + merge
+    + read + both codecs' size arithmetic."""
+    from nadry_search_engine_be_ray.pipelines.build import posting_codec_sizes
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return posting_codec_sizes(index_dir)
 
 
 def _q_search_reference(sf_dir: str):
@@ -3578,6 +3595,49 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
             f"GROUP BY term ORDER BY term"
         ),
+        # both posting-codec framings recomputed analytically: varint bytes
+        # = ceil(bit_length/7) per delta-gap (min 1); bitpack bytes =
+        # varint(n) header + 1 width byte per 128-value block + per-block
+        # ceil(cnt*max_bits/8) payload (functions/codec.py format note).
+        # bin(x) has no leading zeros in DuckDB, so length(bin(g)) IS
+        # bit_length(g) for g>0; the first gap is the absolute first doc_int
+        # (may be 0 -> width 0, varint 1 byte).
+        "posting_codec_sizes": f"""
+            WITH d AS (
+                SELECT term, doc_int,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY doc_int) - 1 AS rn,
+                       doc_int - coalesce(lag(doc_int) OVER (
+                           PARTITION BY term ORDER BY doc_int), 0) AS gap
+                FROM (SELECT DISTINCT term, doc_int
+                      FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet'))
+            ),
+            g AS (
+                SELECT term, rn // 128 AS blk, gap,
+                       CASE WHEN gap = 0 THEN 0
+                            ELSE length(bin(gap)) END AS bl
+                FROM d
+            ),
+            blocks AS (
+                SELECT term, blk, count(*) AS cnt, max(bl) AS bits,
+                       sum(CASE WHEN bl = 0 THEN 1
+                                ELSE (bl + 6) // 7 END) AS vbytes
+                FROM g GROUP BY term, blk
+            ),
+            per_term AS (
+                SELECT term, sum(cnt) AS df, sum(vbytes) AS v_payload,
+                       count(*) AS nblocks,
+                       sum((cnt * bits + 7) // 8) AS b_payload
+                FROM blocks GROUP BY term
+            )
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   CAST(hdr + v_payload AS BIGINT) AS varint_bytes,
+                   CAST(hdr + nblocks + b_payload AS BIGINT) AS bitpack_bytes
+            FROM (SELECT *,
+                         (length(bin(CAST(df AS BIGINT))) + 6) // 7 AS hdr
+                  FROM per_term)
+            ORDER BY term
+        """,
         "search_reference": _search_reference_sql(),
         "search_bm25_wand": _search_bm25_sql(),
         "index_merge": _INDEX_MERGE_SQL,

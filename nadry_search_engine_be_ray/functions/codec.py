@@ -82,6 +82,181 @@ def decode_varints(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# frame-of-reference bit packing (PForDelta-family, Lemire & Boytsov 2015)
+#
+# Alternative posting codec for SIZE comparison and as the documented 100 TB
+# storage option.  Format (self-describing):
+#
+#     varint n                       -- value count
+#     uint8 bits[ceil(n/128)]        -- per-block bit width (max bit_length)
+#     payload blocks                 -- block k: ceil(cnt_k * bits_k / 8)
+#                                       bytes of little-endian bit-packed
+#                                       values (cnt_k = 128 except the tail)
+#
+# Why the SEGMENT format stays varint (a deliberate design decision, not an
+# omission): varint is a per-value code, so the build's salt-run merges and
+# the cross-index k-way merge concatenate tfs/positions payloads byte-wise
+# without decoding (`stages/encode.py:_merge_runs`); a block code would force
+# a decode+re-encode of every run at every merge.  Bit packing wins on docs
+# gaps (measured by the `posting_codec_sizes` query, whose SQL oracle
+# recomputes BOTH framings analytically) and is the right choice for a
+# write-once immutable segment tier; varint is the right choice while
+# segments still merge.
+# ---------------------------------------------------------------------------
+
+BITPACK_BLOCK = 128  # 128 values/block => full-block bitstream is byte-aligned
+
+
+def _bit_lengths(values: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length per value (0 -> 0)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64).copy()
+    nb = np.zeros(v.size, dtype=np.int64)
+    while v.any():
+        nb += (v > 0)
+        v >>= np.uint64(1)
+    return nb
+
+
+def bitpack_nbytes(values: np.ndarray) -> int:
+    """Analytic encoded size of :func:`encode_bitpack` (mirrors the SQL
+    oracle arithmetic: varint(n) + 1 header byte per block + per-block
+    ceil(cnt*bits/8) payload)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    total = int(_varint_nbytes(np.array([n], dtype=np.uint64))[0])
+    if n == 0:
+        return total
+    bl = _bit_lengths(v)
+    nblocks = (n + BITPACK_BLOCK - 1) // BITPACK_BLOCK
+    for k in range(nblocks):
+        blk = bl[k * BITPACK_BLOCK : (k + 1) * BITPACK_BLOCK]
+        total += 1 + (blk.size * int(blk.max()) + 7) // 8
+    return total
+
+
+def encode_bitpack(values: np.ndarray) -> bytes:
+    """Frame-of-reference bit packing of a uint64 array (see format above).
+    Full equal-width blocks are packed in ONE vectorized np.packbits call
+    per distinct width; only the per-block header walk is Python (n/128)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    head = encode_varints(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return head
+    nblocks = (n + BITPACK_BLOCK - 1) // BITPACK_BLOCK
+    bl = _bit_lengths(v)
+    bits = np.zeros(nblocks, dtype=np.int64)
+    cnts = np.full(nblocks, BITPACK_BLOCK, dtype=np.int64)
+    cnts[-1] = n - (nblocks - 1) * BITPACK_BLOCK
+    np.maximum.reduceat(bl, np.arange(nblocks) * BITPACK_BLOCK, out=bits)
+    payload_lens = (cnts * bits + 7) // 8
+    payload_off = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(payload_lens, out=payload_off[1:])
+    payload = np.zeros(int(payload_off[-1]), dtype=np.uint8)
+
+    def _pack(vals: np.ndarray, w: int) -> np.ndarray:
+        # (m, w) little-endian bit matrix -> packed bytes.  Goes through the
+        # raw little-endian byte view + unpackbits: ~500x faster than a
+        # broadcast uint64 shift (numpy's u64 shift ufunc is unvectorized).
+        m = vals.size
+        if w == 0 or m == 0:
+            return np.empty(0, dtype=np.uint8)
+        byte_view = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8)
+        bits_mat = np.unpackbits(
+            byte_view.reshape(m, 8), axis=1, bitorder="little"
+        )[:, :w]
+        return np.packbits(bits_mat.reshape(-1), bitorder="little")
+
+    full = np.flatnonzero((cnts == BITPACK_BLOCK))
+    for w in np.unique(bits[full]):
+        sel = full[bits[full] == w]
+        if w == 0:
+            continue
+        vals = v[(sel[:, None] * BITPACK_BLOCK
+                  + np.arange(BITPACK_BLOCK)[None, :]).reshape(-1)]
+        packed = _pack(vals, int(w))
+        dst = (
+            payload_off[sel][:, None] + np.arange(16 * int(w))[None, :]
+        ).reshape(-1)
+        payload[dst] = packed
+    if cnts[-1] != BITPACK_BLOCK:
+        k = nblocks - 1
+        tail = _pack(v[k * BITPACK_BLOCK :], int(bits[k]))
+        payload[payload_off[k] : payload_off[k + 1]] = tail
+    return head + bits.astype(np.uint8).tobytes() + payload.tobytes()
+
+
+def decode_bitpack(buf: bytes | memoryview) -> np.ndarray:
+    """Inverse of :func:`encode_bitpack`."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    # parse the leading varint(n)
+    hdr_end = int(np.flatnonzero((b & 0x80) == 0)[0]) + 1
+    n = int(decode_varints(b[:hdr_end])[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    nblocks = (n + BITPACK_BLOCK - 1) // BITPACK_BLOCK
+    bits = b[hdr_end : hdr_end + nblocks].astype(np.int64)
+    cnts = np.full(nblocks, BITPACK_BLOCK, dtype=np.int64)
+    cnts[-1] = n - (nblocks - 1) * BITPACK_BLOCK
+    payload_lens = (cnts * bits + 7) // 8
+    payload_off = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(payload_lens, out=payload_off[1:])
+    payload = b[hdr_end + nblocks :]
+    out = np.zeros(n, dtype=np.uint64)
+
+    def _unpack(raw: np.ndarray, m: int, w: int) -> np.ndarray:
+        # inverse of _pack: widen each w-bit row to a 64-bit row, repack the
+        # rows byte-wise and reinterpret as little-endian uint64
+        bits_flat = np.unpackbits(raw, bitorder="little")[: m * w]
+        bm = np.zeros((m, 64), dtype=np.uint8)
+        bm[:, :w] = bits_flat.reshape(m, w)
+        return (
+            np.packbits(bm, axis=1, bitorder="little")
+            .reshape(m, 8)
+            .view("<u8")
+            .reshape(m)
+            .astype(np.uint64, copy=False)
+        )
+
+    full = np.flatnonzero(cnts == BITPACK_BLOCK)
+    for w in np.unique(bits[full]):
+        sel = full[bits[full] == w]
+        if w == 0:
+            continue
+        w = int(w)
+        raw = payload[
+            (payload_off[sel][:, None] + np.arange(16 * w)[None, :]).reshape(-1)
+        ]
+        vals = _unpack(raw, sel.size * BITPACK_BLOCK, w)
+        idx = (sel[:, None] * BITPACK_BLOCK
+               + np.arange(BITPACK_BLOCK)[None, :]).reshape(-1)
+        out[idx] = vals
+    if cnts[-1] != BITPACK_BLOCK:
+        k = nblocks - 1
+        if bits[k]:
+            raw = payload[payload_off[k] : payload_off[k + 1]]
+            out[k * BITPACK_BLOCK :] = _unpack(
+                np.ascontiguousarray(raw), int(cnts[k]), int(bits[k])
+            )
+    return out
+
+
+def encode_sorted_bitpack(sorted_vals: np.ndarray) -> bytes:
+    """Delta-gap + bit packing (the docs-stream variant)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return encode_bitpack(v)
+    deltas = np.empty_like(v)
+    deltas[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    return encode_bitpack(deltas)
+
+
+def decode_sorted_bitpack(buf: bytes) -> np.ndarray:
+    return np.cumsum(decode_bitpack(buf), dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
 # delta-gap helpers (doc ids must be strictly increasing)
 # ---------------------------------------------------------------------------
 

@@ -449,3 +449,91 @@ def build_index(
         record("stats", t0, **stats)
 
     return manifest
+
+
+def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
+                        batch_size: int = 512):
+    """Per-term docs-stream size under the two posting codecs — the varint
+    delta-gap stream the segments actually store vs the frame-of-reference
+    bit-packed alternative (``functions/codec.py`` encode_bitpack; see that
+    module's design note on why the mergeable segment tier stays varint).
+
+    Distributed shape: the term dictionary (small) seeds a Dataset; a
+    stateful actor pool opens one SegmentReader per worker (index open +
+    term-index build once per actor, not per batch) and walks its term
+    batch.  Both sizes are computed from the DECODED merged posting list,
+    so the numbers are codec-framing-only and independent of run/salt
+    boundaries; the bitpack size is additionally verified by a real
+    encode+decode roundtrip per term (the new codec rides the hot path
+    here, not just a unit test).
+
+    Returns an Arrow table (term, df, varint_bytes, bitpack_bytes) sorted
+    by term.  The SQL oracle recomputes both framings analytically from the
+    dumped pre-shuffle token table.
+    """
+    import ray.data
+
+    from ..functions.codec import (
+        _varint_nbytes,
+        bitpack_nbytes,
+        decode_sorted_bitpack,
+        encode_sorted_bitpack,
+    )
+    from ..state.segments import SegmentReader
+
+    terms = sorted(SegmentReader(index_dir).terms())
+    # one block per batch so the actor pool actually fans out (from_arrow
+    # alone yields a single block -> a single task regardless of concurrency)
+    seed = ray.data.from_arrow(
+        pa.table({"term": pa.array(terms, pa.string())})
+    ).repartition(max(1, -(-len(terms) // batch_size)))
+
+    class _CodecSizes:
+        def __init__(self):
+            self.reader = SegmentReader(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = batch["term"].to_pylist()
+            df = np.empty(len(ts), dtype=np.int64)
+            vbytes = np.empty(len(ts), dtype=np.int64)
+            bbytes = np.empty(len(ts), dtype=np.int64)
+            for i, t in enumerate(ts):
+                docs = self.reader.postings(t).docs.astype(np.uint64)
+                gaps = np.empty_like(docs)
+                if docs.size:
+                    gaps[0] = docs[0]
+                    np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+                hdr = int(_varint_nbytes(
+                    np.array([docs.size], dtype=np.uint64))[0])
+                df[i] = docs.size
+                vbytes[i] = hdr + int(_varint_nbytes(gaps).sum())
+                enc = encode_sorted_bitpack(docs)
+                if len(enc) != bitpack_nbytes(gaps) or not np.array_equal(
+                    decode_sorted_bitpack(enc), docs
+                ):  # pragma: no cover - codec invariant
+                    raise AssertionError(f"bitpack roundtrip failed: {t!r}")
+                bbytes[i] = len(enc)
+            return pa.table(
+                {
+                    "term": batch["term"],
+                    "df": pa.array(df, pa.int64()),
+                    "varint_bytes": pa.array(vbytes, pa.int64()),
+                    "bitpack_bytes": pa.array(bbytes, pa.int64()),
+                }
+            )
+
+    import ray
+
+    mapped = seed.map_batches(
+        _CodecSizes,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    out = pa.concat_tables(
+        [pa.Table.from_batches([], schema=pa.schema(
+            [("term", pa.string()), ("df", pa.int64()),
+             ("varint_bytes", pa.int64()), ("bitpack_bytes", pa.int64())]))]
+        + list(ray.get(mapped.to_arrow_refs()))
+    )
+    return out.sort_by("term")

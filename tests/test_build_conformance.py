@@ -264,3 +264,32 @@ def test_sort_exchange_build_is_byte_identical(tiny_corpus_dir, built_index,
     a, b = rows(built_index), rows(idx)
     assert a.keys() == b.keys()
     assert a == b
+
+
+def test_posting_codec_sizes_matches_local_recompute(built_index):
+    """The distributed actor-pool size scan must equal a driver-local
+    recompute from the same decoded posting lists (and bitpack must win
+    on the dense gap streams it is designed for)."""
+    import numpy as np
+
+    from nadry_search_engine_be_ray.functions.codec import (
+        _varint_nbytes, encode_sorted_bitpack)
+    from nadry_search_engine_be_ray.pipelines.build import posting_codec_sizes
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    out = posting_codec_sizes(built_index, concurrency=2, batch_size=64)
+    r = SegmentReader(built_index)
+    assert out.num_rows == len(list(r.terms()))
+    got = {
+        t: (d, v, b)
+        for t, d, v, b in zip(
+            out["term"].to_pylist(), out["df"].to_pylist(),
+            out["varint_bytes"].to_pylist(), out["bitpack_bytes"].to_pylist())
+    }
+    for t in list(r.terms())[:50]:
+        docs = r.postings(t).docs.astype(np.uint64)
+        gaps = np.diff(docs, prepend=np.uint64(0)).astype(np.uint64)
+        hdr = int(_varint_nbytes(np.array([docs.size], dtype=np.uint64))[0])
+        exp = (docs.size, hdr + int(_varint_nbytes(gaps).sum()),
+               len(encode_sorted_bitpack(docs)))
+        assert got[t] == exp, t

@@ -68,3 +68,58 @@ def test_positions_roundtrip():
 def test_f64_roundtrip():
     w = np.array([0.0, 1.5, 3.0, 1e-300, 1e300])
     assert np.array_equal(codec.decode_f64(codec.encode_f64(w)), w)
+
+
+# ---------------------------------------------------------------------------
+# frame-of-reference bit packing (posting_codec_sizes' codec)
+# ---------------------------------------------------------------------------
+
+
+def test_bitpack_roundtrip_sizes_and_boundaries():
+    rng = np.random.default_rng(11)
+    for n in [0, 1, 2, 127, 128, 129, 255, 256, 1000, 4096]:
+        for hi in [2, 1 << 8, 1 << 20, 1 << 40, 1 << 63]:
+            v = rng.integers(0, hi, size=n).astype(np.uint64)
+            enc = codec.encode_bitpack(v)
+            assert len(enc) == codec.bitpack_nbytes(v)
+            assert np.array_equal(codec.decode_bitpack(enc), v)
+
+
+def test_bitpack_zero_and_mixed_width_blocks():
+    z = np.zeros(300, dtype=np.uint64)
+    assert np.array_equal(codec.decode_bitpack(codec.encode_bitpack(z)), z)
+    # varint(128) count = 2 bytes + zero-width block header byte, 0 payload
+    assert codec.bitpack_nbytes(np.zeros(128, dtype=np.uint64)) == 2 + 1
+    v = np.concatenate([
+        np.zeros(128, dtype=np.uint64),
+        np.full(128, 2**60, dtype=np.uint64),
+        np.arange(50, dtype=np.uint64),
+    ])
+    assert np.array_equal(codec.decode_bitpack(codec.encode_bitpack(v)), v)
+
+
+def test_bitpack_sorted_delta_variant():
+    rng = np.random.default_rng(12)
+    docs = np.unique(rng.integers(0, 1 << 30, size=5000).astype(np.uint64))
+    enc = codec.encode_sorted_bitpack(docs)
+    assert np.array_equal(codec.decode_sorted_bitpack(enc), docs)
+    # delta-gap packing of sorted ids beats packing the absolutes
+    assert len(enc) < len(codec.encode_bitpack(docs))
+
+
+def test_bitpack_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                 min_size=0, max_size=400)
+    )
+    def _prop(xs):
+        v = np.array(xs, dtype=np.uint64)
+        enc = codec.encode_bitpack(v)
+        assert len(enc) == codec.bitpack_nbytes(v)
+        assert np.array_equal(codec.decode_bitpack(enc), v)
+
+    _prop()
