@@ -44,6 +44,15 @@ class BuildConfig:
 
     # --- codec --------------------------------------------------------------
     block_size: int = 128  # block-max metadata granularity (postings/block)
+    # docs-stream codec for the FINAL (compacted) segment tier:
+    # "varint"  — delta-gap varint, per-value code: salt runs and future
+    #             cross-index merges concatenate byte-wise without decoding
+    # "bitpack" — frame-of-reference bit packing (functions/codec.py),
+    #             ~10-15% smaller docs streams; write-once only (requires
+    #             compact_segments=True; merge_indexes refuses bitpack
+    #             sources — re-encode is the price of the block code).
+    # Pre-compaction salt runs are ALWAYS varint regardless of this flag.
+    docs_codec: str = "varint"
     # segment files use SMALL parquet row groups so the page-lazy reader's
     # fetch unit (one row group of binary payloads) stays bounded — the
     # serving-side analog of block size.  ~512 terms x ~200 B payload ≈

@@ -118,6 +118,12 @@ def build_index(
 ) -> dict:
     """Run (or resume) the full index build; returns the manifest dict."""
     cfg = config or BuildConfig()
+    if cfg.docs_codec not in ("varint", "bitpack"):
+        raise ValueError(f"unknown docs_codec {cfg.docs_codec!r}")
+    if cfg.docs_codec == "bitpack" and not cfg.compact_segments:
+        # the uncompacted tier must stay per-value-coded so salt runs keep
+        # concatenating without decode (stages/encode.py module docstring)
+        raise ValueError("docs_codec='bitpack' requires compact_segments=True")
     os.makedirs(index_dir, exist_ok=True)
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest: dict = {"config": dataclasses.asdict(cfg), "phases": {}}
@@ -352,14 +358,16 @@ def build_index(
                 ray.data.from_arrow(shards_tbl)
                 .repartition(max(1, len(shard_dirs)))
                 .map_batches(
-                    partial(merge_shard_dirs, block_size=cfg.block_size),
+                    partial(merge_shard_dirs, block_size=cfg.block_size,
+                            docs_codec=cfg.docs_codec),
                     batch_format="pyarrow",
                     batch_size=1,   # one shard per task: bounded memory
                 )
             )
         else:
             merged = enc.groupby("shard").map_groups(
-                partial(merge_shard_runs, block_size=cfg.block_size),
+                partial(merge_shard_runs, block_size=cfg.block_size,
+                        docs_codec=cfg.docs_codec),
                 batch_format="pyarrow",
             )
         merged.write_parquet(
@@ -443,6 +451,7 @@ def build_index(
             "salt_bits": cfg.salt_bits,
             "compacted": cfg.compact_segments,
             "block_size": cfg.block_size,
+            "docs_codec": cfg.docs_codec,
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f, indent=2)

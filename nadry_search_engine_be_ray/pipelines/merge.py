@@ -125,6 +125,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         # incompatible block boundaries
         assert s.get("block_size", 128) == block_size, (
             "block_size mismatch", s.get("block_size"), block_size)
+        # the k-way merge concatenates/re-encodes per-value varint streams;
+        # bitpack is the write-once FINAL tier — merge varint indexes, then
+        # rebuild with docs_codec="bitpack" if the block code is wanted
+        assert s.get("docs_codec", "varint") == "varint", (
+            "merge_indexes requires varint docs streams; "
+            f"got docs_codec={s.get('docs_codec')!r}")
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -184,6 +190,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         "salt_bits": stats[0]["salt_bits"],
         "compacted": True,
         "block_size": block_size,
+        "docs_codec": "varint",
         "merged_from": len(index_dirs),
     }
     merged_stats["avgdl"] = (

@@ -322,6 +322,20 @@ def merge_term_rows_interleaved(
     )
 
 
+def encode_docs_stream(docs: np.ndarray, docs_codec: str) -> bytes:
+    """Encode a sorted doc_int stream with the configured FINAL-tier codec
+    (BuildConfig.docs_codec; pre-compaction salt runs are always varint)."""
+    if docs_codec == "bitpack":
+        return codec.encode_sorted_bitpack(docs.astype(np.uint64))
+    return codec.encode_sorted_deltas(docs)
+
+
+def decode_docs_stream(buf: bytes, docs_codec: str) -> np.ndarray:
+    if docs_codec == "bitpack":
+        return codec.decode_sorted_bitpack(buf)
+    return codec.decode_sorted_deltas(buf)
+
+
 def _merge_runs(
     docs_bufs: list[bytes],
     tfs_bufs: list[bytes],
@@ -329,11 +343,13 @@ def _merge_runs(
     pos_bufs: list[bytes],
     off_bufs: list[bytes],
     block_size: int,
+    docs_codec: str = "varint",
 ) -> tuple[bytes, bytes, bytes, bytes, bytes, bytes, int]:
     """Streaming merge of salt-ordered runs (disjoint ascending doc ranges):
     tfs / weights / positions payloads concatenate byte-wise (varint and f64
     are per-value codes; position sub-streams are per-doc); only the doc-gap
-    stream is re-encoded across run boundaries; block_max recomputes over the
+    stream is re-encoded across run boundaries (with the FINAL-tier codec —
+    inputs are always varint salt runs); block_max recomputes over the
     merged weights."""
     docs = np.concatenate([codec.decode_sorted_deltas(b) for b in docs_bufs])
     weights = np.concatenate([codec.decode_f64(b) for b in w_bufs])
@@ -344,7 +360,7 @@ def _merge_runs(
         offs.append((o[1:] if i else o) + shift)
         shift += int(o[-1])
     return (
-        codec.encode_sorted_deltas(docs),
+        encode_docs_stream(docs, docs_codec),
         b"".join(tfs_bufs),
         codec.encode_f64(weights),
         codec.encode_f64(codec.block_max(weights, block_size)),
@@ -354,7 +370,8 @@ def _merge_runs(
     )
 
 
-def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.Table:
+def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE,
+                     docs_codec: str = "varint") -> pa.Table:
     """Compaction ``map_groups`` callable for ``groupby("shard")``: merge each
     term's salted runs into one row, for every term of the shard in one
     vectorized task (grouping per shard, not per term, keeps the task count
@@ -387,7 +404,12 @@ def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.
         out["term"].append(str(terms[s]))
         if e - s == 1:
             out["df"].append(int(df_c[s]))
-            out["docs"].append(docs_c[s])
+            out["docs"].append(
+                docs_c[s] if docs_codec == "varint"
+                # single varint run -> re-encode with the final-tier codec
+                else encode_docs_stream(
+                    codec.decode_sorted_deltas(docs_c[s]), docs_codec)
+            )
             out["tfs"].append(tfs_c[s])
             out["weights"].append(w_c[s])
             out["block_max"].append(bm_c[s])
@@ -396,7 +418,7 @@ def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.
         else:
             d, t, w, bm, p, o, df = _merge_runs(
                 docs_c[s:e], tfs_c[s:e], w_c[s:e], pos_c[s:e], off_c[s:e],
-                block_size,
+                block_size, docs_codec,
             )
             out["df"].append(df)
             out["docs"].append(d)
@@ -423,7 +445,8 @@ def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.
     )
 
 
-def merge_shard_dirs(batch: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.Table:
+def merge_shard_dirs(batch: pa.Table, block_size: int = codec.BLOCK_SIZE,
+                     docs_codec: str = "varint") -> pa.Table:
     """Reduce side of the STORAGE segment exchange
     (``BuildConfig.segment_exchange == "storage"``): ``batch`` holds rows
     (shard:int, path:str) where ``path`` is one ``shard=K`` hive directory of
@@ -441,7 +464,9 @@ def merge_shard_dirs(batch: pa.Table, block_size: int = codec.BLOCK_SIZE) -> pa.
         t = t.append_column(
             "shard", pa.array(np.full(t.num_rows, shard, dtype=np.int32), pa.int32())
         )
-        outs.append(merge_shard_runs(t, block_size=block_size))
+        outs.append(
+            merge_shard_runs(t, block_size=block_size, docs_codec=docs_codec)
+        )
     if not outs:
         return _empty_segment_table()
     return pa.concat_tables(outs)

@@ -118,6 +118,13 @@ class SegmentReader:
         )
         self.num_shards = int(self.stats["num_shards"])
         self.block_size = int(self.stats.get("block_size", codec.BLOCK_SIZE))
+        # docs-stream decoder per the build's final-tier codec (stats.json);
+        # pos_offsets stay varint under every codec
+        self._decode_docs = (
+            codec.decode_sorted_bitpack
+            if self.stats.get("docs_codec", "varint") == "bitpack"
+            else codec.decode_sorted_deltas
+        )
         self.shards = shards if shards is not None else list(range(self.num_shards))
         self.lazy_payload = lazy_payload
         self.rg_cache_cap = rg_cache_cap
@@ -177,7 +184,7 @@ class SegmentReader:
         shift = 0
         for t in row_tbls:
             docs_parts.append(
-                codec.decode_sorted_deltas(t["docs"][0].as_py()).astype(np.int64)
+                self._decode_docs(t["docs"][0].as_py()).astype(np.int64)
             )
             tf_parts.append(
                 codec.decode_varints(t["tfs"][0].as_py()).astype(np.int64)

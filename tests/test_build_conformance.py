@@ -293,3 +293,69 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
         exp = (docs.size, hdr + int(_varint_nbytes(gaps).sum()),
                len(encode_sorted_bitpack(docs)))
         assert got[t] == exp, t
+
+
+def test_bitpack_docs_codec_build_is_query_identical(tiny_corpus_dir,
+                                                     built_index,
+                                                     tmp_path_factory):
+    """A build with docs_codec='bitpack' (the write-once final-tier block
+    code) must serve posting lists IDENTICAL to the default varint build —
+    docs, tfs, weights, block_max and positions all equal per term — and
+    stats.json must record the codec so readers pick the right decoder."""
+    import json
+    import os
+
+    import numpy as np
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    idx = str(tmp_path_factory.mktemp("index_bitpack"))
+    cfg = BuildConfig(num_shards=4, salt_bits=1, docs_codec="bitpack")
+    build_index(tiny_corpus_dir, idx, cfg)
+    with open(os.path.join(idx, "stats.json")) as f:
+        assert json.load(f)["docs_codec"] == "bitpack"
+
+    a, b = SegmentReader(built_index), SegmentReader(idx)
+    terms_a, terms_b = set(a.terms()), set(b.terms())
+    assert terms_a == terms_b and terms_a
+    for t in sorted(terms_a):
+        pa_, pb = a.postings(t), b.postings(t)
+        assert np.array_equal(pa_.docs, pb.docs), t
+        assert np.array_equal(pa_.tfs, pb.tfs), t
+        assert np.array_equal(pa_.weights, pb.weights), t
+        assert np.array_equal(pa_.block_max, pb.block_max), t
+        assert pa_.positions_buf == pb.positions_buf, t
+        assert np.array_equal(pa_.pos_offsets, pb.pos_offsets), t
+
+
+def test_bitpack_docs_codec_requires_compaction(tiny_corpus_dir,
+                                                tmp_path_factory):
+    import pytest
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_badcfg"))
+    cfg = BuildConfig(num_shards=2, salt_bits=1, docs_codec="bitpack",
+                      compact_segments=False)
+    with pytest.raises(ValueError, match="compact_segments"):
+        build_index(tiny_corpus_dir, idx, cfg)
+
+
+def test_merge_indexes_refuses_bitpack_sources(tiny_corpus_dir,
+                                               tmp_path_factory):
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.pipelines.merge import merge_indexes
+
+    ia = str(tmp_path_factory.mktemp("index_bp_a"))
+    cfg = BuildConfig(num_shards=2, salt_bits=1, docs_codec="bitpack")
+    build_index(tiny_corpus_dir, ia, cfg)
+    out = str(tmp_path_factory.mktemp("index_bp_merged"))
+    try:
+        merge_indexes([ia, ia], out)
+        raise AssertionError("expected merge_indexes to refuse bitpack")
+    except AssertionError as e:
+        assert "varint" in str(e)
