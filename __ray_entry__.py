@@ -41,6 +41,24 @@ def _built_index(sf_dir: str):
     return corpus_dir, index_dir
 
 
+def _built_index_bitpack(sf_dir: str):
+    """Like :func:`_built_index` but with the write-once bitpack docs codec
+    (BuildConfig.docs_codec='bitpack'); separately cached in /tmp."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.sources.corpus import write_corpus
+
+    n_docs = _corpus_docs_for(sf_dir)
+    key = hashlib.sha256(f"v2bp:{n_docs}".encode()).hexdigest()[:12]
+    root = f"/tmp/nadry_entry/{key}"
+    corpus_dir = os.path.join(root, "corpus")
+    index_dir = os.path.join(root, "index")
+    write_corpus(corpus_dir, n_docs=n_docs, seed=42)
+    build_index(corpus_dir, index_dir,
+                BuildConfig(num_shards=8, salt_bits=2, docs_codec="bitpack"))
+    return corpus_dir, index_dir
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over the sf0.001-scale synthetic
     corpus and evaluate the reference query set through the actor-pool batch
@@ -162,6 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # posting-codec size comparison (varint delta-gap vs FOR bit
         # packing); the oracle recomputes BOTH framings analytically
         "posting_codec_sizes": _q_posting_codec_sizes,
+        # df read back from a bitpack-tier build (decode path on the
+        # driver-checked surface; same oracle shape as index_term_df_real)
+        "index_df_bitpack": _q_index_df_bitpack,
+        # sloppy-phrase analog: within-window same-field co-occurrence
+        # counts from the real segments vs a positions-table self-join
+        "proximity_pairs": _q_proximity_pairs,
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
         "pagerank": _q_pagerank,
@@ -745,6 +769,35 @@ def _q_index_term_df_real(sf_dir: str):
     rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
     return pd.DataFrame({"term": [t for t, _ in rows],
                          "df": pd.array([d for _, d in rows], dtype="int64")})
+
+
+def _q_index_df_bitpack(sf_dir: str):
+    """Per-term df read back from a BITPACK-tier index (docs_codec=
+    'bitpack', the write-once block code) — same oracle recompute as
+    index_term_df_real, so the driver hash-checks the bitpack build's
+    encode + decode_sorted_bitpack read path end-to-end."""
+    import pandas as pd
+
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    _, index_dir = _built_index_bitpack(sf_dir)
+    _main_dump(sf_dir)  # tok.parquet is codec-independent (pre-shuffle)
+    r = SegmentReader(index_dir)
+    rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
+    return pd.DataFrame({"term": [t for t, _ in rows],
+                         "df": pd.array([d for _, d in rows], dtype="int64")})
+
+
+def _q_proximity_pairs(sf_dir: str):
+    """Unordered within-window co-occurrence (Lucene sloppy-phrase analog)
+    over the phrase-term dictionary, from the REAL segments (docs intersect
+    + batched positions decode); the oracle recomputes every qualifying
+    (pos_a, pos_b) combination from the dumped positions table."""
+    from nadry_search_engine_be_ray.pipelines.query import proximity_pairs
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)  # pos.parquet for exactly these terms
+    return proximity_pairs(index_dir, _phrase_terms(), window=3)
 
 
 def _q_posting_codec_sizes(sf_dir: str):
@@ -3595,6 +3648,25 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
             f"GROUP BY term ORDER BY term"
         ),
+        "index_df_bitpack": (
+            f"SELECT term, count(*) AS df "
+            f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
+            f"GROUP BY term ORDER BY term"
+        ),
+        # every qualifying (pos_a, pos_b) combination within the window,
+        # same doc + same field, unordered pair (term_a < term_b)
+        "proximity_pairs": f"""
+            WITH p AS (SELECT term, doc_int, field, pos
+                       FROM read_parquet('{_MAIN_DUMP_DIR}/pos.parquet'))
+            SELECT p1.term AS term_a, p2.term AS term_b,
+                   p1.doc_int AS doc_int, count(*) AS n_pairs
+            FROM p p1 JOIN p p2
+              ON p1.doc_int = p2.doc_int AND p1.field = p2.field
+             AND p1.term < p2.term
+             AND abs(p1.pos - p2.pos) <= 3
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
         # both posting-codec framings recomputed analytically: varint bytes
         # = ceil(bit_length/7) per delta-gap (min 1); bitpack bytes =
         # varint(n) header + 1 width byte per 128-value block + per-block

@@ -487,3 +487,95 @@ class SearchEngine:
                     method: str | None = None):
         method = method or ("wand" if use_wand else "taat")
         return self._topk_method(method)(query, k, "bm25")
+
+
+def proximity_pairs(index_dir: str, terms: list[str], window: int,
+                    *, concurrency: int = 2):
+    """Unordered proximity search over term PAIRS (Lucene sloppy-phrase
+    analog the reference lacks): for every pair (a < b) of ``terms``, the
+    docs where a and b co-occur within ``window`` positions in the SAME
+    field, with the number of qualifying (pos_a, pos_b) combinations.
+
+    Distributed shape: the pair list (|terms| choose 2, small) seeds a
+    Dataset; a stateful actor pool holds one SegmentReader per worker and,
+    per pair, intersects the two posting lists' doc sets FIRST (the
+    phrase_search pruning above), batch-decodes positions for the
+    intersection only, and counts window hits per field with two
+    searchsorted passes — no Python loop over positions.
+
+    Returns an Arrow table (term_a, term_b, doc_int, n_pairs) sorted by
+    (term_a, term_b, doc_int).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..state.segments import SegmentReader
+
+    ts = sorted(set(terms))
+    pairs = [(a, b) for i, a in enumerate(ts) for b in ts[i + 1:]]
+    out_schema = pa.schema(
+        [("term_a", pa.string()), ("term_b", pa.string()),
+         ("doc_int", pa.int64()), ("n_pairs", pa.int64())]
+    )
+    if not pairs:
+        return out_schema.empty_table()
+    seed = ray.data.from_arrow(
+        pa.table({"term_a": pa.array([a for a, _ in pairs], pa.string()),
+                  "term_b": pa.array([b for _, b in pairs], pa.string())})
+    ).repartition(max(1, min(len(pairs), concurrency * 4)))
+
+    class _Proximity:
+        def __init__(self):
+            self.reader = SegmentReader(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows_a, rows_b, rows_d, rows_n = [], [], [], []
+            for a, b in zip(batch["term_a"].to_pylist(),
+                            batch["term_b"].to_pylist()):
+                pla = self.reader.postings(a)
+                plb = self.reader.postings(b)
+                if pla is None or plb is None:
+                    continue
+                common = np.intersect1d(pla.docs, plb.docs)
+                if common.size == 0:
+                    continue
+                pos_a = pla.positions_for_many(
+                    np.searchsorted(pla.docs, common))
+                pos_b = plb.positions_for_many(
+                    np.searchsorted(plb.docs, common))
+                for k, di in enumerate(common.tolist()):
+                    n = 0
+                    fb = pos_b[k]
+                    for f, ap in pos_a[k].items():
+                        bp = fb.get(f)
+                        if bp is None:
+                            continue
+                        # pairs with |pa - pb| <= window, both sorted
+                        n += int(
+                            (np.searchsorted(bp, ap + window, side="right")
+                             - np.searchsorted(bp, ap - window, side="left")
+                             ).sum()
+                        )
+                    if n:
+                        rows_a.append(a)
+                        rows_b.append(b)
+                        rows_d.append(int(di))
+                        rows_n.append(n)
+            return pa.table(
+                {"term_a": pa.array(rows_a, pa.string()),
+                 "term_b": pa.array(rows_b, pa.string()),
+                 "doc_int": pa.array(rows_d, pa.int64()),
+                 "n_pairs": pa.array(rows_n, pa.int64())},
+                schema=out_schema,
+            )
+
+    mapped = seed.map_batches(
+        _Proximity, batch_format="pyarrow", batch_size=16,
+        concurrency=concurrency,
+    )
+    out = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
+    )
+    return out.sort_by([("term_a", "ascending"), ("term_b", "ascending"),
+                        ("doc_int", "ascending")])

@@ -99,3 +99,46 @@ def test_query_cache(engine):
     r1 = engine.search("item order arrived")
     r2 = engine.search("item order arrived")
     assert r1 is r2  # T4 query-result cache
+
+
+def test_proximity_pairs_matches_bruteforce(built_index):
+    """proximity_pairs' searchsorted window counting must equal a brute
+    double loop over the decoded positions, per doc per field."""
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines.query import proximity_pairs
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(built_index)
+    # pick frequent terms so the intersection is non-trivial
+    terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:4]
+    window = 2
+    out = proximity_pairs(built_index, terms, window, concurrency=2)
+    got = {
+        (a, b, d): n
+        for a, b, d, n in zip(out["term_a"].to_pylist(),
+                              out["term_b"].to_pylist(),
+                              out["doc_int"].to_pylist(),
+                              out["n_pairs"].to_pylist())
+    }
+    assert got, "expected at least one proximity hit among head terms"
+    exp = {}
+    ts = sorted(set(terms))
+    for i, a in enumerate(ts):
+        for b in ts[i + 1:]:
+            pla, plb = r.postings(a), r.postings(b)
+            common = np.intersect1d(pla.docs, plb.docs)
+            for di in common.tolist():
+                fa = pla.positions_for(int(np.searchsorted(pla.docs, di)))
+                fb = plb.positions_for(int(np.searchsorted(plb.docs, di)))
+                n = sum(
+                    1
+                    for f, ap in fa.items()
+                    if f in fb
+                    for x in ap.tolist()
+                    for y in fb[f].tolist()
+                    if abs(x - y) <= window
+                )
+                if n:
+                    exp[(a, b, int(di))] = n
+    assert got == exp
