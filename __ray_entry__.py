@@ -3676,35 +3676,44 @@ def oracle_sql() -> dict[str, str]:
         # (may be 0 -> width 0, varint 1 byte).
         "posting_codec_sizes": f"""
             WITH d AS (
-                SELECT term, doc_int,
+                SELECT term, doc_int, tf,
                        row_number() OVER (PARTITION BY term
                                           ORDER BY doc_int) - 1 AS rn,
                        doc_int - coalesce(lag(doc_int) OVER (
                            PARTITION BY term ORDER BY doc_int), 0) AS gap
-                FROM (SELECT DISTINCT term, doc_int
-                      FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet'))
+                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
             ),
             g AS (
-                SELECT term, rn // 128 AS blk, gap,
+                SELECT term, rn // 128 AS blk,
                        CASE WHEN gap = 0 THEN 0
-                            ELSE length(bin(gap)) END AS bl
+                            ELSE length(bin(gap)) END AS bl,
+                       length(bin(tf)) AS tf_bl
                 FROM d
             ),
             blocks AS (
-                SELECT term, blk, count(*) AS cnt, max(bl) AS bits,
+                SELECT term, blk, count(*) AS cnt,
+                       max(bl) AS bits,
                        sum(CASE WHEN bl = 0 THEN 1
-                                ELSE (bl + 6) // 7 END) AS vbytes
+                                ELSE (bl + 6) // 7 END) AS vbytes,
+                       max(tf_bl) AS tf_bits,
+                       sum((tf_bl + 6) // 7) AS tf_vbytes
                 FROM g GROUP BY term, blk
             ),
             per_term AS (
-                SELECT term, sum(cnt) AS df, sum(vbytes) AS v_payload,
-                       count(*) AS nblocks,
-                       sum((cnt * bits + 7) // 8) AS b_payload
+                SELECT term, sum(cnt) AS df, count(*) AS nblocks,
+                       sum(vbytes) AS v_payload,
+                       sum((cnt * bits + 7) // 8) AS b_payload,
+                       sum(tf_vbytes) AS tf_v_payload,
+                       sum((cnt * tf_bits + 7) // 8) AS tf_b_payload
                 FROM blocks GROUP BY term
             )
             SELECT term, CAST(df AS BIGINT) AS df,
                    CAST(hdr + v_payload AS BIGINT) AS varint_bytes,
-                   CAST(hdr + nblocks + b_payload AS BIGINT) AS bitpack_bytes
+                   CAST(hdr + nblocks + b_payload AS BIGINT)
+                       AS bitpack_bytes,
+                   CAST(hdr + tf_v_payload AS BIGINT) AS tfs_varint_bytes,
+                   CAST(hdr + nblocks + tf_b_payload AS BIGINT)
+                       AS tfs_bitpack_bytes
             FROM (SELECT *,
                          (length(bin(CAST(df AS BIGINT))) + 6) // 7 AS hdr
                   FROM per_term)

@@ -506,8 +506,11 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
             df = np.empty(len(ts), dtype=np.int64)
             vbytes = np.empty(len(ts), dtype=np.int64)
             bbytes = np.empty(len(ts), dtype=np.int64)
+            tvbytes = np.empty(len(ts), dtype=np.int64)
+            tbbytes = np.empty(len(ts), dtype=np.int64)
             for i, t in enumerate(ts):
-                docs = self.reader.postings(t).docs.astype(np.uint64)
+                pl = self.reader.postings(t)
+                docs = pl.docs.astype(np.uint64)
                 gaps = np.empty_like(docs)
                 if docs.size:
                     gaps[0] = docs[0]
@@ -522,12 +525,19 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
                 ):  # pragma: no cover - codec invariant
                     raise AssertionError(f"bitpack roundtrip failed: {t!r}")
                 bbytes[i] = len(enc)
+                # tfs stream (per-doc summed tf, doc order): no delta —
+                # values are unsorted small ints, both framings direct
+                tfs = pl.tfs.astype(np.uint64)
+                tvbytes[i] = hdr + int(_varint_nbytes(tfs).sum())
+                tbbytes[i] = bitpack_nbytes(tfs)
             return pa.table(
                 {
                     "term": batch["term"],
                     "df": pa.array(df, pa.int64()),
                     "varint_bytes": pa.array(vbytes, pa.int64()),
                     "bitpack_bytes": pa.array(bbytes, pa.int64()),
+                    "tfs_varint_bytes": pa.array(tvbytes, pa.int64()),
+                    "tfs_bitpack_bytes": pa.array(tbbytes, pa.int64()),
                 }
             )
 
@@ -542,7 +552,9 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
     out = pa.concat_tables(
         [pa.Table.from_batches([], schema=pa.schema(
             [("term", pa.string()), ("df", pa.int64()),
-             ("varint_bytes", pa.int64()), ("bitpack_bytes", pa.int64())]))]
+             ("varint_bytes", pa.int64()), ("bitpack_bytes", pa.int64()),
+             ("tfs_varint_bytes", pa.int64()),
+             ("tfs_bitpack_bytes", pa.int64())]))]
         + list(ray.get(mapped.to_arrow_refs()))
     )
     return out.sort_by("term")

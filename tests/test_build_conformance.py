@@ -273,7 +273,7 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
     import numpy as np
 
     from nadry_search_engine_be_ray.functions.codec import (
-        _varint_nbytes, encode_sorted_bitpack)
+        _varint_nbytes, bitpack_nbytes, encode_sorted_bitpack)
     from nadry_search_engine_be_ray.pipelines.build import posting_codec_sizes
     from nadry_search_engine_be_ray.state.segments import SegmentReader
 
@@ -281,17 +281,23 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
     r = SegmentReader(built_index)
     assert out.num_rows == len(list(r.terms()))
     got = {
-        t: (d, v, b)
-        for t, d, v, b in zip(
+        t: (d, v, b, tv, tb)
+        for t, d, v, b, tv, tb in zip(
             out["term"].to_pylist(), out["df"].to_pylist(),
-            out["varint_bytes"].to_pylist(), out["bitpack_bytes"].to_pylist())
+            out["varint_bytes"].to_pylist(), out["bitpack_bytes"].to_pylist(),
+            out["tfs_varint_bytes"].to_pylist(),
+            out["tfs_bitpack_bytes"].to_pylist())
     }
     for t in list(r.terms())[:50]:
-        docs = r.postings(t).docs.astype(np.uint64)
+        pl = r.postings(t)
+        docs = pl.docs.astype(np.uint64)
+        tfs = pl.tfs.astype(np.uint64)
         gaps = np.diff(docs, prepend=np.uint64(0)).astype(np.uint64)
         hdr = int(_varint_nbytes(np.array([docs.size], dtype=np.uint64))[0])
         exp = (docs.size, hdr + int(_varint_nbytes(gaps).sum()),
-               len(encode_sorted_bitpack(docs)))
+               len(encode_sorted_bitpack(docs)),
+               hdr + int(_varint_nbytes(tfs).sum()),
+               bitpack_nbytes(tfs))
         assert got[t] == exp, t
 
 
