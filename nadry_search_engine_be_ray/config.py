@@ -44,11 +44,13 @@ class BuildConfig:
 
     # --- codec --------------------------------------------------------------
     block_size: int = 128  # block-max metadata granularity (postings/block)
-    # docs-stream codec for the FINAL (compacted) segment tier:
+    # posting-stream codec for the FINAL (compacted) segment tier — applies
+    # to the docs AND tfs streams (positions/offsets stay varint):
     # "varint"  — delta-gap varint, per-value code: salt runs and future
     #             cross-index merges concatenate byte-wise without decoding
     # "bitpack" — frame-of-reference bit packing (functions/codec.py),
-    #             ~10-15% smaller docs streams; write-once only (requires
+    #             12% smaller docs gaps + 55% smaller tfs at sf0.01
+    #             (BASELINE.md); write-once only (requires
     #             compact_segments=True; merge_indexes refuses bitpack
     #             sources — re-encode is the price of the block code).
     # Pre-compaction salt runs are ALWAYS varint regardless of this flag.

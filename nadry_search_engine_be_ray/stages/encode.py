@@ -336,6 +336,21 @@ def decode_docs_stream(buf: bytes, docs_codec: str) -> np.ndarray:
     return codec.decode_sorted_deltas(buf)
 
 
+def encode_tfs_stream(tfs: np.ndarray, docs_codec: str) -> bytes:
+    """tf values are 1-3 bits wide, so the block code cuts this stream
+    ~55% vs varint's 1-byte floor (BASELINE.md posting-codec table); no
+    delta — tfs are unsorted."""
+    if docs_codec == "bitpack":
+        return codec.encode_bitpack(tfs.astype(np.uint64))
+    return codec.encode_varints(tfs)
+
+
+def decode_tfs_stream(buf: bytes, docs_codec: str) -> np.ndarray:
+    if docs_codec == "bitpack":
+        return codec.decode_bitpack(buf)
+    return codec.decode_varints(buf)
+
+
 def _merge_runs(
     docs_bufs: list[bytes],
     tfs_bufs: list[bytes],
@@ -359,9 +374,12 @@ def _merge_runs(
         o = codec.decode_sorted_deltas(ob).astype(np.int64)
         offs.append((o[1:] if i else o) + shift)
         shift += int(o[-1])
+    tfs_cat = b"".join(tfs_bufs)
+    if docs_codec != "varint":
+        tfs_cat = encode_tfs_stream(codec.decode_varints(tfs_cat), docs_codec)
     return (
         encode_docs_stream(docs, docs_codec),
-        b"".join(tfs_bufs),
+        tfs_cat,
         codec.encode_f64(weights),
         codec.encode_f64(codec.block_max(weights, block_size)),
         b"".join(pos_bufs),
@@ -410,7 +428,11 @@ def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE,
                 else encode_docs_stream(
                     codec.decode_sorted_deltas(docs_c[s]), docs_codec)
             )
-            out["tfs"].append(tfs_c[s])
+            out["tfs"].append(
+                tfs_c[s] if docs_codec == "varint"
+                else encode_tfs_stream(
+                    codec.decode_varints(tfs_c[s]), docs_codec)
+            )
             out["weights"].append(w_c[s])
             out["block_max"].append(bm_c[s])
             out["positions"].append(pos_c[s])

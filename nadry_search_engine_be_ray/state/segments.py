@@ -118,13 +118,14 @@ class SegmentReader:
         )
         self.num_shards = int(self.stats["num_shards"])
         self.block_size = int(self.stats.get("block_size", codec.BLOCK_SIZE))
-        # docs-stream decoder per the build's final-tier codec (stats.json);
-        # pos_offsets stay varint under every codec
-        self._decode_docs = (
-            codec.decode_sorted_bitpack
-            if self.stats.get("docs_codec", "varint") == "bitpack"
-            else codec.decode_sorted_deltas
-        )
+        # docs/tfs-stream decoders per the build's final-tier codec
+        # (stats.json); positions + pos_offsets stay varint under every codec
+        if self.stats.get("docs_codec", "varint") == "bitpack":
+            self._decode_docs = codec.decode_sorted_bitpack
+            self._decode_tfs = codec.decode_bitpack
+        else:
+            self._decode_docs = codec.decode_sorted_deltas
+            self._decode_tfs = codec.decode_varints
         self.shards = shards if shards is not None else list(range(self.num_shards))
         self.lazy_payload = lazy_payload
         self.rg_cache_cap = rg_cache_cap
@@ -187,7 +188,7 @@ class SegmentReader:
                 self._decode_docs(t["docs"][0].as_py()).astype(np.int64)
             )
             tf_parts.append(
-                codec.decode_varints(t["tfs"][0].as_py()).astype(np.int64)
+                self._decode_tfs(t["tfs"][0].as_py()).astype(np.int64)
             )
             w_parts.append(codec.decode_f64(t["weights"][0].as_py()))
             buf = t["positions"][0].as_py()
