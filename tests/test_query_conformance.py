@@ -142,3 +142,22 @@ def test_proximity_pairs_matches_bruteforce(built_index):
                 if n:
                     exp[(a, b, int(di))] = n
     assert got == exp
+
+
+def test_proximity_pairs_edges(built_index):
+    from nadry_search_engine_be_ray.pipelines.query import proximity_pairs
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    # fewer than two terms -> no pairs -> empty table with the full schema
+    out = proximity_pairs(built_index, ["onlyterm"], 3)
+    assert out.num_rows == 0
+    assert out.column_names == ["term_a", "term_b", "doc_int", "n_pairs"]
+    # unknown terms are skipped, not an error
+    out = proximity_pairs(built_index, ["zzznotaterm", "zzzalsonot"], 3)
+    assert out.num_rows == 0
+    # window=0 can never match across distinct terms (positions are unique
+    # within a field), so every n_pairs row would need |pa-pb|=0
+    r = SegmentReader(built_index)
+    terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:3]
+    out = proximity_pairs(built_index, terms, 0)
+    assert out.num_rows == 0
