@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
+        "proximity_ordered": _q_proximity_ordered,
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
         "pagerank": _q_pagerank,
@@ -800,6 +801,17 @@ def _q_proximity_pairs(sf_dir: str):
     _, index_dir = _built_index(sf_dir)
     _main_dump(sf_dir)  # pos.parquet for exactly these terms
     return proximity_pairs(index_dir, _phrase_terms(), window=3)
+
+
+def _q_proximity_ordered(sf_dir: str):
+    """Directional slop (a strictly before b, gap <= window) — the ordered
+    sloppy-phrase variant; same segments path, same oracle shape."""
+    from nadry_search_engine_be_ray.pipelines.query import proximity_pairs
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return proximity_pairs(index_dir, _phrase_terms(), window=3,
+                           ordered=True)
 
 
 def _q_posting_codec_sizes(sf_dir: str):
@@ -3666,6 +3678,18 @@ def oracle_sql() -> dict[str, str]:
               ON p1.doc_int = p2.doc_int AND p1.field = p2.field
              AND p1.term < p2.term
              AND abs(p1.pos - p2.pos) <= 3
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "proximity_ordered": f"""
+            WITH p AS (SELECT term, doc_int, field, pos
+                       FROM read_parquet('{_MAIN_DUMP_DIR}/pos.parquet'))
+            SELECT p1.term AS term_a, p2.term AS term_b,
+                   p1.doc_int AS doc_int, count(*) AS n_pairs
+            FROM p p1 JOIN p p2
+              ON p1.doc_int = p2.doc_int AND p1.field = p2.field
+             AND p1.term < p2.term
+             AND p2.pos - p1.pos BETWEEN 1 AND 3
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
         """,

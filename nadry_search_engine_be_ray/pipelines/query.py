@@ -490,11 +490,13 @@ class SearchEngine:
 
 
 def proximity_pairs(index_dir: str, terms: list[str], window: int,
-                    *, concurrency: int = 2):
-    """Unordered proximity search over term PAIRS (Lucene sloppy-phrase
-    analog the reference lacks): for every pair (a < b) of ``terms``, the
-    docs where a and b co-occur within ``window`` positions in the SAME
-    field, with the number of qualifying (pos_a, pos_b) combinations.
+                    *, ordered: bool = False, concurrency: int = 2):
+    """Proximity search over term PAIRS (Lucene sloppy-phrase analog the
+    reference lacks): for every pair (a < b) of ``terms``, the docs where
+    a and b co-occur within ``window`` positions in the SAME field, with
+    the number of qualifying (pos_a, pos_b) combinations.  ``ordered``
+    restricts to a BEFORE b: pos_b - pos_a in [1, window] (directional
+    slop); unordered counts |pos_a - pos_b| <= window.
 
     Distributed shape: the pair list (|terms| choose 2, small) seeds a
     Dataset; a stateful actor pool holds one SegmentReader per worker and,
@@ -551,10 +553,13 @@ def proximity_pairs(index_dir: str, terms: list[str], window: int,
                         bp = fb.get(f)
                         if bp is None:
                             continue
-                        # pairs with |pa - pb| <= window, both sorted
+                        # window hits per a-position, both arrays sorted:
+                        # ordered -> pb in [pa+1, pa+window], else
+                        # |pa - pb| <= window
+                        lo = ap + 1 if ordered else ap - window
                         n += int(
                             (np.searchsorted(bp, ap + window, side="right")
-                             - np.searchsorted(bp, ap - window, side="left")
+                             - np.searchsorted(bp, lo, side="left")
                              ).sum()
                         )
                     if n:

@@ -161,3 +161,54 @@ def test_proximity_pairs_edges(built_index):
     terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:3]
     out = proximity_pairs(built_index, terms, 0)
     assert out.num_rows == 0
+
+
+def test_proximity_ordered_matches_bruteforce(built_index):
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines.query import proximity_pairs
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(built_index)
+    terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:4]
+    window = 2
+    out = proximity_pairs(built_index, terms, window, ordered=True,
+                          concurrency=2)
+    got = {
+        (a, b, d): n
+        for a, b, d, n in zip(out["term_a"].to_pylist(),
+                              out["term_b"].to_pylist(),
+                              out["doc_int"].to_pylist(),
+                              out["n_pairs"].to_pylist())
+    }
+    exp = {}
+    ts = sorted(set(terms))
+    for i, a in enumerate(ts):
+        for b in ts[i + 1:]:
+            pla, plb = r.postings(a), r.postings(b)
+            common = np.intersect1d(pla.docs, plb.docs)
+            for di in common.tolist():
+                fa = pla.positions_for(int(np.searchsorted(pla.docs, di)))
+                fb = plb.positions_for(int(np.searchsorted(plb.docs, di)))
+                n = sum(
+                    1
+                    for f, ap in fa.items()
+                    if f in fb
+                    for x in ap.tolist()
+                    for y in fb[f].tolist()
+                    if 1 <= y - x <= window
+                )
+                if n:
+                    exp[(a, b, int(di))] = n
+    assert got == exp
+    # ordered counts can never exceed the unordered counts
+    un = proximity_pairs(built_index, terms, window, concurrency=2)
+    un_map = {
+        (a, b, d): n
+        for a, b, d, n in zip(un["term_a"].to_pylist(),
+                              un["term_b"].to_pylist(),
+                              un["doc_int"].to_pylist(),
+                              un["n_pairs"].to_pylist())
+    }
+    for k, n in got.items():
+        assert n <= un_map[k], k
