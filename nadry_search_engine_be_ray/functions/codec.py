@@ -465,6 +465,71 @@ def decode_doc_positions_many(
     return out
 
 
+def decode_doc_positions_flat(
+    buf: bytes | memoryview, offsets: np.ndarray, doc_indices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FULLY-vectorized flat variant of :func:`decode_doc_positions_many`:
+    returns ``(doc_rank, field, pos)`` int64 arrays (doc_rank indexes into
+    ``doc_indices``), parsing the variable per-doc [mask][count][deltas...]
+    structure with a loop over the 3 FIELDS instead of over docs — the
+    scale path for position kernels whose candidate sets are large (e.g.
+    proximity over head-term pairs), where the dict-per-doc API's Python
+    loop would dominate."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    di = np.asarray(doc_indices, dtype=np.int64)
+    empty = (np.empty(0, np.int64),) * 3
+    if di.size == 0:
+        return empty
+    starts = offsets[di]
+    lens = offsets[di + 1] - starts
+    total = int(lens.sum())
+    lens_cum = np.zeros(di.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=lens_cum[1:])
+    sel = np.repeat(starts, lens) + (
+        np.arange(total) - np.repeat(lens_cum[:-1], lens)
+    )
+    sub = b[sel]
+    vals = decode_varints(sub).astype(np.int64)
+    is_end = ((sub & 0x80) == 0).astype(np.int64)
+    vals_per_doc = np.add.reduceat(is_end, lens_cum[:-1])
+    vcum = np.zeros(di.size + 1, dtype=np.int64)
+    np.cumsum(vals_per_doc, out=vcum[1:])
+
+    masks = vals[vcum[:-1]]
+    ptr = vcum[:-1] + 1  # per-doc cursor, advanced field by field
+    out_d, out_f, out_p = [], [], []
+    for f in range(3):
+        has = (masks >> f) & 1 == 1
+        cnt = np.zeros(di.size, dtype=np.int64)
+        cnt[has] = vals[ptr[has]]
+        nz = has & (cnt > 0)
+        if nz.any():
+            d_starts = ptr[nz] + 1
+            d_lens = cnt[nz]
+            m = int(d_lens.sum())
+            dcum = np.zeros(nz.sum() + 1, dtype=np.int64)
+            np.cumsum(d_lens, out=dcum[1:])
+            idx = np.repeat(d_starts, d_lens) + (
+                np.arange(m) - np.repeat(dcum[:-1], d_lens)
+            )
+            deltas = vals[idx]
+            # segmented cumsum: global cumsum minus each segment's prefix
+            cs = np.cumsum(deltas)
+            seg_prefix = cs[dcum[:-1]] - deltas[dcum[:-1]]
+            pos = cs - np.repeat(seg_prefix, d_lens)
+            out_d.append(np.repeat(np.flatnonzero(nz), d_lens))
+            out_f.append(np.full(m, f, dtype=np.int64))
+            out_p.append(pos)
+        ptr = ptr + has * (1 + cnt)
+    if not out_d:
+        return empty
+    return (
+        np.concatenate(out_d),
+        np.concatenate(out_f),
+        np.concatenate(out_p),
+    )
+
+
 def decode_positions(buf: bytes, n_docs: int) -> list[dict[int, np.ndarray]]:
     """Inverse of :func:`encode_positions`; returns per-doc {field: positions}."""
     vals = decode_varints(buf)

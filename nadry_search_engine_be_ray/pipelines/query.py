@@ -501,9 +501,12 @@ def proximity_pairs(index_dir: str, terms: list[str], window: int,
     Distributed shape: the pair list (|terms| choose 2, small) seeds a
     Dataset; a stateful actor pool holds one SegmentReader per worker and,
     per pair, intersects the two posting lists' doc sets FIRST (the
-    phrase_search pruning above), batch-decodes positions for the
-    intersection only, and counts window hits per field with two
-    searchsorted passes — no Python loop over positions.
+    phrase_search pruning above), flat-decodes positions for the
+    intersection only (codec.decode_doc_positions_flat — vectorized over
+    the whole candidate set, no per-doc Python), and counts window hits
+    with ONE composite-key searchsorted pass per side: key = (doc_rank <<
+    33) | pos keeps (doc, field, pos) order total, so even a head-term
+    pair with a huge intersection is two sorted-array probes + a bincount.
 
     Returns an Arrow table (term_a, term_b, doc_int, n_pairs) sorted by
     (term_a, term_b, doc_int).
@@ -531,6 +534,23 @@ def proximity_pairs(index_dir: str, terms: list[str], window: int,
         def __init__(self):
             self.reader = SegmentReader(index_dir)
 
+        @staticmethod
+        def _flat_keys(pl, common):
+            """(doc_rank << 33 | pos) composite keys per (field, doc, pos),
+            plus the doc_rank per position.  Positions < 2^32 and window
+            offsets stay within one doc_rank block, so range counting over
+            the SORTED composite array is field/doc-safe."""
+            from ..functions.codec import decode_doc_positions_flat
+
+            d, f, p = decode_doc_positions_flat(
+                pl.positions_buf, pl.pos_offsets,
+                np.searchsorted(pl.docs, common),
+            )
+            # flat output is grouped by field, (doc, pos)-sorted inside —
+            # make (field, doc) the key prefix so blocks need no re-sort
+            key = ((f * common.size + d) << np.int64(33)) | p
+            return key, d
+
         def __call__(self, batch: pa.Table) -> pa.Table:
             rows_a, rows_b, rows_d, rows_n = [], [], [], []
             for a, b in zip(batch["term_a"].to_pylist(),
@@ -539,34 +559,26 @@ def proximity_pairs(index_dir: str, terms: list[str], window: int,
                 plb = self.reader.postings(b)
                 if pla is None or plb is None:
                     continue
-                common = np.intersect1d(pla.docs, plb.docs)
-                if common.size == 0:
-                    continue
-                pos_a = pla.positions_for_many(
-                    np.searchsorted(pla.docs, common))
-                pos_b = plb.positions_for_many(
-                    np.searchsorted(plb.docs, common))
-                for k, di in enumerate(common.tolist()):
-                    n = 0
-                    fb = pos_b[k]
-                    for f, ap in pos_a[k].items():
-                        bp = fb.get(f)
-                        if bp is None:
-                            continue
-                        # window hits per a-position, both arrays sorted:
-                        # ordered -> pb in [pa+1, pa+window], else
-                        # |pa - pb| <= window
-                        lo = ap + 1 if ordered else ap - window
-                        n += int(
-                            (np.searchsorted(bp, ap + window, side="right")
-                             - np.searchsorted(bp, lo, side="left")
-                             ).sum()
-                        )
-                    if n:
-                        rows_a.append(a)
-                        rows_b.append(b)
-                        rows_d.append(int(di))
-                        rows_n.append(n)
+                common_all = np.intersect1d(pla.docs, plb.docs)
+                # chunk the intersection: keeps 3*chunk < 2^30 so the
+                # composite key fits int64, and bounds decoded positions
+                # held at once for head-term pairs
+                for c0 in range(0, common_all.size, 16_000_000):
+                    common = common_all[c0 : c0 + 16_000_000]
+                    ka, da = self._flat_keys(pla, common)
+                    kb, _ = self._flat_keys(plb, common)
+                    if ka.size == 0 or kb.size == 0:
+                        continue
+                    lo = ka + 1 if ordered else ka - window
+                    counts = (np.searchsorted(kb, ka + window, side="right")
+                              - np.searchsorted(kb, lo, side="left"))
+                    n_doc = np.bincount(da, weights=counts,
+                                        minlength=common.size).astype(np.int64)
+                    hit = np.flatnonzero(n_doc)
+                    rows_a.extend([a] * hit.size)
+                    rows_b.extend([b] * hit.size)
+                    rows_d.extend(common[hit].tolist())
+                    rows_n.extend(n_doc[hit].tolist())
             return pa.table(
                 {"term_a": pa.array(rows_a, pa.string()),
                  "term_b": pa.array(rows_b, pa.string()),

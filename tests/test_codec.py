@@ -123,3 +123,35 @@ def test_bitpack_property_roundtrip():
         assert np.array_equal(codec.decode_bitpack(enc), v)
 
     _prop()
+
+
+def test_positions_flat_matches_dict_decode():
+    """decode_doc_positions_flat must emit exactly the dict API's values,
+    grouped by field with (doc, pos) order inside each field block."""
+    rng = np.random.default_rng(21)
+    docs = []
+    for _ in range(200):
+        fields = []
+        for f in range(3):
+            if rng.random() < 0.6:
+                k = int(rng.integers(1, 8))
+                pos = np.unique(rng.integers(0, 500, size=k)).astype(np.int64)
+                fields.append((f, pos))
+        docs.append(fields)
+    buf, offsets = codec.encode_positions_indexed(docs)
+    di = np.arange(len(docs), dtype=np.int64)[::3]  # every 3rd doc
+    d, f, p = codec.decode_doc_positions_flat(buf, offsets, di)
+    expected = codec.decode_doc_positions_many(buf, offsets, di)
+    # rebuild the dicts from the flat triples
+    got: dict[int, dict[int, list[int]]] = {}
+    for dd, ff, pp in zip(d.tolist(), f.tolist(), p.tolist()):
+        got.setdefault(dd, {}).setdefault(ff, []).append(pp)
+    for k_rank, fields in enumerate(expected):
+        gf = got.get(k_rank, {})
+        assert set(gf) == set(fields), k_rank
+        for ff, pos in fields.items():
+            assert gf[ff] == pos.tolist(), (k_rank, ff)
+    # empty selection
+    d, f, p = codec.decode_doc_positions_flat(buf, offsets,
+                                              np.empty(0, np.int64))
+    assert d.size == f.size == p.size == 0
