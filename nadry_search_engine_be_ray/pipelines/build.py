@@ -461,7 +461,7 @@ def build_index(
 
 
 def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
-                        batch_size: int = 512):
+                        batch_size: int = 512, out_path: str | None = None):
     """Per-term docs-stream size under the two posting codecs — the varint
     delta-gap stream the segments actually store vs the frame-of-reference
     bit-packed alternative (``functions/codec.py`` encode_bitpack; see that
@@ -476,9 +476,14 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
     encode+decode roundtrip per term (the new codec rides the hot path
     here, not just a unit test).
 
-    Returns an Arrow table (term, df, varint_bytes, bitpack_bytes) sorted
-    by term.  The SQL oracle recomputes both framings analytically from the
-    dumped pre-shuffle token table.
+    Returns an Arrow table (term, df, varint_bytes, bitpack_bytes,
+    tfs_varint_bytes, tfs_bitpack_bytes) sorted by term.  The SQL oracle
+    recomputes both framings analytically from the dumped pre-shuffle
+    token table.
+
+    At 100 TB the term dictionary is itself large; pass ``out_path`` to
+    stream the per-term rows to partitioned parquet instead of
+    materializing the table on the driver (returns None in that mode).
     """
     import ray.data
 
@@ -549,6 +554,9 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    if out_path is not None:
+        mapped.write_parquet(out_path)
+        return None
     out = pa.concat_tables(
         [pa.Table.from_batches([], schema=pa.schema(
             [("term", pa.string()), ("df", pa.int64()),

@@ -490,7 +490,8 @@ class SearchEngine:
 
 
 def proximity_pairs(index_dir: str, terms: list[str], window: int,
-                    *, ordered: bool = False, concurrency: int = 2):
+                    *, ordered: bool = False, concurrency: int = 2,
+                    out_path: str | None = None):
     """Proximity search over term PAIRS (Lucene sloppy-phrase analog the
     reference lacks): for every pair (a < b) of ``terms``, the docs where
     a and b co-occur within ``window`` positions in the SAME field, with
@@ -591,6 +592,11 @@ def proximity_pairs(index_dir: str, terms: list[str], window: int,
         _Proximity, batch_format="pyarrow", batch_size=16,
         concurrency=concurrency,
     )
+    if out_path is not None:
+        # hit count can approach |common docs| x |pairs| at corpus scale —
+        # stream to parquet instead of a driver table in that regime
+        mapped.write_parquet(out_path)
+        return None
     out = pa.concat_tables(
         [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
     )

@@ -212,3 +212,21 @@ def test_proximity_ordered_matches_bruteforce(built_index):
     }
     for k, n in got.items():
         assert n <= un_map[k], k
+
+
+def test_proximity_out_path_streams_same_rows(built_index, tmp_path):
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.query import proximity_pairs
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(built_index)
+    terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:4]
+    direct = proximity_pairs(built_index, terms, 2, concurrency=2)
+    out = str(tmp_path / "prox")
+    assert proximity_pairs(built_index, terms, 2, concurrency=2,
+                           out_path=out) is None
+    streamed = pads.dataset(out, format="parquet").to_table().sort_by(
+        [("term_a", "ascending"), ("term_b", "ascending"),
+         ("doc_int", "ascending")])
+    assert streamed.equals(direct)
