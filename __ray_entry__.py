@@ -49,9 +49,9 @@ def _built_index_bitpack(sf_dir: str):
     from nadry_search_engine_be_ray.sources.corpus import write_corpus
 
     n_docs = _corpus_docs_for(sf_dir)
-    # v3bp: docs_codec="bitpack" gained the bitpack tfs stream — the key
-    # bump invalidates /tmp caches built with the docs-only format
-    key = hashlib.sha256(f"v3bp:{n_docs}".encode()).hexdigest()[:12]
+    # v4bp: docs_codec="bitpack" covers docs + tfs + pos_offsets — the key
+    # bump invalidates /tmp caches built with earlier bitpack formats
+    key = hashlib.sha256(f"v4bp:{n_docs}".encode()).hexdigest()[:12]
     root = f"/tmp/nadry_entry/{key}"
     corpus_dir = os.path.join(root, "corpus")
     index_dir = os.path.join(root, "index")

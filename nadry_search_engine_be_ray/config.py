@@ -45,7 +45,8 @@ class BuildConfig:
     # --- codec --------------------------------------------------------------
     block_size: int = 128  # block-max metadata granularity (postings/block)
     # posting-stream codec for the FINAL (compacted) segment tier — applies
-    # to the docs AND tfs streams (positions/offsets stay varint):
+    # to the docs, tfs and pos_offsets streams (the nested positions
+    # payload stays varint):
     # "varint"  — delta-gap varint, per-value code: salt runs and future
     #             cross-index merges concatenate byte-wise without decoding
     # "bitpack" — frame-of-reference bit packing (functions/codec.py),

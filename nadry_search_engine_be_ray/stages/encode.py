@@ -383,7 +383,8 @@ def _merge_runs(
         codec.encode_f64(weights),
         codec.encode_f64(codec.block_max(weights, block_size)),
         b"".join(pos_bufs),
-        codec.encode_sorted_deltas(np.concatenate(offs).astype(np.uint64)),
+        encode_docs_stream(
+            np.concatenate(offs).astype(np.uint64), docs_codec),
         int(docs.size),
     )
 
@@ -436,7 +437,12 @@ def merge_shard_runs(group: pa.Table, block_size: int = codec.BLOCK_SIZE,
             out["weights"].append(w_c[s])
             out["block_max"].append(bm_c[s])
             out["positions"].append(pos_c[s])
-            out["pos_offsets"].append(off_c[s])
+            out["pos_offsets"].append(
+                off_c[s] if docs_codec == "varint"
+                else encode_docs_stream(
+                    codec.decode_sorted_deltas(off_c[s]).astype(np.uint64),
+                    docs_codec)
+            )
         else:
             d, t, w, bm, p, o, df = _merge_runs(
                 docs_c[s:e], tfs_c[s:e], w_c[s:e], pos_c[s:e], off_c[s:e],

@@ -118,8 +118,8 @@ class SegmentReader:
         )
         self.num_shards = int(self.stats["num_shards"])
         self.block_size = int(self.stats.get("block_size", codec.BLOCK_SIZE))
-        # docs/tfs-stream decoders per the build's final-tier codec
-        # (stats.json); positions + pos_offsets stay varint under every codec
+        # docs/tfs/pos_offsets-stream decoders per the build's final-tier
+        # codec (stats.json); the nested positions payload stays varint
         if self.stats.get("docs_codec", "varint") == "bitpack":
             self._decode_docs = codec.decode_sorted_bitpack
             self._decode_tfs = codec.decode_bitpack
@@ -192,7 +192,7 @@ class SegmentReader:
             )
             w_parts.append(codec.decode_f64(t["weights"][0].as_py()))
             buf = t["positions"][0].as_py()
-            off = codec.decode_sorted_deltas(
+            off = self._decode_docs(
                 t["pos_offsets"][0].as_py()
             ).astype(np.int64)
             pos_bufs.append(buf)
