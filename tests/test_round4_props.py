@@ -86,3 +86,52 @@ def test_fused_parts_bounded_and_monotone(nbytes):
     # monotone in the footprint
     p2 = partitioning.fused_parts(bytes_hint=nbytes * 2)
     assert p2 >= p
+
+
+def test_proximity_composite_key_counting_property():
+    """The composite-key searchsorted window count used by proximity_pairs
+    must equal the brute double loop for arbitrary (doc, field, pos) sets
+    (ordered and unordered modes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    trip = st.tuples(st.integers(0, 5), st.integers(0, 2),
+                     st.integers(0, 60))
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.sets(trip, max_size=40), st.sets(trip, max_size=40),
+           st.integers(0, 5), st.booleans())
+    def _prop(aset, bset, window, ordered):
+        n_docs = 6
+
+        def flat(s):
+            rows = sorted(s)  # (doc, field, pos) — field-major like the
+            rows = sorted(rows, key=lambda r: (r[1], r[0], r[2]))
+            d = np.array([r[0] for r in rows], dtype=np.int64)
+            f = np.array([r[1] for r in rows], dtype=np.int64)
+            p = np.array([r[2] for r in rows], dtype=np.int64)
+            key = ((f * n_docs + d) << np.int64(33)) | p
+            return key, d
+
+        ka, da = flat(aset)
+        kb, _ = flat(bset)
+        if ka.size and kb.size:
+            lo = ka + 1 if ordered else ka - window
+            counts = (np.searchsorted(kb, ka + window, side="right")
+                      - np.searchsorted(kb, lo, side="left"))
+            got = np.bincount(da, weights=counts,
+                              minlength=n_docs).astype(np.int64)
+        else:
+            got = np.zeros(n_docs, dtype=np.int64)
+        exp = np.zeros(n_docs, dtype=np.int64)
+        for d1, f1, p1 in aset:
+            for d2, f2, p2 in bset:
+                if d1 == d2 and f1 == f2:
+                    ok = (1 <= p2 - p1 <= window) if ordered \
+                        else abs(p1 - p2) <= window
+                    if ok:
+                        exp[d1] += 1
+        assert np.array_equal(got, exp)
+
+    _prop()

@@ -47,3 +47,25 @@ def test_sharded_missing_terms(engines):
     _, sharded = engines
     out = sharded.search("qqqqq zzzzz")
     assert out["total_results"] == 0
+
+
+def test_bitpack_index_serves_identically(ray_session, tiny_corpus_dir,
+                                          built_index, tmp_path_factory):
+    """End-to-end serving over the bitpack segment tier: every reference
+    query must return results identical to the varint index — both through
+    the local engine and the scatter/gather sharded path."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_bp_serve"))
+    build_index(tiny_corpus_dir, idx,
+                BuildConfig(num_shards=4, salt_bits=1, docs_codec="bitpack"))
+    local_v = SearchEngine(built_index)
+    local_b = SearchEngine(idx)
+    sharded_b = ShardedSearchEngine(idx)
+    for q in reference_queries():
+        want = local_v.search_auto(q["query"], q["page"], q["page_size"])
+        _same_results(want, local_b.search_auto(
+            q["query"], q["page"], q["page_size"]))
+        _same_results(want, sharded_b.search_auto(
+            q["query"], q["page"], q["page_size"]))
