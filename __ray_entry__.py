@@ -61,6 +61,24 @@ def _built_index_bitpack(sf_dir: str):
     return corpus_dir, index_dir
 
 
+def _built_index_ef(sf_dir: str):
+    """Like :func:`_built_index` but with the quasi-succinct Elias-Fano
+    docs codec (BuildConfig.docs_codec='ef'); separately cached in /tmp."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.sources.corpus import write_corpus
+
+    n_docs = _corpus_docs_for(sf_dir)
+    key = hashlib.sha256(f"v1ef:{n_docs}".encode()).hexdigest()[:12]
+    root = f"/tmp/nadry_entry/{key}"
+    corpus_dir = os.path.join(root, "corpus")
+    index_dir = os.path.join(root, "index")
+    write_corpus(corpus_dir, n_docs=n_docs, seed=42)
+    build_index(corpus_dir, index_dir,
+                BuildConfig(num_shards=8, salt_bits=2, docs_codec="ef"))
+    return corpus_dir, index_dir
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over the sf0.001-scale synthetic
     corpus and evaluate the reference query set through the actor-pool batch
@@ -185,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # df read back from a bitpack-tier build (decode path on the
         # driver-checked surface; same oracle shape as index_term_df_real)
         "index_df_bitpack": _q_index_df_bitpack,
+        "index_df_ef": _q_index_df_ef,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -784,6 +803,23 @@ def _q_index_df_bitpack(sf_dir: str):
     from nadry_search_engine_be_ray.state.segments import SegmentReader
 
     _, index_dir = _built_index_bitpack(sf_dir)
+    _main_dump(sf_dir)  # tok.parquet is codec-independent (pre-shuffle)
+    r = SegmentReader(index_dir)
+    rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
+    return pd.DataFrame({"term": [t for t, _ in rows],
+                         "df": pd.array([d for _, d in rows], dtype="int64")})
+
+
+def _q_index_df_ef(sf_dir: str):
+    """Per-term df read back from an ELIAS-FANO-tier index (docs_codec=
+    'ef', the quasi-succinct monotone code) — same oracle recompute as
+    index_term_df_real, so the driver hash-checks the ef build's
+    encode_ef + decode_ef read path end-to-end."""
+    import pandas as pd
+
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    _, index_dir = _built_index_ef(sf_dir)
     _main_dump(sf_dir)  # tok.parquet is codec-independent (pre-shuffle)
     r = SegmentReader(index_dir)
     rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
@@ -3667,6 +3703,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
             f"GROUP BY term ORDER BY term"
         ),
+        "index_df_ef": (
+            f"SELECT term, count(*) AS df "
+            f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
+            f"GROUP BY term ORDER BY term"
+        ),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""
@@ -3732,17 +3773,40 @@ def oracle_sql() -> dict[str, str]:
                        sum(tf_vbytes) AS tf_v_payload,
                        sum((cnt * tf_bits + 7) // 8) AS tf_b_payload
                 FROM blocks GROUP BY term
+            ),
+            -- Elias-Fano arithmetic (functions/codec.py format note):
+            -- l = bit_length(u // n) - 1 (integer division; 0 when u < n),
+            -- bytes = varint(n) + varint(u) + ceil(n*l/8)
+            --         + ceil((n + (u >> l) + 1)/8)
+            ef AS (
+                SELECT term, max(doc_int) AS u
+                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+                GROUP BY term
+            ),
+            ef2 AS (
+                SELECT p.term, p.df, p.nblocks, p.v_payload, p.b_payload,
+                       p.tf_v_payload, p.tf_b_payload, e.u,
+                       CASE WHEN e.u >= p.df
+                            THEN length(bin(e.u // p.df)) - 1
+                            ELSE 0 END AS l
+                FROM per_term p JOIN ef e USING (term)
             )
             SELECT term, CAST(df AS BIGINT) AS df,
                    CAST(hdr + v_payload AS BIGINT) AS varint_bytes,
                    CAST(hdr + nblocks + b_payload AS BIGINT)
                        AS bitpack_bytes,
+                   CAST(hdr
+                        + (CASE WHEN u = 0 THEN 1
+                                ELSE (length(bin(u)) + 6) // 7 END)
+                        + (df * l + 7) // 8
+                        + ((df + (u >> l) + 1) + 7) // 8
+                        AS BIGINT) AS ef_bytes,
                    CAST(hdr + tf_v_payload AS BIGINT) AS tfs_varint_bytes,
                    CAST(hdr + nblocks + tf_b_payload AS BIGINT)
                        AS tfs_bitpack_bytes
             FROM (SELECT *,
                          (length(bin(CAST(df AS BIGINT))) + 6) // 7 AS hdr
-                  FROM per_term)
+                  FROM ef2)
             ORDER BY term
         """,
         "search_reference": _search_reference_sql(),

@@ -257,6 +257,116 @@ def decode_sorted_bitpack(buf: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Elias-Fano (quasi-succinct) monotone-sequence code — Vigna, "Quasi-succinct
+# indices", WSDM 2013; Elias 1974 / Fano 1971.  The third docs-stream tier
+# (BuildConfig.docs_codec="ef"), beside varint delta-gap (mergeable default)
+# and FOR bit packing.  Approaches the information-theoretic bound for a
+# sorted sequence — n*(2 + log2(u/n)) bits — with NO per-block framing, so
+# it usually beats bitpack on doc-gap streams and always beats varint's
+# 1-byte-per-value floor.  Like bitpack it is a whole-stream code: runs
+# cannot concatenate without re-encoding, so it is gated to the write-once
+# compacted tier (pipelines/build.py enforces compact_segments).
+#
+# Format (self-describing):
+#     varint n                      -- value count (stream ends here if 0)
+#     varint u                      -- last (= max) value
+#     uint8 low[ceil(n*l/8)]        -- n little-endian l-bit lower parts,
+#                                      l = max(0, bit_length(u // n) - 1)
+#     uint8 upper[ceil(nbits/8)]    -- unary upper-part bitmap,
+#                                      nbits = n + (u >> l) + 1; bit
+#                                      (v_i >> l) + i is set for each i
+#
+# l uses INTEGER division (bit_length(u // n) - 1) so the SQL size oracle
+# (posting_codec_sizes) reproduces it exactly with length(bin(u // n)) — no
+# float log2 anywhere.  Values must be non-decreasing (doc ids are strictly
+# increasing; pos_offsets are non-decreasing), unsigned, < 2**63.
+# ---------------------------------------------------------------------------
+
+
+def ef_lower_bits(n: int, u: int) -> int:
+    """The lower-part width l (integer-division variant, see format note)."""
+    if n <= 0 or u < n:
+        return 0
+    return int(u // n).bit_length() - 1
+
+
+def ef_nbytes(sorted_vals: np.ndarray) -> int:
+    """Analytic encoded size of :func:`encode_ef` (mirrors the SQL oracle
+    arithmetic: varint(n) + varint(u) + lower payload + upper bitmap)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    n = v.size
+    total = int(_varint_nbytes(np.array([n], dtype=np.uint64))[0])
+    if n == 0:
+        return total
+    u = int(v[-1])
+    l = ef_lower_bits(n, u)
+    total += int(_varint_nbytes(np.array([u], dtype=np.uint64))[0])
+    total += (n * l + 7) // 8
+    total += (n + (u >> l) + 1 + 7) // 8
+    return total
+
+
+def encode_ef(sorted_vals: np.ndarray) -> bytes:
+    """Elias-Fano encode a non-decreasing uint64 array (see format above).
+    Vectorized via the byte-view + unpackbits trick (same kernel family as
+    encode_bitpack — numpy's u64 shift ufunc is the slow path to avoid)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    n = v.size
+    head = encode_varints(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return head
+    u = int(v[-1])
+    head += encode_varints(np.array([u], dtype=np.uint64))
+    l = ef_lower_bits(n, u)
+    if l:
+        # n l-bit rows -> one flat little-endian bitstream
+        byte_view = np.ascontiguousarray(v, dtype="<u8").view(np.uint8)
+        bits_mat = np.unpackbits(
+            byte_view.reshape(n, 8), axis=1, bitorder="little"
+        )[:, :l]
+        low = np.packbits(bits_mat.reshape(-1), bitorder="little")
+    else:
+        low = np.empty(0, dtype=np.uint8)
+    high = (v >> np.uint8(l)).astype(np.int64)
+    nbits = n + (u >> l) + 1
+    upper_bits = np.zeros((nbits + 7) // 8 * 8, dtype=np.uint8)
+    upper_bits[high + np.arange(n, dtype=np.int64)] = 1
+    upper = np.packbits(upper_bits, bitorder="little")
+    return head + low.tobytes() + upper.tobytes()
+
+
+def decode_ef(buf: bytes | memoryview) -> np.ndarray:
+    """Inverse of :func:`encode_ef`."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    n = int(decode_varints(b[: ends[0] + 1])[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    hdr_end = int(ends[1]) + 1
+    u = int(decode_varints(b[ends[0] + 1 : hdr_end])[0])
+    l = ef_lower_bits(n, u)
+    low_nbytes = (n * l + 7) // 8
+    if l:
+        bits_flat = np.unpackbits(
+            b[hdr_end : hdr_end + low_nbytes], bitorder="little"
+        )[: n * l]
+        bm = np.zeros((n, 64), dtype=np.uint8)
+        bm[:, :l] = bits_flat.reshape(n, l)
+        low = (
+            np.packbits(bm, axis=1, bitorder="little")
+            .reshape(n, 8)
+            .view("<u8")
+            .reshape(n)
+        )
+    else:
+        low = np.zeros(n, dtype=np.uint64)
+    upper = np.unpackbits(b[hdr_end + low_nbytes :], bitorder="little")
+    pos = np.flatnonzero(upper)[:n]
+    high = (pos - np.arange(n, dtype=np.int64)).astype(np.uint64)
+    return (high << np.uint64(l)) | low
+
+
+# ---------------------------------------------------------------------------
 # delta-gap helpers (doc ids must be strictly increasing)
 # ---------------------------------------------------------------------------
 

@@ -118,12 +118,14 @@ def build_index(
 ) -> dict:
     """Run (or resume) the full index build; returns the manifest dict."""
     cfg = config or BuildConfig()
-    if cfg.docs_codec not in ("varint", "bitpack"):
+    if cfg.docs_codec not in ("varint", "bitpack", "ef"):
         raise ValueError(f"unknown docs_codec {cfg.docs_codec!r}")
-    if cfg.docs_codec == "bitpack" and not cfg.compact_segments:
+    if cfg.docs_codec != "varint" and not cfg.compact_segments:
         # the uncompacted tier must stay per-value-coded so salt runs keep
-        # concatenating without decode (stages/encode.py module docstring)
-        raise ValueError("docs_codec='bitpack' requires compact_segments=True")
+        # concatenating without decode (stages/encode.py module docstring);
+        # bitpack and ef are both whole-stream codes
+        raise ValueError(
+            f"docs_codec={cfg.docs_codec!r} requires compact_segments=True")
     os.makedirs(index_dir, exist_ok=True)
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest: dict = {"config": dataclasses.asdict(cfg), "phases": {}}
@@ -462,10 +464,12 @@ def build_index(
 
 def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
                         batch_size: int = 512, out_path: str | None = None):
-    """Per-term docs-stream size under the two posting codecs — the varint
-    delta-gap stream the segments actually store vs the frame-of-reference
+    """Per-term docs-stream size under the three posting codecs — the varint
+    delta-gap stream the segments actually store, the frame-of-reference
     bit-packed alternative (``functions/codec.py`` encode_bitpack; see that
-    module's design note on why the mergeable segment tier stays varint).
+    module's design note on why the mergeable segment tier stays varint),
+    and quasi-succinct Elias-Fano (encode_ef, the near-optimal monotone
+    code for the write-once tier).
 
     Distributed shape: the term dictionary (small) seeds a Dataset; a
     stateful actor pool opens one SegmentReader per worker (index open +
@@ -476,9 +480,9 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
     encode+decode roundtrip per term (the new codec rides the hot path
     here, not just a unit test).
 
-    Returns an Arrow table (term, df, varint_bytes, bitpack_bytes,
+    Returns an Arrow table (term, df, varint_bytes, bitpack_bytes, ef_bytes,
     tfs_varint_bytes, tfs_bitpack_bytes) sorted by term.  The SQL oracle
-    recomputes both framings analytically from the dumped pre-shuffle
+    recomputes all three framings analytically from the dumped pre-shuffle
     token table.
 
     At 100 TB the term dictionary is itself large; pass ``out_path`` to
@@ -490,7 +494,10 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
     from ..functions.codec import (
         _varint_nbytes,
         bitpack_nbytes,
+        decode_ef,
         decode_sorted_bitpack,
+        ef_nbytes,
+        encode_ef,
         encode_sorted_bitpack,
     )
     from ..state.segments import SegmentReader
@@ -511,6 +518,7 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
             df = np.empty(len(ts), dtype=np.int64)
             vbytes = np.empty(len(ts), dtype=np.int64)
             bbytes = np.empty(len(ts), dtype=np.int64)
+            ebytes = np.empty(len(ts), dtype=np.int64)
             tvbytes = np.empty(len(ts), dtype=np.int64)
             tbbytes = np.empty(len(ts), dtype=np.int64)
             for i, t in enumerate(ts):
@@ -530,6 +538,12 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
                 ):  # pragma: no cover - codec invariant
                     raise AssertionError(f"bitpack roundtrip failed: {t!r}")
                 bbytes[i] = len(enc)
+                ef = encode_ef(docs)
+                if len(ef) != ef_nbytes(docs) or not np.array_equal(
+                    decode_ef(ef), docs
+                ):  # pragma: no cover - codec invariant
+                    raise AssertionError(f"elias-fano roundtrip failed: {t!r}")
+                ebytes[i] = len(ef)
                 # tfs stream (per-doc summed tf, doc order): no delta —
                 # values are unsorted small ints, both framings direct
                 tfs = pl.tfs.astype(np.uint64)
@@ -541,6 +555,7 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
                     "df": pa.array(df, pa.int64()),
                     "varint_bytes": pa.array(vbytes, pa.int64()),
                     "bitpack_bytes": pa.array(bbytes, pa.int64()),
+                    "ef_bytes": pa.array(ebytes, pa.int64()),
                     "tfs_varint_bytes": pa.array(tvbytes, pa.int64()),
                     "tfs_bitpack_bytes": pa.array(tbbytes, pa.int64()),
                 }
@@ -561,6 +576,7 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
         [pa.Table.from_batches([], schema=pa.schema(
             [("term", pa.string()), ("df", pa.int64()),
              ("varint_bytes", pa.int64()), ("bitpack_bytes", pa.int64()),
+             ("ef_bytes", pa.int64()),
              ("tfs_varint_bytes", pa.int64()),
              ("tfs_bitpack_bytes", pa.int64())]))]
         + list(ray.get(mapped.to_arrow_refs()))

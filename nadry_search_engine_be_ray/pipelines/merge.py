@@ -126,8 +126,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         assert s.get("block_size", 128) == block_size, (
             "block_size mismatch", s.get("block_size"), block_size)
         # the k-way merge concatenates/re-encodes per-value varint streams;
-        # bitpack is the write-once FINAL tier — merge varint indexes, then
-        # rebuild with docs_codec="bitpack" if the block code is wanted
+        # bitpack/ef are write-once FINAL tiers — merge varint indexes, then
+        # rebuild with the whole-stream codec if one is wanted
         assert s.get("docs_codec", "varint") == "varint", (
             "merge_indexes requires varint docs streams; "
             f"got docs_codec={s.get('docs_codec')!r}")

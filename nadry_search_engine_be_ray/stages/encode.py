@@ -324,29 +324,36 @@ def merge_term_rows_interleaved(
 
 def encode_docs_stream(docs: np.ndarray, docs_codec: str) -> bytes:
     """Encode a sorted doc_int stream with the configured FINAL-tier codec
-    (BuildConfig.docs_codec; pre-compaction salt runs are always varint)."""
+    (BuildConfig.docs_codec; pre-compaction salt runs are always varint).
+    The "ef" tier (Elias-Fano, codec.encode_ef) applies to the MONOTONE
+    streams only — docs and pos_offsets; its tfs stream falls back to the
+    FOR block code since tf values are unsorted."""
     if docs_codec == "bitpack":
         return codec.encode_sorted_bitpack(docs.astype(np.uint64))
+    if docs_codec == "ef":
+        return codec.encode_ef(docs.astype(np.uint64))
     return codec.encode_sorted_deltas(docs)
 
 
 def decode_docs_stream(buf: bytes, docs_codec: str) -> np.ndarray:
     if docs_codec == "bitpack":
         return codec.decode_sorted_bitpack(buf)
+    if docs_codec == "ef":
+        return codec.decode_ef(buf)
     return codec.decode_sorted_deltas(buf)
 
 
 def encode_tfs_stream(tfs: np.ndarray, docs_codec: str) -> bytes:
     """tf values are 1-3 bits wide, so the block code cuts this stream
     ~55% vs varint's 1-byte floor (BASELINE.md posting-codec table); no
-    delta — tfs are unsorted."""
-    if docs_codec == "bitpack":
+    delta — tfs are unsorted (so the ef tier also block-packs here)."""
+    if docs_codec in ("bitpack", "ef"):
         return codec.encode_bitpack(tfs.astype(np.uint64))
     return codec.encode_varints(tfs)
 
 
 def decode_tfs_stream(buf: bytes, docs_codec: str) -> np.ndarray:
-    if docs_codec == "bitpack":
+    if docs_codec in ("bitpack", "ef"):
         return codec.decode_bitpack(buf)
     return codec.decode_varints(buf)
 

@@ -120,8 +120,12 @@ class SegmentReader:
         self.block_size = int(self.stats.get("block_size", codec.BLOCK_SIZE))
         # docs/tfs/pos_offsets-stream decoders per the build's final-tier
         # codec (stats.json); the nested positions payload stays varint
-        if self.stats.get("docs_codec", "varint") == "bitpack":
+        _codec_name = self.stats.get("docs_codec", "varint")
+        if _codec_name == "bitpack":
             self._decode_docs = codec.decode_sorted_bitpack
+            self._decode_tfs = codec.decode_bitpack
+        elif _codec_name == "ef":
+            self._decode_docs = codec.decode_ef
             self._decode_tfs = codec.decode_bitpack
         else:
             self._decode_docs = codec.decode_sorted_deltas

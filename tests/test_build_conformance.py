@@ -273,7 +273,7 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
     import numpy as np
 
     from nadry_search_engine_be_ray.functions.codec import (
-        _varint_nbytes, bitpack_nbytes, encode_sorted_bitpack)
+        _varint_nbytes, bitpack_nbytes, ef_nbytes, encode_sorted_bitpack)
     from nadry_search_engine_be_ray.pipelines.build import posting_codec_sizes
     from nadry_search_engine_be_ray.state.segments import SegmentReader
 
@@ -281,10 +281,11 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
     r = SegmentReader(built_index)
     assert out.num_rows == len(list(r.terms()))
     got = {
-        t: (d, v, b, tv, tb)
-        for t, d, v, b, tv, tb in zip(
+        t: (d, v, b, e, tv, tb)
+        for t, d, v, b, e, tv, tb in zip(
             out["term"].to_pylist(), out["df"].to_pylist(),
             out["varint_bytes"].to_pylist(), out["bitpack_bytes"].to_pylist(),
+            out["ef_bytes"].to_pylist(),
             out["tfs_varint_bytes"].to_pylist(),
             out["tfs_bitpack_bytes"].to_pylist())
     }
@@ -296,18 +297,25 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
         hdr = int(_varint_nbytes(np.array([docs.size], dtype=np.uint64))[0])
         exp = (docs.size, hdr + int(_varint_nbytes(gaps).sum()),
                len(encode_sorted_bitpack(docs)),
+               ef_nbytes(docs),
                hdr + int(_varint_nbytes(tfs).sum()),
                bitpack_nbytes(tfs))
         assert got[t] == exp, t
 
 
-def test_bitpack_docs_codec_build_is_query_identical(tiny_corpus_dir,
-                                                     built_index,
-                                                     tmp_path_factory):
-    """A build with docs_codec='bitpack' (the write-once final-tier block
-    code) must serve posting lists IDENTICAL to the default varint build —
-    docs, tfs, weights, block_max and positions all equal per term — and
-    stats.json must record the codec so readers pick the right decoder."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("codec_name", ["bitpack", "ef"])
+def test_whole_stream_docs_codec_build_is_query_identical(tiny_corpus_dir,
+                                                          built_index,
+                                                          tmp_path_factory,
+                                                          codec_name):
+    """A build with a write-once final-tier codec (docs_codec='bitpack' FOR
+    block code, or 'ef' Elias-Fano) must serve posting lists IDENTICAL to
+    the default varint build — docs, tfs, weights, block_max and positions
+    all equal per term — and stats.json must record the codec so readers
+    pick the right decoder."""
     import json
     import os
 
@@ -317,11 +325,11 @@ def test_bitpack_docs_codec_build_is_query_identical(tiny_corpus_dir,
     from nadry_search_engine_be_ray.pipelines.build import build_index
     from nadry_search_engine_be_ray.state.segments import SegmentReader
 
-    idx = str(tmp_path_factory.mktemp("index_bitpack"))
-    cfg = BuildConfig(num_shards=4, salt_bits=1, docs_codec="bitpack")
+    idx = str(tmp_path_factory.mktemp(f"index_{codec_name}"))
+    cfg = BuildConfig(num_shards=4, salt_bits=1, docs_codec=codec_name)
     build_index(tiny_corpus_dir, idx, cfg)
     with open(os.path.join(idx, "stats.json")) as f:
-        assert json.load(f)["docs_codec"] == "bitpack"
+        assert json.load(f)["docs_codec"] == codec_name
 
     a, b = SegmentReader(built_index), SegmentReader(idx)
     terms_a, terms_b = set(a.terms()), set(b.terms())
@@ -336,32 +344,37 @@ def test_bitpack_docs_codec_build_is_query_identical(tiny_corpus_dir,
         assert np.array_equal(pa_.pos_offsets, pb.pos_offsets), t
 
 
-def test_bitpack_docs_codec_requires_compaction(tiny_corpus_dir,
-                                                tmp_path_factory):
+@_pytest.mark.parametrize("codec_name", ["bitpack", "ef"])
+def test_whole_stream_docs_codec_requires_compaction(tiny_corpus_dir,
+                                                     tmp_path_factory,
+                                                     codec_name):
     import pytest
 
     from nadry_search_engine_be_ray.config import BuildConfig
     from nadry_search_engine_be_ray.pipelines.build import build_index
 
     idx = str(tmp_path_factory.mktemp("index_badcfg"))
-    cfg = BuildConfig(num_shards=2, salt_bits=1, docs_codec="bitpack",
+    cfg = BuildConfig(num_shards=2, salt_bits=1, docs_codec=codec_name,
                       compact_segments=False)
     with pytest.raises(ValueError, match="compact_segments"):
         build_index(tiny_corpus_dir, idx, cfg)
 
 
-def test_merge_indexes_refuses_bitpack_sources(tiny_corpus_dir,
-                                               tmp_path_factory):
+@_pytest.mark.parametrize("codec_name", ["bitpack", "ef"])
+def test_merge_indexes_refuses_whole_stream_sources(tiny_corpus_dir,
+                                                    tmp_path_factory,
+                                                    codec_name):
     from nadry_search_engine_be_ray.config import BuildConfig
     from nadry_search_engine_be_ray.pipelines.build import build_index
     from nadry_search_engine_be_ray.pipelines.merge import merge_indexes
 
-    ia = str(tmp_path_factory.mktemp("index_bp_a"))
-    cfg = BuildConfig(num_shards=2, salt_bits=1, docs_codec="bitpack")
+    ia = str(tmp_path_factory.mktemp(f"index_{codec_name}_a"))
+    cfg = BuildConfig(num_shards=2, salt_bits=1, docs_codec=codec_name)
     build_index(tiny_corpus_dir, ia, cfg)
-    out = str(tmp_path_factory.mktemp("index_bp_merged"))
+    out = str(tmp_path_factory.mktemp(f"index_{codec_name}_merged"))
     try:
         merge_indexes([ia, ia], out)
-        raise AssertionError("expected merge_indexes to refuse bitpack")
+        raise AssertionError(
+            f"expected merge_indexes to refuse {codec_name}")
     except AssertionError as e:
         assert "varint" in str(e)

@@ -125,6 +125,60 @@ def test_bitpack_property_roundtrip():
     _prop()
 
 
+def test_ef_roundtrip_boundaries():
+    """Elias-Fano: edge shapes — empty, singletons (incl. 0 and the 63-bit
+    max), duplicates (non-decreasing is allowed), dense 0..n-1 (l = 0) and
+    sparse streams — must round-trip, and the analytic size must equal the
+    encoder's output length in every case."""
+    cases = [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([1 << 62], dtype=np.uint64),
+        np.array([0, 0, 0], dtype=np.uint64),
+        np.array([7, 7, 9, 9, 9, 10], dtype=np.uint64),
+        np.arange(1000, dtype=np.uint64),              # u < n -> l = 0
+        np.arange(1000, dtype=np.uint64) * 100 + 3,
+        np.array([0, (1 << 62) - 1, 1 << 62], dtype=np.uint64),
+    ]
+    for v in cases:
+        enc = codec.encode_ef(v)
+        assert len(enc) == codec.ef_nbytes(v), v[:4]
+        assert np.array_equal(codec.decode_ef(enc), v), v[:4]
+
+
+def test_ef_beats_varint_floor_on_dense_streams():
+    """On a dense sorted id stream EF approaches 2 bits/value while varint
+    pays its 1-byte floor — the reason the write-once tier exists."""
+    rng = np.random.default_rng(5)
+    docs = np.sort(rng.choice(1 << 20, size=200_000, replace=False)
+                   ).astype(np.uint64)
+    ef = len(codec.encode_ef(docs))
+    varint = len(codec.encode_sorted_deltas(docs))
+    assert ef < varint
+    # ~ n*(2 + log2(u/n)) bits: within 20% of the EF bound here
+    import math
+    bound_bits = docs.size * (2 + math.log2(int(docs[-1]) / docs.size))
+    assert ef * 8 < bound_bits * 1.2
+
+
+def test_ef_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1),
+                 min_size=0, max_size=400)
+    )
+    def _prop(xs):
+        v = np.sort(np.array(xs, dtype=np.uint64))
+        enc = codec.encode_ef(v)
+        assert len(enc) == codec.ef_nbytes(v)
+        assert np.array_equal(codec.decode_ef(enc), v)
+
+    _prop()
+
+
 def test_positions_flat_matches_dict_decode():
     """decode_doc_positions_flat must emit exactly the dict API's values,
     grouped by field with (doc, pos) order inside each field block."""
