@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-checked surface; same oracle shape as index_term_df_real)
         "index_df_bitpack": _q_index_df_bitpack,
         "index_df_ef": _q_index_df_ef,
+        "facet_counts": _q_facet_counts,
+        "facet_counts_all": _q_facet_counts_all,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -848,6 +850,60 @@ def _q_proximity_ordered(sf_dir: str):
     _main_dump(sf_dir)
     return proximity_pairs(index_dir, _phrase_terms(), window=3,
                            ordered=True)
+
+
+_FACET_TERMS = ["search", "engin", "index"]  # tokenize("search engine index")
+
+
+def _q_facet_counts(sf_dir: str):
+    """Faceted search (Lucene/Solr facet counts): per facet column (lang,
+    repo), how many docs matching ANY of the query terms carry each value
+    — matched set from the REAL segments, facet scan over the prepped side
+    table; the oracle recomputes the match + counts from the dumped token
+    table joined to the dumped docmeta facet columns."""
+    from nadry_search_engine_be_ray.pipelines.query import facet_counts
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return facet_counts(index_dir, _FACET_TERMS, mode="any")
+
+
+def _q_facet_counts_all(sf_dir: str):
+    """Conjunctive facet counts (docs containing ALL query terms)."""
+    from nadry_search_engine_be_ray.pipelines.query import facet_counts
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return facet_counts(index_dir, _FACET_TERMS, mode="all")
+
+
+def _facet_sql(mode: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _FACET_TERMS)
+    if mode == "all":
+        matched = f"""
+            SELECT doc_int FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+            WHERE term IN ({terms})
+            GROUP BY doc_int HAVING count(DISTINCT term) = {len(_FACET_TERMS)}
+        """
+    else:
+        matched = f"""
+            SELECT DISTINCT doc_int
+            FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+            WHERE term IN ({terms})
+        """
+    return f"""
+        WITH matched AS ({matched}),
+        m AS (SELECT d.repo, d.lang
+              FROM read_parquet('{_MAIN_DUMP_DIR}/docmeta.parquet') d
+              JOIN matched USING (doc_int))
+        SELECT facet, value, n_docs FROM (
+            SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs
+            FROM m GROUP BY lang
+            UNION ALL
+            SELECT 'repo' AS facet, repo AS value, count(*) AS n_docs
+            FROM m GROUP BY repo
+        ) ORDER BY facet, value
+    """
 
 
 def _q_posting_codec_sizes(sf_dir: str):
@@ -3708,6 +3764,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
             f"GROUP BY term ORDER BY term"
         ),
+        # faceted search: matched set (OR / AND over the token table)
+        # joined to the dumped facet columns, counted per value
+        "facet_counts": _facet_sql("any"),
+        "facet_counts_all": _facet_sql("all"),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

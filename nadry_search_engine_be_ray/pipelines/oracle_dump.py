@@ -20,6 +20,7 @@ Tables written to ``dump_dir`` (single parquet file each, overwritten):
 * ``docstats``  (doc_int, total_words)
 * ``pop``       (doc_int, popularity)          — zeros when no pagerank ran
 * ``docmap``    (doc_int, doc_id)              — the API's doc_id hex string
+* ``docmeta``   (doc_int, repo, lang)          — facet columns (faceted search)
 * ``stats``     (n_docs, avgdl)                — the engine's stats.json
 
 A ``_KEY`` file records (index_dir, stats mtime); an up-to-date dump is not
@@ -60,6 +61,7 @@ def dump_index_tables(index_dir: str, dump_dir: str,
     pop_dir = os.path.join(index_dir, "popularity")
     key = json.dumps(
         {
+            "fmt": 2,  # v2: + docmeta.parquet (facet oracle)
             "index_dir": index_dir,
             "stats_mtime": os.path.getmtime(stats_path),
             "pop_mtime": os.path.getmtime(os.path.join(pop_dir, "popularity.parquet"))
@@ -174,6 +176,21 @@ def dump_index_tables(index_dir: str, dump_dir: str,
             }
         ),
         os.path.join(dump_dir, "docmap.parquet"),
+    )
+
+    # docmeta: doc_int -> facet columns (faceted-search oracle)
+    meta = pads.dataset(
+        os.path.join(index_dir, "prepped"), format="parquet"
+    ).to_table(columns=["doc_int", "repo", "lang"])
+    pq.write_table(
+        pa.table(
+            {
+                "doc_int": meta["doc_int"].cast(pa.int64()),
+                "repo": meta["repo"],
+                "lang": meta["lang"],
+            }
+        ),
+        os.path.join(dump_dir, "docmeta.parquet"),
     )
 
     # stats (engine values verbatim, incl. the `or 1.0` avgdl fallback)

@@ -602,3 +602,97 @@ def proximity_pairs(index_dir: str, terms: list[str], window: int,
     )
     return out.sort_by([("term_a", "ascending"), ("term_b", "ascending"),
                         ("doc_int", "ascending")])
+
+
+def facet_counts(index_dir: str, terms: list[str],
+                 facets: tuple[str, ...] = ("lang", "repo"),
+                 *, mode: str = "any", concurrency: int = 2,
+                 max_broadcast_docs: int = 5_000_000):
+    """Faceted search (the Lucene/Solr facet-count feature the reference
+    lacks): per facet column, the number of docs MATCHING the query that
+    carry each value.  ``mode="any"`` matches docs containing any query
+    term (the engine's OR ranking semantics); ``mode="all"`` is the
+    conjunctive filter.
+
+    Distributed shape: the matched doc set is the union/intersection of
+    the query terms' posting doc arrays (sorted-array set ops, bounded by
+    the terms' summed df) and is BROADCAST once via ray.put; the facet
+    scan streams the prepped side table reading ONLY (doc_int, *facets),
+    filters each batch with one searchsorted membership probe, partially
+    counts values per batch (pyarrow value_counts), and the driver
+    combines partials bounded by distinct-facet-value cardinality — never
+    by corpus size.  Above ``max_broadcast_docs`` matched ids the
+    broadcast stops being the right exchange: log and fall through (the
+    100 TB path would swap in the m-bit bloom prefilter + exact verify of
+    stages/bloom.py, same contract as bloom_semi_join).
+
+    Returns an Arrow table (facet, value, n_docs) sorted by (facet,
+    value).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    out_schema = pa.schema(
+        [("facet", pa.string()), ("value", pa.string()),
+         ("n_docs", pa.int64())]
+    )
+    reader = SegmentReader(index_dir)
+    doc_sets = []
+    for t in sorted(set(terms)):
+        pl = reader.postings(t)
+        doc_sets.append(pl.docs if pl is not None
+                        else np.empty(0, dtype=np.int64))
+    if not doc_sets:
+        return out_schema.empty_table()
+    matched = doc_sets[0]
+    for d in doc_sets[1:]:
+        matched = (np.intersect1d(matched, d) if mode == "all"
+                   else np.union1d(matched, d))
+    if matched.size == 0:
+        return out_schema.empty_table()
+    if matched.size > max_broadcast_docs:  # pragma: no cover - scale knob
+        print(f"facet_counts: matched set {matched.size} exceeds broadcast "
+              f"bound {max_broadcast_docs}; switch to the bloom-prefilter "
+              "exchange (stages/bloom.py) at this scale")
+    matched_ref = ray.put(np.ascontiguousarray(matched, dtype=np.int64))
+
+    prepped = os.path.join(index_dir, "prepped")
+    fac_list = list(facets)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = ray.get(matched_ref)
+        di = batch["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ids, di)
+        idx[idx == ids.size] = 0
+        keep = ids[idx] == di if ids.size else np.zeros(di.size, bool)
+        sel = batch.filter(pa.array(keep))
+        fs, vs, ns = [], [], []
+        for fac in fac_list:
+            vc = pc.value_counts(sel[fac])
+            vals = vc.field("values").to_pylist()
+            cnts = vc.field("counts").to_pylist()
+            fs.extend([fac] * len(vals))
+            vs.extend(vals)
+            ns.extend(cnts)
+        return pa.table(
+            {"facet": pa.array(fs, pa.string()),
+             "value": pa.array(vs, pa.string()),
+             "n_docs": pa.array(ns, pa.int64())},
+            schema=out_schema,
+        )
+
+    partials = (
+        ray.data.read_parquet(prepped, columns=["doc_int"] + fac_list)
+        .map_batches(_partial, batch_format="pyarrow",
+                     concurrency=concurrency)
+    )
+    combined = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(partials.to_arrow_refs()))
+    )
+    out = combined.group_by(["facet", "value"]).aggregate([("n_docs", "sum")])
+    out = out.rename_columns(
+        ["n_docs" if c == "n_docs_sum" else c for c in out.column_names]
+    )
+    return out.sort_by([("facet", "ascending"), ("value", "ascending")])

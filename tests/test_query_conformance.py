@@ -230,3 +230,62 @@ def test_proximity_out_path_streams_same_rows(built_index, tmp_path):
         [("term_a", "ascending"), ("term_b", "ascending"),
          ("doc_int", "ascending")])
     assert streamed.equals(direct)
+
+
+def test_facet_counts_matches_bruteforce(built_index):
+    """facet_counts (any + all modes) must equal a brute recompute from the
+    decoded posting lists joined to the prepped facet columns."""
+    import os
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.query import facet_counts
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(built_index)
+    terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:3]
+    meta = pads.dataset(
+        os.path.join(built_index, "prepped"), format="parquet"
+    ).to_table(columns=["doc_int", "repo", "lang"])
+    di = meta["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+    by_doc = {
+        int(d): (rp, lg)
+        for d, rp, lg in zip(di, meta["repo"].to_pylist(),
+                             meta["lang"].to_pylist())
+    }
+
+    for mode in ("any", "all"):
+        sets = [set(r.postings(t).docs.tolist()) for t in terms]
+        matched = (set.intersection(*sets) if mode == "all"
+                   else set.union(*sets))
+        exp: Counter = Counter()
+        for d in matched:
+            rp, lg = by_doc[int(d)]
+            exp[("repo", rp)] += 1
+            exp[("lang", lg)] += 1
+        out = facet_counts(built_index, terms, mode=mode)
+        got = {
+            (f, v): n
+            for f, v, n in zip(out["facet"].to_pylist(),
+                               out["value"].to_pylist(),
+                               out["n_docs"].to_pylist())
+        }
+        assert got == dict(exp), mode
+        assert matched, "head terms should match at least one doc"
+
+
+def test_facet_counts_edges(built_index):
+    from nadry_search_engine_be_ray.pipelines.query import facet_counts
+
+    assert facet_counts(built_index, []).num_rows == 0
+    assert facet_counts(built_index, ["zzzznope"]).num_rows == 0
+    # unknown + known term: any-mode ignores the miss, all-mode empties
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+    r = SegmentReader(built_index)
+    head = max(r.terms(), key=lambda t: r.postings(t).df)
+    any_out = facet_counts(built_index, [head, "zzzznope"], mode="any")
+    assert any_out.num_rows > 0
+    all_out = facet_counts(built_index, [head, "zzzznope"], mode="all")
+    assert all_out.num_rows == 0

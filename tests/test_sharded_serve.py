@@ -49,17 +49,20 @@ def test_sharded_missing_terms(engines):
     assert out["total_results"] == 0
 
 
-def test_bitpack_index_serves_identically(ray_session, tiny_corpus_dir,
-                                          built_index, tmp_path_factory):
-    """End-to-end serving over the bitpack segment tier: every reference
-    query must return results identical to the varint index — both through
-    the local engine and the scatter/gather sharded path."""
+@pytest.mark.parametrize("codec_name", ["bitpack", "ef"])
+def test_whole_stream_index_serves_identically(ray_session, tiny_corpus_dir,
+                                               built_index, tmp_path_factory,
+                                               codec_name):
+    """End-to-end serving over a write-once segment tier (bitpack FOR
+    blocks / Elias-Fano): every reference query must return results
+    identical to the varint index — both through the local engine and the
+    scatter/gather sharded path."""
     from nadry_search_engine_be_ray.config import BuildConfig
     from nadry_search_engine_be_ray.pipelines.build import build_index
 
-    idx = str(tmp_path_factory.mktemp("index_bp_serve"))
+    idx = str(tmp_path_factory.mktemp(f"index_{codec_name}_serve"))
     build_index(tiny_corpus_dir, idx,
-                BuildConfig(num_shards=4, salt_bits=1, docs_codec="bitpack"))
+                BuildConfig(num_shards=4, salt_bits=1, docs_codec=codec_name))
     local_v = SearchEngine(built_index)
     local_b = SearchEngine(idx)
     sharded_b = ShardedSearchEngine(idx)
