@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_df_ef": _q_index_df_ef,
         "facet_counts": _q_facet_counts,
         "facet_counts_all": _q_facet_counts_all,
+        "spell_correct": _q_spell_correct,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -903,6 +904,49 @@ def _facet_sql(mode: str) -> str:
             SELECT 'repo' AS facet, repo AS value, count(*) AS n_docs
             FROM m GROUP BY repo
         ) ORDER BY facet, value
+    """
+
+
+# mix of exact dictionary hits and 1-2-edit typos of corpus vocabulary
+_SPELL_WORDS = ["serch", "engin", "documnt", "indx", "crwl", "tokken",
+                "merg", "qery"]
+
+
+def _q_spell_correct(sf_dir: str):
+    """Query spell correction ("did you mean"): per query word, the
+    highest-df dictionary term within 2 edits (distance asc, df desc,
+    term asc tiebreak) — dictionary streamed from the segment parquet
+    (term, df columns only), vectorized byte-level Wagner-Fischer DP; the
+    oracle recomputes with DuckDB's (byte-based) levenshtein() over the
+    dumped token table's term dictionary."""
+    from nadry_search_engine_be_ray.pipelines.query import spell_correct
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return spell_correct(index_dir, _SPELL_WORDS, max_distance=2)
+
+
+def _spell_sql() -> str:
+    vals = ", ".join(f"('{w}')" for w in sorted(set(_SPELL_WORDS)))
+    return f"""
+        WITH dict AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+            GROUP BY term
+        ),
+        q(query) AS (VALUES {vals}),
+        c AS (
+            SELECT q.query, d.term, d.df,
+                   levenshtein(q.query, d.term) AS distance
+            FROM q CROSS JOIN dict d
+            WHERE levenshtein(q.query, d.term) <= 2
+        )
+        SELECT query, term AS suggestion, distance, df
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query
+                  ORDER BY distance, df DESC, term) AS rn
+              FROM c)
+        WHERE rn = 1 ORDER BY query
     """
 
 
@@ -3768,6 +3812,7 @@ def oracle_sql() -> dict[str, str]:
         # joined to the dumped facet columns, counted per value
         "facet_counts": _facet_sql("any"),
         "facet_counts_all": _facet_sql("all"),
+        "spell_correct": _spell_sql(),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

@@ -696,3 +696,146 @@ def facet_counts(index_dir: str, terms: list[str],
         ["n_docs" if c == "n_docs_sum" else c for c in out.column_names]
     )
     return out.sort_by([("facet", "ascending"), ("value", "ascending")])
+
+
+def _levenshtein_vec(word: bytes, cand_mat: np.ndarray,
+                     cand_lens: np.ndarray) -> np.ndarray:
+    """Edit distance from ``word`` to each padded-byte row of ``cand_mat``
+    (m x L uint8, padded with 0), vectorized across the candidate axis:
+    the Wagner-Fischer DP runs its short loops over len(word) x L (both
+    bounded by the tokenizer's term-length cap) with every cell update an
+    m-wide numpy op.  Operates on UTF-8 BYTES (insert/delete/substitute
+    = 1, no transposition) — exactly DuckDB's ``levenshtein()``, which is
+    byte-based (levenshtein('café','cafe') = 2 there), so the SQL oracle
+    reproduces the operator bit-for-bit on non-ASCII terms too."""
+    m, L = cand_mat.shape
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (m, 1))
+    for i, ch in enumerate(word, start=1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (cand_mat != np.uint8(ch))
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub[:, j - 1]
+            )
+        prev = cur
+    return prev[np.arange(m), cand_lens]
+
+
+def spell_correct(index_dir: str, words: list[str], *,
+                  max_distance: int = 2, concurrency: int = 2):
+    """Query spell correction ("did you mean"): for each normalized query
+    word, the dictionary term within ``max_distance`` edits that has the
+    highest document frequency (ties: smaller distance first, then
+    lexicographic term) — the classic df-weighted edit-distance suggester
+    (Manning/Raghavan/Schütze IR ch.3); the reference's suggestion store
+    (SearchController.java:142-170) only replays past queries, it cannot
+    propose corrections.
+
+    Distributed shape: the term DICTIONARY is the big side — streamed
+    straight from the segment parquet reading ONLY (term, df) columns
+    (never the posting payloads); the query words (small) ride the closure.
+    Each batch length-filters candidates per word (|len(t) - len(w)| <=
+    max_distance bounds the distance from below), runs the m-wide
+    vectorized DP, and — on the compacted tier — emits at most one best
+    candidate per (word, batch), so the driver combine is bounded by
+    batches x words.  Uncompacted indexes emit every in-range candidate
+    with its per-salt partial df; the combine sums df per (word, term)
+    before ranking so both tiers answer identically.
+
+    Returns an Arrow table (query, suggestion, distance, df) sorted by
+    query — one row per word that has a candidate.
+    """
+    import os
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    out_schema = pa.schema(
+        [("query", pa.string()), ("suggestion", pa.string()),
+         ("distance", pa.int64()), ("df", pa.int64())]
+    )
+    qs = sorted(set(words))
+    if not qs:
+        return out_schema.empty_table()
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        tbytes = [t.encode("utf-8") for t in terms]
+        dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(b) for b in tbytes], dtype=np.int64)
+        rq, rs, rd, rf = [], [], [], []
+        for w in qs:
+            wb = w.encode("utf-8")
+            sel = np.flatnonzero(np.abs(lens - len(wb)) <= max_distance)
+            if sel.size == 0:
+                continue
+            cand = [terms[i] for i in sel.tolist()]
+            cb = [tbytes[i] for i in sel.tolist()]
+            L = max(len(b) for b in cb)
+            mat = np.zeros((len(cb), L), dtype=np.uint8)
+            for r, b in enumerate(cb):
+                mat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            dist = _levenshtein_vec(wb, mat, lens[sel])
+            ok = np.flatnonzero(dist <= max_distance)
+            if ok.size == 0:
+                continue
+            # compacted: one (term -> total df) row per term exists, so the
+            # local best per word is safe — one row per (word, batch).
+            # uncompacted: a term's df is SPLIT across salt rows that may
+            # land in different batches, so every in-range candidate must
+            # reach the driver for the df sum before ranking.
+            order = sorted(
+                ok.tolist(),
+                key=lambda i: (int(dist[i]), -int(dfs[sel[i]]), cand[i]),
+            )
+            for i in (order[:1] if compacted else order):
+                rq.append(w)
+                rs.append(cand[i])
+                rd.append(int(dist[i]))
+                rf.append(int(dfs[sel[i]]))
+        return pa.table(
+            {"query": pa.array(rq, pa.string()),
+             "suggestion": pa.array(rs, pa.string()),
+             "distance": pa.array(rd, pa.int64()),
+             "df": pa.array(rf, pa.int64())},
+            schema=out_schema,
+        )
+
+    parts = (
+        ray.data.read_parquet(seg_root, columns=["term", "df"])
+        .map_batches(_candidates, batch_format="pyarrow",
+                     concurrency=concurrency)
+    )
+    combined = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(parts.to_arrow_refs()))
+    )
+    if combined.num_rows == 0:
+        return combined
+    # uncompacted tiers: same term appears once per salt run — sum df
+    merged = combined.group_by(
+        ["query", "suggestion", "distance"]
+    ).aggregate([("df", "sum")])
+    best: dict[str, tuple] = {}
+    for q, s, d, f in zip(merged["query"].to_pylist(),
+                          merged["suggestion"].to_pylist(),
+                          merged["distance"].to_pylist(),
+                          merged["df_sum"].to_pylist()):
+        key = (int(d), -int(f), s)
+        if q not in best or key < best[q][0]:
+            best[q] = (key, s, int(d), int(f))
+    rows = sorted(best.items())
+    return pa.table(
+        {"query": pa.array([q for q, _ in rows], pa.string()),
+         "suggestion": pa.array([v[1] for _, v in rows], pa.string()),
+         "distance": pa.array([v[2] for _, v in rows], pa.int64()),
+         "df": pa.array([v[3] for _, v in rows], pa.int64())},
+        schema=out_schema,
+    )

@@ -289,3 +289,58 @@ def test_facet_counts_edges(built_index):
     assert any_out.num_rows > 0
     all_out = facet_counts(built_index, [head, "zzzznope"], mode="all")
     assert all_out.num_rows == 0
+
+
+def test_spell_correct_matches_bruteforce_and_tiers(built_index,
+                                                    tiny_corpus_dir,
+                                                    tmp_path_factory):
+    """spell_correct's vectorized byte-DP + distributed combine must equal
+    a brute per-pair recompute, and the uncompacted tier (per-salt df rows
+    summed at the combine) must answer identically to the compacted one."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.pipelines.query import spell_correct
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    def lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["serch", "documnt", "nosuchwordatall", "engin"]
+    out = spell_correct(built_index, words, max_distance=2)
+    got = {
+        q: (s, d, f)
+        for q, s, d, f in zip(out["query"].to_pylist(),
+                              out["suggestion"].to_pylist(),
+                              out["distance"].to_pylist(),
+                              out["df"].to_pylist())
+    }
+
+    r = SegmentReader(built_index)
+    exp = {}
+    for w in words:
+        wb = w.encode()
+        best = None
+        for t in r.terms():
+            d = lev(wb, t.encode())
+            if d <= 2:
+                key = (d, -r.postings(t).df, t)
+                if best is None or key < best[0]:
+                    best = (key, t, d, r.postings(t).df)
+        if best is not None:
+            exp[w] = (best[1], best[2], best[3])
+    assert got == exp
+    assert "nosuchwordatall" not in got and "serch" in got
+
+    idx_u = str(tmp_path_factory.mktemp("index_uncompacted_spell"))
+    build_index(tiny_corpus_dir, idx_u,
+                BuildConfig(num_shards=2, salt_bits=2,
+                            compact_segments=False))
+    out_u = spell_correct(idx_u, words, max_distance=2)
+    assert out_u.to_pylist() == out.to_pylist()
