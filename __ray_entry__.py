@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "facet_counts_all": _q_facet_counts_all,
         "spell_correct": _q_spell_correct,
+        "prefix_suggest": _q_prefix_suggest,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -947,6 +948,41 @@ def _spell_sql() -> str:
                   ORDER BY distance, df DESC, term) AS rn
               FROM c)
         WHERE rn = 1 ORDER BY query
+    """
+
+
+_PREFIXES = ["se", "ind", "tok", "qu", "zzqx"]
+
+
+def _q_prefix_suggest(sf_dir: str):
+    """Autocomplete: per prefix, top-5 dictionary terms by df (df desc,
+    term asc) — dictionary streamed from the segment parquet; the oracle
+    recomputes with LIKE + row_number over the dumped token table."""
+    from nadry_search_engine_be_ray.pipelines.query import prefix_suggest
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return prefix_suggest(index_dir, _PREFIXES, k=5)
+
+
+def _prefix_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(set(_PREFIXES)))
+    return f"""
+        WITH dict AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+            GROUP BY term
+        ),
+        p(prefix) AS (VALUES {vals}),
+        c AS (
+            SELECT p.prefix, d.term, d.df
+            FROM p JOIN dict d ON d.term LIKE p.prefix || '%'
+        )
+        SELECT prefix, term, df, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY prefix ORDER BY df DESC, term) AS rank
+            FROM c)
+        WHERE rank <= 5 ORDER BY prefix, rank
     """
 
 
@@ -3813,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": _facet_sql("any"),
         "facet_counts_all": _facet_sql("all"),
         "spell_correct": _spell_sql(),
+        "prefix_suggest": _prefix_sql(),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

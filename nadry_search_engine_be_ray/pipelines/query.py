@@ -839,3 +839,90 @@ def spell_correct(index_dir: str, words: list[str], *,
          "df": pa.array([v[3] for _, v in rows], pa.int64())},
         schema=out_schema,
     )
+
+
+def prefix_suggest(index_dir: str, prefixes: list[str], *, k: int = 5,
+                   concurrency: int = 2):
+    """Autocomplete: per prefix, the top-k dictionary terms by document
+    frequency (df desc, term asc tiebreak) — the query-box suggester the
+    reference backs with a replayed-query store (SearchController.java:
+    142-170); this one works from the index itself so it can complete
+    anything the corpus contains.
+
+    Same distributed shape as :func:`spell_correct`: the (term, df)
+    dictionary columns stream from the segment parquet, each batch keeps
+    its local top-k per prefix (uncompacted tiers emit every per-salt row
+    for matched terms instead, see spell_correct's df-split note), and
+    the driver merges bounded partials.
+
+    Returns an Arrow table (prefix, term, df, rank) sorted by
+    (prefix, rank).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    out_schema = pa.schema(
+        [("prefix", pa.string()), ("term", pa.string()),
+         ("df", pa.int64()), ("rank", pa.int64())]
+    )
+    ps = sorted(set(prefixes))
+    if not ps or k <= 0:
+        return out_schema.empty_table()
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+    part_schema = pa.schema(
+        [("prefix", pa.string()), ("term", pa.string()), ("df", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_pylist()
+        rp, rt, rf = [], [], []
+        for p in ps:
+            hits = [(t, int(d)) for t, d in zip(terms, dfs)
+                    if t.startswith(p)]
+            hits.sort(key=lambda x: (-x[1], x[0]))
+            for t, d in (hits[:k] if compacted else hits):
+                rp.append(p)
+                rt.append(t)
+                rf.append(d)
+        return pa.table(
+            {"prefix": pa.array(rp, pa.string()),
+             "term": pa.array(rt, pa.string()),
+             "df": pa.array(rf, pa.int64())},
+            schema=part_schema,
+        )
+
+    parts = (
+        ray.data.read_parquet(seg_root, columns=["term", "df"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     concurrency=concurrency)
+    )
+    combined = pa.concat_tables(
+        [part_schema.empty_table()] + list(ray.get(parts.to_arrow_refs()))
+    )
+    merged = combined.group_by(["prefix", "term"]).aggregate([("df", "sum")])
+    by_prefix: dict[str, list] = {}
+    for p, t, d in zip(merged["prefix"].to_pylist(),
+                       merged["term"].to_pylist(),
+                       merged["df_sum"].to_pylist()):
+        by_prefix.setdefault(p, []).append((-int(d), t))
+    rp, rt, rf, rr = [], [], [], []
+    for p in sorted(by_prefix):
+        for rank, (nd, t) in enumerate(sorted(by_prefix[p])[:k], start=1):
+            rp.append(p)
+            rt.append(t)
+            rf.append(-nd)
+            rr.append(rank)
+    return pa.table(
+        {"prefix": pa.array(rp, pa.string()),
+         "term": pa.array(rt, pa.string()),
+         "df": pa.array(rf, pa.int64()),
+         "rank": pa.array(rr, pa.int64())},
+        schema=out_schema,
+    )

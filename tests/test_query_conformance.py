@@ -344,3 +344,36 @@ def test_spell_correct_matches_bruteforce_and_tiers(built_index,
                             compact_segments=False))
     out_u = spell_correct(idx_u, words, max_distance=2)
     assert out_u.to_pylist() == out.to_pylist()
+
+
+def test_prefix_suggest_matches_bruteforce_and_tiers(built_index,
+                                                     tiny_corpus_dir,
+                                                     tmp_path_factory):
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.pipelines.query import prefix_suggest
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    prefixes = ["se", "i", "zzqx"]
+    out = prefix_suggest(built_index, prefixes, k=3)
+    got = list(zip(out["prefix"].to_pylist(), out["term"].to_pylist(),
+                   out["df"].to_pylist(), out["rank"].to_pylist()))
+
+    r = SegmentReader(built_index)
+    exp = []
+    for p in sorted(set(prefixes)):
+        hits = sorted(
+            ((t, r.postings(t).df) for t in r.terms() if t.startswith(p)),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        exp.extend((p, t, d, i + 1) for i, (t, d) in enumerate(hits))
+    assert got == exp
+    assert any(p == "se" for p, *_ in got)
+    assert not any(p == "zzqx" for p, *_ in got)
+
+    idx_u = str(tmp_path_factory.mktemp("index_uncompacted_prefix"))
+    build_index(tiny_corpus_dir, idx_u,
+                BuildConfig(num_shards=2, salt_bits=2,
+                            compact_segments=False))
+    out_u = prefix_suggest(idx_u, prefixes, k=3)
+    assert out_u.to_pylist() == out.to_pylist()
