@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # posting-codec size comparison (varint delta-gap vs FOR bit
         # packing); the oracle recomputes BOTH framings analytically
         "posting_codec_sizes": _q_posting_codec_sizes,
+        "posting_codec_sizes_dense": _q_posting_codec_sizes_dense,
         # df read back from a bitpack-tier build (decode path on the
         # driver-checked surface; same oracle shape as index_term_df_real)
         "index_df_bitpack": _q_index_df_bitpack,
@@ -986,18 +987,123 @@ def _prefix_sql() -> str:
     """
 
 
+def _codec_sizes_sql(dense: bool) -> str:
+    """Analytic three-codec size arithmetic over the dumped token table;
+    ``dense`` first remaps doc keys to their rank in the doc universe
+    (row_number over the dumped docstats key column) — the docid-
+    reassignment experiment.  varint bytes = ceil(bit_length/7) per
+    delta-gap (min 1); bitpack = varint(n) header + 1 width byte per
+    128-value block + ceil(cnt*max_bits/8) per block; Elias-Fano =
+    varint(n) + varint(u) + ceil(n*l/8) + ceil((n + (u >> l) + 1)/8)
+    with l = bit_length(u // n) - 1 (integer division; 0 when u < n).
+    bin(x) has no leading zeros in DuckDB, so length(bin(g)) IS
+    bit_length(g) for g > 0; the first gap is the absolute first doc key
+    (may be 0 -> width 0, varint 1 byte)."""
+    if dense:
+        src = f"""
+            SELECT t.term, m.did AS doc_int, t.tf
+            FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') t
+            JOIN (SELECT doc_int,
+                         row_number() OVER (ORDER BY doc_int) - 1 AS did
+                  FROM read_parquet('{_MAIN_DUMP_DIR}/docstats.parquet')) m
+            USING (doc_int)
+        """
+    else:
+        src = f"""
+            SELECT term, doc_int, tf
+            FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+        """
+    return f"""
+        WITH src AS ({src}),
+        d AS (
+            SELECT term, doc_int, tf,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY doc_int) - 1 AS rn,
+                   doc_int - coalesce(lag(doc_int) OVER (
+                       PARTITION BY term ORDER BY doc_int), 0) AS gap
+            FROM src
+        ),
+        g AS (
+            SELECT term, rn // 128 AS blk,
+                   CASE WHEN gap = 0 THEN 0
+                        ELSE length(bin(gap)) END AS bl,
+                   length(bin(tf)) AS tf_bl
+            FROM d
+        ),
+        blocks AS (
+            SELECT term, blk, count(*) AS cnt,
+                   max(bl) AS bits,
+                   sum(CASE WHEN bl = 0 THEN 1
+                            ELSE (bl + 6) // 7 END) AS vbytes,
+                   max(tf_bl) AS tf_bits,
+                   sum((tf_bl + 6) // 7) AS tf_vbytes
+            FROM g GROUP BY term, blk
+        ),
+        per_term AS (
+            SELECT term, sum(cnt) AS df, count(*) AS nblocks,
+                   sum(vbytes) AS v_payload,
+                   sum((cnt * bits + 7) // 8) AS b_payload,
+                   sum(tf_vbytes) AS tf_v_payload,
+                   sum((cnt * tf_bits + 7) // 8) AS tf_b_payload
+            FROM blocks GROUP BY term
+        ),
+        ef AS (
+            SELECT term, max(doc_int) AS u FROM src GROUP BY term
+        ),
+        ef2 AS (
+            SELECT p.term, p.df, p.nblocks, p.v_payload, p.b_payload,
+                   p.tf_v_payload, p.tf_b_payload, e.u,
+                   CASE WHEN e.u >= p.df
+                        THEN length(bin(e.u // p.df)) - 1
+                        ELSE 0 END AS l
+            FROM per_term p JOIN ef e USING (term)
+        )
+        SELECT term, CAST(df AS BIGINT) AS df,
+               CAST(hdr + v_payload AS BIGINT) AS varint_bytes,
+               CAST(hdr + nblocks + b_payload AS BIGINT)
+                   AS bitpack_bytes,
+               CAST(hdr
+                    + (CASE WHEN u = 0 THEN 1
+                            ELSE (length(bin(u)) + 6) // 7 END)
+                    + (df * l + 7) // 8
+                    + ((df + (u >> l) + 1) + 7) // 8
+                    AS BIGINT) AS ef_bytes,
+               CAST(hdr + tf_v_payload AS BIGINT) AS tfs_varint_bytes,
+               CAST(hdr + nblocks + tf_b_payload AS BIGINT)
+                   AS tfs_bitpack_bytes
+        FROM (SELECT *,
+                     (length(bin(CAST(df AS BIGINT))) + 6) // 7 AS hdr
+              FROM ef2)
+        ORDER BY term
+    """
+
+
 def _q_posting_codec_sizes(sf_dir: str):
     """Docs-stream bytes per term under varint delta-gap vs FOR bit packing
-    (functions/codec.py encode_bitpack), computed from the DECODED segments
-    by an actor-pool map_batches; the SQL oracle recomputes both framings
-    analytically (bin()-length bit widths, 128-value blocks) from the dumped
-    pre-shuffle token table, so the compare covers shuffle + encode + merge
-    + read + both codecs' size arithmetic."""
+    vs Elias-Fano (functions/codec.py), computed from the DECODED segments
+    by an actor-pool map_batches; the SQL oracle recomputes all framings
+    analytically (bin()-length bit widths, 128-value blocks, EF's
+    integer-division lower width) from the dumped pre-shuffle token table,
+    so the compare covers shuffle + encode + merge + read + the codecs'
+    size arithmetic."""
     from nadry_search_engine_be_ray.pipelines.build import posting_codec_sizes
 
     _, index_dir = _built_index(sf_dir)
     _main_dump(sf_dir)
     return posting_codec_sizes(index_dir)
+
+
+def _q_posting_codec_sizes_dense(sf_dir: str):
+    """The docid-reassignment experiment: same three framings AFTER
+    remapping the sparse 60-bit doc keys to their dense rank in the doc
+    universe — the regime where Elias-Fano approaches its bits/doc bound
+    and overtakes FOR bitpack; the oracle reproduces the remap with
+    row_number() over the dumped docstats key column."""
+    from nadry_search_engine_be_ray.pipelines.build import posting_codec_sizes
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return posting_codec_sizes(index_dir, dense_remap=True)
 
 
 def _q_search_reference(sf_dir: str):
@@ -3883,74 +3989,8 @@ def oracle_sql() -> dict[str, str]:
         # bin(x) has no leading zeros in DuckDB, so length(bin(g)) IS
         # bit_length(g) for g>0; the first gap is the absolute first doc_int
         # (may be 0 -> width 0, varint 1 byte).
-        "posting_codec_sizes": f"""
-            WITH d AS (
-                SELECT term, doc_int, tf,
-                       row_number() OVER (PARTITION BY term
-                                          ORDER BY doc_int) - 1 AS rn,
-                       doc_int - coalesce(lag(doc_int) OVER (
-                           PARTITION BY term ORDER BY doc_int), 0) AS gap
-                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
-            ),
-            g AS (
-                SELECT term, rn // 128 AS blk,
-                       CASE WHEN gap = 0 THEN 0
-                            ELSE length(bin(gap)) END AS bl,
-                       length(bin(tf)) AS tf_bl
-                FROM d
-            ),
-            blocks AS (
-                SELECT term, blk, count(*) AS cnt,
-                       max(bl) AS bits,
-                       sum(CASE WHEN bl = 0 THEN 1
-                                ELSE (bl + 6) // 7 END) AS vbytes,
-                       max(tf_bl) AS tf_bits,
-                       sum((tf_bl + 6) // 7) AS tf_vbytes
-                FROM g GROUP BY term, blk
-            ),
-            per_term AS (
-                SELECT term, sum(cnt) AS df, count(*) AS nblocks,
-                       sum(vbytes) AS v_payload,
-                       sum((cnt * bits + 7) // 8) AS b_payload,
-                       sum(tf_vbytes) AS tf_v_payload,
-                       sum((cnt * tf_bits + 7) // 8) AS tf_b_payload
-                FROM blocks GROUP BY term
-            ),
-            -- Elias-Fano arithmetic (functions/codec.py format note):
-            -- l = bit_length(u // n) - 1 (integer division; 0 when u < n),
-            -- bytes = varint(n) + varint(u) + ceil(n*l/8)
-            --         + ceil((n + (u >> l) + 1)/8)
-            ef AS (
-                SELECT term, max(doc_int) AS u
-                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
-                GROUP BY term
-            ),
-            ef2 AS (
-                SELECT p.term, p.df, p.nblocks, p.v_payload, p.b_payload,
-                       p.tf_v_payload, p.tf_b_payload, e.u,
-                       CASE WHEN e.u >= p.df
-                            THEN length(bin(e.u // p.df)) - 1
-                            ELSE 0 END AS l
-                FROM per_term p JOIN ef e USING (term)
-            )
-            SELECT term, CAST(df AS BIGINT) AS df,
-                   CAST(hdr + v_payload AS BIGINT) AS varint_bytes,
-                   CAST(hdr + nblocks + b_payload AS BIGINT)
-                       AS bitpack_bytes,
-                   CAST(hdr
-                        + (CASE WHEN u = 0 THEN 1
-                                ELSE (length(bin(u)) + 6) // 7 END)
-                        + (df * l + 7) // 8
-                        + ((df + (u >> l) + 1) + 7) // 8
-                        AS BIGINT) AS ef_bytes,
-                   CAST(hdr + tf_v_payload AS BIGINT) AS tfs_varint_bytes,
-                   CAST(hdr + nblocks + tf_b_payload AS BIGINT)
-                       AS tfs_bitpack_bytes
-            FROM (SELECT *,
-                         (length(bin(CAST(df AS BIGINT))) + 6) // 7 AS hdr
-                  FROM ef2)
-            ORDER BY term
-        """,
+        "posting_codec_sizes": _codec_sizes_sql(dense=False),
+        "posting_codec_sizes_dense": _codec_sizes_sql(dense=True),
         "search_reference": _search_reference_sql(),
         "search_bm25_wand": _search_bm25_sql(),
         "index_merge": _INDEX_MERGE_SQL,

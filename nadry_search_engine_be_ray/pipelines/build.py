@@ -463,7 +463,8 @@ def build_index(
 
 
 def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
-                        batch_size: int = 512, out_path: str | None = None):
+                        batch_size: int = 512, out_path: str | None = None,
+                        dense_remap: bool = False):
     """Per-term docs-stream size under the three posting codecs — the varint
     delta-gap stream the segments actually store, the frame-of-reference
     bit-packed alternative (``functions/codec.py`` encode_bitpack; see that
@@ -488,6 +489,15 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
     At 100 TB the term dictionary is itself large; pass ``out_path`` to
     stream the per-term rows to partitioned parquet instead of
     materializing the table on the driver (returns None in that mode).
+
+    ``dense_remap=True`` measures the DOCID-REASSIGNMENT experiment: doc
+    keys are first mapped to their dense rank in the doc universe (the
+    classic index-compression move — our doc_ints are sparse 60-bit hash
+    keys, where FOR bitpack beats EF; after remapping to dense ints the
+    gap distribution tightens and Elias-Fano approaches its 2 + log2(u/n)
+    bits/doc bound).  The rank array is the doc_stats key column, loaded
+    once per actor; at cluster scale it is the same broadcast the scorer
+    actors already hold (DocStore).
     """
     import ray.data
 
@@ -512,6 +522,18 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
     class _CodecSizes:
         def __init__(self):
             self.reader = SegmentReader(index_dir)
+            self.universe = None
+            if dense_remap:
+                import os
+
+                import pyarrow.dataset as pads
+
+                di = pads.dataset(
+                    os.path.join(index_dir, "doc_stats"), format="parquet"
+                ).to_table(columns=["doc_int"])["doc_int"]
+                self.universe = np.sort(
+                    di.to_numpy(zero_copy_only=False).astype(np.int64)
+                )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ts = batch["term"].to_pylist()
@@ -523,7 +545,13 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
             tbbytes = np.empty(len(ts), dtype=np.int64)
             for i, t in enumerate(ts):
                 pl = self.reader.postings(t)
-                docs = pl.docs.astype(np.uint64)
+                docs = pl.docs
+                if self.universe is not None:
+                    # dense rank (sorted input -> sorted, strictly
+                    # increasing output; every posting doc exists in the
+                    # doc universe by construction)
+                    docs = np.searchsorted(self.universe, docs)
+                docs = docs.astype(np.uint64)
                 gaps = np.empty_like(docs)
                 if docs.size:
                     gaps[0] = docs[0]

@@ -302,6 +302,36 @@ def test_posting_codec_sizes_matches_local_recompute(built_index):
                bitpack_nbytes(tfs))
         assert got[t] == exp, t
 
+    # dense_remap: docs first mapped to their rank in the doc universe —
+    # recompute the rank locally and check one term's whole row
+    import os
+
+    import pyarrow.dataset as pads
+
+    dense = posting_codec_sizes(built_index, concurrency=2, batch_size=64,
+                                dense_remap=True)
+    assert dense.num_rows == out.num_rows
+    universe = np.sort(pads.dataset(
+        os.path.join(built_index, "doc_stats"), format="parquet"
+    ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    got_d = {
+        t: (v, e) for t, v, e in zip(dense["term"].to_pylist(),
+                                     dense["varint_bytes"].to_pylist(),
+                                     dense["ef_bytes"].to_pylist())
+    }
+    for t in list(r.terms())[:20]:
+        docs = np.searchsorted(
+            universe, r.postings(t).docs).astype(np.uint64)
+        gaps = np.diff(docs, prepend=np.uint64(0)).astype(np.uint64)
+        hdr = int(_varint_nbytes(
+            np.array([docs.size], dtype=np.uint64))[0])
+        assert got_d[t] == (hdr + int(_varint_nbytes(gaps).sum()),
+                            ef_nbytes(docs)), t
+    # the remap tightens gaps: aggregate streams must shrink
+    assert (sum(dense["varint_bytes"].to_pylist())
+            < sum(out["varint_bytes"].to_pylist()))
+
 
 import pytest as _pytest
 
