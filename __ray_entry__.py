@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts_all": _q_facet_counts_all,
         "spell_correct": _q_spell_correct,
         "prefix_suggest": _q_prefix_suggest,
+        "boolean_search": _q_boolean_search,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -984,6 +985,52 @@ def _prefix_sql() -> str:
                 PARTITION BY prefix ORDER BY df DESC, term) AS rank
             FROM c)
         WHERE rank <= 5 ORDER BY prefix, rank
+    """
+
+
+# boolean retrieval test expressions over corpus vocabulary stems
+_BOOL_EXPRS = {
+    "b_and": ("and", "search", "engin"),
+    "b_or": ("or", "crawl", "index"),
+    "b_and_not": ("and", "search", ("not", "engin")),
+    "b_nested": ("and", ("or", "token", "merg"),
+                 ("not", ("and", "index", "queri"))),
+}
+
+
+def _q_boolean_search(sf_dir: str):
+    """Unranked boolean retrieval (AND/OR/NOT expression trees over the
+    posting lists, NOT complementing against the doc universe); the
+    oracle recomputes each fixed expression with INTERSECT / UNION /
+    EXCEPT over the dumped token table — x AND (NOT y) = x EXCEPT y, so
+    every NOT in the fixture folds into a set difference."""
+    from nadry_search_engine_be_ray.pipelines.query import boolean_search
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return boolean_search(index_dir, _BOOL_EXPRS)
+
+
+def _bool_sql() -> str:
+    tok = f"read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')"
+
+    def m(t):
+        return f"SELECT doc_int FROM {tok} WHERE term = '{t}'"
+
+    return f"""
+        SELECT 'b_and' AS name, doc_int FROM (
+            {m('search')} INTERSECT {m('engin')})
+        UNION ALL
+        SELECT 'b_or', doc_int FROM ({m('crawl')} UNION {m('index')})
+        UNION ALL
+        SELECT 'b_and_not', doc_int FROM (
+            {m('search')} EXCEPT {m('engin')})
+        UNION ALL
+        SELECT 'b_nested', doc_int FROM (
+            ({m('token')} UNION {m('merg')})
+            EXCEPT
+            ({m('index')} INTERSECT {m('queri')}))
+        ORDER BY name, doc_int
     """
 
 
@@ -3956,6 +4003,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts_all": _facet_sql("all"),
         "spell_correct": _spell_sql(),
         "prefix_suggest": _prefix_sql(),
+        "boolean_search": _bool_sql(),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

@@ -926,3 +926,96 @@ def prefix_suggest(index_dir: str, prefixes: list[str], *, k: int = 5,
          "rank": pa.array(rr, pa.int64())},
         schema=out_schema,
     )
+
+
+def _bool_eval(node, reader: SegmentReader,
+               universe: np.ndarray) -> np.ndarray:
+    """Recursively evaluate a boolean expression tree to a sorted doc_int
+    array.  Nodes: a term string, or ("and"|"or"|"not", child, ...) — NOT
+    is unary and complements against the doc UNIVERSE (doc_stats keys),
+    the standard safe-negation semantics."""
+    if isinstance(node, str):
+        pl = reader.postings(node)
+        return (pl.docs if pl is not None
+                else np.empty(0, dtype=np.int64))
+    op, *kids = node
+    if op == "not":
+        if len(kids) != 1:
+            raise ValueError("NOT takes exactly one operand")
+        child = _bool_eval(kids[0], reader, universe)
+        return np.setdiff1d(universe, child, assume_unique=True)
+    parts = [_bool_eval(k, reader, universe) for k in kids]
+    if not parts:
+        raise ValueError(f"{op} needs at least one operand")
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = (np.intersect1d(acc, p, assume_unique=True) if op == "and"
+               else np.union1d(acc, p))
+    if op not in ("and", "or"):
+        raise ValueError(f"unknown boolean op {op!r}")
+    return acc
+
+
+def boolean_search(index_dir: str, exprs: dict[str, object], *,
+                   concurrency: int = 2):
+    """Boolean retrieval (the unranked AND/OR/NOT query model, IR-textbook
+    ch.1 — the reference only does ranked OR + phrase): evaluates each
+    named expression tree to its matching doc set via sorted-array set
+    ops over the posting lists; NOT complements against the doc universe.
+
+    Distributed shape: the expression list (small) seeds a Dataset; a
+    stateful actor pool holds one SegmentReader + the doc-universe key
+    array per worker and evaluates each expression independently —
+    posting decode and set ops all happen inside the pool, only matching
+    ids leave.  A production NOT over 100 TB would fold the complement
+    lazily into the parent AND (complement sets are huge); here the
+    universe array is the same DocStore broadcast the scorers hold, and
+    the eager setdiff keeps semantics obvious.
+
+    Returns an Arrow table (name, doc_int) sorted by (name, doc_int).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    out_schema = pa.schema([("name", pa.string()), ("doc_int", pa.int64())])
+    if not exprs:
+        return out_schema.empty_table()
+    names = sorted(exprs)
+    seed = ray.data.from_arrow(
+        pa.table({"name": pa.array(names, pa.string())})
+    ).repartition(len(names))
+    exprs_ref = ray.put(dict(exprs))
+
+    class _BoolEval:
+        def __init__(self):
+            self.reader = SegmentReader(index_dir)
+            t = pads.dataset(
+                os.path.join(index_dir, "doc_stats"), format="parquet"
+            ).to_table(columns=["doc_int"])
+            self.universe = np.sort(
+                t["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            self.exprs = ray.get(exprs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ns, ds = [], []
+            for name in batch["name"].to_pylist():
+                docs = _bool_eval(self.exprs[name], self.reader,
+                                  self.universe)
+                ns.extend([name] * docs.size)
+                ds.extend(docs.tolist())
+            return pa.table(
+                {"name": pa.array(ns, pa.string()),
+                 "doc_int": pa.array(ds, pa.int64())},
+                schema=out_schema,
+            )
+
+    mapped = seed.map_batches(
+        _BoolEval, batch_format="pyarrow", batch_size=1,
+        concurrency=concurrency,
+    )
+    out = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
+    )
+    return out.sort_by([("name", "ascending"), ("doc_int", "ascending")])

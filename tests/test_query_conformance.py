@@ -377,3 +377,45 @@ def test_prefix_suggest_matches_bruteforce_and_tiers(built_index,
                             compact_segments=False))
     out_u = prefix_suggest(idx_u, prefixes, k=3)
     assert out_u.to_pylist() == out.to_pylist()
+
+
+def test_boolean_search_matches_set_bruteforce(built_index):
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.query import boolean_search
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(built_index)
+    terms = sorted(r.terms(), key=lambda t: -r.postings(t).df)[:4]
+    a, b, c, d = terms
+    exprs = {
+        "x_and": ("and", a, b),
+        "x_or": ("or", c, d),
+        "x_not": ("not", a),
+        "x_mix": ("or", ("and", a, ("not", b)), ("and", c, d)),
+    }
+    out = boolean_search(built_index, exprs)
+    got: dict[str, set] = {}
+    for n, di in zip(out["name"].to_pylist(), out["doc_int"].to_pylist()):
+        got.setdefault(n, set()).add(di)
+
+    universe = set(
+        pads.dataset(os.path.join(built_index, "doc_stats"),
+                     format="parquet")
+        .to_table(columns=["doc_int"])["doc_int"].to_pylist()
+    )
+    s = {t: set(r.postings(t).docs.tolist()) for t in terms}
+    exp = {
+        "x_and": s[a] & s[b],
+        "x_or": s[c] | s[d],
+        "x_not": universe - s[a],
+        "x_mix": (s[a] - s[b]) | (s[c] & s[d]),
+    }
+    exp = {k: v for k, v in exp.items() if v}
+    assert got == exp
+    # emitted order is (name, doc_int) sorted
+    rows = list(zip(out["name"].to_pylist(), out["doc_int"].to_pylist()))
+    assert rows == sorted(rows)
