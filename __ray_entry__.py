@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, method="pointer_doubling"
         ),
         "pagerank_power": _q_pagerank_power,
+        "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
         # exact output (prefilter + verify), SQL-checkable; bloom_stats'
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": _q_spell_correct,
         "prefix_suggest": _q_prefix_suggest,
         "boolean_search": _q_boolean_search,
+        "wildcard_terms": _q_wildcard_terms,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -988,6 +990,35 @@ def _prefix_sql() -> str:
     """
 
 
+_WILDCARDS = ["se%ch", "tok%", "%tion", "q__ri", "zz%qx"]
+
+
+def _q_wildcard_terms(sf_dir: str):
+    """Wildcard dictionary lookup: terms matching each LIKE pattern with
+    df — Arrow match_like == DuckDB LIKE, so the oracle is a direct LIKE
+    join over the dumped token table's dictionary."""
+    from nadry_search_engine_be_ray.pipelines.query import wildcard_terms
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return wildcard_terms(index_dir, _WILDCARDS)
+
+
+def _wildcard_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(set(_WILDCARDS)))
+    return f"""
+        WITH dict AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+            GROUP BY term
+        ),
+        p(pattern) AS (VALUES {vals})
+        SELECT p.pattern, d.term, d.df
+        FROM p JOIN dict d ON d.term LIKE p.pattern
+        ORDER BY p.pattern, d.term
+    """
+
+
 # boolean retrieval test expressions over corpus vocabulary stems
 _BOOL_EXPRS = {
     "b_and": ("and", "search", "engin"),
@@ -1245,6 +1276,96 @@ def _q_pagerank_power(sf_dir: str):
         .sort_values("node")
         .reset_index(drop=True)
     )
+
+
+def _q_hits(sf_dir: str):
+    """Kleinberg HITS (hubs & authorities, 5 fixed L2-normalized
+    iterations) over a deterministic synthetic link graph on the
+    documents table — QUADRATIC dst rule (i*i*31 + 97k mod n) so
+    in-degrees are skewed and the hub/authority fixpoint is
+    non-trivial (the pagerank_power linear rule is a union of three
+    bijections, which makes HITS converge to the uniform vector); the
+    oracle unrolls the iterations as chained materialized CTEs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import hits_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return (
+        hits_int(edges, n, n_iter=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _hits_sql(n_iter: int = 5) -> str:
+    """Unrolled-CTE HITS oracle: same synthetic edge rule as
+    _q_pagerank_power; per iteration authority = L2-normalized in-neighbor
+    hub sum, then hub = L2-normalized out-neighbor authority sum."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # normalized level here is referenced 2-3 times, so inlining would
+    # re-evaluate the whole chain exponentially across 5 iterations
+    iters = []
+    prev_h = "h0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            araw{k} AS MATERIALIZED (
+                SELECT d.doc_id AS node, coalesce(sum(hp.h), 0) AS raw
+                FROM documents d
+                LEFT JOIN e ON e.dst = d.doc_id
+                LEFT JOIN {prev_h} hp ON hp.node = e.src
+                GROUP BY d.doc_id
+            ),
+            a{k} AS MATERIALIZED (
+                SELECT node, raw / sqrt((SELECT sum(raw * raw)
+                                         FROM araw{k})) AS a
+                FROM araw{k}
+            ),
+            hraw{k} AS MATERIALIZED (
+                SELECT d.doc_id AS node, coalesce(sum(ap.a), 0) AS raw
+                FROM documents d
+                LEFT JOIN e ON e.src = d.doc_id
+                LEFT JOIN a{k} ap ON ap.node = e.dst
+                GROUP BY d.doc_id
+            ),
+            h{k} AS MATERIALIZED (
+                SELECT node, raw / sqrt((SELECT sum(raw * raw)
+                                         FROM hraw{k})) AS h
+                FROM hraw{k}
+            )""")
+        prev_h = f"h{k}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        e AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   (doc_id * doc_id * 31 + k * 97)
+                       % (SELECT cnt FROM nn) AS dst
+            FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        ),
+        h0 AS (SELECT doc_id AS node, 1.0 AS h FROM documents),
+        {','.join(iters)}
+        SELECT h{n_iter}.node, round(h{n_iter}.h, 9) AS hub,
+               round(a{n_iter}.a, 9) AS authority
+        FROM h{n_iter} JOIN a{n_iter} USING (node)
+        ORDER BY node
+    """
 
 
 _BLOOM_M, _BLOOM_K = 1 << 17, 3
@@ -3897,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "pagerank_power": _PAGERANK_POWER_SQL,
+        "hits_scores": _hits_sql(),
         "pagerank_quirk": _PAGERANK_QUIRK_SQL,
         # exact output after prefilter+verify -> plain semi join
         "bloom_semi_join": """
@@ -4004,6 +4126,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": _spell_sql(),
         "prefix_suggest": _prefix_sql(),
         "boolean_search": _bool_sql(),
+        "wildcard_terms": _wildcard_sql(),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

@@ -462,3 +462,79 @@ def pagerank_quirk_int(
             "rank": pa.array(np.round(ranks[nodes], 9), pa.float64()),
         }
     )
+
+
+def hits_int(
+    edges_ds: "ray.data.Dataset",
+    n_nodes: int,
+    n_iter: int = 5,
+) -> pa.Table:
+    """Kleinberg HITS (hubs & authorities, JACM 1999) over integer nodes
+    0..n_nodes-1 with a FIXED iteration count — the link-analysis
+    complement to PageRank (the reference only has PageRank,
+    ranker/PageRank.java).  Per iteration: authority = in-neighbor hub
+    sum, L2-normalized; then hub = out-neighbor authority sum,
+    L2-normalized; h0 = all ones.
+
+    Same distributed shape as :func:`pagerank_power_int`: edge blocks are
+    factorized once and pinned in the object store; each half-iteration is
+    a wave of sparse partial-sum tasks against the broadcast score vector;
+    the driver holds only the two O(n) vectors.  Parallel edges count
+    multiply (matched by the SQL oracle's row-wise sum).
+
+    Returns (node, hub, authority) with scores rounded to 9 decimals.
+    """
+    import ray
+
+    block_refs = edges_ds.select_columns(["src", "dst"]).to_arrow_refs()
+
+    @ray.remote
+    def factorize(tbl: pa.Table):
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for name, arr in (("src", src), ("dst", dst)):
+            if arr.size and (arr.min() < 0 or arr.max() >= n_nodes):
+                raise ValueError(
+                    f"hits_int: {name} ids must be in [0, {n_nodes}); "
+                    f"got range [{arr.min()}, {arr.max()}]"
+                )
+        return src, dst
+
+    fact = ray.get([factorize.remote(r) for r in block_refs])
+    edge_refs = [(ray.put(s), ray.put(d)) for s, d in fact if s.size]
+
+    @ray.remote
+    def gather(from_ref, to_ref, scores):
+        """Partial Σ scores[from] grouped by to (sparse)."""
+        vals = scores[from_ref]
+        uniq, inv = np.unique(to_ref, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, vals)
+        return uniq, acc
+
+    def wave(score_vec: np.ndarray, direction: str) -> np.ndarray:
+        ref = ray.put(score_vec)
+        parts = ray.get([
+            gather.remote(s if direction == "fwd" else d,
+                          d if direction == "fwd" else s, ref)
+            for s, d in edge_refs
+        ])
+        acc = np.zeros(n_nodes)
+        for uniq, vals in parts:  # fixed block order -> deterministic
+            acc[uniq] += vals
+        norm = float(np.sqrt(np.dot(acc, acc)))
+        return acc / norm if norm > 0 else acc
+
+    hub = np.ones(n_nodes, dtype=np.float64)
+    auth = np.zeros(n_nodes, dtype=np.float64)
+    for _ in range(n_iter):
+        auth = wave(hub, "fwd")    # authority: hub mass flows src -> dst
+        hub = wave(auth, "rev")    # hub: authority mass flows dst -> src
+
+    return pa.table(
+        {
+            "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+            "hub": pa.array(np.round(hub, 9), pa.float64()),
+            "authority": pa.array(np.round(auth, 9), pa.float64()),
+        }
+    )

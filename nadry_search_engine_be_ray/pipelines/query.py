@@ -1019,3 +1019,72 @@ def boolean_search(index_dir: str, exprs: dict[str, object], *,
         [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
     )
     return out.sort_by([("name", "ascending"), ("doc_int", "ascending")])
+
+
+def wildcard_terms(index_dir: str, patterns: list[str], *,
+                   concurrency: int = 2):
+    """Wildcard term matching (the ``te%m``-style dictionary lookup behind
+    wildcard queries, IR-textbook ch.3): every dictionary term matching
+    each SQL-LIKE pattern (% = any run, _ = any char), with its df.
+    Arrow's ``match_like`` kernel implements exactly DuckDB's LIKE, so the
+    oracle is a direct LIKE join.
+
+    Same dictionary-stream shape as :func:`prefix_suggest` — (term, df)
+    columns only, vectorized kernel per batch, df summed per term at the
+    combine for uncompacted tiers.  A 100 TB dictionary would front this
+    with a k-gram index (gram -> term postings, intersect the pattern's
+    grams, post-verify with this same kernel); the stream scan IS the
+    post-verify stage of that design.
+
+    Returns an Arrow table (pattern, term, df) sorted by (pattern, term).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    out_schema = pa.schema(
+        [("pattern", pa.string()), ("term", pa.string()),
+         ("df", pa.int64())]
+    )
+    ps = sorted(set(patterns))
+    if not ps:
+        return out_schema.empty_table()
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+
+    def _match(batch: pa.Table) -> pa.Table:
+        terms = batch["term"]
+        rp, rt, rf = [], [], []
+        for p in ps:
+            keep = pc.match_like(terms, p)
+            sel = batch.filter(keep)
+            rp.extend([p] * sel.num_rows)
+            rt.extend(sel["term"].to_pylist())
+            rf.extend(sel["df"].to_pylist())
+        return pa.table(
+            {"pattern": pa.array(rp, pa.string()),
+             "term": pa.array(rt, pa.string()),
+             "df": pa.array(rf, pa.int64())},
+            schema=out_schema,
+        )
+
+    parts = (
+        ray.data.read_parquet(seg_root, columns=["term", "df"])
+        .map_batches(_match, batch_format="pyarrow",
+                     concurrency=concurrency)
+    )
+    combined = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(parts.to_arrow_refs()))
+    )
+    merged = combined.group_by(["pattern", "term"]).aggregate([("df", "sum")])
+    merged = merged.rename_columns(
+        ["df" if c == "df_sum" else c for c in merged.column_names]
+    )
+    return merged.select(["pattern", "term", "df"]).sort_by(
+        [("pattern", "ascending"), ("term", "ascending")]
+    )

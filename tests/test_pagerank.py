@@ -214,3 +214,37 @@ def test_quirk_int_matches_url_pipeline(ray_session):
     assert sorted(got["node"].tolist()) == sorted(exp)
     for v, r in zip(got["node"], got["rank"]):
         assert math.isclose(r, exp[v], abs_tol=1e-9)
+
+
+def test_hits_matches_numpy_bruteforce(ray_session):
+    """hits_int's distributed gather waves must equal a dense numpy HITS
+    on a random multigraph (parallel edges included)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import hits_int
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(0, n, 300).astype(np.int64)
+    dst = rng.integers(0, n, 300).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table(
+        {"src": pa.array(src, pa.int64()),
+         "dst": pa.array(dst, pa.int64())}
+    )).repartition(4)
+    out = hits_int(edges, n, n_iter=5)
+
+    A = np.zeros((n, n))
+    np.add.at(A, (src, dst), 1.0)  # multigraph adjacency counts
+    h = np.ones(n)
+    for _ in range(5):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    assert np.allclose(out["hub"].to_numpy(), np.round(h, 9), atol=1e-8)
+    assert np.allclose(out["authority"].to_numpy(), np.round(a, 9),
+                       atol=1e-8)
+    # skewed random graph: scores must not be uniform
+    assert out["authority"].to_numpy().std() > 1e-6

@@ -49,9 +49,24 @@ def test_sharded_missing_terms(engines):
     assert out["total_results"] == 0
 
 
+@pytest.fixture(scope="module")
+def fresh_varint_index(ray_session, tiny_corpus_dir, tmp_path_factory):
+    """A varint index with NO popularity state: the session-scoped
+    built_index gets a popularity write-back from the pagerank tests when
+    the full suite runs, which would skew the reference scorer (0.3 *
+    popularity) against the freshly built tier indexes compared here."""
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("index_varint_serve"))
+    build_index(tiny_corpus_dir, idx, BuildConfig(num_shards=4, salt_bits=1))
+    return idx
+
+
 @pytest.mark.parametrize("codec_name", ["bitpack", "ef"])
 def test_whole_stream_index_serves_identically(ray_session, tiny_corpus_dir,
-                                               built_index, tmp_path_factory,
+                                               fresh_varint_index,
+                                               tmp_path_factory,
                                                codec_name):
     """End-to-end serving over a write-once segment tier (bitpack FOR
     blocks / Elias-Fano): every reference query must return results
@@ -63,7 +78,7 @@ def test_whole_stream_index_serves_identically(ray_session, tiny_corpus_dir,
     idx = str(tmp_path_factory.mktemp(f"index_{codec_name}_serve"))
     build_index(tiny_corpus_dir, idx,
                 BuildConfig(num_shards=4, salt_bits=1, docs_codec=codec_name))
-    local_v = SearchEngine(built_index)
+    local_v = SearchEngine(fresh_varint_index)
     local_b = SearchEngine(idx)
     sharded_b = ShardedSearchEngine(idx)
     for q in reference_queries():
