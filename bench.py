@@ -189,9 +189,11 @@ def main() -> None:
         rel.q_window(SF_DIR)
         timings["relational_agg_window"] = time.time() - t0
 
-        shutil.rmtree(index_dir, ignore_errors=True)
+        if _attempt < n_runs - 1:
+            shutil.rmtree(index_dir, ignore_errors=True)
         run_timings.append(timings)
         run_p50.append(p50_ms)
+    # the last run's index stays alive for the search-feature extras below
 
     # per-key min across the N runs is the comparable headline; both raw
     # totals are reported so a noisy run is visible, not hidden
@@ -200,8 +202,27 @@ def main() -> None:
     p50_ms = min(run_p50)
     docs_per_sec = n_docs / timings["index_build"]
 
-    # --- per-user window/session ops (partition-fused; non-headline) -------
+    # --- search features over the last run's live index (non-headline) -----
     extra_timings: dict[str, float] = {}
+    from nadry_search_engine_be_ray.pipelines.query import (
+        boolean_search, facet_counts, prefix_suggest, proximity_pairs,
+        spell_correct, wildcard_terms,
+    )
+
+    t0 = time.time()
+    facet_counts(index_dir, ["search", "engin", "index"], mode="any")
+    spell_correct(index_dir, ["serch", "documnt", "indx", "tokken"])
+    prefix_suggest(index_dir, ["se", "ind", "tok"], k=5)
+    wildcard_terms(index_dir, ["se%ch", "tok%", "%tion"])
+    boolean_search(index_dir, {
+        "b1": ("and", "search", "engin"),
+        "b2": ("and", "search", ("not", "engin")),
+    })
+    proximity_pairs(index_dir, ["search", "engin", "index"], window=3)
+    extra_timings["search_features"] = time.time() - t0
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    # --- per-user window/session ops (partition-fused; non-headline) -------
     t0 = time.time()
     rel.q_cumulative_sum(SF_DIR)
     rel.q_sessionize(SF_DIR)
