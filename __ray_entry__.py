@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_suggest": _q_prefix_suggest,
         "boolean_search": _q_boolean_search,
         "wildcard_terms": _q_wildcard_terms,
+        "champion_lists": _q_champion_lists,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -1154,6 +1155,29 @@ def _codec_sizes_sql(dense: bool) -> str:
               FROM ef2)
         ORDER BY term
     """
+
+
+def _q_champion_lists(sf_dir: str):
+    """Champion lists (tiered-index first tier): per term, the top-3
+    postings by accumulated field weight, total tie-break (weight DESC,
+    doc_int ASC); the oracle is row_number over the dumped tokw table —
+    weights are exact multiples of 0.5 (tf x {3.0, 1.5, 1.0} boosts), so
+    float summation order cannot break the compare."""
+    from nadry_search_engine_be_ray.pipelines.build import champion_lists
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return champion_lists(index_dir, m=3)
+
+
+_CHAMPION_SQL_TMPL = """
+    SELECT term, doc_int, round(weight, 9) AS weight, w_rank FROM (
+        SELECT term, doc_int, weight,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY weight DESC, doc_int) AS w_rank
+        FROM read_parquet('{dump}/tokw.parquet'))
+    WHERE w_rank <= 3 ORDER BY term, w_rank
+"""
 
 
 def _q_posting_codec_sizes(sf_dir: str):
@@ -4127,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_suggest": _prefix_sql(),
         "boolean_search": _bool_sql(),
         "wildcard_terms": _wildcard_sql(),
+        "champion_lists": _CHAMPION_SQL_TMPL.format(dump=_MAIN_DUMP_DIR),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

@@ -610,3 +610,72 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
         + list(ray.get(mapped.to_arrow_refs()))
     )
     return out.sort_by("term")
+
+
+def champion_lists(index_dir: str, m: int, *, concurrency: int = 2,
+                   batch_size: int = 512, out_path: str | None = None):
+    """Champion lists (tiered-index acceleration, Manning/Raghavan/Schütze
+    IR §7.1.3): per term, the top-``m`` postings by accumulated field
+    weight — the precomputed "first tier" a scorer consults before
+    touching the full posting list.  Tie-break (weight DESC, doc_int ASC)
+    is total, so the structure is deterministic and SQL-checkable
+    (row_number over the dumped tokw table).
+
+    Same distributed shape as :func:`posting_codec_sizes`: the term
+    dictionary seeds a Dataset, a SegmentReader actor pool walks its term
+    batches, and each term contributes at most ``m`` rows — the output is
+    bounded by vocab x m, never by corpus size.  Pass ``out_path`` to
+    stream to partitioned parquet at dictionary scale.
+
+    Returns an Arrow table (term, doc_int, weight, w_rank) sorted by
+    (term, w_rank).
+    """
+    import ray
+    import ray.data
+
+    from ..state.segments import SegmentReader
+
+    terms = sorted(SegmentReader(index_dir).terms())
+    seed = ray.data.from_arrow(
+        pa.table({"term": pa.array(terms, pa.string())})
+    ).repartition(max(1, -(-len(terms) // batch_size)))
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("doc_int", pa.int64()),
+         ("weight", pa.float64()), ("w_rank", pa.int64())]
+    )
+
+    class _Champions:
+        def __init__(self):
+            self.reader = SegmentReader(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rt, rd, rw, rr = [], [], [], []
+            for t in batch["term"].to_pylist():
+                pl = self.reader.postings(t)
+                # (weight DESC, doc_int ASC): lexsort keys are applied
+                # last-key-primary, docs are already ascending-unique
+                order = np.lexsort((pl.docs, -pl.weights))[:m]
+                rt.extend([t] * order.size)
+                rd.extend(pl.docs[order].tolist())
+                rw.extend(np.round(pl.weights[order], 9).tolist())
+                rr.extend(range(1, order.size + 1))
+            return pa.table(
+                {"term": pa.array(rt, pa.string()),
+                 "doc_int": pa.array(rd, pa.int64()),
+                 "weight": pa.array(rw, pa.float64()),
+                 "w_rank": pa.array(rr, pa.int64())},
+                schema=out_schema,
+            )
+
+    mapped = seed.map_batches(
+        _Champions, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if out_path is not None:
+        mapped.write_parquet(out_path)
+        return None
+    out = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
+    )
+    return out.sort_by([("term", "ascending"), ("w_rank", "ascending")])

@@ -21,6 +21,8 @@ Tables written to ``dump_dir`` (single parquet file each, overwritten):
 * ``pop``       (doc_int, popularity)          — zeros when no pagerank ran
 * ``docmap``    (doc_int, doc_id)              — the API's doc_id hex string
 * ``docmeta``   (doc_int, repo, lang)          — facet columns (faceted search)
+* ``tokw``      (term, doc_int, weight)        — accumulated field weight
+                 (tf x boost, the additive scorer's quantity)
 * ``stats``     (n_docs, avgdl)                — the engine's stats.json
 
 A ``_KEY`` file records (index_dir, stats mtime); an up-to-date dump is not
@@ -61,7 +63,7 @@ def dump_index_tables(index_dir: str, dump_dir: str,
     pop_dir = os.path.join(index_dir, "popularity")
     key = json.dumps(
         {
-            "fmt": 2,  # v2: + docmeta.parquet (facet oracle)
+            "fmt": 3,  # v2: + docmeta.parquet; v3: + tokw.parquet
             "index_dir": index_dir,
             "stats_mtime": os.path.getmtime(stats_path),
             "pop_mtime": os.path.getmtime(os.path.join(pop_dir, "popularity.parquet"))
@@ -95,6 +97,32 @@ def dump_index_tables(index_dir: str, dump_dir: str,
         ["tf" if c == "tf_sum" else c for c in tok.column_names]
     )
     pq.write_table(tok, os.path.join(dump_dir, "tok.parquet"))
+
+    # tokw: per-(term, doc) accumulated FIELD WEIGHT (tf x boost summed
+    # across fields — the additive scorer's quantity, same boost map as
+    # stages/encode._FIELD_BOOSTS); weight-ranked oracles (champion
+    # lists) recompute from this instead of replaying the boost logic
+    from ..stages.fieldsplit import FIELD_WEIGHTS
+
+    fld = real["field"].to_numpy(zero_copy_only=False).astype(np.int64)
+    boosts = np.array([FIELD_WEIGHTS[f] for f in sorted(FIELD_WEIGHTS)],
+                      dtype=np.float64)
+    w = real["tf"].to_numpy(zero_copy_only=False).astype(np.float64) * boosts[fld]
+    tokw = (
+        pa.table(
+            {
+                "term": real["term"],
+                "doc_int": real["doc_int"].cast(pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+        .group_by(["term", "doc_int"])
+        .aggregate([("weight", "sum")])
+    )
+    tokw = tokw.rename_columns(
+        ["weight" if c == "weight_sum" else c for c in tokw.column_names]
+    )
+    pq.write_table(tokw, os.path.join(dump_dir, "tokw.parquet"))
 
     # pos: exploded positions for the phrase terms only
     if phrase_terms:

@@ -408,3 +408,36 @@ def test_merge_indexes_refuses_whole_stream_sources(tiny_corpus_dir,
             f"expected merge_indexes to refuse {codec_name}")
     except AssertionError as e:
         assert "varint" in str(e)
+
+
+def test_champion_lists_matches_full_sort(built_index):
+    """champion_lists' per-term top-m must equal sorting the FULL decoded
+    posting list by (weight desc, doc asc), and every champion weight must
+    be >= the best non-champion weight (the tier-1 guarantee)."""
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines.build import champion_lists
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    m = 2
+    out = champion_lists(built_index, m=m, concurrency=2, batch_size=64)
+    r = SegmentReader(built_index)
+    got: dict[str, list] = {}
+    for t, d, w, k in zip(out["term"].to_pylist(),
+                          out["doc_int"].to_pylist(),
+                          out["weight"].to_pylist(),
+                          out["w_rank"].to_pylist()):
+        got.setdefault(t, []).append((k, d, w))
+    assert set(got) == set(r.terms())
+    for t in list(r.terms())[:60]:
+        pl = r.postings(t)
+        order = np.lexsort((pl.docs, -pl.weights))
+        exp = [
+            (i + 1, int(pl.docs[j]), float(np.round(pl.weights[j], 9)))
+            for i, j in enumerate(order[:m])
+        ]
+        assert sorted(got[t]) == exp, t
+        if pl.df > m:
+            worst_champion = min(w for _, _, w in got[t])
+            best_rest = float(np.max(pl.weights[order[m:]]))
+            assert worst_champion >= np.round(best_rest, 9), t
