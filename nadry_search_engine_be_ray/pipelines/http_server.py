@@ -62,6 +62,43 @@ def make_handler(api: SearchAPI):
                     self._send(
                         api.suggestions(arg("query"), int(arg("limit", "5")))
                     )
+                # ---- beyond-reference feature endpoints (this engine's
+                # additions; same JSON envelope style) --------------------
+                elif parts.path == "/api/autocomplete":
+                    from .query import prefix_suggest
+
+                    t = prefix_suggest(
+                        api.engine.index_dir, [arg("prefix", "")],
+                        k=int(arg("limit", "5")),
+                    )
+                    self._send({"success": True,
+                                "suggestions": t["term"].to_pylist()})
+                elif parts.path == "/api/spell":
+                    from .query import spell_correct
+
+                    words = api.engine.tokenizer.tokenize(arg("query", ""))
+                    t = spell_correct(api.engine.index_dir, words)
+                    self._send({
+                        "success": True,
+                        "corrections": {
+                            q: s for q, s in zip(t["query"].to_pylist(),
+                                                 t["suggestion"].to_pylist())
+                        },
+                    })
+                elif parts.path == "/api/facets":
+                    from .query import facet_counts
+
+                    words = api.engine.tokenizer.tokenize(arg("query", ""))
+                    t = facet_counts(
+                        api.engine.index_dir, words,
+                        mode=arg("mode", "any"),
+                    )
+                    facets: dict = {}
+                    for f, v, n in zip(t["facet"].to_pylist(),
+                                       t["value"].to_pylist(),
+                                       t["n_docs"].to_pylist()):
+                        facets.setdefault(f, {})[v] = n
+                    self._send({"success": True, "facets": facets})
                 else:
                     self._send({"success": False, "message": "Not found"}, 404)
             except Exception as e:  # SearchController's 500 envelope

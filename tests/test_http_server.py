@@ -62,3 +62,20 @@ def test_suggestions_and_save_roundtrip(server):
 def test_unknown_route(server):
     status, out = _get(server, "/api/nope")
     assert status == 404
+
+
+def test_feature_endpoints(server):
+    """Beyond-reference endpoints: autocomplete, spell, facets — thin HTTP
+    wrappers over the driver-checked operators."""
+    status, out = _get(server, "/api/autocomplete?prefix=se&limit=3")
+    assert status == 200 and out["success"] is True
+    assert out["suggestions"] and all(
+        s.startswith("se") for s in out["suggestions"])
+    assert len(out["suggestions"]) <= 3
+
+    status, out = _get(server, "/api/spell?query=serch")
+    assert status == 200 and out["corrections"].get("serch") == "search"
+
+    status, out = _get(server, "/api/facets?query=search+engine")
+    assert status == 200 and out["success"] is True
+    assert "lang" in out["facets"] and sum(out["facets"]["lang"].values()) > 0
