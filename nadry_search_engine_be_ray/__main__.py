@@ -105,6 +105,26 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_terms(args) -> int:
+    """Dictionary tooling: autocomplete / spell / wildcard lookups from
+    the command line (thin wrappers over the driver-checked operators)."""
+    _ray()
+    from .pipelines import query as q
+
+    if args.op == "suggest":
+        t = q.prefix_suggest(args.index, [args.arg], k=args.k)
+        out = {"suggestions": t["term"].to_pylist()}
+    elif args.op == "spell":
+        t = q.spell_correct(args.index, args.arg.split())
+        out = {"corrections": dict(zip(t["query"].to_pylist(),
+                                       t["suggestion"].to_pylist()))}
+    else:  # wildcard
+        t = q.wildcard_terms(args.index, [args.arg])
+        out = {"terms": t["term"].to_pylist()}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     _ray()
     from .sources.ingest import ingest_to_parquet
@@ -146,6 +166,12 @@ def main(argv=None) -> int:
     c = sub.add_parser("curate")
     c.add_argument("documents"); c.add_argument("out")
     c.set_defaults(fn=cmd_curate)
+
+    t = sub.add_parser("terms")
+    t.add_argument("op", choices=["suggest", "spell", "wildcard"])
+    t.add_argument("index"); t.add_argument("arg")
+    t.add_argument("--k", type=int, default=5)
+    t.set_defaults(fn=cmd_terms)
 
     i = sub.add_parser("ingest")
     i.add_argument("src"); i.add_argument("out")

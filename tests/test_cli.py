@@ -50,3 +50,18 @@ def test_cli_ingest_then_build(ray_session, tmp_path, capsys):
                  "--salt-bits", "1"]) == 0
     phases = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "segments" in phases
+
+
+def test_cli_terms_tooling(ray_session, built_index, capsys):
+    assert main(["terms", "suggest", built_index, "se", "--k", "3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["suggestions"] and all(
+        s.startswith("se") for s in out["suggestions"])
+
+    assert main(["terms", "spell", built_index, "serch tokken"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["corrections"]["serch"] == "search"
+
+    assert main(["terms", "wildcard", built_index, "se%ch"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "search" in out["terms"]
