@@ -135,3 +135,85 @@ def test_proximity_composite_key_counting_property():
         assert np.array_equal(got, exp)
 
     _prop()
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=0, max_size=10),
+    st.lists(st.text(alphabet="abcdefg", min_size=0, max_size=12),
+             min_size=1, max_size=30),
+)
+@settings(max_examples=80, deadline=None)
+def test_levenshtein_vec_matches_scalar_dp(word, cands):
+    """The m-wide vectorized byte DP must equal the scalar Wagner-Fischer
+    on arbitrary strings (session-4 spell_correct kernel)."""
+    from nadry_search_engine_be_ray.pipelines.query import _levenshtein_vec
+
+    def lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    wb = word.encode()
+    cb = [c.encode() for c in cands]
+    L = max(1, max(len(b) for b in cb))
+    mat = np.zeros((len(cb), L), dtype=np.uint8)
+    for r, b in enumerate(cb):
+        mat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    lens = np.array([len(b) for b in cb], dtype=np.int64)
+    got = _levenshtein_vec(wb, mat, lens)
+    assert got.tolist() == [lev(wb, b) for b in cb]
+
+
+_expr = st.deferred(
+    lambda: st.one_of(
+        st.sampled_from(["t0", "t1", "t2"]),
+        st.tuples(st.just("not"), _expr).map(lambda t: ("not", t[1])),
+        st.tuples(st.just("and"), _expr, _expr),
+        st.tuples(st.just("or"), _expr, _expr),
+    )
+)
+
+
+@given(
+    st.dictionaries(st.sampled_from(["t0", "t1", "t2"]),
+                    st.sets(st.integers(0, 30)),
+                    min_size=3, max_size=3),
+    _expr,
+)
+@settings(max_examples=80, deadline=None)
+def test_bool_eval_matches_set_algebra(postings, expr):
+    """_bool_eval's sorted-array set ops must equal Python set algebra on
+    arbitrary expression trees (session-4 boolean_search kernel)."""
+    from nadry_search_engine_be_ray.pipelines.query import _bool_eval
+
+    universe = np.arange(31, dtype=np.int64)
+
+    class _FakeReader:
+        def postings(self, t):
+            docs = np.array(sorted(postings[t]), dtype=np.int64)
+
+            class _PL:
+                pass
+
+            pl = _PL()
+            pl.docs = docs
+            return pl if docs.size else None
+
+    def pyeval(node):
+        if isinstance(node, str):
+            return postings[node]
+        op, *kids = node
+        if op == "not":
+            return set(range(31)) - pyeval(kids[0])
+        parts = [pyeval(k) for k in kids]
+        return (parts[0] & parts[1] if op == "and"
+                else parts[0] | parts[1])
+
+    got = _bool_eval(expr, _FakeReader(), universe)
+    assert set(got.tolist()) == pyeval(expr)
+    assert np.all(np.diff(got) > 0)  # sorted unique output invariant
