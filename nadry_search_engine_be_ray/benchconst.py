@@ -11,9 +11,10 @@ a new calm-host best; each constant cites the BASELINE.md table it mirrors.
 CALM_BEST_DOCS_PER_SEC_8CPU_1M = 20407.0
 
 # Best recorded calm-host index-build throughput for the DEFAULT bench shape
-# (32 CPUs, sf0.1 -> 20k docs, index on disk).  BASELINE.md round-1 measured
-# 2 956 docs/s; round-3's calm 12.71 s e2e implies a similar build rate.
-CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 2956.0
+# (32 CPUs, sf0.1 -> 20k docs, index on disk).  BASELINE.md round-4
+# session-4 calm window: 4.376 s build -> 4 571 docs/s (10.737 s e2e
+# headline, 0.849x baseline; spin 0.819); supersedes round-1's 2 956.
+CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 4571.0
 
 # Pure-compute spin throughput ratio (32-wide vs 8-wide per-core) measured on
 # a calm window of this sandbox — the hypervisor's core-sharing ceiling any
