@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         "wildcard_terms": _q_wildcard_terms,
         "champion_lists": _q_champion_lists,
+        "wildcard_kgram": _q_wildcard_kgram,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -992,6 +993,20 @@ def _prefix_sql() -> str:
 
 
 _WILDCARDS = ["se%ch", "tok%", "%tion", "q__ri", "zz%qx"]
+
+
+def _q_wildcard_kgram(sf_dir: str):
+    """Wildcard lookup through the k-gram index (gram explode + sort by
+    gram at build, pushdown-filtered gram reads + intersect + match_like
+    verify at query); oracle is the SAME LIKE recompute as
+    wildcard_terms, so the gram pruning's soundness is hash-checked."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        wildcard_terms_kgram,
+    )
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return wildcard_terms_kgram(index_dir, _WILDCARDS)
 
 
 def _q_wildcard_terms(sf_dir: str):
@@ -4152,6 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_search": _bool_sql(),
         "wildcard_terms": _wildcard_sql(),
         "champion_lists": _CHAMPION_SQL_TMPL.format(dump=_MAIN_DUMP_DIR),
+        "wildcard_kgram": _wildcard_sql(),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

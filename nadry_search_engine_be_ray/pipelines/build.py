@@ -679,3 +679,58 @@ def champion_lists(index_dir: str, m: int, *, concurrency: int = 2,
         [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
     )
     return out.sort_by([("term", "ascending"), ("w_rank", "ascending")])
+
+
+def kgram_of(s: str, k: int = 3) -> list[str]:
+    """All k-grams of '$s$' ('$' = Lucene-style boundary marker)."""
+    a = "$" + s + "$"
+    return [a[i : i + k] for i in range(len(a) - k + 1)]
+
+
+def build_kgram_index(index_dir: str, k: int = 3, *,
+                      concurrency: int = 2) -> str:
+    """Build the k-gram -> term index for wildcard queries (IR-textbook
+    §3.2.2): every dictionary term explodes into its boundary-marked
+    k-grams; rows are sorted by gram so the parquet row-group stats give
+    the lookup path predicate pushdown (a wildcard query touches only the
+    row groups covering its grams, not the whole dictionary).
+
+    The sort is the one (dictionary-sized, not corpus-sized) shuffle this
+    structure costs; output is idempotent via a _DONE marker.  Returns
+    the index directory.
+    """
+    import ray.data
+
+    out_dir = os.path.join(index_dir, f"kgram_{k}")
+    if _done(out_dir):
+        return out_dir
+    _fresh(out_dir)
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gs, ts, dfs = [], [], []
+        for t, d in zip(batch["term"].to_pylist(), batch["df"].to_pylist()):
+            grams = kgram_of(t, k)
+            gs.extend(grams)
+            ts.extend([t] * len(grams))
+            dfs.extend([int(d)] * len(grams))
+        return pa.table(
+            {"gram": pa.array(gs, pa.string()),
+             "term": pa.array(ts, pa.string()),
+             "df": pa.array(dfs, pa.int64())}
+        )
+
+    (
+        ray.data.read_parquet(seg_root, columns=["term", "df"])
+        .map_batches(explode, batch_format="pyarrow",
+                     concurrency=concurrency)
+        .sort("gram")
+        .write_parquet(out_dir)
+    )
+    _mark_done(out_dir)
+    return out_dir

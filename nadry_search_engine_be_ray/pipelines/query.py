@@ -1088,3 +1088,92 @@ def wildcard_terms(index_dir: str, patterns: list[str], *,
     return merged.select(["pattern", "term", "df"]).sort_by(
         [("pattern", "ascending"), ("term", "ascending")]
     )
+
+
+def wildcard_terms_kgram(index_dir: str, patterns: list[str], *, k: int = 3,
+                         concurrency: int = 2):
+    """Wildcard term matching through the K-GRAM INDEX (the scale path
+    :func:`wildcard_terms` documents): each pattern's literal segments
+    yield boundary-marked k-grams; the gram->term index (built once,
+    sorted by gram for row-group predicate pushdown) is read ONLY at
+    those grams; candidates = terms containing ALL the pattern's grams;
+    a final ``match_like`` verify removes gram-collision false positives.
+    Answers are defined to be IDENTICAL to the stream-scan path — the
+    driver oracle for this query is the same LIKE recompute, so the
+    pruning's soundness is hash-checked, not assumed.
+
+    Patterns whose literal segments yield no k-gram (e.g. ``%a%``) cannot
+    be pruned and fall back to the dictionary scan for that pattern.
+
+    Returns an Arrow table (pattern, term, df) sorted by (pattern, term).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads_mod
+
+    from ..pipelines.build import build_kgram_index, kgram_of
+    from ..state.segments import SegmentReader
+
+    out_schema = pa.schema(
+        [("pattern", pa.string()), ("term", pa.string()),
+         ("df", pa.int64())]
+    )
+    ps = sorted(set(patterns))
+    if not ps:
+        return out_schema.empty_table()
+
+    gram_dir = build_kgram_index(index_dir, k)
+    reader = SegmentReader(index_dir)
+
+    def pattern_grams(p: str) -> list[str]:
+        segs = re.split(r"[%_]", p)
+        out: list[str] = []
+        for i, seg in enumerate(segs):
+            aug = seg
+            if i == 0:
+                aug = "$" + aug
+            if i == len(segs) - 1:
+                aug = aug + "$"
+            out.extend(aug[j : j + k] for j in range(len(aug) - k + 1))
+        return sorted(set(out))
+
+    need: dict[str, list[str]] = {p: pattern_grams(p) for p in ps}
+    all_grams = sorted({g for gs in need.values() for g in gs})
+    if all_grams:
+        idx = pads_mod.dataset(gram_dir, format="parquet").to_table(
+            columns=["gram", "term"],
+            filter=pc.field("gram").isin(pa.array(all_grams, pa.string())),
+        )
+        by_gram: dict[str, set] = {}
+        for g, t in zip(idx["gram"].to_pylist(), idx["term"].to_pylist()):
+            by_gram.setdefault(g, set()).add(t)
+    else:
+        by_gram = {}
+
+    rp, rt, rf = [], [], []
+    for p in ps:
+        gs = need[p]
+        if gs:
+            cands: set | None = None
+            for g in gs:
+                cands = (by_gram.get(g, set()) if cands is None
+                         else cands & by_gram.get(g, set()))
+                if not cands:
+                    break
+            cand_list = sorted(cands or ())
+        else:  # unprunable pattern: full dictionary fallback
+            cand_list = sorted(reader.terms())
+        if not cand_list:
+            continue
+        keep = pc.match_like(pa.array(cand_list, pa.string()), p)
+        for t, ok in zip(cand_list, keep.to_pylist()):
+            if ok:
+                rp.append(p)
+                rt.append(t)
+                rf.append(int(reader.postings(t).df))
+    return pa.table(
+        {"pattern": pa.array(rp, pa.string()),
+         "term": pa.array(rt, pa.string()),
+         "df": pa.array(rf, pa.int64())},
+        schema=out_schema,
+    )

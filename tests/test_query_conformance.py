@@ -419,3 +419,21 @@ def test_boolean_search_matches_set_bruteforce(built_index):
     # emitted order is (name, doc_int) sorted
     rows = list(zip(out["name"].to_pylist(), out["doc_int"].to_pylist()))
     assert rows == sorted(rows)
+
+
+def test_wildcard_kgram_equals_scan_path(built_index):
+    """The k-gram-pruned wildcard path must return exactly the stream-scan
+    path's answers, including unprunable patterns (fallback) and patterns
+    with no matches."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        wildcard_terms, wildcard_terms_kgram,
+    )
+
+    pats = ["se%ch", "%tion", "q__ri", "zzqx%", "%a%", "import"]
+    scan = wildcard_terms(built_index, pats)
+    kgram = wildcard_terms_kgram(built_index, pats)
+    assert kgram.to_pylist() == scan.to_pylist()
+    got_pats = set(kgram["pattern"].to_pylist())
+    assert "%a%" in got_pats      # unprunable fallback produced rows
+    assert "import" in got_pats   # no-wildcard exact pattern
+    assert "zzqx%" not in got_pats
