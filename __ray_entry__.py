@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_terms": _q_wildcard_terms,
         "champion_lists": _q_champion_lists,
         "wildcard_kgram": _q_wildcard_kgram,
+        "numeric_range": _q_numeric_range,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -1007,6 +1008,29 @@ def _q_wildcard_kgram(sf_dir: str):
     _, index_dir = _built_index(sf_dir)
     _main_dump(sf_dir)
     return wildcard_terms_kgram(index_dir, _WILDCARDS)
+
+
+def _q_numeric_range(sf_dir: str):
+    """Range retrieval over the tokenizer's num:<value> special tokens:
+    docs with any indexed number in [10, 99], with the count of distinct
+    in-range numeric terms per doc; oracle recomputes from the dumped
+    token table with TRY_CAST."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        numeric_range_search,
+    )
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return numeric_range_search(index_dir, 10, 99)
+
+
+_NUMERIC_RANGE_SQL = """
+    SELECT doc_int, count(DISTINCT term) AS n_terms
+    FROM read_parquet('{dump}/tok.parquet')
+    WHERE term LIKE 'num:%'
+      AND try_cast(substr(term, 5) AS BIGINT) BETWEEN 10 AND 99
+    GROUP BY doc_int ORDER BY doc_int
+"""
 
 
 def _q_wildcard_terms(sf_dir: str):
@@ -4168,6 +4192,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_terms": _wildcard_sql(),
         "champion_lists": _CHAMPION_SQL_TMPL.format(dump=_MAIN_DUMP_DIR),
         "wildcard_kgram": _wildcard_sql(),
+        "numeric_range": _NUMERIC_RANGE_SQL.format(dump=_MAIN_DUMP_DIR),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

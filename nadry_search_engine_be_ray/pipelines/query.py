@@ -1177,3 +1177,98 @@ def wildcard_terms_kgram(index_dir: str, patterns: list[str], *, k: int = 3,
          "df": pa.array(rf, pa.int64())},
         schema=out_schema,
     )
+
+
+def numeric_range_search(index_dir: str, lo: int, hi: int, *,
+                         concurrency: int = 2):
+    """Numeric range retrieval over the tokenizer's ``num:<value>``
+    special tokens (Tokenizer M5 emits one per numeric literal): the docs
+    containing ANY indexed number in [lo, hi], with how many distinct
+    in-range numeric terms each doc matched — the "price:[10 TO 99]"
+    feature of a fulltext engine, answered purely from the dictionary +
+    posting lists (no doc scan).
+
+    Shape: the (term, df) dictionary columns stream once; ``num:`` terms
+    parse vectorized and range-filter to the matching term list (small);
+    their posting doc arrays union inside a SegmentReader actor pool with
+    per-term partial tables, combined by a (doc_int)-bounded groupby.
+
+    Returns an Arrow table (doc_int, n_terms) sorted by doc_int.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    out_schema = pa.schema([("doc_int", pa.int64()), ("n_terms", pa.int64())])
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+
+    def find_terms(batch: pa.Table) -> pa.Table:
+        terms = batch["term"]
+        is_num = pc.starts_with(terms, "num:")
+        cand = terms.filter(is_num).to_pylist()
+        keep = []
+        for t in cand:
+            try:
+                v = int(t[4:])
+            except ValueError:
+                continue
+            if lo <= v <= hi:
+                keep.append(t)
+        return pa.table({"term": pa.array(sorted(set(keep)), pa.string())})
+
+    term_parts = pa.concat_tables(
+        [pa.schema([("term", pa.string())]).empty_table()]
+        + list(ray.get(
+            ray.data.read_parquet(seg_root, columns=["term", "df"])
+            .map_batches(find_terms, batch_format="pyarrow",
+                         concurrency=concurrency)
+            .to_arrow_refs()
+        ))
+    )
+    matched_terms = sorted(set(term_parts["term"].to_pylist()))
+    if not matched_terms:
+        return out_schema.empty_table()
+
+    seed = ray.data.from_arrow(
+        pa.table({"term": pa.array(matched_terms, pa.string())})
+    ).repartition(max(1, min(len(matched_terms), concurrency * 4)))
+
+    class _Docs:
+        def __init__(self):
+            from ..state.segments import SegmentReader
+
+            self.reader = SegmentReader(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ds_, ns = [], []
+            for t in batch["term"].to_pylist():
+                pl = self.reader.postings(t)
+                if pl is None:
+                    continue
+                ds_.append(pl.docs)
+            if not ds_:
+                return out_schema.empty_table()
+            docs = np.concatenate(ds_)
+            uniq, cnt = np.unique(docs, return_counts=True)
+            return pa.table(
+                {"doc_int": pa.array(uniq, pa.int64()),
+                 "n_terms": pa.array(cnt.astype(np.int64), pa.int64())},
+                schema=out_schema,
+            )
+
+    parts = seed.map_batches(_Docs, batch_format="pyarrow", batch_size=64,
+                             concurrency=concurrency)
+    combined = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(parts.to_arrow_refs()))
+    )
+    out = combined.group_by("doc_int").aggregate([("n_terms", "sum")])
+    out = out.rename_columns(
+        ["n_terms" if c == "n_terms_sum" else c for c in out.column_names]
+    )
+    return out.sort_by("doc_int")

@@ -437,3 +437,39 @@ def test_wildcard_kgram_equals_scan_path(built_index):
     assert "%a%" in got_pats      # unprunable fallback produced rows
     assert "import" in got_pats   # no-wildcard exact pattern
     assert "zzqx%" not in got_pats
+
+
+def test_numeric_range_matches_bruteforce(built_index):
+    from nadry_search_engine_be_ray.pipelines.query import (
+        numeric_range_search,
+    )
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    lo, hi = 10, 99
+    out = numeric_range_search(built_index, lo, hi)
+    got = dict(zip(out["doc_int"].to_pylist(), out["n_terms"].to_pylist()))
+
+    r = SegmentReader(built_index)
+    exp: dict[int, int] = {}
+    n_terms_in_range = 0
+    for t in r.terms():
+        if not t.startswith("num:"):
+            continue
+        try:
+            v = int(t[4:])
+        except ValueError:
+            continue
+        if lo <= v <= hi:
+            n_terms_in_range += 1
+            for d in r.postings(t).docs.tolist():
+                exp[d] = exp.get(d, 0) + 1
+    assert got == exp and exp, "corpus should index in-range numbers"
+    assert n_terms_in_range >= 1
+    # wide range: every numeric term participates
+    all_num = {t for t in r.terms()
+               if t.startswith("num:") and t[4:].isdigit()}
+    wide = numeric_range_search(built_index, 0, 10**12)
+    assert sum(wide["n_terms"].to_pylist()) == sum(
+        r.postings(t).df for t in all_num)
+    # empty range behaves
+    assert numeric_range_search(built_index, 10**15, 10**15 + 1).num_rows == 0
