@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "champion_lists": _q_champion_lists,
         "wildcard_kgram": _q_wildcard_kgram,
         "numeric_range": _q_numeric_range,
+        "more_like_this": _q_more_like_this,
         # sloppy-phrase analog: within-window same-field co-occurrence
         # counts from the real segments vs a positions-table self-join
         "proximity_pairs": _q_proximity_pairs,
@@ -1030,6 +1031,49 @@ _NUMERIC_RANGE_SQL = """
     WHERE term LIKE 'num:%'
       AND try_cast(substr(term, 5) AS BIGINT) BETWEEN 10 AND 99
     GROUP BY doc_int ORDER BY doc_int
+"""
+
+
+def _q_more_like_this(sf_dir: str):
+    """More-Like-This over the smallest doc_int: top-5 source terms by
+    (tf DESC, df ASC, term ASC) — integer-only selection, no tf-idf
+    float hazards — then additive accumulated-weight top-10 excluding
+    the source; oracle recomputes the whole chain from tok + tokw +
+    docstats."""
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.query import more_like_this
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    import os as _os
+
+    di = pads.dataset(_os.path.join(index_dir, "doc_stats"),
+                      format="parquet").to_table(columns=["doc_int"])
+    src = min(di["doc_int"].to_pylist())
+    return more_like_this(index_dir, src, n_terms=5, k=10)
+
+
+_MLT_SQL = """
+    WITH src AS (SELECT min(doc_int) AS d
+                 FROM read_parquet('{dump}/docstats.parquet')),
+    tv AS (SELECT term, sum(tf) AS tf
+           FROM read_parquet('{dump}/tok.parquet')
+           WHERE doc_int = (SELECT d FROM src) GROUP BY term),
+    dfs AS (SELECT term, count(*) AS df
+            FROM read_parquet('{dump}/tok.parquet') GROUP BY term),
+    sel AS (SELECT tv.term FROM tv JOIN dfs USING (term)
+            ORDER BY tv.tf DESC, dfs.df ASC, term LIMIT 5),
+    scored AS (SELECT w.doc_int, sum(w.weight) AS score
+               FROM read_parquet('{dump}/tokw.parquet') w
+               JOIN sel USING (term)
+               WHERE w.doc_int != (SELECT d FROM src)
+               GROUP BY w.doc_int)
+    SELECT rank, doc_int, round(score, 9) AS score FROM (
+        SELECT doc_int, score,
+               row_number() OVER (ORDER BY score DESC, doc_int) AS rank
+        FROM scored)
+    WHERE rank <= 10 ORDER BY rank
 """
 
 
@@ -4193,6 +4237,7 @@ def oracle_sql() -> dict[str, str]:
         "champion_lists": _CHAMPION_SQL_TMPL.format(dump=_MAIN_DUMP_DIR),
         "wildcard_kgram": _wildcard_sql(),
         "numeric_range": _NUMERIC_RANGE_SQL.format(dump=_MAIN_DUMP_DIR),
+        "more_like_this": _MLT_SQL.format(dump=_MAIN_DUMP_DIR),
         # every qualifying (pos_a, pos_b) combination within the window,
         # same doc + same field, unordered pair (term_a < term_b)
         "proximity_pairs": f"""

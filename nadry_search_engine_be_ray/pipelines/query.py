@@ -1272,3 +1272,69 @@ def numeric_range_search(index_dir: str, lo: int, hi: int, *,
         ["n_terms" if c == "n_terms_sum" else c for c in out.column_names]
     )
     return out.sort_by("doc_int")
+
+
+def more_like_this(index_dir: str, doc_int: int, *, n_terms: int = 5,
+                   k: int = 10):
+    """More-Like-This (Lucene's MLT): select the source doc's most
+    representative terms and retrieve the docs scoring highest on them.
+    Term selection is deliberately INTEGER-ONLY — (tf DESC, df ASC, term
+    ASC) — rather than float tf-idf, so the SQL oracle reproduces the
+    selection without last-ulp log() hazards; the retrieval score is the
+    additive accumulated-field-weight sum (exact multiples of 0.5), and
+    the source doc is excluded.
+
+    The source doc's term vector comes from the postings-phase parquet
+    (the build's map-side spill doubles as Lucene's stored term vectors)
+    via doc_int predicate pushdown; candidate scoring is the vectorized
+    TAAT accumulation over the selected terms' posting lists — a
+    point-query path (same latency class as search), not a corpus job.
+
+    Returns an Arrow table (rank, doc_int, score) — top-k by
+    (score DESC, doc_int ASC), score rounded to 9 decimals.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads_mod
+
+    out_schema = pa.schema(
+        [("rank", pa.int64()), ("doc_int", pa.int64()),
+         ("score", pa.float64())]
+    )
+    tv = pads_mod.dataset(
+        os.path.join(index_dir, "postings"), format="parquet",
+        partitioning="hive",
+    ).to_table(
+        columns=["term", "doc_int", "field", "tf"],
+        filter=(pc.field("doc_int") == doc_int) & (pc.field("field") >= 0),
+    )
+    if tv.num_rows == 0:
+        return out_schema.empty_table()
+    agg = tv.group_by("term").aggregate([("tf", "sum")])
+    reader = SegmentReader(index_dir)
+    terms = agg["term"].to_pylist()
+    tfs = agg["tf_sum"].to_pylist()
+    dfs = [reader.postings(t).df for t in terms]
+    order = sorted(range(len(terms)),
+                   key=lambda i: (-tfs[i], dfs[i], terms[i]))[:n_terms]
+    sel = [terms[i] for i in order]
+
+    docs_parts, w_parts = [], []
+    for t in sel:
+        pl = reader.postings(t)
+        docs_parts.append(pl.docs)
+        w_parts.append(pl.weights)
+    docs_all = np.concatenate(docs_parts)
+    w_all = np.concatenate(w_parts)
+    uniq, inv = np.unique(docs_all, return_inverse=True)
+    scores = np.zeros(uniq.size)
+    np.add.at(scores, inv, w_all)
+    keep = uniq != doc_int
+    uniq, scores = uniq[keep], scores[keep]
+    top = np.lexsort((uniq, -scores))[:k]
+    return pa.table(
+        {"rank": pa.array(np.arange(1, top.size + 1), pa.int64()),
+         "doc_int": pa.array(uniq[top], pa.int64()),
+         "score": pa.array(np.round(scores[top], 9), pa.float64())},
+        schema=out_schema,
+    )

@@ -473,3 +473,41 @@ def test_numeric_range_matches_bruteforce(built_index):
         r.postings(t).df for t in all_num)
     # empty range behaves
     assert numeric_range_search(built_index, 10**15, 10**15 + 1).num_rows == 0
+
+
+def test_more_like_this_matches_bruteforce(built_index):
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.query import more_like_this
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(built_index)
+    di = pads.dataset(os.path.join(built_index, "doc_stats"),
+                      format="parquet").to_table(columns=["doc_int"])
+    src = min(di["doc_int"].to_pylist())
+    out = more_like_this(built_index, src, n_terms=4, k=5)
+
+    # brute: term vector = every term whose posting list contains src
+    tv = []
+    for t in r.terms():
+        pl = r.postings(t)
+        j = int(np.searchsorted(pl.docs, src))
+        if j < pl.df and pl.docs[j] == src:
+            tv.append((t, int(pl.tfs[j]), pl.df))
+    sel = [t for t, _, _ in sorted(tv, key=lambda x: (-x[1], x[2], x[0]))[:4]]
+    scores: dict[int, float] = {}
+    for t in sel:
+        pl = r.postings(t)
+        for d, w in zip(pl.docs.tolist(), pl.weights.tolist()):
+            if d != src:
+                scores[d] = scores.get(d, 0.0) + w
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:5]
+    got = list(zip(out["doc_int"].to_pylist(), out["score"].to_pylist()))
+    assert got == [(d, round(s, 9)) for d, s in exp]
+    assert out["rank"].to_pylist() == list(range(1, len(exp) + 1))
+    assert src not in out["doc_int"].to_pylist()
+    # unknown doc -> empty
+    assert more_like_this(built_index, -1).num_rows == 0
