@@ -277,11 +277,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_def_symbols": _q_code_def_symbols,
         "ident_subtokens": _q_ident_subtokens,
         "import_graph": _q_import_graph,
+        # code-corpus curation (stages/codecuration.py): license key-phrase
+        # match, The-Stack quality filters (Kocetkov et al. 2022), MOSS
+        # winnowing (Schleimer et al. 2003) — full chains SQL-replayed
+        "license_detect": _q_license_detect,
+        "stack_file_metrics": _q_stack_file_metrics,
+        "stack_quality": _q_stack_quality,
+        "winnow_stats": _q_winnow_stats,
+        "clone_pairs": _q_clone_pairs,
+        # hybrid lexical+dense retrieval: BM25 ∪ cosine fused by RRF
+        # (Cormack et al. 2009); ranks on 6-dp-rounded scores both sides
+        "hybrid_rrf": _q_hybrid_rrf,
     }
     return out
 
 
 _CODE_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/code"
+
+# shared oracle CTEs for the code-curation family (stages/codecuration.py).
+# Stack metrics: line stats via the same '\n' split, alnum fraction via the
+# same RE2 strip, 4-dp rounding at the same points as the engine.
+_STACK_METRICS_CTE = f"""
+    WITH f0 AS (SELECT repo, path, lang, content
+                FROM read_parquet('{_CODE_DUMP_DIR}/src.parquet')),
+    m AS (SELECT repo, path, lang,
+                 string_split(content, chr(10)) AS ls,
+                 length(content) AS n_chars,
+                 length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+                     AS alnum,
+                 (contains(lower(content), 'auto-generated')
+                  OR contains(lower(content), 'do not edit')) AS autogen
+          FROM f0),
+    m2 AS (SELECT repo, path, lang,
+                  len(ls) AS n_lines,
+                  coalesce(list_max(list_transform(ls, l -> length(l))), 0)
+                      AS max_line_len,
+                  round(CAST(coalesce(list_sum(
+                            list_transform(ls, l -> length(l))), 0) AS DOUBLE)
+                        / greatest(len(ls), 1), 4) AS avg_line_len,
+                  round(CAST(alnum AS DOUBLE)
+                        / greatest(n_chars, 1), 4) AS frac_alnum,
+                  autogen
+           FROM m),
+    m3 AS (SELECT *, (max_line_len <= 400 AND avg_line_len <= 120.0
+                      AND frac_alnum >= 0.25 AND NOT autogen) AS keep
+           FROM m2)
+"""
+
+# Winnowing (Schleimer et al. 2003): char 12-grams over the normalized
+# [a-z0-9] stream, h = first-8-hex of sha256(gram), window w=8 rightmost-
+# minimum selection via the packed (h << 24 | 2^24-1-pos) key — the exact
+# rule _winnow_select implements.  MATERIALIZED: fp is referenced twice in
+# clone_pairs and the gram chain is sha-heavy.
+_WIN_K, _WIN_W, _WIN_POS = 12, 8, 1 << 24
+_WINNOW_FP_CTE = f"""
+    WITH f AS MATERIALIZED (
+        SELECT repo, path, commit,
+               regexp_replace(lower(content), '[^a-z0-9]', '', 'g') AS norm
+        FROM read_parquet('{_CODE_DUMP_DIR}/src.parquet')),
+    g0 AS (SELECT commit, norm,
+                  unnest(range(0, greatest(length(norm) - {_WIN_K} + 1, 0)))
+                      AS pos
+           FROM f),
+    g AS MATERIALIZED (
+        SELECT commit, pos,
+               CAST(('0x' || substr(sha256(substr(norm, pos + 1, {_WIN_K})),
+                                    1, 8)) AS BIGINT) AS h
+        FROM g0),
+    n AS (SELECT commit, count(*) AS n_h FROM g GROUP BY commit),
+    wins AS (SELECT commit,
+                    unnest(range(0, greatest(n_h - {_WIN_W} + 1, 1))) AS j
+             FROM n),
+    sel AS (SELECT w.commit, w.j,
+                   min(g.h * {_WIN_POS} + ({_WIN_POS - 1} - g.pos)) AS skey
+            FROM wins w JOIN g ON g.commit = w.commit
+                              AND g.pos BETWEEN w.j AND w.j + {_WIN_W} - 1
+            GROUP BY w.commit, w.j),
+    fp AS MATERIALIZED (
+        SELECT DISTINCT commit,
+               skey // {_WIN_POS} AS h,
+               {_WIN_POS - 1} - (skey % {_WIN_POS}) AS pos
+        FROM sel)
+"""
 
 
 def _code_src(sf_dir: str) -> str:
@@ -301,7 +378,7 @@ def _code_src(sf_dir: str) -> str:
     n_docs = _corpus_docs_for(sf_dir)
     os.makedirs(_CODE_DUMP_DIR, exist_ok=True)
     key_path = os.path.join(_CODE_DUMP_DIR, "_KEY")
-    key = f"docs={n_docs}:plants=v1"
+    key = f"docs={n_docs}:plants=v2"
     src_path = os.path.join(_CODE_DUMP_DIR, "src.parquet")
     if os.path.exists(key_path) and os.path.exists(src_path):
         with open(key_path) as f:
@@ -344,6 +421,56 @@ def _q_import_graph(sf_dir: str):
     from nadry_search_engine_be_ray.pipelines.codequeries import import_graph
 
     return import_graph(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_license_detect(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.codecuration import license_detect
+
+    return license_detect(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_stack_file_metrics(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.codecuration import (
+        stack_file_metrics,
+    )
+
+    return stack_file_metrics(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_stack_quality(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.codecuration import (
+        stack_quality_filters,
+    )
+
+    return stack_quality_filters(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_winnow_stats(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.codecuration import winnow_stats
+
+    return winnow_stats(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_clone_pairs(sf_dir: str):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.codecuration import clone_pairs
+
+    return clone_pairs(ray.data.read_parquet(_code_src(sf_dir)))
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    from nadry_search_engine_be_ray.pipelines.textqueries import hybrid_rrf
+
+    return hybrid_rrf(sf_dir)
 
 
 def _q_ppl_buckets(sf_dir: str):
@@ -4328,6 +4455,129 @@ def oracle_sql() -> dict[str, str]:
             SELECT nx AS module, count(DISTINCT repo) AS n_repos,
                    count(*) AS n_imports
             FROM u GROUP BY nx ORDER BY module
+        """,
+        # code-corpus curation (stages/codecuration.py): DuckDB replays the
+        # identical prioritized CASE / line-split / RE2-strip / winnowing
+        # selection chain over the same dumped src table
+        "license_detect": f"""
+            WITH c AS (SELECT repo, path, lang, lower(content) AS low
+                       FROM read_parquet('{_CODE_DUMP_DIR}/src.parquet')),
+            lic AS (SELECT repo, path, lang,
+                CASE
+                  WHEN contains(low, 'licensed under the apache license, version 2.0') THEN 'apache-2.0'
+                  WHEN contains(low, 'permission is hereby granted, free of charge') THEN 'mit'
+                  WHEN contains(low, 'gnu general public license') THEN 'gpl-3.0'
+                  WHEN contains(low, 'redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+                  WHEN contains(low, 'mozilla public license') THEN 'mpl-2.0'
+                  WHEN contains(low, 'free and unencumbered software') THEN 'unlicense'
+                  ELSE 'none' END AS license
+                FROM c)
+            SELECT repo, path, lang, license FROM lic WHERE license <> 'none'
+            ORDER BY repo, path, license
+        """,
+        "stack_file_metrics": f"""
+            {_STACK_METRICS_CTE}
+            SELECT repo, path, lang, n_lines, max_line_len, avg_line_len,
+                   frac_alnum, autogen, keep
+            FROM m3 WHERE starts_with(repo, 'plants/')
+            ORDER BY repo, path
+        """,
+        "stack_quality": f"""
+            {_STACK_METRICS_CTE}
+            SELECT lang, keep, count(*) AS n_files,
+                   CAST(sum(CASE WHEN autogen THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_autogen,
+                   CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+                   round(sum(CAST(round(frac_alnum * 10000) AS BIGINT))
+                         / (count(*) * 10000.0), 4) AS avg_frac_alnum
+            FROM m3 GROUP BY lang, keep ORDER BY lang, keep
+        """,
+        "winnow_stats": f"""
+            {_WINNOW_FP_CTE}
+            , st AS (SELECT commit, count(*) AS n_fp, bit_xor(h) AS fp_xor
+                     FROM fp GROUP BY commit)
+            SELECT f.repo, f.path, f.commit,
+                   greatest(length(f.norm) - {_WIN_K} + 1, 0) AS n_grams,
+                   coalesce(st.n_fp, 0) AS n_fp,
+                   coalesce(st.fp_xor, 0) AS fp_xor
+            FROM f LEFT JOIN st ON f.commit = st.commit
+            ORDER BY f.repo, f.path, f.commit
+        """,
+        "clone_pairs": f"""
+            {_WINNOW_FP_CTE}
+            , dfc AS (SELECT h, count(DISTINCT commit) AS dfc
+                      FROM fp GROUP BY h),
+            fpd AS (SELECT DISTINCT fp.commit, fp.h
+                    FROM fp JOIN dfc ON fp.h = dfc.h
+                    WHERE dfc.dfc BETWEEN 2 AND 10),
+            pr AS (SELECT a.commit AS commit_a, b.commit AS commit_b, a.h
+                   FROM fpd a JOIN fpd b
+                     ON a.h = b.h AND a.commit < b.commit)
+            SELECT commit_a, commit_b, count(DISTINCT h) AS n_shared
+            FROM pr GROUP BY commit_a, commit_b
+            HAVING count(DISTINCT h) >= 15
+            ORDER BY commit_a, commit_b
+        """,
+        # hybrid RRF: bm25_simple chain + ann cosine chain, ranks on the
+        # 6-dp-ROUNDED scores (ties by id), fused 1/(60+r) + 1/(60+r)
+        "hybrid_rrf": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+                WHERE token IN ('hash', 'join', 'performance')
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS raw_score
+                FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            ),
+            bmr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY round(raw_score, 6) DESC,
+                                          doc_id) AS bm25_rank
+                FROM scored
+                QUALIFY bm25_rank <= 50
+            ),
+            q AS (SELECT embedding AS qe FROM embeddings
+                  ORDER BY vec_id LIMIT 1),
+            sims AS (
+                SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+                FROM q CROSS JOIN embeddings e
+            ),
+            annr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC,
+                                          doc_id) AS ann_rank
+                FROM sims
+                QUALIFY ann_rank <= 50
+            ),
+            fused AS (
+                SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (60 + b.bm25_rank), 0)
+                             + coalesce(1.0 / (60 + a.ann_rank), 0), 6)
+                           AS rrf_score,
+                       coalesce(b.bm25_rank, -1) AS bm25_rank,
+                       coalesce(a.ann_rank, -1) AS ann_rank
+                FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id
+            )
+            SELECT doc_id, rrf_score, bm25_rank, ann_rank
+            FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
         """,
     }
     # sampling family: the salted sha256-prefix bucket is recomputed by

@@ -243,16 +243,79 @@ PLANTED_CODE = [
         "def repeated_sym a def repeated_sym b\n"
         "import numpy import numpy",       # duplicate counting path
     ),
+    # --- curation plants (stages/codecuration.py; plants=v2) -------------
+    (
+        "plants/lic-mit", "LICENSE.py", "python",
+        "# Permission is hereby granted, free of charge, to any person\n"
+        "import mitlib\ndef mit_entry x",
+    ),
+    (
+        "plants/lic-apache", "src/Ap.java", "java",
+        "// Licensed under the Apache License, Version 2.0 see NOTICE\n"
+        "class ApacheThing base",
+    ),
+    (
+        "plants/lic-gpl", "web/g.js", "javascript",
+        "// part of Foo, under the GNU General Public License v3\n"
+        "function gplFn a",
+    ),
+    (
+        # BOTH apache + mit phrases: priority order must pick apache-2.0
+        "plants/lic-multi", "src/multi.py", "python",
+        "# Licensed under the Apache License, Version 2.0\n"
+        "# Permission is hereby granted, free of charge\n"
+        "def dual_lic y",
+    ),
+    (
+        # minified: single 500-char line -> max_line_len rejection
+        "plants/q-longline", "dist/min.js", "javascript",
+        "var " + "x" * 496,
+    ),
+    (
+        # auto-generated marker -> autogen rejection
+        "plants/q-autogen", "gen/pb.py", "python",
+        "# auto-generated by protoc do not edit\ndef gen_fn y",
+    ),
+    (
+        # punctuation soup -> frac_alnum rejection
+        "plants/q-punct", "data/p.md", "markdown",
+        "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))\n" * 3,
+    ),
+    (
+        # clean short-line file -> keep
+        "plants/q-good", "src/ok.py", "python",
+        "import os\ndef ok_fn z\nreturn z",
+    ),
+    (
+        # winnowing clone pair: clone-b differs from clone-a by ONE word —
+        # they share most selected fingerprints (>= min_shared)
+        "plants/clone-a", "src/a.py", "python",
+        "def compute_totals for each order in the ledger apply the "
+        "discount rate then accumulate the running balance and write "
+        "the audit record to the journal before the commit barrier "
+        "releases the next batch of pending transactions downstream",
+    ),
+    (
+        "plants/clone-b", "src/b.py", "python",
+        "def compute_totals for each order in the ledger apply the "
+        "discount rate then accumulate the running balance and write "
+        "the audit record to the logbook before the commit barrier "
+        "releases the next batch of pending transactions downstream",
+    ),
 ]
 
 
 def augment_with_plants(corpus: pa.Table) -> pa.Table:
-    """Append the planted code docs (commit = 40 zeros) to a corpus table."""
+    """Append the planted code docs to a corpus table.  Plant commits are
+    distinct 40-char zero-padded ordinals (curation ops key files by
+    commit; corpus commits are sha-hex prefixes, collision-free)."""
     plants = pa.table(
         {
             "repo": pa.array([p[0] for p in PLANTED_CODE], pa.string()),
             "path": pa.array([p[1] for p in PLANTED_CODE], pa.string()),
-            "commit": pa.array(["0" * 40] * len(PLANTED_CODE), pa.string()),
+            "commit": pa.array(
+                [f"{i:040d}" for i in range(len(PLANTED_CODE))], pa.string()
+            ),
             "lang": pa.array([p[2] for p in PLANTED_CODE], pa.string()),
             "content": pa.array([p[3] for p in PLANTED_CODE], pa.string()),
         }

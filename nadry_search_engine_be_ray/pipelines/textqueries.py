@@ -310,6 +310,66 @@ def bm25_simple(sf_dir: str, query: str = "hash join performance",
     return out.reset_index(drop=True)
 
 
+def hybrid_rrf(sf_dir: str, query: str = "hash join performance",
+               k_each: int = 50, k: int = 10, rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher, SIGIR 2009): fuse the BM25 top-``k_each`` over
+    ``documents`` with the cosine top-``k_each`` over ``embeddings`` (the
+    query vector is the smallest-vec_id embedding; doc_id == vec_id), score
+    = Σ 1/(rrf_k + rank) over the lists the doc appears in.
+
+    Ranks are assigned on the 6-dp-ROUNDED scores (ties by id) so the rank
+    assignment is bit-deterministic vs the DuckDB oracle — RRF depends only
+    on ranks, making the fusion itself float-robust.  Scale shape: each leg
+    is the existing partial-top-k pipeline (bm25_simple /
+    brute_force_topk); the fusion is a k_each-sized driver merge."""
+    import ray
+
+    from ..stages.similarity import brute_force_topk
+
+    # fetch a margin past k_each on the raw-score ranking, then cut at
+    # k_each on the ROUNDED ranking — kills raw-vs-rounded membership
+    # flips at the list boundary
+    bm = bm25_simple(sf_dir, query=query, k=k_each + 32)
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True])
+    bm = bm.head(k_each).reset_index(drop=True)
+    bm["bm25_rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .to_pandas().sort_values("vec_id").head(1)
+    )
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    ann = brute_force_topk(emb, q, k=k_each + 32).to_pandas()
+    ann["cosine"] = ann["cosine"].round(6)
+    ann = ann.sort_values(["cosine", "vec_id"], ascending=[False, True])
+    ann = ann.head(k_each).reset_index(drop=True)
+    ann["ann_rank"] = np.arange(1, len(ann) + 1, dtype=np.int64)
+
+    m = pd.merge(
+        bm[["doc_id", "bm25_rank"]],
+        ann[["vec_id", "ann_rank"]].rename(columns={"vec_id": "doc_id"}),
+        on="doc_id", how="outer",
+    )
+    bm_term = np.where(
+        m["bm25_rank"].notna(), 1.0 / (rrf_k + m["bm25_rank"].fillna(0)), 0.0
+    )
+    ann_term = np.where(
+        m["ann_rank"].notna(), 1.0 / (rrf_k + m["ann_rank"].fillna(0)), 0.0
+    )
+    m["rrf_score"] = np.round(bm_term + ann_term, 6)
+    m["bm25_rank"] = m["bm25_rank"].fillna(-1).astype("int64")
+    m["ann_rank"] = m["ann_rank"].fillna(-1).astype("int64")
+    m["doc_id"] = m["doc_id"].astype("int64")
+    out = m.sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+    return out.head(k).reset_index(drop=True)[
+        ["doc_id", "rrf_score", "bm25_rank", "ann_rank"]
+    ]
+
+
 def phrase_contains(sf_dir: str, phrase: str = "hash join") -> pd.DataFrame:
     """Docs whose token stream contains the exact adjacent phrase (J2
     adjacency mechanics on the simple token stream)."""
