@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hybrid lexical+dense retrieval: BM25 ∪ cosine fused by RRF
         # (Cormack et al. 2009); ranks on 6-dp-rounded scores both sides
         "hybrid_rrf": _q_hybrid_rrf,
+        # MMR diversification (Carbonell & Goldstein 1998): greedy
+        # relevance-vs-redundancy re-rank of the cosine top-20, unrolled
+        # greedy chain replayed by the oracle CTE-per-pick
+        "mmr_diversify": _q_mmr_diversify,
     }
     return out
 
@@ -471,6 +475,89 @@ def _q_hybrid_rrf(sf_dir: str):
     from nadry_search_engine_be_ray.pipelines.textqueries import hybrid_rrf
 
     return hybrid_rrf(sf_dir)
+
+
+def _q_mmr_diversify(sf_dir: str):
+    """MMR top-5 from the cosine top-20 for the smallest-vec_id query
+    vector (lambda = 0.5); every argmax runs on 6-dp-rounded cosines so
+    the greedy chain is bit-equal to the unrolled-CTE oracle."""
+    import numpy as np
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import mmr_diversify
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .to_pandas().sort_values("vec_id").head(1)
+    )
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)[0]
+    return mmr_diversify(emb, q, k=5, n_candidates=20, lam=0.5)
+
+
+def _mmr_sql(k: int = 5, n_candidates: int = 20, lam: float = 0.5) -> str:
+    """Unrolled greedy-MMR oracle: candidates + pairwise cosines
+    MATERIALIZED, then k chained (score -> argmax -> grow selected set)
+    CTE levels — the _pagerank_power_sql unrolling pattern."""
+    steps = []
+    prev_sel = None
+    for r in range(1, k + 1):
+        if r == 1:
+            steps.append(f"""
+            s1 AS MATERIALIZED (
+                SELECT vec_id, round({lam} * cosine, 6) AS mmr, 1 AS rank
+                FROM cands ORDER BY round({lam} * cosine, 6) DESC, vec_id
+                LIMIT 1),
+            sel1 AS (SELECT vec_id FROM s1)""")
+        else:
+            steps.append(f"""
+            m{r} AS (
+                SELECT c.vec_id,
+                       round({lam} * c.cosine - {1 - lam} * (
+                           SELECT max(p.sim) FROM pairs p
+                           WHERE p.va = c.vec_id
+                             AND p.vb IN (SELECT vec_id FROM {prev_sel})
+                       ), 6) AS mmr
+                FROM cands c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})),
+            s{r} AS MATERIALIZED (
+                SELECT vec_id, mmr, {r} AS rank FROM m{r}
+                ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel{r} AS (SELECT vec_id FROM {prev_sel}
+                       UNION ALL SELECT vec_id FROM s{r})""")
+        prev_sel = f"sel{r}"
+    union = "\nUNION ALL ".join(
+        f"SELECT rank, vec_id, mmr AS mmr_score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings
+                   ORDER BY vec_id LIMIT 1),
+        cands AS MATERIALIZED (
+            SELECT vec_id, cosine, embedding FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                       e.embedding,
+                       row_number() OVER (
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.qe AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id) AS rn
+                FROM q CROSS JOIN embeddings e)
+            WHERE rn <= {n_candidates}),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+        {','.join(steps)}
+        SELECT * FROM ({union}) ORDER BY rank
+    """
 
 
 def _q_ppl_buckets(sf_dir: str):
@@ -4579,6 +4666,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rrf_score, bm25_rank, ann_rank
             FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
         """,
+        "mmr_diversify": _mmr_sql(),
     }
     # sampling family: the salted sha256-prefix bucket is recomputed by
     # DuckDB byte-for-byte, so the whole decision path is SQL-checkable

@@ -292,3 +292,69 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_lists: int = 16,
         assigned, q, probe_sets, "ivf_list", k, id_col, vec_col
     )
     return _finalize(merged, k)
+
+
+def mmr_diversify(ds, query_vector: np.ndarray, k: int = 5,
+                  n_candidates: int = 20, lam: float = 0.5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "pd.DataFrame":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): retrieve the cosine top-``n_candidates`` for the query,
+    then greedily pick ``k`` results maximizing
+    ``lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s)`` — relevance traded
+    against redundancy with the already-selected set.
+
+    Determinism: candidate membership and every greedy argmax operate on
+    6-dp-ROUNDED cosines (ties by id), so the whole chain is bit-equal to
+    the unrolled-CTE DuckDB oracle.  Scale shape: the retrieval leg is
+    the distributed partial-top-k pipeline; the greedy loop is a bounded
+    k x n_candidates driver re-rank (candidate-sized, never corpus-sized),
+    exactly how a serving tier would run MMR per query.
+    """
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import ray
+
+    q = np.asarray(query_vector, dtype=np.float64).reshape(1, -1)
+    # margin past n_candidates on the raw ranking, cut on the rounded one
+    top = brute_force_topk(
+        ds, q, k=n_candidates + 32, id_col=id_col, vec_col=vec_col
+    ).to_pandas()
+    top["cosine"] = top["cosine"].round(6)
+    top = top.sort_values(["cosine", "vec_id"], ascending=[False, True])
+    top = top.head(n_candidates).reset_index(drop=True)
+    cand_ids = top["vec_id"].to_numpy()
+
+    idset = ray.put(np.sort(cand_ids))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.sort(ray.get(idset))
+        bid = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, bid)
+        pos[pos == ids.size] = 0
+        keep = ids[pos] == bid
+        return batch.filter(pa.array(keep))
+
+    emb = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    emb = emb.set_index(id_col).loc[cand_ids]
+    mat = _normalize(np.stack(emb[vec_col].to_numpy()).astype(np.float64))
+    sims = np.round(mat @ mat.T, 6)      # pairwise candidate cosines
+    cos = top["cosine"].to_numpy()
+
+    selected: list[int] = []
+    sel_rows: list[tuple[int, int, float]] = []
+    avail = np.ones(len(cand_ids), dtype=bool)
+    for rank in range(1, min(k, len(cand_ids)) + 1):
+        if selected:
+            red = sims[:, selected].max(axis=1)
+        else:
+            red = np.zeros(len(cand_ids))
+        mmr = np.round(lam * cos - (1 - lam) * red, 6)
+        mmr_masked = np.where(avail, mmr, -np.inf)
+        best = np.lexsort((cand_ids, -mmr_masked))[0]
+        selected.append(best)
+        avail[best] = False
+        sel_rows.append((rank, int(cand_ids[best]), float(mmr[best])))
+    return pd.DataFrame(
+        sel_rows, columns=["rank", "vec_id", "mmr_score"]
+    ).astype({"rank": "int64", "vec_id": "int64"})
