@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_ordered": _q_proximity_ordered,
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
+        # tombstone deletes (pipelines/deletes.py): mask-at-read df,
+        # stale-stats BM25 on the tombstoned index, and the physical
+        # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
+        "delete_masked_df": _q_delete_masked_df,
+        "delete_stale_bm25": _q_delete_stale_bm25,
+        "delete_purge_df": _q_delete_purge_df,
+        "delete_purge_stats": _q_delete_purge_stats,
         "pagerank": _q_pagerank,
         # near-dup + ANN extras (rows-only)
         "simhash_pairs": _q_simhash_pairs,
@@ -2793,6 +2800,150 @@ def _q_index_merge(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# document deletes: tombstone mask + purge (pipelines/deletes.py)
+# ---------------------------------------------------------------------------
+
+# the SQL-expressible delete rule: tombstone every doc with
+# doc_int % 7 == 3 (~14% of the corpus), so DuckDB can replay the
+# deletion as a pure WHERE predicate over the dumped token tables
+_DELETE_PRED = "doc_int % 7 != 3"
+
+
+def _deleted_index(sf_dir: str) -> str:
+    """A tombstoned COPY of the shared index (the original stays pristine
+    for every other key).  Idempotent via sentinel; built fresh-copy +
+    delete_docs on miss."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.deletes import delete_docs
+
+    _, index_dir = _built_index(sf_dir)
+    root = index_dir + "_deleted_v1"
+    sentinel = os.path.join(root, "deletes", "tombstones.parquet")
+    if not os.path.exists(sentinel):
+        shutil.rmtree(root, ignore_errors=True)
+        tmp = root + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(index_dir, tmp)
+        di = pads.dataset(
+            os.path.join(tmp, "doc_stats"), format="parquet"
+        ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        delete_docs(tmp, di[di % 7 == 3])
+        os.rename(tmp, root)
+    return root
+
+
+def _purged_index(sf_dir: str) -> str:
+    """The tombstoned copy after purge_deletes (physical rewrite)."""
+    import shutil
+
+    from nadry_search_engine_be_ray.pipelines.deletes import purge_deletes
+    from nadry_search_engine_be_ray.state.deletes import tombstone_path
+
+    src = _deleted_index(sf_dir)
+    root = src.replace("_deleted_v1", "_purged_v1")
+    if not os.path.exists(os.path.join(root, "stats.json")) or \
+            os.path.exists(tombstone_path(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        tmp = root + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp)
+        purge_deletes(tmp)
+        os.rename(tmp, root)
+    return root
+
+
+def _df_table_of(index_dir: str):
+    """Per-term LIVE df from a SegmentReader (terms whose postings fully
+    died are excluded, matching the SQL GROUP BY over surviving rows)."""
+    import pandas as pd
+
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    r = SegmentReader(index_dir)
+    rows = sorted(
+        (t, r.postings(t).df) for t in r.terms() if r.postings(t).df > 0
+    )
+    return pd.DataFrame({"term": [t for t, _ in rows],
+                         "df": pd.array([d for _, d in rows],
+                                        dtype="int64")})
+
+
+def _q_delete_masked_df(sf_dir: str):
+    """Per-term df AFTER tombstoning doc_int%7==3 but BEFORE purge — the
+    mask-at-decode read path (state/deletes.mask_posting): every posting
+    list is filtered against the tombstone set inside SegmentReader, so
+    the hash compare covers the vectorized positions-compaction gather
+    too (decode errors would shift df or crash)."""
+    _main_dump(sf_dir)
+    return _df_table_of(_deleted_index(sf_dir))
+
+
+def _q_delete_purge_df(sf_dir: str):
+    """Per-term df AFTER purge_deletes — the physical per-shard segment
+    rewrite (pipelines/deletes.py): same expected table as the masked
+    read, but produced by the re-encode + swap path with the tombstone
+    file gone (pytest separately asserts byte-parity with a fresh build
+    over the survivors)."""
+    _main_dump(sf_dir)
+    return _df_table_of(_purged_index(sf_dir))
+
+
+def _q_delete_purge_stats(sf_dir: str):
+    """Global stats after purge (stats.json recompute): n_docs /
+    total_words / avgdl over the survivors plus the live dictionary
+    size."""
+    import json as _json
+
+    import pandas as pd
+
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    _main_dump(sf_dir)
+    idx = _purged_index(sf_dir)
+    with open(os.path.join(idx, "stats.json")) as f:
+        s = _json.load(f)
+    r = SegmentReader(idx)
+    n_terms = sum(1 for t in r.terms() if r.postings(t).df > 0)
+    return pd.DataFrame(
+        {"n_docs": pd.array([s["n_docs"]], dtype="int64"),
+         "total_words": pd.array([s["total_words"]], dtype="int64"),
+         "avgdl": [round(float(s["avgdl"]), 9)],
+         "n_terms": pd.array([n_terms], dtype="int64")}
+    )
+
+
+def _q_delete_stale_bm25(sf_dir: str):
+    """BM25 top-10 on the TOMBSTONED index: candidates are masked but idf
+    keeps the stale df (PostingList.df_stale — Lucene's docFreq-includes-
+    deletes) and n_docs/avgdl stay the full-build values; the oracle
+    replays exactly that asymmetry in SQL (unfiltered df CTE + stale
+    stats.parquet, WHERE-filtered candidate rows)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import batch_search
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _main_dump(sf_dir)
+    index_dir = _deleted_index(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = batch_search(qds, index_dir, mode="bm25",
+                       concurrency=2).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -3036,13 +3187,19 @@ def _search_reference_sql() -> str:
     )
 
 
-def _search_bm25_sql() -> str:
+def _search_bm25_sql(live_pred: str | None = None) -> str:
     """Generated Okapi-BM25 oracle over the dumped token tables (global df,
     engine stats.json n_docs/avgdl verbatim, expression tree mirroring
-    SearchEngine._scores_for including the (1.2 + 1) form of k1+1)."""
+    SearchEngine._scores_for including the (1.2 + 1) form of k1+1).
+
+    ``live_pred`` replays a tombstone delete: candidate rows are filtered
+    to the survivors while the df CTE and stats.parquet stay UNFILTERED —
+    exactly the engine's stale-stats delete semantics
+    (PostingList.df_stale, state/deletes.py)."""
     from collections import Counter
 
     D = _MAIN_DUMP_DIR
+    live = f"AND t.{live_pred}" if live_pred else ""
     ctes: list[str] = []
     selects: list[str] = []
     for p in _query_plans():
@@ -3072,7 +3229,7 @@ def _search_bm25_sql() -> str:
             JOIN bdf{i} d ON d.term = t.term
             JOIN read_parquet('{D}/docstats.parquet') ds
                  ON ds.doc_int = t.doc_int
-            WHERE t.term IN ({terms_sql})
+            WHERE t.term IN ({terms_sql}) {live}
             GROUP BY t.doc_int),
         bpg{i} AS (
             SELECT doc_int, score,
@@ -4489,6 +4646,33 @@ def oracle_sql() -> dict[str, str]:
         "posting_codec_sizes_dense": _codec_sizes_sql(dense=True),
         "search_reference": _search_reference_sql(),
         "search_bm25_wand": _search_bm25_sql(),
+        # tombstone deletes: surviving-row recompute (mask + purge agree
+        # on the same expected table through two different engine paths);
+        # the stale-BM25 oracle keeps df/stats UNFILTERED by construction
+        "delete_masked_df": (
+            f"SELECT term, count(*) AS df "
+            f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
+            f"WHERE {_DELETE_PRED} GROUP BY term ORDER BY term"
+        ),
+        "delete_purge_df": (
+            f"SELECT term, count(*) AS df "
+            f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
+            f"WHERE {_DELETE_PRED} GROUP BY term ORDER BY term"
+        ),
+        "delete_purge_stats": f"""
+            WITH ds AS (SELECT * FROM
+                        read_parquet('{_MAIN_DUMP_DIR}/docstats.parquet')
+                        WHERE {_DELETE_PRED})
+            SELECT (SELECT count(*) FROM ds) AS n_docs,
+                   (SELECT CAST(sum(total_words) AS BIGINT) FROM ds)
+                       AS total_words,
+                   round((SELECT CAST(sum(total_words) AS DOUBLE) FROM ds)
+                         / (SELECT count(*) FROM ds), 9) AS avgdl,
+                   (SELECT count(DISTINCT term) FROM
+                    read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+                    WHERE {_DELETE_PRED}) AS n_terms
+        """,
+        "delete_stale_bm25": _search_bm25_sql(live_pred=_DELETE_PRED),
         "index_merge": _INDEX_MERGE_SQL,
         # code-aware analysis: the dumped src table is corpus + plants;
         # DuckDB replays the IDENTICAL RE2 token stream / next-token rule /

@@ -306,8 +306,13 @@ class SearchEngine:
                 continue
             if scorer == "additive":
                 pls.append((pl, 1.0))
-            else:  # bm25: weight postings by idf at query time
-                idf = math.log((n - pl.df + 0.5) / (pl.df + 0.5) + 1.0)
+            else:  # bm25: weight postings by idf at query time.
+                # df_stale = docFreq INCLUDING tombstoned docs (Lucene's
+                # documented semantics — stats stay stale until purge,
+                # state/deletes.py); equals df when no deletes exist.
+                idf = math.log(
+                    (n - pl.df_stale + 0.5) / (pl.df_stale + 0.5) + 1.0
+                )
                 pls.append((pl, idf))
         return pls, avgdl
 
@@ -996,6 +1001,14 @@ def boolean_search(index_dir: str, exprs: dict[str, object], *,
             self.universe = np.sort(
                 t["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
+            # NOT must not resurrect tombstoned docs: complement against
+            # the LIVE universe (reader.deleted is the same set that masks
+            # every posting list — state/deletes.py)
+            if self.reader.deleted.size:
+                from ..state.deletes import live_mask
+                self.universe = self.universe[
+                    live_mask(self.universe, self.reader.deleted)
+                ]
             self.exprs = ray.get(exprs_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1170,7 +1183,9 @@ def wildcard_terms_kgram(index_dir: str, patterns: list[str], *, k: int = 3,
             if ok:
                 rp.append(p)
                 rt.append(t)
-                rf.append(int(reader.postings(t).df))
+                # dictionary df is the stale (on-disk) count — consistent
+                # with the parquet-column df paths and Lucene's docFreq
+                rf.append(int(reader.postings(t).df_stale))
     return pa.table(
         {"pattern": pa.array(rp, pa.string()),
          "term": pa.array(rt, pa.string()),
@@ -1314,7 +1329,7 @@ def more_like_this(index_dir: str, doc_int: int, *, n_terms: int = 5,
     reader = SegmentReader(index_dir)
     terms = agg["term"].to_pylist()
     tfs = agg["tf_sum"].to_pylist()
-    dfs = [reader.postings(t).df for t in terms]
+    dfs = [reader.postings(t).df_stale for t in terms]
     order = sorted(range(len(terms)),
                    key=lambda i: (-tfs[i], dfs[i], terms[i]))[:n_terms]
     sel = [terms[i] for i in order]

@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 
 from ..functions import codec
 from ..stages.tokenize import term_shard
+from . import deletes as deletes_state
 
 _PAYLOAD_COLS = [
     "df", "docs", "tfs", "weights", "block_max", "positions", "pos_offsets",
@@ -49,10 +50,18 @@ class PostingList:
     block_max: np.ndarray   # float64 per-block max weight
     positions_buf: bytes
     pos_offsets: np.ndarray  # int64 per-doc byte offsets (len = df+1)
+    # df INCLUDING tombstoned docs (None = no deletes touched this list).
+    # Scoring idf uses df_stale — Lucene's docFreq-includes-deletes
+    # semantics: stats stay stale until purge (state/deletes.py).
+    df_total: int | None = None
 
     @property
     def df(self) -> int:
         return int(self.docs.size)
+
+    @property
+    def df_stale(self) -> int:
+        return self.df if self.df_total is None else int(self.df_total)
 
     def positions_for(self, doc_index: int) -> dict[int, np.ndarray]:
         return codec.decode_doc_positions(
@@ -130,6 +139,9 @@ class SegmentReader:
         else:
             self._decode_docs = codec.decode_sorted_deltas
             self._decode_tfs = codec.decode_varints
+        # tombstone set (state/deletes.py): loaded once per reader/actor,
+        # applied to every decoded posting list; empty array = zero overhead
+        self.deleted = deletes_state.load_tombstones(index_dir)
         self.shards = shards if shards is not None else list(range(self.num_shards))
         self.lazy_payload = lazy_payload
         self.rg_cache_cap = rg_cache_cap
@@ -204,6 +216,9 @@ class SegmentReader:
             shift += int(off[-1])
         docs = np.concatenate(docs_parts)
         weights = np.concatenate(w_parts)
+        tfs = np.concatenate(tf_parts)
+        pos_buf = b"".join(pos_bufs)
+        offs = np.concatenate(off_parts)
         if len(rows) == 1:
             # compacted hot path: consume the block_max the build wrote
             # (stats.json block_size matches by construction)
@@ -211,14 +226,24 @@ class SegmentReader:
         else:
             # multi-run concatenation shifts block boundaries -> recompute
             bmax = codec.block_max(weights, self.block_size)
+        df_total = None
+        if self.deleted.size:
+            masked = deletes_state.mask_posting(
+                docs, tfs, weights, pos_buf, offs, self.deleted,
+                self.block_size,
+            )
+            if masked is not None:
+                (docs, tfs, weights, bmax, pos_buf, offs,
+                 df_total) = masked
         pl = PostingList(
             term=term,
             docs=docs,
-            tfs=np.concatenate(tf_parts),
+            tfs=tfs,
             weights=weights,
             block_max=bmax,
-            positions_buf=b"".join(pos_bufs),
-            pos_offsets=np.concatenate(off_parts),
+            positions_buf=pos_buf,
+            pos_offsets=offs,
+            df_total=df_total,
         )
         # bounded decoded-posting cache (Zipfian term reuse across queries)
         if len(self._pl_cache) >= 512:
