@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_stale_bm25": _q_delete_stale_bm25,
         "delete_purge_df": _q_delete_purge_df,
         "delete_purge_stats": _q_delete_purge_stats,
+        "delete_merge_df": _q_delete_merge_df,
         "pagerank": _q_pagerank,
         # near-dup + ANN extras (rows-only)
         "simhash_pairs": _q_simhash_pairs,
@@ -2943,6 +2944,58 @@ def _q_delete_stale_bm25(sf_dir: str):
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
 
+def _q_delete_merge_df(sf_dir: str):
+    """Per-term df after a merge that CONSUMES tombstones (Lucene
+    segment-merge semantics, pipelines/merge.py): two half-corpus indexes
+    each tombstoned with doc_int%7==3, k-way merged — dead docs are
+    dropped during the merge itself, no purge step; the oracle recomputes
+    df from the sources' raw postings dumps under the same predicate."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.build import build_index
+    from nadry_search_engine_be_ray.pipelines.deletes import delete_docs
+    from nadry_search_engine_be_ray.pipelines.merge import merge_indexes
+    from nadry_search_engine_be_ray.sources.corpus import write_corpus
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    root = "/tmp/nadry_entry/delete_merge_v1"
+    idx_m = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(idx_m, "stats.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        corpus = os.path.join(root, "corpus")
+        write_corpus(corpus, n_docs=400, seed=99)
+        tbl = pads.dataset(corpus, format="parquet").to_table()
+        ca, cb = os.path.join(root, "ca"), os.path.join(root, "cb")
+        os.makedirs(ca), os.makedirs(cb)
+        pq.write_table(tbl.slice(0, 200), os.path.join(ca, "part.parquet"))
+        pq.write_table(tbl.slice(200), os.path.join(cb, "part.parquet"))
+        cfg = BuildConfig(num_shards=4, salt_bits=1)
+        ia, ib = os.path.join(root, "ia"), os.path.join(root, "ib")
+        build_index(ca, ia, cfg)
+        build_index(cb, ib, cfg)
+        for d in (ia, ib):
+            di = pads.dataset(
+                os.path.join(d, "doc_stats"), format="parquet"
+            ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            delete_docs(d, di[di % 7 == 3])
+        merge_indexes([ia, ib], idx_m)
+    r = SegmentReader(idx_m)
+    rows = sorted(
+        (t, r.postings(t).df) for t in r.terms() if r.postings(t).df > 0
+    )
+    return pd.DataFrame({"term": [t for t, _ in rows],
+                         "df": pd.array([d for _, d in rows],
+                                        dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -4674,6 +4727,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "delete_stale_bm25": _search_bm25_sql(live_pred=_DELETE_PRED),
         "index_merge": _INDEX_MERGE_SQL,
+        # merge-consumes-tombstones: df over the sources' raw postings
+        # dumps minus the delete rule (engine side drops those docs
+        # DURING the k-way merge, pipelines/merge.py)
+        "delete_merge_df": """
+            SELECT term, count(DISTINCT doc_int) AS df FROM (
+                SELECT term, doc_int FROM read_parquet(
+                    '/tmp/nadry_entry/delete_merge_v1/ia/postings/*/*.parquet')
+                WHERE field >= 0
+                UNION ALL
+                SELECT term, doc_int FROM read_parquet(
+                    '/tmp/nadry_entry/delete_merge_v1/ib/postings/*/*.parquet')
+                WHERE field >= 0
+            ) WHERE doc_int % 7 != 3
+            GROUP BY term ORDER BY term
+        """,
         # code-aware analysis: the dumped src table is corpus + plants;
         # DuckDB replays the IDENTICAL RE2 token stream / next-token rule /
         # camel-split rewrite (verified kernel-equal in pytest), so the

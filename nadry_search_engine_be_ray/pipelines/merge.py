@@ -13,6 +13,14 @@ Preconditions (asserted): identical (num_shards, salt_bits), compacted
 segments, and DISJOINT document sets (run exact dedup across corpora first —
 the merge raises on a duplicate doc_int).
 
+Tombstones are CONSUMED by the merge (Lucene's segment-merge semantics:
+merging applies deletes physically): each source's
+``deletes/tombstones.parquet`` set is unioned and dead docs are dropped
+from posting rows during the k-way merge (the same mask/re-encode path as
+``pipelines.deletes.purge_deletes``, byte-identical fast path when a term
+touches no dead doc), doc_stats / prepped copies are live-filtered, stats
+recompute over survivors, and the merged index carries NO tombstone file.
+
 Shape: one Ray task per shard (the parts-table pattern used everywhere in
 build.py) — parallelism = num_shards, no all-to-all: shard routing is a pure
 function of the term, so the same shard of every index holds the same terms.
@@ -36,12 +44,51 @@ from ..stages.encode import (
     _empty_segment_table,
     merge_term_rows_interleaved,
 )
+from ..state import deletes as deletes_state
+from ..state.deletes import live_mask
 
 
-def _copy_parquet_dir(src: str, dst: str, tag: str) -> None:
+def _copy_parquet_dir(src: str, dst: str, tag: str,
+                      dead: np.ndarray | None = None) -> None:
+    """Copy (or, with a non-empty ``dead`` set, live-filter-copy) every
+    parquet file of ``src`` into ``dst``.  Filtering streams one file at a
+    time — no table ever exceeds one source file."""
     os.makedirs(dst, exist_ok=True)
     for fp in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True):
-        shutil.copy2(fp, os.path.join(dst, f"{tag}-{os.path.basename(fp)}"))
+        out = os.path.join(dst, f"{tag}-{os.path.basename(fp)}")
+        if dead is None or dead.size == 0:
+            shutil.copy2(fp, out)
+        else:
+            t = pq.read_table(fp)
+            di = t["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pq.write_table(t.filter(pa.array(live_mask(di, dead))), out)
+
+
+def _apply_tombstones_table(t: pa.Table, dead: np.ndarray,
+                            block_size: int) -> pa.Table:
+    """Purge dead docs from the payload-only segment table ``t`` (the
+    per-source read inside merge_shard) — same row transform as
+    purge_deletes, varint codec (merge precondition); rows whose docs all
+    died are dropped."""
+    from .deletes import _purge_row
+
+    if t.num_rows == 0:
+        return t
+    cols = {name: t[name].to_pylist() for name in t.schema.names}
+    out_rows = []
+    for i in range(t.num_rows):
+        row = {name: cols[name][i] for name in cols}
+        row.setdefault("shard", 0)
+        row.setdefault("salt", -1)
+        new = _purge_row(row, dead, "varint", block_size)
+        if new is not None:
+            out_rows.append(new)
+    if not out_rows:
+        return t.slice(0, 0)
+    return pa.table(
+        {n: pa.array([r[n] for r in out_rows], t.schema.field(n).type)
+         for n in t.schema.names}
+    )
 
 
 def _merge_shard_tables(tables: list[pa.Table], shard: int,
@@ -134,14 +181,26 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # side tables: concatenate by file copy (docs must be disjoint); the
-    # disjointness check runs FIRST on the thin doc-stats key column so a
-    # bad merge fails fast, before any segment work
+    # tombstones are consumed by the merge (module docstring): union the
+    # per-source sets — doc sets are disjoint, so one sorted array serves
+    # every source's mask probe
+    dead_parts = [deletes_state.load_tombstones(d) for d in index_dirs]
+    dead = (np.unique(np.concatenate(dead_parts))
+            if sum(p.size for p in dead_parts)
+            else np.empty(0, dtype=np.int64))
+
+    # side tables: concatenate by file copy (live-filtered when any source
+    # carries tombstones; docs must be disjoint); the disjointness check
+    # runs FIRST on the thin doc-stats key column so a bad merge fails
+    # fast, before any segment work.  dup_losers stays unfiltered — losers
+    # were never indexed, so liveness doesn't apply to them.
     for sub in ("doc_stats", "prepped", "dup_losers"):
+        sub_dead = dead if sub in ("doc_stats", "prepped") else None
         for i, d in enumerate(index_dirs):
             src = os.path.join(d, sub)
             if os.path.isdir(src):
-                _copy_parquet_dir(src, os.path.join(out_dir, sub), f"src{i}")
+                _copy_parquet_dir(src, os.path.join(out_dir, sub),
+                                  f"src{i}", dead=sub_dead)
     di = pa.concat_tables(
         [pq.read_table(fp, columns=["doc_int"])
          for fp in glob.glob(os.path.join(out_dir, "doc_stats", "*.parquet"))]
@@ -155,8 +214,10 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     )
     dirs = list(index_dirs)
     merged_root = os.path.join(out_dir, "segments_merged")
+    dead_ref = ray.put(dead)
 
     def merge_shard(batch: pa.Table) -> pa.Table:
+        dead_set = ray.get(dead_ref)
         outs = []
         for shard in batch["shard"].to_pylist():
             tables = []
@@ -165,12 +226,13 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
                     glob.glob(os.path.join(d, "segments_merged",
                                            f"shard={shard}", "*.parquet"))
                 ):
-                    tables.append(
-                        pq.read_table(fp, use_threads=False).select(
-                            [f.name for f in SEGMENT_SCHEMA
-                             if f.name not in ("shard", "salt")]
-                        )
+                    t = pq.read_table(fp, use_threads=False).select(
+                        [f.name for f in SEGMENT_SCHEMA
+                         if f.name not in ("shard", "salt")]
                     )
+                    if dead_set.size:
+                        t = _apply_tombstones_table(t, dead_set, block_size)
+                    tables.append(t)
             if tables:
                 outs.append(_merge_shard_tables(tables, shard, block_size))
         return pa.concat_tables(outs) if outs else _empty_segment_table()
@@ -183,15 +245,33 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
                        row_group_size=segment_row_group_size)
     )
 
+    if dead.size:
+        # tombstoned sources: recompute over the survivors from the
+        # live-filtered doc_stats copy (the purge_deletes recipe)
+        import pyarrow.dataset as pads
+
+        ds_dir = os.path.join(out_dir, "doc_stats")
+        dst = pads.dataset(ds_dir, format="parquet").to_table(
+            columns=["total_words"]
+        )["total_words"]
+        n_docs_live = len(dst)
+        total_words_live = int(
+            np.sum(dst.to_numpy(zero_copy_only=False), dtype=np.int64)
+        )
+    else:
+        n_docs_live = int(sum(s["n_docs"] for s in stats))
+        total_words_live = int(sum(s["total_words"] for s in stats))
     merged_stats = {
-        "n_docs": int(sum(s["n_docs"] for s in stats)),
-        "total_words": int(sum(s["total_words"] for s in stats)),
+        "n_docs": n_docs_live,
+        "total_words": total_words_live,
         "num_shards": num_shards,
         "salt_bits": stats[0]["salt_bits"],
         "compacted": True,
         "block_size": block_size,
         "docs_codec": "varint",
         "merged_from": len(index_dirs),
+        # tombstoned docs consumed by this merge (0 = no source had any)
+        "n_purged_on_merge": int(dead.size),
     }
     merged_stats["avgdl"] = (
         merged_stats["total_words"] / merged_stats["n_docs"]

@@ -282,3 +282,72 @@ def test_purge_filters_side_tables(setup, purged_vs_fresh):
             columns=["doc_int"]
         )["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
         assert live_mask(np.sort(di), deleted).all(), sub
+
+
+# ---------------------------------------------------------------------------
+# merge consumes tombstones (Lucene segment-merge semantics)
+# ---------------------------------------------------------------------------
+
+def test_merge_applies_tombstones(setup, tmp_path_factory):
+    """merge_indexes over tombstoned sources must equal purge-then-merge
+    byte-for-byte (pipelines/merge.py applies the same mask/re-encode row
+    transform during the k-way merge), recompute stats over survivors, and
+    emit NO tombstone file."""
+    from nadry_search_engine_be_ray.pipelines.merge import merge_indexes
+
+    tmp = tmp_path_factory.mktemp("mergedel")
+    src = pads.dataset(setup["corpus"], format="parquet").to_table()
+    ca, cb = str(tmp / "ca"), str(tmp / "cb")
+    os.makedirs(ca), os.makedirs(cb)
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), os.path.join(ca, "p.parquet"))
+    pq.write_table(src.slice(half), os.path.join(cb, "p.parquet"))
+    ia, ib = str(tmp / "ia"), str(tmp / "ib")
+    build_index(ca, ia, CFG)
+    build_index(cb, ib, CFG)
+    for d in (ia, ib):
+        di = pads.dataset(
+            os.path.join(d, "doc_stats"), format="parquet"
+        ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        delete_docs(d, np.sort(di)[::5])
+
+    im = str(tmp / "im")
+    stats_m = merge_indexes([ia, ib], im)
+    assert stats_m["n_purged_on_merge"] > 0
+    assert not os.path.exists(tombstone_path(im))
+
+    ia2, ib2 = str(tmp / "ia2"), str(tmp / "ib2")
+    shutil.copytree(ia, ia2), shutil.copytree(ib, ib2)
+    purge_deletes(ia2), purge_deletes(ib2)
+    im2 = str(tmp / "im2")
+    stats_2 = merge_indexes([ia2, ib2], im2)
+
+    for k in ("n_docs", "total_words", "avgdl", "n_term_rows"):
+        assert stats_m[k] == stats_2[k], k
+    rm, r2 = SegmentReader(im), SegmentReader(im2)
+    assert sorted(rm.terms()) == sorted(r2.terms())
+    for t in sorted(rm.terms())[::7]:
+        pm, p2 = rm.postings(t), r2.postings(t)
+        assert pm.docs.tolist() == p2.docs.tolist(), t
+        assert pm.tfs.tolist() == p2.tfs.tolist(), t
+        assert pm.weights.tolist() == p2.weights.tolist(), t
+        assert pm.positions_buf == p2.positions_buf, t
+        assert pm.pos_offsets.tolist() == p2.pos_offsets.tolist(), t
+
+    # live-filtered side tables: no dead doc survives in doc_stats/prepped
+    dead = np.unique(np.concatenate([
+        np.sort(pads.dataset(os.path.join(d, "doc_stats"),
+                             format="parquet").to_table(
+            columns=["doc_int"])["doc_int"].to_numpy(
+            zero_copy_only=False).astype(np.int64))[::5]
+        for d in (ia, ib)
+    ]))
+    for sub in ("doc_stats", "prepped"):
+        di = pads.dataset(
+            os.path.join(im, sub), format="parquet"
+        ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        assert not np.isin(di, dead).any(), sub
