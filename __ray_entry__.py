@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_purge_df": _q_delete_purge_df,
         "delete_purge_stats": _q_delete_purge_stats,
         "delete_merge_df": _q_delete_merge_df,
+        "upsert_df": _q_upsert_df,
         "pagerank": _q_pagerank,
         # near-dup + ANN extras (rows-only)
         "simhash_pairs": _q_simhash_pairs,
@@ -2996,6 +2997,67 @@ def _q_delete_merge_df(sf_dir: str):
                                         dtype="int64")})
 
 
+def _q_upsert_df(sf_dir: str):
+    """Per-term df after upsert_index (pipelines/merge.py) — Lucene's
+    updateDocument re-expressed: 60 base docs get NEW versions (reversed
+    commit + appended line ⇒ new doc_int, same (repo, path) key) and 100
+    genuinely new docs arrive; the old versions are tombstoned by key and
+    consumed by the merge.  Oracle recomputes the delete-by-key algebra
+    from the raw prepped/postings dumps."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.config import BuildConfig
+    from nadry_search_engine_be_ray.pipelines.merge import upsert_index
+    from nadry_search_engine_be_ray.sources.corpus import write_corpus
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    root = "/tmp/nadry_entry/upsert_v1"
+    idx_up = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(idx_up, "stats.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        corpus = os.path.join(root, "corpus")
+        write_corpus(corpus, n_docs=400, seed=123)
+        tbl = pads.dataset(corpus, format="parquet").to_table()
+        base_c = os.path.join(root, "base_c")
+        os.makedirs(base_c)
+        pq.write_table(tbl.slice(0, 300),
+                       os.path.join(base_c, "p.parquet"))
+        upd = tbl.slice(0, 60)
+        upd = upd.set_column(
+            upd.schema.get_field_index("commit"), "commit",
+            pa.array([c[::-1] for c in upd["commit"].to_pylist()],
+                     pa.string()),
+        )
+        upd = upd.set_column(
+            upd.schema.get_field_index("content"), "content",
+            pa.array([c + "\nupdated marker line xylophone"
+                      for c in upd["content"].to_pylist()], pa.string()),
+        )
+        delta_c = os.path.join(root, "delta_c")
+        os.makedirs(delta_c)
+        pq.write_table(pa.concat_tables([upd, tbl.slice(300)]),
+                       os.path.join(delta_c, "p.parquet"))
+        from nadry_search_engine_be_ray.pipelines.build import build_index
+
+        base_i = os.path.join(root, "base")
+        build_index(base_c, base_i, BuildConfig(num_shards=4, salt_bits=1))
+        upsert_index(base_i, delta_c, idx_up,
+                     BuildConfig(num_shards=4, salt_bits=1))
+    r = SegmentReader(idx_up)
+    rows = sorted(
+        (t, r.postings(t).df) for t in r.terms() if r.postings(t).df > 0
+    )
+    return pd.DataFrame({"term": [t for t, _ in rows],
+                         "df": pd.array([d for _, d in rows],
+                                        dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -4741,6 +4803,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE field >= 0
             ) WHERE doc_int % 7 != 3
             GROUP BY term ORDER BY term
+        """,
+        # upsert = delete-by-(repo,path) + add: dead = base docs whose key
+        # matches a delta doc; df over (base postings - dead) ∪ delta
+        "upsert_df": """
+            WITH dkeys AS (
+                SELECT DISTINCT repo, path FROM read_parquet(
+                    '/tmp/nadry_entry/upsert_v1/merged.delta/prepped/*.parquet')
+            ),
+            dead AS (
+                SELECT b.doc_int
+                FROM read_parquet(
+                    '/tmp/nadry_entry/upsert_v1/base/prepped/*.parquet') b
+                JOIN dkeys k ON b.repo = k.repo AND b.path = k.path
+            ),
+            u AS (
+                SELECT term, doc_int FROM read_parquet(
+                    '/tmp/nadry_entry/upsert_v1/base/postings/*/*.parquet')
+                WHERE field >= 0
+                  AND doc_int NOT IN (SELECT doc_int FROM dead)
+                UNION ALL
+                SELECT term, doc_int FROM read_parquet(
+                    '/tmp/nadry_entry/upsert_v1/merged.delta/postings/*/*.parquet')
+                WHERE field >= 0
+            )
+            SELECT term, count(DISTINCT doc_int) AS df
+            FROM u GROUP BY term ORDER BY term
         """,
         # code-aware analysis: the dumped src table is corpus + plants;
         # DuckDB replays the IDENTICAL RE2 token stream / next-token rule /

@@ -285,3 +285,74 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(merged_stats, f, indent=2)
     return merged_stats
+
+
+def upsert_index(base_dir: str, delta_corpus_dir: str, out_dir: str, cfg,
+                 key_cols: tuple[str, ...] = ("repo", "path")) -> dict:
+    """Document UPDATE as Lucene does it: updateDocument = delete-by-key +
+    add.  doc_int is content/version-derived (stages/prep.py M2 — the
+    commit participates in the id), so a new version of ``(repo, path)`` is
+    a NEW doc_int; the upsert (1) builds a delta index over
+    ``delta_corpus_dir`` alone (cost ∝ delta, never the base), (2)
+    tombstones every base doc whose key matches a delta doc (broadcast
+    delta-key set + one vectorized isin scan over the base's prepped
+    table), and (3) runs the tombstone-consuming :func:`merge_indexes`, so
+    ``out_dir`` holds exactly the base-minus-replaced plus delta corpus.
+
+    The base keeps its tombstone file afterwards (its readers stop serving
+    the replaced versions immediately — the logical-delete contract); the
+    delta index is left at ``<out_dir>.delta`` for inspection.
+
+    Scale shape: the only non-delta-sized work is the streaming key scan
+    over base/prepped and the per-shard merge; the broadcast is the delta
+    key set (documented small side — deltas are increments).
+    """
+    import pandas as pd
+    import ray.data
+
+    from .build import build_index
+    from .deletes import delete_docs
+
+    delta_idx = out_dir + ".delta"
+    if not os.path.exists(os.path.join(delta_idx, "stats.json")):
+        shutil.rmtree(delta_idx, ignore_errors=True)
+        build_index(delta_corpus_dir, delta_idx, cfg)
+
+    import pyarrow.dataset as pads
+
+    dk = pads.dataset(
+        os.path.join(delta_idx, "prepped"), format="parquet"
+    ).to_table(columns=list(key_cols))
+    delta_keys = pd.Series(
+        ["\x1f".join(vals)
+         for vals in zip(*[dk[c].to_pylist() for c in key_cols])]
+    ).unique()
+    keys_ref = ray.put(set(delta_keys))
+
+    def match_keys(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        key = pd.Series(batch[key_cols[0]].to_pandas(), dtype="string")
+        for c in key_cols[1:]:
+            key = key + "\x1f" + pd.Series(batch[c].to_pandas(),
+                                           dtype="string")
+        return batch.filter(
+            pa.array(key.isin(ks).to_numpy(dtype=bool))
+        ).select(["doc_int"])
+
+    replaced = (
+        ray.data.read_parquet(
+            os.path.join(base_dir, "prepped"), file_extensions=["parquet"],
+            columns=["doc_int", *key_cols],
+        )
+        .map_batches(match_keys, batch_format="pyarrow")
+        .to_pandas()["doc_int"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    if replaced.size:
+        delete_docs(base_dir, replaced)
+    stats = merge_indexes([base_dir, delta_idx], out_dir)
+    stats["n_replaced"] = int(replaced.size)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    return stats

@@ -86,3 +86,89 @@ def test_merge_rejects_shared_docs(ray_session, tmp_path):
     build_index(corpus, ib, cfg)
     with pytest.raises(ValueError, match="share documents|duplicate doc_int"):
         merge_indexes([ia, ib], str(tmp_path / "im"))
+
+
+def test_upsert_index(ray_session, tmp_path):
+    """upsert_index == Lucene updateDocument: new versions (same
+    (repo,path), new commit ⇒ new doc_int) replace the old ones via
+    tombstone + consuming merge; genuinely new docs are added.  Oracle:
+    per-term df recomputed in pandas from the raw postings dumps under
+    the same delete-by-key algebra."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.pipelines.merge import upsert_index
+    from nadry_search_engine_be_ray.state.deletes import load_tombstones
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, n_docs=360, seed=11)
+    tbl = pads.dataset(corpus, format="parquet").to_table()
+    base_c = str(tmp_path / "base_c")
+    os.makedirs(base_c)
+    pq.write_table(tbl.slice(0, 300), os.path.join(base_c, "p.parquet"))
+
+    # delta: 40 UPDATED versions of base docs + 60 new docs
+    upd = tbl.slice(0, 40)
+    upd = upd.set_column(
+        upd.schema.get_field_index("commit"), "commit",
+        pa.array([c[::-1] for c in upd["commit"].to_pylist()], pa.string()),
+    )
+    upd = upd.set_column(
+        upd.schema.get_field_index("content"), "content",
+        pa.array([c + "\nupdated marker line xylophone"
+                  for c in upd["content"].to_pylist()], pa.string()),
+    )
+    delta_c = str(tmp_path / "delta_c")
+    os.makedirs(delta_c)
+    pq.write_table(
+        pa.concat_tables([upd, tbl.slice(300)]),
+        os.path.join(delta_c, "p.parquet"),
+    )
+
+    cfg = BuildConfig(num_shards=4, salt_bits=1)
+    base_i = str(tmp_path / "bi")
+    build_index(base_c, base_i, cfg)
+    out = str(tmp_path / "up")
+    stats = upsert_index(base_i, delta_c, out, cfg)
+    assert stats["n_replaced"] == 40
+    assert stats["n_purged_on_merge"] >= 40
+    # base got the logical delete; the upserted index carries none
+    assert load_tombstones(base_i).size == 40
+    assert load_tombstones(out).size == 0
+
+    # pandas recompute of per-term df from the raw dumps
+    def dump(d, sub, cols):
+        return pads.dataset(
+            os.path.join(d, sub), format="parquet"
+        ).to_table(columns=cols).to_pandas()
+
+    delta_i = out + ".delta"
+    dkeys = dump(delta_i, "prepped", ["repo", "path"]).drop_duplicates()
+    bprep = dump(base_i, "prepped", ["doc_int", "repo", "path"])
+    dead = set(
+        bprep.merge(dkeys, on=["repo", "path"])["doc_int"].astype("int64")
+    )
+    bp = dump(base_i, "postings", ["term", "doc_int", "field"])
+    bp = bp[(bp["field"] >= 0) & ~bp["doc_int"].isin(dead)]
+    dp = dump(delta_i, "postings", ["term", "doc_int", "field"])
+    dp = dp[dp["field"] >= 0]
+    bp, dp = bp[["term", "doc_int"]], dp[["term", "doc_int"]]
+    exp = (
+        pd.concat([bp, dp])
+        .drop_duplicates()
+        .groupby("term")["doc_int"]
+        .nunique()
+        .sort_index()
+    )
+    r = SegmentReader(out)
+    got = pd.Series(
+        {t: r.postings(t).df for t in r.terms() if r.postings(t).df > 0}
+    ).sort_index()
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+    # the updated content is retrievable, old versions are not
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+
+    eng = SearchEngine(out)
+    hits = eng.search("xylophone")
+    assert len(hits) > 0
