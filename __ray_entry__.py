@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_ordered": _q_proximity_ordered,
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
+        "search_after_page2": _q_search_after,
+        "collapse_by_repo": _q_collapse_by_repo,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1551,6 +1553,59 @@ def _q_search_bm25(sf_dir: str):
     qds = ray.data.from_arrow(pa.table({"query": pa.array(qs, pa.string())}))
     out = batch_search(qds, index_dir, mode="bm25", concurrency=2).to_pandas()
     out["score"] = out["score"].round(9)  # same rounding as the SQL oracle
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_search_after(sf_dir: str):
+    """Keyset ("search_after") deep pagination: page 2 of each BM25 query
+    fetched via the strict-after-(score, doc_int) cursor taken from the
+    engine's own page-1 tail (SearchEngine.search_after) — page-N cost
+    equals page-1 cost, no offset-sized sort; oracle = rank window
+    [10, 20) under the identical total order."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import SearchAfterEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        SearchAfterEvalActor, fn_constructor_args=(index_dir,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_collapse_by_repo(sf_dir: str):
+    """Field-collapsed search (Lucene/ES collapse): at most one hit per
+    repo — best doc per repo by (score DESC, doc_int ASC), global top-10
+    over the winners (pipelines/serve.CollapseEvalActor; the doc->repo
+    mapping is the per-actor doc-values column)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import CollapseEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        CollapseEvalActor, fn_constructor_args=(index_dir,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
 
@@ -3302,10 +3357,13 @@ def _search_reference_sql() -> str:
     )
 
 
-def _search_bm25_sql(live_pred: str | None = None) -> str:
-    """Generated Okapi-BM25 oracle over the dumped token tables (global df,
-    engine stats.json n_docs/avgdl verbatim, expression tree mirroring
-    SearchEngine._scores_for including the (1.2 + 1) form of k1+1).
+def _bm25_score_cte(p: dict, live_pred: str | None = None) -> str:
+    """Per-query-plan CTE pair ``bdf{i}, bsc{i}`` computing every
+    candidate's exact Okapi-BM25 score over the dumped token tables
+    (global df, engine stats.json n_docs/avgdl verbatim, expression tree
+    mirroring SearchEngine._scores_for including the (1.2 + 1) form of
+    k1+1) — shared by the bm25 / stale-delete / search_after / collapse
+    oracles.
 
     ``live_pred`` replays a tombstone delete: candidate rows are filtered
     to the survivors while the df CTE and stats.parquet stay UNFILTERED —
@@ -3315,23 +3373,18 @@ def _search_bm25_sql(live_pred: str | None = None) -> str:
 
     D = _MAIN_DUMP_DIR
     live = f"AND t.{live_pred}" if live_pred else ""
-    ctes: list[str] = []
-    selects: list[str] = []
-    for p in _query_plans():
-        if p["query"].startswith('"') or p["kind"] != "term":
-            continue
-        i = p["qid"]
-        mult = Counter(p["tokens"])
-        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
-        whens = " ".join(
-            f"WHEN '{_sqlq(t)}' THEN {float(m)!r}" for t, m in sorted(mult.items())
-        )
-        idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
-               f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
-        denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
-                 f"CAST(ds.total_words AS DOUBLE) / "
-                 f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
-        ctes.append(f"""
+    i = p["qid"]
+    mult = Counter(p["tokens"])
+    terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+    whens = " ".join(
+        f"WHEN '{_sqlq(t)}' THEN {float(m)!r}" for t, m in sorted(mult.items())
+    )
+    idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+             f"CAST(ds.total_words AS DOUBLE) / "
+             f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    return f"""
         bdf{i} AS (
             SELECT term, count(*) AS df
             FROM read_parquet('{D}/tok.parquet')
@@ -3345,7 +3398,21 @@ def _search_bm25_sql(live_pred: str | None = None) -> str:
             JOIN read_parquet('{D}/docstats.parquet') ds
                  ON ds.doc_int = t.doc_int
             WHERE t.term IN ({terms_sql}) {live}
-            GROUP BY t.doc_int),
+            GROUP BY t.doc_int)"""
+
+
+def _bm25_term_plans() -> list[dict]:
+    return [p for p in _query_plans()
+            if not p["query"].startswith('"') and p["kind"] == "term"]
+
+
+def _search_bm25_sql(live_pred: str | None = None) -> str:
+    """Okapi-BM25 top-10 oracle (see _bm25_score_cte)."""
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        ctes.append(_bm25_score_cte(p, live_pred) + f""",
         bpg{i} AS (
             SELECT doc_int, score,
                    row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
@@ -3359,6 +3426,68 @@ def _search_bm25_sql(live_pred: str | None = None) -> str:
                least(10::BIGINT, (SELECT count(*) FROM bsc{i}))
                    AS total_results
         FROM bpg{i} WHERE rn < 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
+def _search_after_sql() -> str:
+    """Page-2 keyset-pagination oracle: under the total order (score DESC,
+    doc_int ASC) the engine's strict-after-cursor filter is exactly the
+    rank window [10, 20) — and page 2 exists only when page 1 was full."""
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        ctes.append(_bm25_score_cte(p) + f""",
+        bpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM bsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score
+        FROM bpg{i}
+        WHERE rn >= 10 AND rn < 20
+          AND (SELECT count(*) FROM bsc{i}) >= 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
+def _collapse_sql(group_col: str = "repo") -> str:
+    """Field-collapse oracle: best doc per ``group_col`` value by
+    (score DESC, doc_int ASC), then global top-10 over the winners —
+    docmeta.parquet supplies the doc -> group mapping."""
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        ctes.append(_bm25_score_cte(p) + f""",
+        cgr{i} AS (
+            SELECT s.doc_int, s.score, m.{group_col} AS grp,
+                   row_number() OVER (
+                       PARTITION BY m.{group_col}
+                       ORDER BY s.score DESC, s.doc_int ASC) AS rg
+            FROM bsc{i} s
+            JOIN read_parquet('{D}/docmeta.parquet') m
+                 ON m.doc_int = s.doc_int),
+        cwin{i} AS (
+            SELECT doc_int, score, grp,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM cgr{i} WHERE rg = 1)""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               grp AS "group",
+               round(score, 9) AS score
+        FROM cwin{i} WHERE rn < 10""")
     return "WITH " + ",".join(ctes) + " ".join(
         [""] + [" UNION ALL ".join(selects)]
     )
@@ -4761,6 +4890,8 @@ def oracle_sql() -> dict[str, str]:
         "posting_codec_sizes_dense": _codec_sizes_sql(dense=True),
         "search_reference": _search_reference_sql(),
         "search_bm25_wand": _search_bm25_sql(),
+        "search_after_page2": _search_after_sql(),
+        "collapse_by_repo": _collapse_sql("repo"),
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

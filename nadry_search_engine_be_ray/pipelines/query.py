@@ -325,18 +325,48 @@ class SearchEngine:
         dl = tw.astype(np.float64)
         return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
 
-    def topk_taat(self, query: str, k: int = 10, scorer: str = "additive") -> list[tuple[int, float]]:
-        """Vectorized term-at-a-time exact evaluation."""
+    def all_scores(self, query: str, scorer: str = "additive"):
+        """Exact score of EVERY candidate doc: ``(docs, scores)`` sorted by
+        doc_int — the TAAT accumulator before any top-k cut; shared by
+        topk_taat, keyset pagination and result collapsing."""
         pls, avgdl = self._term_arrays(query, scorer)
         if not pls:
-            return []
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         all_docs = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
         acc = np.zeros(all_docs.size, dtype=np.float64)
         for pl, idf in pls:
             idx = np.searchsorted(all_docs, pl.docs)
             np.add.at(acc, idx, self._scores_for(pl, idf, scorer, avgdl))
+        return all_docs, acc
+
+    def topk_taat(self, query: str, k: int = 10, scorer: str = "additive") -> list[tuple[int, float]]:
+        """Vectorized term-at-a-time exact evaluation."""
+        all_docs, acc = self.all_scores(query, scorer)
+        if not all_docs.size:
+            return []
         order = np.lexsort((all_docs, -acc))[:k]
         return [(int(all_docs[i]), float(acc[i])) for i in order]
+
+    def search_after(self, query: str, after: tuple[float, int] | None,
+                     k: int = 10, scorer: str = "bm25") -> list[tuple[int, float]]:
+        """Keyset ("search_after") pagination: the next ``k`` hits STRICTLY
+        after the ``(score, doc_int)`` cursor under the total order
+        (score DESC, doc_int ASC) — Elasticsearch's deep-pagination
+        mechanism: no offset-sized sort, page-N cost equals page-1 cost,
+        and a stable cursor survives concurrent index growth (new docs
+        sort after the cursor or are skipped consistently).  The cursor
+        score must come from this engine's own prior page (bit-identical
+        float); rank-offset paging is then reproducible (the SQL oracle
+        uses the rank window)."""
+        docs, acc = self.all_scores(query, scorer)
+        if not docs.size:
+            return []
+        if after is not None:
+            s_a, d_a = float(after[0]), int(after[1])
+            keep = (acc < s_a) | ((acc == s_a) & (docs > d_a))
+            docs, acc = docs[keep], acc[keep]
+        order = np.lexsort((docs, -acc))[:k]
+        return [(int(docs[i]), float(acc[i])) for i in order]
 
     def topk_maxscore(self, query: str, k: int = 10,
                       scorer: str = "additive") -> list[tuple[int, float]]:

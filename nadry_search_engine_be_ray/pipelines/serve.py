@@ -23,7 +23,9 @@ reexpressed Ray-Data-first, two layers:
 from __future__ import annotations
 
 import json
+import os
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -94,6 +96,96 @@ def batch_search(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class SearchAfterEvalActor:
+    """Keyset-pagination evaluator: page 1 (top-k) establishes the cursor,
+    page 2 is fetched with SearchEngine.search_after — the deep-pagination
+    path whose cost does not grow with the offset."""
+
+    def __init__(self, index_dir: str, k: int = 10, scorer: str = "bm25"):
+        self.engine = SearchEngine(index_dir)
+        self.k = k
+        self.scorer = scorer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_rank, out_doc, out_score = [], [], [], []
+        for q in batch["query"].to_pylist():
+            page1 = self.engine.search_after(q, None, k=self.k,
+                                             scorer=self.scorer)
+            if len(page1) < self.k:
+                continue  # no page 2
+            cursor = (page1[-1][1], page1[-1][0])  # (score, doc_int)
+            page2 = self.engine.search_after(q, cursor, k=self.k,
+                                             scorer=self.scorer)
+            for i, (d, s) in enumerate(page2):
+                out_q.append(q)
+                out_rank.append(self.k + i)
+                out_doc.append(f"{d:015x}")
+                out_score.append(float(s))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "score": pa.array(out_score, pa.float64())}
+        )
+
+
+class CollapseEvalActor:
+    """Field-collapsed search (Lucene/ES collapse, web-search site
+    collapsing): at most one result per ``group_col`` value, best doc per
+    group by (score DESC, doc_int ASC), then global top-k over the group
+    winners.
+
+    The doc -> group mapping is the doc-values analog: a sorted doc_int
+    array + dictionary-coded group ids loaded ONCE per actor from the
+    index's prepped table (12 B/doc; at 100 TB this column is loaded per
+    index shard by the sharded serve path, not the whole corpus per
+    actor)."""
+
+    def __init__(self, index_dir: str, group_col: str = "repo",
+                 k: int = 10, scorer: str = "bm25"):
+        import pyarrow.dataset as pads
+
+        self.engine = SearchEngine(index_dir)
+        self.k = k
+        self.scorer = scorer
+        t = pads.dataset(
+            os.path.join(index_dir, "prepped"), format="parquet"
+        ).to_table(columns=["doc_int", group_col])
+        di = t["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        de = t[group_col].combine_chunks().dictionary_encode()
+        order = np.argsort(di, kind="stable")
+        self.doc_ints = di[order]
+        self.codes = de.indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[order]
+        self.group_names = de.dictionary.to_pylist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_rank, out_doc, out_group, out_score = [], [], [], [], []
+        for q in batch["query"].to_pylist():
+            docs, acc = self.engine.all_scores(q, self.scorer)
+            if not docs.size:
+                continue
+            codes = self.codes[np.searchsorted(self.doc_ints, docs)]
+            order = np.lexsort((docs, -acc))
+            # first occurrence of each group in rank order = group winner
+            _, first = np.unique(codes[order], return_index=True)
+            win = order[np.sort(first)][: self.k]
+            for i, j in enumerate(win):
+                out_q.append(q)
+                out_rank.append(i)
+                out_doc.append(f"{int(docs[j]):015x}")
+                out_group.append(self.group_names[int(codes[j])])
+                out_score.append(float(acc[j]))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "group": pa.array(out_group, pa.string()),
+             "score": pa.array(out_score, pa.float64())}
+        )
 
 
 def _make_shard_actor():

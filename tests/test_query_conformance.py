@@ -4,7 +4,9 @@ bit-identical scores (the engine and oracle share functions/scoring.py, so
 any difference would come from the distributed candidate machinery)."""
 
 import math
+import os
 
+import numpy as np
 import pytest
 
 from nadry_search_engine_be_ray.pipelines.query import SearchEngine
@@ -511,3 +513,73 @@ def test_more_like_this_matches_bruteforce(built_index):
     assert src not in out["doc_int"].to_pylist()
     # unknown doc -> empty
     assert more_like_this(built_index, -1).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination + field collapsing
+# ---------------------------------------------------------------------------
+
+def test_search_after_equals_rank_window(engine):
+    """Pages chained by the (score, doc_int) cursor must tile the single
+    top-k ranking exactly (SearchEngine.search_after: strict-after filter
+    under the total order (score DESC, doc_int ASC))."""
+    for q in ["search engine query", "document the", "alpha beta"]:
+        full = engine.topk_taat(q, k=30, scorer="bm25")
+        if not full:
+            continue
+        pages, cursor = [], None
+        for _ in range(3):
+            page = engine.search_after(q, cursor, k=10, scorer="bm25")
+            if not page:
+                break
+            pages.extend(page)
+            cursor = (page[-1][1], page[-1][0])
+        assert pages == full[: len(pages)]
+        assert len(pages) == min(30, len(full))
+
+
+def test_search_after_empty_and_tail(engine):
+    assert engine.search_after("zzznotaterm", None, k=5) == []
+    q = "search engine"
+    full = engine.topk_taat(q, k=10 ** 6, scorer="bm25")
+    last = (full[-1][1], full[-1][0])
+    assert engine.search_after(q, last, k=5, scorer="bm25") == []
+
+
+def test_collapse_by_group_matches_bruteforce(built_index):
+    """CollapseEvalActor == pandas groupby-idxmax brute force: one winner
+    per repo by (score DESC, doc_int ASC), global top-k over winners."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+    from nadry_search_engine_be_ray.pipelines.serve import CollapseEvalActor
+
+    qs = ["search engine query", "document the", "alpha beta"]
+    out = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    ).map_batches(
+        CollapseEvalActor, fn_constructor_args=(built_index,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+
+    eng = SearchEngine(built_index)
+    meta = pads.dataset(
+        os.path.join(built_index, "prepped"), format="parquet"
+    ).to_table(columns=["doc_int", "repo"]).to_pandas()
+    for q in qs:
+        docs, acc = eng.all_scores(q, "bm25")
+        df = pd.DataFrame({"doc_int": docs, "score": acc}).merge(
+            meta, on="doc_int"
+        )
+        df = df.sort_values(
+            ["score", "doc_int"], ascending=[False, True]
+        ).drop_duplicates("repo").head(10).reset_index(drop=True)
+        got = out[out["query"] == q].sort_values("rank")
+        assert got["doc_id"].tolist() == [
+            f"{int(d):015x}" for d in df["doc_int"]
+        ]
+        assert got["group"].tolist() == df["repo"].tolist()
+        assert np.allclose(got["score"].to_numpy(), df["score"].to_numpy())
