@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_wand": _q_search_bm25,
         "search_after_page2": _q_search_after,
         "collapse_by_repo": _q_collapse_by_repo,
+        "rocchio_feedback": _q_rocchio,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1603,6 +1604,32 @@ def _q_collapse_by_repo(sf_dir: str):
     )
     out = qds.map_batches(
         CollapseEvalActor, fn_constructor_args=(index_dir,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_rocchio(sf_dir: str):
+    """Rocchio pseudo-relevance feedback (serve.RocchioEvalActor): top-5
+    BM25 hits are pseudo-relevant, 3 integer-selected expansion terms at
+    weight 0.5 join the query, candidates re-scored with the weighted
+    multiset; the oracle replays the whole chain in SQL."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import RocchioEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        RocchioEvalActor, fn_constructor_args=(index_dir,),
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     out["score"] = out["score"].round(9)
@@ -3458,6 +3485,79 @@ def _search_after_sql() -> str:
     )
 
 
+def _rocchio_sql(r: int = 5, e: int = 3, beta: float = 0.5) -> str:
+    """Pseudo-relevance-feedback oracle, full chain in SQL: top-r BM25
+    docs -> candidate terms from their token rows -> integer-only
+    selection (tf-sum DESC, global df ASC, term ASC) LIMIT e excluding
+    the original tokens -> re-score with weights (orig multiplicity at
+    1.0, expansion at beta) -> top-10.  Mirrors serve.RocchioEvalActor."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+             f"CAST(ds.total_words AS DOUBLE) / "
+             f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        orig_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        vals = ", ".join(f"('{_sqlq(t)}', {float(m)!r})"
+                         for t, m in sorted(mult.items()))
+        ctes.append(_bm25_score_cte(p) + f""",
+        fb{i} AS (
+            SELECT doc_int FROM bsc{i}
+            ORDER BY score DESC, doc_int ASC LIMIT {r}),
+        cand{i} AS (
+            SELECT t.term, sum(t.tf) AS tf_sum
+            FROM read_parquet('{D}/tok.parquet') t
+            JOIN fb{i} f ON f.doc_int = t.doc_int
+            WHERE t.term NOT IN ({orig_sql})
+            GROUP BY t.term),
+        cdf{i} AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN (SELECT term FROM cand{i}) GROUP BY term),
+        sel{i} AS (
+            SELECT c.term FROM cand{i} c JOIN cdf{i} d USING (term)
+            ORDER BY c.tf_sum DESC, d.df ASC, c.term ASC LIMIT {e}),
+        wt{i} AS (
+            SELECT * FROM (VALUES {vals}) AS v(term, w)
+            UNION ALL SELECT term, {beta!r} FROM sel{i}),
+        rdf{i} AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN (SELECT term FROM wt{i}) GROUP BY term),
+        rsc{i} AS (
+            SELECT t.doc_int,
+                   SUM(w.w * {idf}
+                       * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom})
+                       AS score
+            FROM read_parquet('{D}/tok.parquet') t
+            JOIN wt{i} w ON w.term = t.term
+            JOIN rdf{i} d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            GROUP BY t.doc_int),
+        rpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM rsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score
+        FROM rpg{i} WHERE rn < 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
 def _collapse_sql(group_col: str = "repo") -> str:
     """Field-collapse oracle: best doc per ``group_col`` value by
     (score DESC, doc_int ASC), then global top-10 over the winners —
@@ -4892,6 +4992,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _search_bm25_sql(),
         "search_after_page2": _search_after_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
+        "rocchio_feedback": _rocchio_sql(),
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

@@ -339,6 +339,33 @@ class SearchEngine:
             np.add.at(acc, idx, self._scores_for(pl, idf, scorer, avgdl))
         return all_docs, acc
 
+    def all_scores_weighted(self, weights: dict[str, float],
+                            scorer: str = "bm25"):
+        """Exact candidate scores for an explicit WEIGHTED term multiset
+        (Rocchio-expanded queries): contribution of term t = weights[t] *
+        idf(t) * bm25-tf-part — the plain query is the special case
+        weights = token multiplicities.  Returns ``(docs, scores)`` sorted
+        by doc_int."""
+        n = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"] or 1.0
+        pls: list[tuple[PostingList, float, float]] = []
+        for t in sorted(weights):
+            pl = self.reader.postings(t)
+            if pl is None:
+                continue
+            idf = 1.0 if scorer == "additive" else math.log(
+                (n - pl.df_stale + 0.5) / (pl.df_stale + 0.5) + 1.0
+            )
+            pls.append((pl, idf, float(weights[t])))
+        if not pls:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.unique(np.concatenate([pl.docs for pl, _, _ in pls]))
+        acc = np.zeros(all_docs.size, dtype=np.float64)
+        for pl, idf, w in pls:
+            idx = np.searchsorted(all_docs, pl.docs)
+            np.add.at(acc, idx, w * self._scores_for(pl, idf, scorer, avgdl))
+        return all_docs, acc
+
     def topk_taat(self, query: str, k: int = 10, scorer: str = "additive") -> list[tuple[int, float]]:
         """Vectorized term-at-a-time exact evaluation."""
         all_docs, acc = self.all_scores(query, scorer)

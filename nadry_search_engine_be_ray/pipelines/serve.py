@@ -188,6 +188,80 @@ class CollapseEvalActor:
         )
 
 
+class RocchioEvalActor:
+    """Pseudo-relevance feedback (Rocchio, SMART retrieval): take the
+    top-``r`` BM25 hits as pseudo-relevant, pick the ``e`` most
+    representative NEW terms from their term vectors — INTEGER-ONLY
+    selection (tf-sum DESC, df ASC, term ASC), the more_like_this recipe,
+    so the SQL oracle reproduces it without float-log hazards — and
+    re-score with the expanded weighted query (original multiplicities at
+    weight 1.0, expansion terms at ``beta``).
+
+    Term vectors come from the build's postings-phase parquet via doc_int
+    predicate pushdown (Lucene's stored term vectors analog); at 100 TB
+    this is a forward-index point lookup per feedback doc, never a scan.
+    """
+
+    def __init__(self, index_dir: str, r: int = 5, e: int = 3,
+                 beta: float = 0.5):
+        self.engine = SearchEngine(index_dir)
+        self.index_dir = index_dir
+        self.r, self.e, self.beta = r, e, beta
+
+    def _expansion_terms(self, fb_docs: np.ndarray,
+                         exclude: set[str]) -> list[str]:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        tv = pads.dataset(
+            os.path.join(self.index_dir, "postings"), format="parquet",
+            partitioning="hive",
+        ).to_table(
+            columns=["term", "doc_int", "field", "tf"],
+            filter=pc.field("doc_int").isin(fb_docs.tolist())
+            & (pc.field("field") >= 0),
+        )
+        if tv.num_rows == 0:
+            return []
+        agg = tv.group_by("term").aggregate([("tf", "sum")])
+        terms = agg["term"].to_pylist()
+        tfs = agg["tf_sum"].to_pylist()
+        cand = [(t, tf) for t, tf in zip(terms, tfs) if t not in exclude]
+        scored = sorted(
+            ((-tf, self.engine.reader.postings(t).df_stale, t)
+             for t, tf in cand)
+        )[: self.e]
+        return [t for _, _, t in scored]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_q, out_rank, out_doc, out_score = [], [], [], []
+        for q in batch["query"].to_pylist():
+            docs, acc = self.engine.all_scores(q, "bm25")
+            if not docs.size:
+                continue
+            order = np.lexsort((docs, -acc))[: self.r]
+            fb_docs = docs[order]
+            tokens = self.engine.tokenizer.tokenize(q)
+            weights = {t: float(m) for t, m in Counter(tokens).items()}
+            for t in self._expansion_terms(fb_docs, set(tokens)):
+                weights[t] = self.beta
+            rdocs, racc = self.engine.all_scores_weighted(weights, "bm25")
+            ro = np.lexsort((rdocs, -racc))[:10]
+            for i, j in enumerate(ro):
+                out_q.append(q)
+                out_rank.append(i)
+                out_doc.append(f"{int(rdocs[j]):015x}")
+                out_score.append(float(racc[j]))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "score": pa.array(out_score, pa.float64())}
+        )
+
+
 def _make_shard_actor():
     import ray
 

@@ -583,3 +583,47 @@ def test_collapse_by_group_matches_bruteforce(built_index):
         ]
         assert got["group"].tolist() == df["repo"].tolist()
         assert np.allclose(got["score"].to_numpy(), df["score"].to_numpy())
+
+
+def test_weighted_scores_plain_multiset_special_case(engine):
+    """all_scores_weighted with weights = token multiplicities must equal
+    the plain accumulator (w*x vs x added w times is exact; only cross-term
+    addition order differs -> allclose)."""
+    from collections import Counter
+
+    q = "search engine query the search"
+    tokens = engine.tokenizer.tokenize(q)
+    w = {t: float(m) for t, m in Counter(tokens).items()}
+    d1, s1 = engine.all_scores(q, "bm25")
+    d2, s2 = engine.all_scores_weighted(w, "bm25")
+    assert np.array_equal(d1, d2)
+    assert np.allclose(s1, s2, rtol=1e-12)
+
+
+def test_rocchio_expansion_changes_ranking(built_index):
+    """Rocchio: expansion terms are new (not in the query), weight beta
+    contributes, and beta=0 degrades to plain BM25 top-10."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import RocchioEvalActor
+
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(["search engine query"], pa.string())})
+    )
+    out = qds.map_batches(
+        RocchioEvalActor, fn_constructor_args=(built_index,),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas()
+    assert len(out) > 0
+
+    zero = qds.map_batches(
+        RocchioEvalActor, fn_constructor_args=(built_index, 5, 3, 0.0),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas()
+    eng = SearchEngine(built_index)
+    plain = eng.topk_taat("search engine query", k=10, scorer="bm25")
+    assert zero["doc_id"].tolist() == [f"{d:015x}" for d, _ in plain]
+    assert np.allclose(
+        zero["score"].to_numpy(), [s for _, s in plain], rtol=1e-12
+    )
