@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_page2": _q_search_after,
         "collapse_by_repo": _q_collapse_by_repo,
         "rocchio_feedback": _q_rocchio,
+        "search_bm25f": _q_search_bm25f,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1606,6 +1607,30 @@ def _q_collapse_by_repo(sf_dir: str):
         CollapseEvalActor, fn_constructor_args=(index_dir,),
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_search_bm25f(sf_dir: str):
+    """Simple BM25F (Robertson/Zaragoza): per-field boosted tf sums feed
+    one BM25 saturation — the engine reads the stored accumulated field
+    weight per posting (zero extra decode); oracle = same generated SQL
+    over the tokw dump (weight replaces tf, df unchanged)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import batch_search
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = batch_search(qds, index_dir, mode="bm25f",
+                       concurrency=2).to_pandas()
     out["score"] = out["score"].round(9)
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
@@ -3384,7 +3409,8 @@ def _search_reference_sql() -> str:
     )
 
 
-def _bm25_score_cte(p: dict, live_pred: str | None = None) -> str:
+def _bm25_score_cte(p: dict, live_pred: str | None = None,
+                    tf_source: tuple[str, str] = ("tok.parquet", "tf")) -> str:
     """Per-query-plan CTE pair ``bdf{i}, bsc{i}`` computing every
     candidate's exact Okapi-BM25 score over the dumped token tables
     (global df, engine stats.json n_docs/avgdl verbatim, expression tree
@@ -3400,6 +3426,11 @@ def _bm25_score_cte(p: dict, live_pred: str | None = None) -> str:
 
     D = _MAIN_DUMP_DIR
     live = f"AND t.{live_pred}" if live_pred else ""
+    # tf_source: (dump table, tf expression) — ("tok.parquet", tf) is
+    # plain BM25; ("tokw.parquet", weight) scores the accumulated field
+    # weight = simple BM25F (same key set, so df is unchanged)
+    table, tf_col = tf_source
+    tf_expr = f"CAST(t.{tf_col} AS DOUBLE)"
     i = p["qid"]
     mult = Counter(p["tokens"])
     terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
@@ -3408,19 +3439,19 @@ def _bm25_score_cte(p: dict, live_pred: str | None = None) -> str:
     )
     idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
            f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
-    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+    denom = (f"({tf_expr} + 1.2 * (1 - 0.75 + 0.75 * "
              f"CAST(ds.total_words AS DOUBLE) / "
              f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
     return f"""
         bdf{i} AS (
             SELECT term, count(*) AS df
-            FROM read_parquet('{D}/tok.parquet')
+            FROM read_parquet('{D}/{table}')
             WHERE term IN ({terms_sql}) GROUP BY term),
         bsc{i} AS (
             SELECT t.doc_int,
                    SUM((CASE t.term {whens} END) * {idf}
-                       * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom}) AS score
-            FROM read_parquet('{D}/tok.parquet') t
+                       * ({tf_expr} * (1.2 + 1)) / {denom}) AS score
+            FROM read_parquet('{D}/{table}') t
             JOIN bdf{i} d ON d.term = t.term
             JOIN read_parquet('{D}/docstats.parquet') ds
                  ON ds.doc_int = t.doc_int
@@ -3433,13 +3464,14 @@ def _bm25_term_plans() -> list[dict]:
             if not p["query"].startswith('"') and p["kind"] == "term"]
 
 
-def _search_bm25_sql(live_pred: str | None = None) -> str:
+def _search_bm25_sql(live_pred: str | None = None,
+                     tf_source: tuple[str, str] = ("tok.parquet", "tf")) -> str:
     """Okapi-BM25 top-10 oracle (see _bm25_score_cte)."""
     ctes: list[str] = []
     selects: list[str] = []
     for p in _bm25_term_plans():
         i = p["qid"]
-        ctes.append(_bm25_score_cte(p, live_pred) + f""",
+        ctes.append(_bm25_score_cte(p, live_pred, tf_source) + f""",
         bpg{i} AS (
             SELECT doc_int, score,
                    row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
@@ -4993,6 +5025,9 @@ def oracle_sql() -> dict[str, str]:
         "search_after_page2": _search_after_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),
+        "search_bm25f": _search_bm25_sql(
+            tf_source=("tokw.parquet", "weight")
+        ),
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

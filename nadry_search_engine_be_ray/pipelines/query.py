@@ -321,8 +321,16 @@ class SearchEngine:
         if scorer == "additive":
             return pl.weights
         tw, _ = self.docs.lookup(pl.docs)
-        tf = pl.tfs.astype(np.float64)
         dl = tw.astype(np.float64)
+        if scorer == "bm25f":
+            # simple BM25F (Robertson/Zaragoza §3.3): the per-field
+            # boosted tf sum feeds ONE saturation — and that weighted tf
+            # is exactly the accumulated field weight the build already
+            # stores per posting (stages/tokenize.py), so field-aware
+            # ranking costs no extra decode
+            tf = pl.weights
+        else:
+            tf = pl.tfs.astype(np.float64)
         return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
 
     def all_scores(self, query: str, scorer: str = "additive"):

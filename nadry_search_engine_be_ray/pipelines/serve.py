@@ -53,11 +53,12 @@ class QueryEvalActor:
                 res = self.engine.search_auto(q, int(p), int(s))
                 rows = [(r["doc_id"], r["score"]) for r in res["results"]]
                 total = res["total_results"]
-            elif self.mode == "bm25":
+            elif self.mode in ("bm25", "bm25f"):
                 # TAAT is the fast path at in-memory posting sizes; WAND wins
                 # when lists are disk-resident/huge (kept for that regime and
-                # verified equal in tests)
-                hits = self.engine.bm25_search(q, k=int(s), use_wand=False)
+                # verified equal in tests).  bm25f scores the stored
+                # accumulated field weight through the same saturation.
+                hits = self.engine.topk_taat(q, k=int(s), scorer=self.mode)
                 rows = [(f"{d:015x}", sc) for d, sc in hits]
                 total = len(rows)
             else:  # additive

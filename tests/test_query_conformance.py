@@ -627,3 +627,29 @@ def test_rocchio_expansion_changes_ranking(built_index):
     assert np.allclose(
         zero["score"].to_numpy(), [s for _, s in plain], rtol=1e-12
     )
+
+
+def test_bm25f_scores_accumulated_field_weight(engine):
+    """bm25f == BM25 saturation applied to the stored accumulated field
+    weight (brute-force recompute from the posting lists)."""
+    q = "search engine query"
+    got = engine.topk_taat(q, k=10, scorer="bm25f")
+    assert got
+
+    tokens = engine.tokenizer.tokenize(q)
+    n = engine.stats["n_docs"]
+    avgdl = engine.stats["avgdl"]
+    acc = {}
+    for t in set(tokens):
+        pl = engine.reader.postings(t)
+        if pl is None:
+            continue
+        idf = math.log((n - pl.df + 0.5) / (pl.df + 0.5) + 1.0)
+        tw, _ = engine.docs.lookup(pl.docs)
+        mult = tokens.count(t)
+        for d, w, dl in zip(pl.docs, pl.weights, tw):
+            s = idf * (w * 2.2) / (w + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            acc[int(d)] = acc.get(int(d), 0.0) + mult * s
+    exp = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
