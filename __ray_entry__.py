@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_by_repo": _q_collapse_by_repo,
         "rocchio_feedback": _q_rocchio,
         "search_bm25f": _q_search_bm25f,
+        "synonym_search": _q_synonym_search,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1605,6 +1606,31 @@ def _q_collapse_by_repo(sf_dir: str):
     )
     out = qds.map_batches(
         CollapseEvalActor, fn_constructor_args=(index_dir,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_synonym_search(sf_dir: str):
+    """Synonym-expanded BM25 (serve.SynonymEvalActor): thesaurus terms OR
+    in at weight 0.4; the oracle shares the expansion code (config) and
+    recomputes scoring in SQL."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import SynonymEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        SynonymEvalActor, fn_constructor_args=(index_dir,),
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     out["score"] = out["score"].round(9)
@@ -3590,6 +3616,64 @@ def _rocchio_sql(r: int = 5, e: int = 3, beta: float = 0.5) -> str:
     )
 
 
+def _synonym_sql(gamma: float = 0.4) -> str:
+    """Synonym-expanded BM25 oracle: the weight map is computed by the
+    SAME expand_with_synonyms/stem_thesaurus code the engine actor uses
+    (a thesaurus is config), then scoring is recomputed independently in
+    SQL — static VALUES weights -> df -> weighted saturation -> top-10."""
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        expand_with_synonyms,
+        stem_thesaurus,
+    )
+    from nadry_search_engine_be_ray.sources.corpus import QUERY_THESAURUS
+
+    D = _MAIN_DUMP_DIR
+    syn = stem_thesaurus(QUERY_THESAURUS, _tokenizer())
+    idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+             f"CAST(ds.total_words AS DOUBLE) / "
+             f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        weights = expand_with_synonyms(p["tokens"], syn, gamma)
+        vals = ", ".join(f"('{_sqlq(t)}', {w!r})"
+                         for t, w in sorted(weights.items()))
+        ctes.append(f"""
+        ywt{i} AS (SELECT * FROM (VALUES {vals}) AS v(term, w)),
+        ydf{i} AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN (SELECT term FROM ywt{i}) GROUP BY term),
+        ysc{i} AS (
+            SELECT t.doc_int,
+                   SUM(w.w * {idf}
+                       * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom})
+                       AS score
+            FROM read_parquet('{D}/tok.parquet') t
+            JOIN ywt{i} w ON w.term = t.term
+            JOIN ydf{i} d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            GROUP BY t.doc_int),
+        ypg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM ysc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score
+        FROM ypg{i} WHERE rn < 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
 def _collapse_sql(group_col: str = "repo") -> str:
     """Field-collapse oracle: best doc per ``group_col`` value by
     (score DESC, doc_int ASC), then global top-10 over the winners —
@@ -5028,6 +5112,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25f": _search_bm25_sql(
             tf_source=("tokw.parquet", "weight")
         ),
+        "synonym_search": _synonym_sql(),
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

@@ -263,6 +263,84 @@ class RocchioEvalActor:
         )
 
 
+def expand_with_synonyms(tokens: list[str], syn: dict[str, list[str]],
+                         gamma: float) -> dict[str, float]:
+    """Weighted term multiset for a synonym-expanded query: original
+    multiplicities at 1.0 plus ``gamma`` * multiplicity for each synonym
+    of each token (weights merge when a synonym collides with another
+    query term) — deterministic, shared verbatim by the SQL-oracle
+    generator."""
+    from collections import Counter
+
+    weights = {t: float(m) for t, m in Counter(tokens).items()}
+    for t, m in sorted(Counter(tokens).items()):
+        for s in syn.get(t, []):
+            weights[s] = weights.get(s, 0.0) + gamma * m
+    return weights
+
+
+def stem_thesaurus(thesaurus: dict[str, list[str]], tokenizer) \
+        -> dict[str, list[str]]:
+    """RAW-word thesaurus -> stemmed term mapping via the engine's own
+    tokenizer (single-token entries only; stopword-stemmed entries drop
+    out naturally)."""
+    syn: dict[str, list[str]] = {}
+    for base, syns in sorted(thesaurus.items()):
+        bts = tokenizer.tokenize(base)
+        if len(bts) != 1:
+            continue
+        out = []
+        for s in syns:
+            sts = tokenizer.tokenize(s)
+            if len(sts) == 1 and sts[0] != bts[0]:
+                out.append(sts[0])
+        if out:
+            syn.setdefault(bts[0], []).extend(sorted(out))
+    return syn
+
+
+class SynonymEvalActor:
+    """Query-time synonym expansion (Lucene SynonymGraphFilter analog):
+    each query term ORs in its thesaurus synonyms at a discounted weight
+    ``gamma``, scored through the weighted BM25 accumulator.  The stemmed
+    mapping is built once per actor; expansion itself is a pure dict
+    rewrite — no extra index structure."""
+
+    def __init__(self, index_dir: str, thesaurus: dict | None = None,
+                 gamma: float = 0.4):
+        from ..sources.corpus import QUERY_THESAURUS
+
+        self.engine = SearchEngine(index_dir)
+        self.syn = stem_thesaurus(
+            thesaurus if thesaurus is not None else QUERY_THESAURUS,
+            self.engine.tokenizer,
+        )
+        self.gamma = gamma
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_rank, out_doc, out_score = [], [], [], []
+        for q in batch["query"].to_pylist():
+            tokens = self.engine.tokenizer.tokenize(q)
+            if not tokens:
+                continue
+            weights = expand_with_synonyms(tokens, self.syn, self.gamma)
+            docs, acc = self.engine.all_scores_weighted(weights, "bm25")
+            if not docs.size:
+                continue
+            order = np.lexsort((docs, -acc))[:10]
+            for i, j in enumerate(order):
+                out_q.append(q)
+                out_rank.append(i)
+                out_doc.append(f"{int(docs[j]):015x}")
+                out_score.append(float(acc[j]))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "score": pa.array(out_score, pa.float64())}
+        )
+
+
 def _make_shard_actor():
     import ray
 

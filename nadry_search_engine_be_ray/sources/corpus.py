@@ -254,3 +254,22 @@ def reference_queries() -> list[dict]:
         {"query_id": 13, "query": "import", "page": 0, "page_size": 10},
         {"query_id": 14, "query": "func_7 zq11x", "page": 0, "page_size": 10},
     ]
+
+
+# query-time synonym thesaurus (RAW words; both sides tokenize/stem them).
+# A thesaurus is CONFIG, not computation — the oracle shares the table and
+# recomputes only the scoring (pipelines/serve.SynonymEvalActor).
+QUERY_THESAURUS = {
+    "item": ["object", "article"],
+    "order": ["purchase", "request"],
+    "search": ["find", "lookup"],
+    "national": ["country"],
+    "community": ["public", "group"],
+    "index": ["catalog"],
+    "merge": ["combine"],
+    "engine": ["system"],
+    "running": ["execute"],
+    "university": ["college"],
+    "import": ["include"],
+    "arrived": ["came"],
+}

@@ -653,3 +653,40 @@ def test_bm25f_scores_accumulated_field_weight(engine):
     exp = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [d for d, _ in got] == [d for d, _ in exp]
     assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
+
+
+def test_synonym_expansion_gamma_zero_is_plain(built_index):
+    """gamma=0 synonym expansion must equal plain BM25 (synonym weights
+    become 0 and a 0-weight term adds exact-zero contributions)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import SynonymEvalActor
+
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(["search engine"], pa.string())})
+    )
+    out = qds.map_batches(
+        SynonymEvalActor, fn_constructor_args=(built_index, None, 0.0),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas()
+    eng = SearchEngine(built_index)
+    plain = eng.topk_taat("search engine", k=10, scorer="bm25")
+    assert out["doc_id"].tolist() == [f"{d:015x}" for d, _ in plain]
+    assert np.allclose(
+        out["score"].to_numpy(), [s for _, s in plain], rtol=1e-12
+    )
+
+
+def test_stem_thesaurus_drops_multi_token_and_self(built_index):
+    from nadry_search_engine_be_ray.pipelines.serve import stem_thesaurus
+
+    eng = SearchEngine(built_index)
+    syn = stem_thesaurus(
+        {"search": ["searches", "find me", "lookup"],
+         "the": ["a"]},  # stopwords tokenize to [] -> dropped
+        eng.tokenizer,
+    )
+    # "searches" stems to "search" (self) and "find me" is 2 tokens
+    assert syn.get("search") == ["lookup"]
+    assert "the" not in syn
