@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio_feedback": _q_rocchio,
         "search_bm25f": _q_search_bm25f,
         "synonym_search": _q_synonym_search,
+        "field_search_desc": _q_field_search_desc,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1631,6 +1632,33 @@ def _q_synonym_search(sf_dir: str):
     )
     out = qds.map_batches(
         SynonymEvalActor, fn_constructor_args=(index_dir,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_field_search_desc(sf_dir: str):
+    """Fielded search restricted to the DESCRIPTION field (field 1 — the
+    field with query-term coverage in the code corpus; titles are short
+    path-derived names): per-field
+    tf derived at query time from the positions payload's field masks
+    (serve.FieldSearchEvalActor); oracle recomputes from the tokf dump."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import FieldSearchEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        FieldSearchEvalActor, fn_constructor_args=(index_dir, 1),
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     out["score"] = out["score"].round(9)
@@ -3674,6 +3702,61 @@ def _synonym_sql(gamma: float = 0.4) -> str:
     )
 
 
+def _field_search_sql(field: int = 0) -> str:
+    """Fielded-search oracle: BM25 over the per-field tf rows (tokf dump),
+    field-restricted df, whole-doc length norm — mirrors
+    serve.FieldSearchEvalActor's positions-derived numbers."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+             f"CAST(ds.total_words AS DOUBLE) / "
+             f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        whens = " ".join(
+            f"WHEN '{_sqlq(t)}' THEN {float(m)!r}"
+            for t, m in sorted(mult.items())
+        )
+        ctes.append(f"""
+        ftf{i} AS (
+            SELECT term, doc_int, tf
+            FROM read_parquet('{D}/tokf.parquet')
+            WHERE field = {field} AND term IN ({terms_sql})),
+        fdf{i} AS (
+            SELECT term, count(*) AS df FROM ftf{i} GROUP BY term),
+        fsc{i} AS (
+            SELECT t.doc_int,
+                   SUM((CASE t.term {whens} END) * {idf}
+                       * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom})
+                       AS score
+            FROM ftf{i} t
+            JOIN fdf{i} d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            GROUP BY t.doc_int),
+        fpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM fsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score
+        FROM fpg{i} WHERE rn < 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
 def _collapse_sql(group_col: str = "repo") -> str:
     """Field-collapse oracle: best doc per ``group_col`` value by
     (score DESC, doc_int ASC), then global top-10 over the winners —
@@ -5113,6 +5196,7 @@ def oracle_sql() -> dict[str, str]:
             tf_source=("tokw.parquet", "weight")
         ),
         "synonym_search": _synonym_sql(),
+        "field_search_desc": _field_search_sql(1),
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

@@ -63,7 +63,7 @@ def dump_index_tables(index_dir: str, dump_dir: str,
     pop_dir = os.path.join(index_dir, "popularity")
     key = json.dumps(
         {
-            "fmt": 3,  # v2: + docmeta.parquet; v3: + tokw.parquet
+            "fmt": 4,  # v2: + docmeta; v3: + tokw; v4: + tokf
             "index_dir": index_dir,
             "stats_mtime": os.path.getmtime(stats_path),
             "pop_mtime": os.path.getmtime(os.path.join(pop_dir, "popularity.parquet"))
@@ -123,6 +123,19 @@ def dump_index_tables(index_dir: str, dump_dir: str,
         ["weight" if c == "weight_sum" else c for c in tokw.column_names]
     )
     pq.write_table(tokw, os.path.join(dump_dir, "tokw.parquet"))
+
+    # tokf: per-(term, doc, FIELD) tf — the fielded-search oracle's input
+    # (the engine derives the same numbers from the positions payload's
+    # field masks at query time, pipelines/serve.FieldSearchEvalActor)
+    tokf = (
+        real.select(["term", "doc_int", "field", "tf"])
+        .group_by(["term", "doc_int", "field"])
+        .aggregate([("tf", "sum")])
+    )
+    tokf = tokf.rename_columns(
+        ["tf" if c == "tf_sum" else c for c in tokf.column_names]
+    )
+    pq.write_table(tokf, os.path.join(dump_dir, "tokf.parquet"))
 
     # pos: exploded positions for the phrase terms only
     if phrase_terms:

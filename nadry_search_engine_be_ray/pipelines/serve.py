@@ -341,6 +341,83 @@ class SynonymEvalActor:
         )
 
 
+class FieldSearchEvalActor:
+    """Fielded search (Lucene ``title:term``): BM25 over the tf of ONE
+    field only.  The index stores no per-field posting lists — the
+    positions payload's field masks double as field storage (the FieldInfo
+    analog), so per-field tf is one vectorized flat-decode + bincount per
+    posting list: tf_f[doc] = |positions of the term in field f|.  df and
+    idf are field-restricted (docs where tf_f > 0); dl stays the whole-doc
+    length (documented simple variant — per-field length norms would need
+    a per-field doc_stats column).
+
+    100 TB note: a production fielded tier would materialize per-field
+    posting lists at build time; this query-time derivation trades one
+    positions decode per (term, query) for zero extra index bytes."""
+
+    def __init__(self, index_dir: str, field: int = 0, k: int = 10):
+        self.engine = SearchEngine(index_dir)
+        self.field = field
+        self.k = k
+
+    def _field_postings(self, term: str):
+        import math
+
+        from ..functions.codec import decode_doc_positions_flat
+
+        pl = self.engine.reader.postings(term)
+        if pl is None or pl.df == 0:
+            return None
+        dr, f, _ = decode_doc_positions_flat(
+            pl.positions_buf, pl.pos_offsets, np.arange(pl.df)
+        )
+        tf = np.bincount(dr[f == self.field], minlength=pl.df)
+        keep = tf > 0
+        if not keep.any():
+            return None
+        docs = pl.docs[keep]
+        tff = tf[keep].astype(np.float64)
+        n = self.engine.stats["n_docs"]
+        idf = math.log((n - docs.size + 0.5) / (docs.size + 0.5) + 1.0)
+        return docs, tff, idf
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_rank, out_doc, out_score = [], [], [], []
+        avgdl = self.engine.stats["avgdl"] or 1.0
+        for q in batch["query"].to_pylist():
+            tokens = self.engine.tokenizer.tokenize(q)
+            parts = []
+            for t in tokens:  # duplicates keep duplicate contribution
+                fp = self._field_postings(t)
+                if fp is not None:
+                    parts.append(fp)
+            if not parts:
+                continue
+            all_docs = np.unique(np.concatenate([d for d, _, _ in parts]))
+            acc = np.zeros(all_docs.size, dtype=np.float64)
+            for docs, tff, idf in parts:
+                tw, _ = self.engine.docs.lookup(docs)
+                dl = tw.astype(np.float64)
+                # written as (1.2 + 1) / (1 - 0.75 + ...) to stay
+                # bit-identical with the SQL oracle's expression tree
+                s = idf * (tff * (1.2 + 1)) / (
+                    tff + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                )
+                np.add.at(acc, np.searchsorted(all_docs, docs), s)
+            order = np.lexsort((all_docs, -acc))[: self.k]
+            for i, j in enumerate(order):
+                out_q.append(q)
+                out_rank.append(i)
+                out_doc.append(f"{int(all_docs[j]):015x}")
+                out_score.append(float(acc[j]))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "score": pa.array(out_score, pa.float64())}
+        )
+
+
 def _make_shard_actor():
     import ray
 

@@ -690,3 +690,37 @@ def test_stem_thesaurus_drops_multi_token_and_self(built_index):
     # "searches" stems to "search" (self) and "find me" is 2 tokens
     assert syn.get("search") == ["lookup"]
     assert "the" not in syn
+
+
+def test_field_search_matches_postings_dump(built_index):
+    """FieldSearchEvalActor's positions-derived per-field tf must equal
+    the build's postings-phase parquet rows (the same numbers the SQL
+    oracle reads)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import FieldSearchEvalActor
+
+    a = FieldSearchEvalActor.__new__(FieldSearchEvalActor)
+    a.engine = SearchEngine(built_index)
+    a.field = 1
+    a.k = 10
+    post = pads.dataset(
+        os.path.join(built_index, "postings"), format="parquet",
+        partitioning="hive",
+    )
+    for term in ["search", "engin", "queri"]:
+        fp = a._field_postings(term)
+        rows = post.to_table(
+            columns=["doc_int", "tf"],
+            filter=(pc.field("term") == term) & (pc.field("field") == 1),
+        )
+        exp = rows.to_pandas().groupby("doc_int")["tf"].sum().sort_index()
+        if fp is None:
+            assert len(exp) == 0, term
+            continue
+        docs, tff, _ = fp
+        assert docs.tolist() == exp.index.tolist(), term
+        assert tff.tolist() == exp.values.astype(float).tolist(), term
