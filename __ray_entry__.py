@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25f": _q_search_bm25f,
         "synonym_search": _q_synonym_search,
         "field_search_desc": _q_field_search_desc,
+        "explain_scores": _q_explain_scores,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1663,6 +1664,30 @@ def _q_field_search_desc(sf_dir: str):
     ).to_pandas()
     out["score"] = out["score"].round(9)
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_explain_scores(sf_dir: str):
+    """Explain API (serve.ExplainEvalActor): factor breakdown per
+    (query, top-3 doc, term); the oracle recomputes tf/df/idf/saturation
+    independently from the dumps."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import ExplainEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        ExplainEvalActor, fn_constructor_args=(index_dir,),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    return out.sort_values(["query", "doc_id", "term"]).reset_index(drop=True)
 
 
 def _q_search_bm25f(sf_dir: str):
@@ -3757,6 +3782,52 @@ def _field_search_sql(field: int = 0) -> str:
     )
 
 
+def _explain_sql(n_docs: int = 3) -> str:
+    """Explain oracle: per-term factor breakdown for each query's top-n
+    BM25 hits, every factor recomputed independently in SQL."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+             f"CAST(ds.total_words AS DOUBLE) / "
+             f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        whens = " ".join(
+            f"WHEN '{_sqlq(t)}' THEN {float(m)!r}"
+            for t, m in sorted(mult.items())
+        )
+        ctes.append(_bm25_score_cte(p) + f""",
+        etp{i} AS (
+            SELECT doc_int FROM bsc{i}
+            ORDER BY score DESC, doc_int ASC LIMIT {n_docs})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               printf('%015x', t.doc_int) AS doc_id,
+               t.term,
+               CAST(t.tf AS BIGINT) AS tf,
+               CAST(d.df AS BIGINT) AS df,
+               round({idf}, 9) AS idf,
+               round((CASE t.term {whens} END) * {idf}
+                     * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom}, 9)
+                   AS contribution
+        FROM read_parquet('{D}/tok.parquet') t
+        JOIN bdf{i} d ON d.term = t.term
+        JOIN etp{i} e ON e.doc_int = t.doc_int
+        JOIN read_parquet('{D}/docstats.parquet') ds
+             ON ds.doc_int = t.doc_int
+        WHERE t.term IN ({terms_sql})""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
 def _collapse_sql(group_col: str = "repo") -> str:
     """Field-collapse oracle: best doc per ``group_col`` value by
     (score DESC, doc_int ASC), then global top-10 over the winners —
@@ -5197,6 +5268,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "synonym_search": _synonym_sql(),
         "field_search_desc": _field_search_sql(1),
+        "explain_scores": _explain_sql(),
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

@@ -418,6 +418,70 @@ class FieldSearchEvalActor:
         )
 
 
+class ExplainEvalActor:
+    """Score explanation (Lucene's explain API): for each query's top-n
+    BM25 hits, one row per contributing term with the full factor
+    breakdown (tf, stale df, idf, saturated tf part, weighted
+    contribution) — the rows sum to the hit's score, which the oracle
+    recomputes independently term-by-term."""
+
+    def __init__(self, index_dir: str, n_docs: int = 3, k: int = 10):
+        self.engine = SearchEngine(index_dir)
+        self.n_docs = n_docs
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+        from collections import Counter
+
+        cols = {c: [] for c in ("query", "doc_id", "term", "tf", "df",
+                                "idf", "contribution")}
+        n = self.engine.stats["n_docs"]
+        avgdl = self.engine.stats["avgdl"] or 1.0
+        for q in batch["query"].to_pylist():
+            hits = self.engine.topk_taat(q, k=self.n_docs, scorer="bm25")
+            if not hits:
+                continue
+            top_docs = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+            tokens = self.engine.tokenizer.tokenize(q)
+            for t, m in sorted(Counter(tokens).items()):
+                pl = self.engine.reader.postings(t)
+                if pl is None:
+                    continue
+                idf = math.log(
+                    (n - pl.df_stale + 0.5) / (pl.df_stale + 0.5) + 1.0
+                )
+                idx = np.searchsorted(pl.docs, top_docs)
+                idx[idx == pl.docs.size] = 0
+                hit = pl.docs[idx] == top_docs
+                if not hit.any():
+                    continue
+                docs_h = top_docs[hit]
+                tf = pl.tfs[idx[hit]].astype(np.float64)
+                tw, _ = self.engine.docs.lookup(docs_h)
+                dl = tw.astype(np.float64)
+                contrib = float(m) * idf * (tf * (1.2 + 1)) / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                )
+                for j, d in enumerate(docs_h):
+                    cols["query"].append(q)
+                    cols["doc_id"].append(f"{int(d):015x}")
+                    cols["term"].append(t)
+                    cols["tf"].append(int(tf[j]))
+                    cols["df"].append(int(pl.df_stale))
+                    cols["idf"].append(round(idf, 9))
+                    cols["contribution"].append(round(float(contrib[j]), 9))
+        return pa.table(
+            {"query": pa.array(cols["query"], pa.string()),
+             "doc_id": pa.array(cols["doc_id"], pa.string()),
+             "term": pa.array(cols["term"], pa.string()),
+             "tf": pa.array(cols["tf"], pa.int64()),
+             "df": pa.array(cols["df"], pa.int64()),
+             "idf": pa.array(cols["idf"], pa.float64()),
+             "contribution": pa.array(cols["contribution"], pa.float64())}
+        )
+
+
 def _make_shard_actor():
     import ray
 

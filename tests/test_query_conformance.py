@@ -724,3 +724,27 @@ def test_field_search_matches_postings_dump(built_index):
         docs, tff, _ = fp
         assert docs.tolist() == exp.index.tolist(), term
         assert tff.tolist() == exp.values.astype(float).tolist(), term
+
+
+def test_explain_contributions_sum_to_score(built_index):
+    """Explain rows for a (query, doc) must sum to the doc's BM25 score
+    (contributions are rounded to 9 dp; tolerance covers the rounding)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import ExplainEvalActor
+
+    q = "search engine query"
+    out = ray.data.from_arrow(
+        pa.table({"query": pa.array([q], pa.string())})
+    ).map_batches(
+        ExplainEvalActor, fn_constructor_args=(built_index,),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas()
+    assert len(out) > 0
+    eng = SearchEngine(built_index)
+    top = {f"{d:015x}": s for d, s in eng.topk_taat(q, k=3, scorer="bm25")}
+    sums = out.groupby("doc_id")["contribution"].sum()
+    assert set(sums.index) == set(top)
+    for doc, s in sums.items():
+        assert abs(s - top[doc]) < 1e-7, doc
