@@ -220,6 +220,28 @@ def main() -> None:
     })
     proximity_pairs(index_dir, ["search", "engin", "index"], window=3)
     extra_timings["search_features"] = time.time() - t0
+
+    # --- ranked-retrieval variants over the live index (non-headline) ------
+    import pyarrow as _pa
+
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        CollapseEvalActor, ExplainEvalActor, RocchioEvalActor,
+        SearchAfterEvalActor, SynonymEvalActor, batch_search,
+    )
+
+    t0 = time.time()
+    qtbl = _pa.table({"query": _pa.array(
+        ["search engine", "item order arrived", "national community",
+         "index merge", "running university"] * 8, _pa.string())})
+    for actor in (SearchAfterEvalActor, CollapseEvalActor, RocchioEvalActor,
+                  SynonymEvalActor, ExplainEvalActor):
+        ray.data.from_arrow(qtbl).map_batches(
+            actor, fn_constructor_args=(index_dir,),
+            batch_format="pyarrow", batch_size=16, concurrency=2,
+        ).to_pandas()
+    batch_search(ray.data.from_arrow(qtbl), index_dir,
+                 mode="bm25f", concurrency=2).to_pandas()
+    extra_timings["ranked_variants"] = time.time() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
 
     # --- per-user window/session ops (partition-fused; non-headline) -------
