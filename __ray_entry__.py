@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search": _q_synonym_search,
         "field_search_desc": _q_field_search_desc,
         "explain_scores": _q_explain_scores,
+        "incremental_dedup": _q_incremental_dedup,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1688,6 +1689,40 @@ def _q_explain_scores(sf_dir: str):
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     return out.sort_values(["query", "doc_id", "term"]).reset_index(drop=True)
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental-ingest near-dup screening (stages/dedup.
+    minhash_delta_pairs): a delta of revised documents (doc_id%97==5,
+    text + ' delta revision note') is checked against the base corpus —
+    only BASE x DELTA candidates are verified; the oracle computes the
+    exact cross-corpus n-gram Jaccard join over the same union."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import minhash_delta_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def mk_delta(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(d % 97 == 5))
+        i = keep.schema.get_field_index("text")
+        return keep.set_column(
+            i, "text",
+            pc.binary_join_element_wise(
+                keep["text"].cast(pa.string()), " delta revision note", ""
+            ),
+        )
+
+    delta = docs.map_batches(mk_delta, batch_format="pyarrow")
+    out = minhash_delta_pairs(docs, delta).to_pandas()
+    out["jaccard"] = out["jaccard"].round(9)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_search_bm25f(sf_dir: str):
@@ -5269,6 +5304,22 @@ def oracle_sql() -> dict[str, str]:
         "synonym_search": _synonym_sql(),
         "field_search_desc": _field_search_sql(1),
         "explain_scores": _explain_sql(),
+        # cross-corpus (base x delta) exact jaccard join; the engine
+        # screens the same delta via minhash with a cross-pair candidate
+        # filter (stages/dedup.minhash_delta_pairs)
+        "incremental_dedup": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000 AS doc_id,
+                       text || ' delta revision note' AS text
+                FROM documents WHERE doc_id % 97 = 5
+            ),
+            {_gram_pair_ctes("u")}
+            SELECT a, b, jaccard FROM jpairs
+            WHERE a < 1000000000 AND b >= 1000000000
+            ORDER BY a, b
+        """,
         # tombstone deletes: surviving-row recompute (mask + purge agree
         # on the same expected table through two different engine paths);
         # the stale-BM25 oracle keeps df/stats UNFILTERED by construction

@@ -693,7 +693,7 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      threshold: float = 0.5):
+                      threshold: float = 0.5, cross_split: int | None = None):
     """Full near-dup pipeline: minhash -> LSH buckets -> candidate pairs ->
     DISTRIBUTED exact n-gram Jaccard verify.  Returns a Dataset
     (a, b, jaccard) with jaccard >= threshold, deduped canonical pairs
@@ -744,10 +744,62 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
         .groupby("cpart")
         .map_groups(candidate_pairs_partitioned, batch_format="pyarrow")
     )
+    if cross_split is not None:
+        # incremental-ingest mode (minhash_delta_pairs): only BASE x DELTA
+        # pairs survive — within-corpus pairs are dropped BEFORE the exact
+        # verify, so re-ingesting a delta never re-verifies the base
+        # against itself (pair ids are emitted ascending, so a < split <= b
+        # is the full cross condition)
+        split = int(cross_split)
+
+        def cross_only(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((a < split) & (b >= split)))
+
+        cands = cands.map_batches(cross_only, batch_format="pyarrow")
     return exact_jaccard_for_pairs(
         ds, cands, n=ngram, threshold=threshold,
         id_col=id_col, text_col=text_col,
         num_partitions=nparts,
+    )
+
+
+def minhash_delta_pairs(base_ds, delta_ds, *, offset: int = 1_000_000_000,
+                        num_perm: int = 64, bands: int = 32, ngram: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5):
+    """Incremental-ingest near-dup detection: pairs BETWEEN an existing
+    base corpus and a newly arriving delta only (the 100 TB ingest-time
+    dedup op — a delta of new documents is screened against the corpus
+    without re-verifying the base against itself).
+
+    Delta ids are shifted by ``offset`` into a disjoint id range, both
+    corpora stream through ONE signature/bucket pass, and candidate pairs
+    are filtered to base x delta before the exact verify
+    (minhash_lsh_pairs cross_split).  Returns (a, b, jaccard) with
+    ``a`` = base id, ``b`` = offset + delta id.
+
+    Scale note: cost is dominated by the base's signature pass; a
+    production deployment would persist base signatures/buckets between
+    ingests (they are a pure function of the text) and stream only the
+    delta through MinHashBatch — the bucket-join shape is unchanged.
+    """
+    import pyarrow.compute as pc
+
+    off = int(offset)
+
+    def shift(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(id_col)
+        return batch.set_column(
+            i, id_col, pc.add(batch[id_col].cast(pa.int64()), off)
+        )
+
+    union = base_ds.union(delta_ds.map_batches(shift, batch_format="pyarrow"))
+    return minhash_lsh_pairs(
+        union, num_perm=num_perm, bands=bands, ngram=ngram,
+        text_col=text_col, id_col=id_col, threshold=threshold,
+        cross_split=off,
     )
 
 

@@ -372,3 +372,42 @@ def test_exact_jaccard_shuffle_path_matches_broadcast(ray_session):
         docs, cands_ds, threshold=0.5, max_broadcast_texts=0,
     ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     assert bc.equals(filt)
+
+
+def test_minhash_delta_pairs_cross_only(ray_session):
+    """Incremental dedup finds the planted base x delta near-dups and
+    NEVER emits within-corpus pairs, even when the base itself contains
+    an exact-dup pair."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import minhash_delta_pairs
+
+    base_rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps over the lazy dog today",
+            "the quick brown fox jumps over the lazy dog today",  # base dup
+            "completely different content about database systems here",
+            "ray data streaming execution with arrow batches everywhere",
+        ],
+    }
+    delta_rows = {
+        "doc_id": [1, 2],
+        "text": [
+            "the quick brown fox jumps over the lazy dog yesterday",
+            "unrelated fresh delta document about compilers and parsers",
+        ],
+    }
+    base = ray.data.from_arrow(pa.table(base_rows))
+    delta = ray.data.from_arrow(pa.table(delta_rows))
+    out = minhash_delta_pairs(base, delta, threshold=0.5).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    # every pair is cross (a base, b delta-shifted)
+    assert (out["a"] < 1_000_000_000).all()
+    assert (out["b"] >= 1_000_000_000).all()
+    # planted near-dup: base 1 and 2 (identical) both match delta doc 1
+    got = set(zip(out["a"], out["b"] - 1_000_000_000))
+    assert (1, 1) in got and (2, 1) in got
+    # the base-internal exact dup (1,2) is NOT emitted
+    assert all(a < 1_000_000_000 <= b for a, b in zip(out["a"], out["b"]))
