@@ -503,9 +503,13 @@ def _make_shard_actor():
                 if pl is None:
                     out.append((t, None))
                 else:
+                    # df_total rides along so stale-df scoring semantics
+                    # (tombstone deletes, state/deletes.py) survive the
+                    # scatter/gather hop
                     out.append(
                         (t, (pl.docs, pl.tfs, pl.weights, pl.block_max,
-                             pl.positions_buf, pl.pos_offsets))
+                             pl.positions_buf, pl.pos_offsets,
+                             pl.df_total))
                     )
             return out
 
@@ -544,10 +548,11 @@ class _ShardScatterReader:
                 if payload is None:
                     self._cache[t] = None
                 else:
-                    docs, tfs, w, bm, pbuf, poff = payload
+                    docs, tfs, w, bm, pbuf, poff, df_total = payload
                     self._cache[t] = PostingList(
                         term=t, docs=docs, tfs=tfs, weights=w, block_max=bm,
                         positions_buf=pbuf, pos_offsets=poff,
+                        df_total=df_total,
                     )
 
     def postings(self, term: str):

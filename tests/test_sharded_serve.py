@@ -87,3 +87,58 @@ def test_whole_stream_index_serves_identically(ray_session, tiny_corpus_dir,
             q["query"], q["page"], q["page_size"]))
         _same_results(want, sharded_b.search_auto(
             q["query"], q["page"], q["page_size"]))
+
+
+def test_sharded_matches_local_new_scorers(engines):
+    """bm25f / weighted multiset / search_after run unchanged over the
+    scatter/gather reader (all arithmetic is inherited; the facade ships
+    weights and df_total with every posting list)."""
+    for q in ["search engine", "item order arrived", "national community"]:
+        local, sharded = engines
+        assert local.topk_taat(q, k=10, scorer="bm25f") == \
+            sharded.topk_taat(q, k=10, scorer="bm25f")
+        w = {"search": 1.0, "engin": 0.5, "item": 2.0}
+        ld, ls = local.all_scores_weighted(w, "bm25")
+        sd, ss = sharded.all_scores_weighted(w, "bm25")
+        assert ld.tolist() == sd.tolist()
+        assert ls.tolist() == ss.tolist()
+        p1 = local.search_after(q, None, k=10, scorer="bm25")
+        assert p1 == sharded.search_after(q, None, k=10, scorer="bm25")
+        if len(p1) == 10:
+            cur = (p1[-1][1], p1[-1][0])
+            assert local.search_after(q, cur, k=10, scorer="bm25") == \
+                sharded.search_after(q, cur, k=10, scorer="bm25")
+
+
+def test_sharded_ships_df_total_for_deleted_index(ray_session, built_index,
+                                                  tmp_path):
+    """On a tombstoned index the sharded reader must keep Lucene's
+    stale-df scoring identical to the local reader (df_total rides the
+    scatter/gather payload)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.deletes import delete_docs
+
+    idx = str(tmp_path / "idx_del")
+    shutil.copytree(built_index, idx)
+    import os as _os
+
+    di = pads.dataset(
+        _os.path.join(idx, "doc_stats"), format="parquet"
+    ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    delete_docs(idx, np.sort(di)[::3])
+    local = SearchEngine(idx)
+    sharded = ShardedSearchEngine(idx)
+    for q in ["search engine", "item order arrived"]:
+        lh = local.bm25_search(q, k=10)
+        sh = sharded.bm25_search(q, k=10)
+        assert lh == sh
+        pl_l = local.reader.postings("search")
+        pl_s = sharded.reader.postings("search")
+        assert pl_l.df_stale == pl_s.df_stale
+        assert pl_l.df_stale > pl_l.df  # deletes actually masked some docs
