@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_search_desc": _q_field_search_desc,
         "explain_scores": _q_explain_scores,
         "incremental_dedup": _q_incremental_dedup,
+        "sloppy_phrase": _q_sloppy_phrase,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1689,6 +1690,27 @@ def _q_explain_scores(sf_dir: str):
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     return out.sort_values(["query", "doc_id", "term"]).reset_index(drop=True)
+
+
+def _q_sloppy_phrase(sf_dir: str):
+    """Sloppy phrase queries ("a b"~slop): ordered gap-bounded positional
+    chain (SearchEngine.sloppy_phrase_search), matched docs ranked by
+    plain BM25 over the phrase tokens; the oracle replays the chain as a
+    positions self-join over the pos dump."""
+    import pandas as pd
+
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    eng = SearchEngine(index_dir)
+    rows = []
+    for phrase, slop in _SLOPPY_SPECS:
+        for r_i, (d, s) in enumerate(eng.sloppy_phrase_search(phrase, slop)):
+            rows.append((phrase, slop, r_i, f"{d:015x}", round(s, 9)))
+    return pd.DataFrame(
+        rows, columns=["phrase", "slop", "rank", "doc_id", "score"]
+    ).astype({"slop": "int64", "rank": "int32"})
 
 
 def _q_incremental_dedup(sf_dir: str):
@@ -3863,6 +3885,83 @@ def _explain_sql(n_docs: int = 3) -> str:
     )
 
 
+_SLOPPY_SPECS = [("item order", 3), ("order arrived late", 4)]
+
+
+def _sloppy_sql(specs=None) -> str:
+    """Sloppy-phrase oracle: ordered gap-bounded chain over the pos dump
+    (consecutive tokens same doc+field, gap in [1, slop]) -> matched docs
+    -> plain BM25 over the phrase tokens -> top-10."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    specs = specs if specs is not None else _SLOPPY_SPECS
+    tok = _tokenizer()
+    idf = (f"ln((CAST((SELECT n_docs FROM read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    denom = (f"(CAST(t.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * "
+             f"CAST(ds.total_words AS DOUBLE) / "
+             f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for j, (phrase, slop) in enumerate(specs):
+        tokens = tok.tokenize(phrase)
+        mult = Counter(tokens)
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        whens = " ".join(
+            f"WHEN '{_sqlq(t)}' THEN {float(m)!r}"
+            for t, m in sorted(mult.items())
+        )
+        chain = [f"""
+        sp{j}m0 AS (
+            SELECT DISTINCT doc_int, field, pos
+            FROM read_parquet('{D}/pos.parquet')
+            WHERE term = '{_sqlq(tokens[0])}')"""]
+        for ti in range(1, len(tokens)):
+            chain.append(f"""
+        sp{j}m{ti} AS (
+            SELECT DISTINCT b.doc_int, b.field, b.pos
+            FROM read_parquet('{D}/pos.parquet') b
+            JOIN sp{j}m{ti - 1} a
+              ON a.doc_int = b.doc_int AND a.field = b.field
+             AND b.pos - a.pos BETWEEN 1 AND {slop}
+            WHERE b.term = '{_sqlq(tokens[ti])}')""")
+        ctes.append(",".join(chain) + f""",
+        sp{j}d AS (
+            SELECT DISTINCT doc_int FROM sp{j}m{len(tokens) - 1}),
+        sp{j}df AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN ({terms_sql}) GROUP BY term),
+        sp{j}sc AS (
+            SELECT t.doc_int,
+                   SUM((CASE t.term {whens} END) * {idf}
+                       * (CAST(t.tf AS DOUBLE) * (1.2 + 1)) / {denom})
+                       AS score
+            FROM read_parquet('{D}/tok.parquet') t
+            JOIN sp{j}df d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            WHERE t.term IN ({terms_sql})
+              AND t.doc_int IN (SELECT doc_int FROM sp{j}d)
+            GROUP BY t.doc_int),
+        sp{j}pg AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM sp{j}sc)""")
+        selects.append(f"""
+        SELECT '{_sqlq(phrase)}' AS phrase,
+               {slop}::BIGINT AS slop,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score
+        FROM sp{j}pg WHERE rn < 10""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
 def _collapse_sql(group_col: str = "repo") -> str:
     """Field-collapse oracle: best doc per ``group_col`` value by
     (score DESC, doc_int ASC), then global top-10 over the winners —
@@ -5304,6 +5403,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_search": _synonym_sql(),
         "field_search_desc": _field_search_sql(1),
         "explain_scores": _explain_sql(),
+        "sloppy_phrase": _sloppy_sql(),
         # cross-corpus (base x delta) exact jaccard join; the engine
         # screens the same delta via minhash with a cross-pair candidate
         # filter (stages/dedup.minhash_delta_pairs)

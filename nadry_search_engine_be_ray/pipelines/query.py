@@ -382,6 +382,69 @@ class SearchEngine:
         order = np.lexsort((all_docs, -acc))[:k]
         return [(int(all_docs[i]), float(acc[i])) for i in order]
 
+    def sloppy_phrase_search(self, phrase: str, slop: int = 1,
+                             k: int = 10) -> list[tuple[int, float]]:
+        """Sloppy phrase ("a b"~slop, Lucene slop analog): consecutive
+        tokens must appear IN ORDER in the same field with positional gap
+        in [1, slop] — slop=1 is exactly phrase_search's adjacency chain.
+        Matching docs are ranked by plain BM25 over the phrase tokens
+        (full tf; the reference's tf=1 phrase quirk stays exclusive to
+        the reference-parity phrase path).  Candidates are pruned by doc
+        intersection FIRST, positions decoded for the intersection only,
+        and the chain step is one searchsorted window probe per field."""
+        tokens = self.tokenizer.tokenize(phrase)
+        if not tokens:
+            return []
+        if len(tokens) == 1:
+            return self.topk_taat(tokens[0], k, "bm25")
+        pls = []
+        for term in tokens:
+            pl = self.reader.postings(term)
+            if pl is None:
+                return []
+            pls.append(pl)
+        common = pls[0].docs
+        for pl in pls[1:]:
+            common = self._sorted_intersect(common, pl.docs)
+            if common.size == 0:
+                return []
+        fields_per_term = [
+            pl.positions_for_many(np.searchsorted(pl.docs, common))
+            for pl in pls
+        ]
+        matched: list[int] = []
+        for ki, di in enumerate(common.tolist()):
+            prev = fields_per_term[0][ki]
+            for ti in range(1, len(pls)):
+                cur = fields_per_term[ti][ki]
+                surv: dict[int, np.ndarray] = {}
+                for f, pp in prev.items():
+                    cp = cur.get(f)
+                    if cp is None:
+                        continue
+                    # q survives iff some prev position in [q-slop, q-1]
+                    lo = np.searchsorted(pp, cp - slop, side="left")
+                    hi = np.searchsorted(pp, cp - 1, side="right")
+                    hit = cp[hi > lo]
+                    if hit.size:
+                        surv[f] = hit
+                prev = surv
+                if not prev:
+                    break
+            if prev:
+                matched.append(int(di))
+        if not matched:
+            return []
+        from collections import Counter
+
+        weights = {t: float(m) for t, m in Counter(tokens).items()}
+        docs, acc = self.all_scores_weighted(weights, "bm25")
+        m = np.array(matched, dtype=np.int64)
+        sel = np.searchsorted(docs, m)
+        acc_m = acc[sel]
+        order = np.lexsort((m, -acc_m))[:k]
+        return [(int(m[i]), float(acc_m[i])) for i in order]
+
     def search_after(self, query: str, after: tuple[float, int] | None,
                      k: int = 10, scorer: str = "bm25") -> list[tuple[int, float]]:
         """Keyset ("search_after") pagination: the next ``k`` hits STRICTLY

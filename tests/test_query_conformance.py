@@ -748,3 +748,49 @@ def test_explain_contributions_sum_to_score(built_index):
     assert set(sums.index) == set(top)
     for doc, s in sums.items():
         assert abs(s - top[doc]) < 1e-7, doc
+
+
+def test_sloppy_phrase_slop1_equals_exact_adjacency(engine):
+    """slop=1 sloppy phrase must match exactly the docs the exact phrase
+    chain matches (same adjacency semantics; ranking differs only in the
+    scorer, so compare doc sets)."""
+    for phrase in ["item order", "order arrived late"]:
+        sloppy = {d for d, _ in
+                  engine.sloppy_phrase_search(phrase, slop=1, k=10 ** 6)}
+        exact = engine.phrase_search(phrase, 0, 10 ** 6)
+        # result doc_id is the full-length id; doc_int is its 15-hex prefix
+        exact_docs = {int(r["doc_id"][:15], 16) for r in exact["results"]}
+        assert sloppy == exact_docs, phrase
+
+
+def test_sloppy_phrase_monotone_in_slop(engine):
+    """Raising slop can only ADD matching docs (the window widens)."""
+    prev: set = set()
+    for slop in [1, 2, 4, 8]:
+        cur = {d for d, _ in
+               engine.sloppy_phrase_search("item order", slop, k=10 ** 6)}
+        assert prev <= cur, slop
+        prev = cur
+
+
+def test_sloppy_phrase_bruteforce_window(engine):
+    """Chain membership == brute-force scan over decoded positions."""
+    phrase, slop = "item order", 3
+    toks = engine.tokenizer.tokenize(phrase)
+    pls = [engine.reader.postings(t) for t in toks]
+    assert all(p is not None for p in pls)
+    got = {d for d, _ in
+           engine.sloppy_phrase_search(phrase, slop, k=10 ** 6)}
+    exp = set()
+    common = np.intersect1d(pls[0].docs, pls[1].docs)
+    for d in common.tolist():
+        pa_ = pls[0].positions_for(int(np.searchsorted(pls[0].docs, d)))
+        pb_ = pls[1].positions_for(int(np.searchsorted(pls[1].docs, d)))
+        for f, ps in pa_.items():
+            qs = pb_.get(f)
+            if qs is None:
+                continue
+            if any(1 <= q - p <= slop for p in ps for q in qs):
+                exp.add(int(d))
+                break
+    assert got == exp
