@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_scores": _q_explain_scores,
         "incremental_dedup": _q_incremental_dedup,
         "sloppy_phrase": _q_sloppy_phrase,
+        "percolate_matches": _q_percolate,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1711,6 +1712,32 @@ def _q_sloppy_phrase(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["phrase", "slop", "rank", "doc_id", "score"]
     ).astype({"slop": "int64", "rank": "int32"})
+
+
+_PERCOLATE_REGISTRY = {
+    "alert_slow_join": ["slow", "join", "hash"],
+    "alert_stream_window": ["stream", "window", "agg"],
+    "alert_vector_scan": ["vector", "scan", "filter"],
+    "alert_customer_order": ["customer", "order", "merge"],
+}
+
+
+def _q_percolate(sf_dir: str):
+    """Percolator (pipelines/percolate.py): the documents stream is
+    matched against a stored-query registry — conjunctive token
+    containment, one vectorized boundary-regex pass per registry term;
+    the oracle replays membership with list_contains over the same
+    tokenizer class."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.percolate import percolate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = percolate(docs, _PERCOLATE_REGISTRY).to_pandas()
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
 def _q_incremental_dedup(sf_dir: str):
@@ -5404,6 +5431,15 @@ def oracle_sql() -> dict[str, str]:
         "field_search_desc": _field_search_sql(1),
         "explain_scores": _explain_sql(),
         "sloppy_phrase": _sloppy_sql(),
+        # conjunctive token containment per stored query (registry =
+        # config shared with pipelines/percolate.py)
+        "percolate_matches": "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts "
+        "FROM documents) " + " UNION ALL ".join(
+            "SELECT '" + q + "' AS query_id, doc_id FROM toks WHERE "
+            + " AND ".join(f"list_contains(ts, '{t}')" for t in sorted(set(ts)))
+            for q, ts in sorted(_PERCOLATE_REGISTRY.items())
+        ) + " ORDER BY query_id, doc_id",
         # cross-corpus (base x delta) exact jaccard join; the engine
         # screens the same delta via minhash with a cross-pair candidate
         # filter (stages/dedup.minhash_delta_pairs)
