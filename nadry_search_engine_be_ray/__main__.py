@@ -8,6 +8,9 @@ SearchApplication runners, as one `python -m nadry_search_engine_be_ray`):
     merge   index-dir [index-dir ...] out-dir
     curate  documents-parquet out-dir
     ingest  src out-dir [--format parquet|jsonl|csv]
+    delete  index-dir doc_int [...] [--hex]
+    purge   index-dir
+    upsert  base-index-dir delta-corpus-dir out-dir
 
 The CLI owns its Ray session (library code never calls ray.init —
 the driver contract); `serve` blocks until Ctrl-C like the Spring app.
@@ -134,6 +137,45 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents by doc_int (hex or decimal); O(tombstones)."""
+    from .pipelines.deletes import delete_docs
+
+    ids = [int(x, 16) if args.hex else int(x) for x in args.doc_ints]
+    print(json.dumps(delete_docs(args.index, ids)))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Physically rewrite segments dropping tombstoned docs."""
+    _ray()
+    from .pipelines.deletes import purge_deletes
+
+    print(json.dumps(purge_deletes(args.index)))
+    return 0
+
+
+def cmd_upsert(args) -> int:
+    """Replace-by-(repo,path) + add: delta build + tombstone-consuming
+    merge (Lucene updateDocument).  The delta build copies the BASE
+    index's layout config — merge requires identical shards/salt."""
+    import os
+
+    _ray()
+    from .config import BuildConfig
+    from .pipelines.merge import upsert_index
+
+    with open(os.path.join(args.index, "stats.json")) as f:
+        base = json.load(f)
+    stats = upsert_index(
+        args.index, args.delta, args.out,
+        BuildConfig(num_shards=int(base["num_shards"]),
+                    salt_bits=int(base["salt_bits"])),
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="nadry_search_engine_be_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +220,21 @@ def main(argv=None) -> int:
     i.add_argument("--format", choices=["parquet", "jsonl", "csv"],
                    default=None)
     i.set_defaults(fn=cmd_ingest)
+
+    d = sub.add_parser("delete")
+    d.add_argument("index")
+    d.add_argument("doc_ints", nargs="+")
+    d.add_argument("--hex", action="store_true",
+                   help="doc_ints are 15-hex doc_id prefixes")
+    d.set_defaults(fn=cmd_delete)
+
+    g = sub.add_parser("purge")
+    g.add_argument("index")
+    g.set_defaults(fn=cmd_purge)
+
+    u = sub.add_parser("upsert")
+    u.add_argument("index"); u.add_argument("delta"); u.add_argument("out")
+    u.set_defaults(fn=cmd_upsert)
 
     args = p.parse_args(argv)
     return args.fn(args)

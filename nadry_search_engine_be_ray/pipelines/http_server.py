@@ -99,6 +99,72 @@ def make_handler(api: SearchAPI):
                                        t["n_docs"].to_pylist()):
                         facets.setdefault(f, {})[v] = n
                     self._send({"success": True, "facets": facets})
+                elif parts.path == "/api/search_after":
+                    # keyset pagination: cursor = "score,doc_id_hex" from
+                    # the previous page's last row (omit for page 1)
+                    cur = arg("cursor")
+                    after = None
+                    if cur:
+                        s, d = cur.split(",", 1)
+                        after = (float(s), int(d, 16))
+                    hits = api.engine.search_after(
+                        arg("query", ""), after, k=int(arg("limit", "10")),
+                        scorer=arg("scorer", "bm25"),
+                    )
+                    rows = [{"doc_id": f"{d:015x}", "score": s}
+                            for d, s in hits]
+                    nxt = (f"{rows[-1]['score']!r},{rows[-1]['doc_id']}"
+                           if len(rows) == int(arg("limit", "10")) else None)
+                    self._send({"success": True, "results": rows,
+                                "next_cursor": nxt})
+                elif parts.path == "/api/explain":
+                    import math as _math
+                    from collections import Counter
+
+                    import numpy as _np
+
+                    eng = api.engine
+                    q, doc_hex = arg("query", ""), arg("doc_id", "")
+                    di = int(doc_hex[:15], 16)
+                    n = eng.stats["n_docs"]
+                    avgdl = eng.stats["avgdl"] or 1.0
+                    terms_out = []
+                    for t, m in sorted(
+                        Counter(eng.tokenizer.tokenize(q)).items()
+                    ):
+                        pl = eng.reader.postings(t)
+                        if pl is None:
+                            continue
+                        i = int(_np.searchsorted(pl.docs, di))
+                        if i >= pl.docs.size or pl.docs[i] != di:
+                            continue
+                        idf = _math.log(
+                            (n - pl.df_stale + 0.5) / (pl.df_stale + 0.5)
+                            + 1.0
+                        )
+                        tf = float(pl.tfs[i])
+                        tw, _ = eng.docs.lookup(pl.docs[i : i + 1])
+                        dl = float(tw[0])
+                        c = m * idf * (tf * (1.2 + 1)) / (
+                            tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                        )
+                        terms_out.append(
+                            {"term": t, "tf": int(tf), "df": pl.df_stale,
+                             "idf": idf, "contribution": c}
+                        )
+                    self._send({"success": True, "doc_id": doc_hex,
+                                "terms": terms_out,
+                                "score": sum(x["contribution"]
+                                             for x in terms_out)})
+                elif parts.path == "/api/sloppy":
+                    hits = api.engine.sloppy_phrase_search(
+                        arg("query", ""), slop=int(arg("slop", "1")),
+                        k=int(arg("limit", "10")),
+                    )
+                    self._send({"success": True,
+                                "results": [{"doc_id": f"{d:015x}",
+                                             "score": s}
+                                            for d, s in hits]})
                 else:
                     self._send({"success": False, "message": "Not found"}, 404)
             except Exception as e:  # SearchController's 500 envelope

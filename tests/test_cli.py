@@ -65,3 +65,47 @@ def test_cli_terms_tooling(ray_session, built_index, capsys):
     assert main(["terms", "wildcard", built_index, "se%ch"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "search" in out["terms"]
+
+
+def test_cli_delete_purge_upsert(ray_session, tiny_corpus_dir, tmp_path,
+                                 capsys):
+    """delete -> stale bm25 still serves -> purge shrinks n_docs; upsert
+    replaces by (repo, path) with layout config copied from the base."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    index = os.path.join(tmp_path, "idx")
+    assert main(["build", tiny_corpus_dir, index, "--shards", "2",
+                 "--salt-bits", "1"]) == 0
+    capsys.readouterr()
+
+    di = pads.dataset(
+        os.path.join(index, "doc_stats"), format="parquet"
+    ).to_table(columns=["doc_int"])["doc_int"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    victims = [str(int(d)) for d in np.sort(di)[:3]]
+    assert main(["delete", index] + victims) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["n_total"] == 3
+
+    assert main(["purge", index]) == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_purged"] == 3
+
+    # upsert: replace one doc's content via a delta corpus
+    src = pads.dataset(tiny_corpus_dir, format="parquet").to_table()
+    one = src.slice(0, 1)
+    one = one.set_column(
+        one.schema.get_field_index("commit"), "commit",
+        pa.array([c[::-1] for c in one["commit"].to_pylist()], pa.string()),
+    )
+    delta = os.path.join(tmp_path, "delta")
+    os.makedirs(delta)
+    pq.write_table(one, os.path.join(delta, "p.parquet"))
+    out_idx = os.path.join(tmp_path, "up")
+    assert main(["upsert", index, delta, out_idx]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["num_shards"] == 2 and stats["n_replaced"] in (0, 1)

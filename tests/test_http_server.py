@@ -79,3 +79,38 @@ def test_feature_endpoints(server):
     status, out = _get(server, "/api/facets?query=search+engine")
     assert status == 200 and out["success"] is True
     assert "lang" in out["facets"] and sum(out["facets"]["lang"].values()) > 0
+
+
+def test_search_after_endpoint_pages_tile(server):
+    """Cursor chaining via /api/search_after must tile the ranking."""
+    status, p1 = _get(server, "/api/search_after?query=search+engine&limit=5")
+    assert status == 200 and p1["success"] and len(p1["results"]) == 5
+    cur = p1["next_cursor"]
+    assert cur
+    from urllib.parse import quote
+
+    status, p2 = _get(
+        server, f"/api/search_after?query=search+engine&limit=5"
+        f"&cursor={quote(cur)}"
+    )
+    assert status == 200 and p2["success"]
+    ids1 = [r["doc_id"] for r in p1["results"]]
+    ids2 = [r["doc_id"] for r in p2["results"]]
+    assert not set(ids1) & set(ids2)
+    # page 2 scores never exceed page 1's tail
+    assert all(r["score"] <= p1["results"][-1]["score"]
+               for r in p2["results"])
+
+
+def test_explain_endpoint_sums_to_score(server):
+    status, p1 = _get(server, "/api/search_after?query=search+engine&limit=1")
+    doc = p1["results"][0]["doc_id"]
+    status, ex = _get(server, f"/api/explain?query=search+engine&doc_id={doc}")
+    assert status == 200 and ex["success"] and ex["terms"]
+    assert abs(ex["score"] - p1["results"][0]["score"]) < 1e-9
+
+
+def test_sloppy_endpoint(server):
+    status, out = _get(server, "/api/sloppy?query=item+order&slop=3&limit=5")
+    assert status == 200 and out["success"]
+    assert len(out["results"]) > 0
