@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "domain_cap": _q_domain_cap,
         "quota_sample": _q_quota_sample,
+        "temperature_mix": _q_temperature_mix,
         "shuffle_shards": _q_shuffle_shards,
         # distributed embedding clustering (SemDeDup-style curation)
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2421,6 +2422,23 @@ def _q_domain_cap(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     out = cap_per_key(ds, "source", 7).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-scaled (alpha=0.5) language mixing over the skewed
+    lang column (stages/sampling.temperature_mix): target counts
+    proportional to sqrt(n_lang), rows drawn per lang in salted-hash
+    order; the oracle recomputes targets with SQL sqrt (correctly
+    rounded in both engines) and replays the rank selection."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import temperature_mix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = temperature_mix(ds, total=200, key="lang").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -5751,6 +5769,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
                                 WHEN 'src2' THEN 3 ELSE 0 END
         ORDER BY doc_id
+    """
+    sqls["temperature_mix"] = f"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        tgt AS (SELECT lang,
+                       CAST(floor(200 * sqrt(CAST(n AS DOUBLE)) /
+                                  (SELECT sum(sqrt(CAST(n AS DOUBLE)))
+                                   FROM c)) AS BIGINT) AS t
+                FROM c),
+        b AS (SELECT doc_id, lang, {_bkt('mix-v1')} AS bucket
+              FROM documents),
+        r AS (SELECT *, row_number() OVER
+                  (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+              FROM b)
+        SELECT r.doc_id, r.lang, r.bucket
+        FROM r JOIN tgt ON tgt.lang = r.lang
+        WHERE r.rn <= tgt.t
+        ORDER BY r.doc_id
     """
     sqls["shuffle_shards"] = f"""
         WITH b AS (SELECT doc_id, {_bkt('shuffle-v1')} AS bucket FROM documents)

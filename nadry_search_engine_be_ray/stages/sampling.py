@@ -249,3 +249,40 @@ def shuffle_shards(ds, n_shards: int = 16, salt: str = "shuffle-v1",
     return withs.groupby("shard").map_groups(
         order_shard, batch_format="pyarrow"
     )
+
+
+def temperature_mix(ds, total: int, *, key: str = "lang",
+                    alpha: float = 0.5, salt: str = "mix-v1",
+                    id_col: str = "doc_id"):
+    """Temperature-scaled source mixing (the multilingual-LM data-mixing
+    op — Conneau & Lample 2019 §3.1): per-key target counts proportional
+    to n_key^alpha, so low-resource keys are up-sampled RELATIVE to
+    proportional sampling; rows are then drawn per key in salted-hash
+    order (quota_sample's deterministic uniform draw).
+
+    Only ``alpha=0.5`` is exposed: sqrt is correctly rounded in IEEE-754,
+    so the engine (numpy) and the SQL oracle (DuckDB) compute the SAME
+    double for every share — a general ``pow()`` has no such cross-engine
+    guarantee.  Targets use floor(total * sqrt(n_k) / Σ sqrt(n_j)), also
+    exactly reproducible.
+
+    Shape: one tiny groupby-count (``#keys`` rows to the driver — the
+    mixing TABLE is driver-state by design, like the thesaurus), then the
+    shuffle-free cap_per_key partial-head selection.  Returns the selected
+    rows with ``bucket`` attached.
+    """
+    assert alpha == 0.5, "only sqrt-temperature exposed (see docstring)"
+    counts = ds.groupby(key).count().to_pandas()
+    cnt_col = [c for c in counts.columns if c != key][0]
+    w = np.sqrt(counts[cnt_col].to_numpy(dtype=np.float64))
+    tgt = np.floor(total * w / w.sum()).astype(np.int64)
+    quotas = {k: int(t) for k, t in zip(counts[key], tgt)}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = sha_bucket(batch[id_col].to_pylist(), salt)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return cap_per_key(
+        withb, key, quotas, order_cols=["bucket", id_col], default_cap=0
+    )

@@ -128,3 +128,36 @@ def test_shuffle_shards_permutation(ray_session):
         .reset_index(drop=True)
     )
     assert list(out["doc_id"]) == list(out2["doc_id"])
+
+
+def test_temperature_mix_flattens_distribution(ray_session):
+    """alpha=0.5 mixing: target counts proportional to sqrt(n) — the
+    majority key's share shrinks vs proportional, minority keys grow;
+    selection is the salted-hash head per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.sampling import (
+        sha_bucket,
+        temperature_mix,
+    )
+
+    rows = {"doc_id": list(range(130)),
+            "lang": ["en"] * 100 + ["fr"] * 20 + ["de"] * 10}
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = temperature_mix(ds, total=60, key="lang",
+                          salt="mix-v1").to_pandas()
+    got = out.groupby("lang").size().to_dict()
+    w = np.sqrt(np.array([100, 20, 10], dtype=np.float64))
+    exp = np.floor(60 * w / w.sum()).astype(int)
+    assert got == {"en": exp[0], "fr": exp[1], "de": exp[2]}
+    # majority share < proportional share
+    assert got["en"] / sum(got.values()) < 100 / 130
+    # selection = smallest salted buckets per key
+    en = out[out["lang"] == "en"]
+    all_en = [i for i in range(100)]
+    b = sha_bucket(all_en, "mix-v1")
+    order = np.lexsort((np.array(all_en), b))
+    expect_ids = sorted(np.array(all_en)[order][: got["en"]].tolist())
+    assert sorted(en["doc_id"].tolist()) == expect_ids
