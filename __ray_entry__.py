@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
+        "hard_negatives": _q_hard_negatives,
         # SQL-checked since round 2: LSH candidates + distributed exact
         # verify make these equal to their all-pairs SQL oracles
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -897,6 +898,31 @@ def _q_top_grams_approx(sf_dir: str):
     from nadry_search_engine_be_ray.stages.heavyhitters import approx_top_grams
 
     return approx_top_grams(sf_dir, k=25)
+
+
+def _q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (stages/similarity.hard_negatives_topk): for
+    each of the first 3 vectors, the top-5 most-similar vectors with a
+    DIFFERENT label — the contrastive-training negatives; oracle = the
+    cosine cross join with a label-inequality predicate."""
+    import numpy as np
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import (
+        hard_negatives_topk,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.to_pandas().sort_values("vec_id").head(3)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    out = hard_negatives_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        q, head["label"].to_numpy(), k=5,
+    ).to_pandas()
+    out["query_id"] = head["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -4794,6 +4820,27 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
                                               CAST(e.embedding AS DOUBLE[])) AS cosine
                 FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) - 1 AS rank
+                FROM sims
+            )
+            SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS ql, embedding AS qe
+                FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS cosine
+                FROM q JOIN embeddings e ON e.label <> q.ql
             ),
             ranked AS (
                 SELECT query_id, vec_id, cosine,

@@ -128,6 +128,55 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
     return _finalize(merged, k)
 
 
+def hard_negatives_topk(ds, query_vectors: np.ndarray,
+                        query_labels: np.ndarray, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label") -> pa.Table:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the exact cosine top-k among vectors with a DIFFERENT label
+    (the most-confusable negatives).  Same partial-topk + per-query merge
+    shape as brute_force_topk — the label mask is applied inside the
+    batch scoring, so excluded rows never enter the candidate stream.
+    Returns (query_id, rank, vec_id, cosine), (-cosine, vec_id) order."""
+    import ray
+
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    ql = np.asarray(query_labels)
+    qref = ray.put((q, ql))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, qlab = ray.get(qref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labs = batch[label_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = qm @ m.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            neg = labs != qlab[qi]
+            if not neg.any():
+                continue
+            s_neg, ids_neg = sims[qi][neg], ids[neg]
+            idx = _topk_deterministic(s_neg, ids_neg,
+                                      min(k, ids_neg.size))
+            for c in idx:
+                out_q.append(qi)
+                out_id.append(int(ids_neg[c]))
+                out_s.append(float(s_neg[c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    merged = partials.groupby("query_id").map_groups(
+        _make_merge_topk(k), batch_format="pyarrow"
+    )
+    return _finalize(merged, k)
+
+
 class LshIndexBatch:
     """map_batches stage: assign each vector a random-hyperplane bucket."""
 

@@ -411,3 +411,40 @@ def test_minhash_delta_pairs_cross_only(ray_session):
     assert (1, 1) in got and (2, 1) in got
     # the base-internal exact dup (1,2) is NOT emitted
     assert all(a < 1_000_000_000 <= b for a, b in zip(out["a"], out["b"]))
+
+
+def test_hard_negatives_excludes_same_label(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import (
+        brute_force_topk,
+        hard_negatives_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    q = vecs[:2].astype(np.float64)
+    out = hard_negatives_topk(ds, q, labels[:2], k=7).to_pandas()
+    for qi in (0, 1):
+        rows = out[out["query_id"] == qi]
+        assert len(rows) == 7
+        assert (labels[rows["vec_id"].to_numpy()] != labels[qi]).all()
+    # equals brute-force top-k over the label-filtered subset
+    for qi in (0, 1):
+        neg = labels != labels[qi]
+        sub = ray.data.from_arrow(tbl.filter(pa.array(neg)))
+        exp = brute_force_topk(sub, q[qi:qi + 1], k=7).to_pandas()
+        got = out[out["query_id"] == qi].reset_index(drop=True)
+        assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+        assert np.allclose(got["cosine"], exp["cosine"])
