@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "top_grams_approx": _q_top_grams_approx,
         "tpch_q3": rel.q_tpch_q3,
+        "tpch_q5": rel.q_tpch_q5,
         "set_intersect": rel.q_set_intersect,
         "event_deltas": rel.q_event_deltas,
         "corr_stats": rel.q_corr_stats,
@@ -4285,6 +4286,23 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -1211,6 +1211,112 @@ def q_tpch_q3(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
+def q_tpch_q5(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape — the 6-table local-supplier-volume join: region ⨝
+    nation ⨝ customer ⨝ supplier collapse to BROADCAST lookups (sorted
+    key arrays via ray.put — region/nation are constants, supplier is
+    keyspace-bounded; customer is the medium side, broadcast here and
+    documented as the bloom-semi-join path at 100 TB), so the only
+    all-to-all is the one lineitem ⨝ orders hash join.  The
+    same-nation predicate (c_nationkey == s_nationkey) is evaluated
+    vectorized inside the joined batches; revenue partials aggregate per
+    nation inside each batch, leaving a 25-row final combine."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"]
+    asia_nations = np.sort(
+        nat.loc[nat["n_regionkey"].isin(asia), "n_nationkey"]
+        .to_numpy(np.int64)
+    )
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[np.isin(cust["c_nationkey"].to_numpy(np.int64),
+                        asia_nations)]
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    order_ck = np.argsort(ck, kind="stable")
+    cust_keys = ck[order_ck]
+    cust_nat = cust["c_nationkey"].to_numpy(np.int64)[order_ck]
+    cust_ref = ray.put((cust_keys, cust_nat))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    order_sk = np.argsort(sk, kind="stable")
+    sup_ref = ray.put((sk[order_sk],
+                       sup["s_nationkey"].to_numpy(np.int64)[order_sk]))
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        keys, nats = ray.get(cust_ref)
+        batch = batch.filter(
+            pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        )
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, idx = _sorted_lookup(keys, ok)
+        batch = batch.filter(pa.array(hit))
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"],
+             "cust_nation": pa.array(nats[idx[hit]], pa.int64())}
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(sup_ref)
+        sup_k = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        hit, idx = _sorted_lookup(skeys, sup_k)
+        s_nat = np.where(hit, snats[idx], -1)
+        keep = s_nat == batch["cust_nation"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        g = pa.table(
+            {"n_nationkey": t["cust_nation"], "revenue": rev}
+        ).group_by(["n_nationkey"]).aggregate([("revenue", "sum")])
+        return _rename_agg(g, {"revenue_sum": "revenue"})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg["n_nationkey"].astype(int).map(name_of)
+    agg["revenue"] = agg["revenue"].round(4)
+    agg = agg.sort_values(
+        ["revenue", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return agg[["n_name", "revenue"]]
+
+
 def q_set_intersect(sf_dir: str) -> pd.DataFrame:
     """Distributed INTERSECT: users who both clicked and purchased.  Each
     batch emits per-user flag partials (deduped within the batch), one

@@ -28,3 +28,31 @@ def test_sorted_lookup_empty_probe():
     vals = np.array([], dtype=np.int64)
     hit, idx = _sorted_lookup(ks, vals)
     assert hit.size == 0 and idx.size == 0
+
+
+def test_tpch_q5_matches_duckdb(ray_session):
+    """Q5 composite (broadcast dims + one big hash join + same-nation
+    predicate) vs DuckDB on sf0.001."""
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_tpch_q5(sf)
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM read_parquet('{sf}/customer.parquet') c
+        JOIN read_parquet('{sf}/orders.parquet') o ON c_custkey = o_custkey
+        JOIN read_parquet('{sf}/lineitem.parquet') l ON l_orderkey = o_orderkey
+        JOIN read_parquet('{sf}/supplier.parquet') s ON l_suppkey = s_suppkey
+        JOIN read_parquet('{sf}/nation.parquet') n ON s_nationkey = n_nationkey
+        JOIN read_parquet('{sf}/region.parquet') r ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """).df()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["revenue"].tolist() == exp["revenue"].tolist()
