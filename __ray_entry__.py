@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
+        "facet_stats": _q_facet_stats,
         # SQL-checked since round 2: LSH candidates + distributed exact
         # verify make these equal to their all-pairs SQL oracles
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1800,6 +1801,19 @@ def _q_incremental_dedup(sf_dir: str):
     out = minhash_delta_pairs(docs, delta).to_pandas()
     out["jaccard"] = out["jaccard"].round(9)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_facet_stats(sf_dir: str):
+    """Numeric stats aggregation per facet value over matched docs
+    (pipelines/query.facet_stats): doc-length sum/avg/min/max per lang
+    for docs matching ANY of the query terms."""
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    from nadry_search_engine_be_ray.pipelines.query import facet_stats
+
+    return facet_stats(
+        index_dir, ["search", "engin", "index"], facet="lang"
+    ).to_pandas()
 
 
 def _q_search_bm25f(sf_dir: str):
@@ -5459,6 +5473,28 @@ def oracle_sql() -> dict[str, str]:
         # joined to the dumped facet columns, counted per value
         "facet_counts": _facet_sql("any"),
         "facet_counts_all": _facet_sql("all"),
+        # numeric stats per facet value over matched docs; avg computed
+        # as int-sum / count in BOTH engines for bit parity
+        "facet_stats": f"""
+            WITH matched AS (
+                SELECT DISTINCT doc_int
+                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+                WHERE term IN ('search', 'engin', 'index')
+            )
+            SELECT m.lang AS value,
+                   count(*) AS n_docs,
+                   CAST(sum(ds.total_words) AS BIGINT) AS sum_words,
+                   round(CAST(sum(ds.total_words) AS DOUBLE) / count(*), 6)
+                       AS avg_words,
+                   CAST(min(ds.total_words) AS BIGINT) AS min_words,
+                   CAST(max(ds.total_words) AS BIGINT) AS max_words
+            FROM matched
+            JOIN read_parquet('{_MAIN_DUMP_DIR}/docmeta.parquet') m
+                 USING (doc_int)
+            JOIN read_parquet('{_MAIN_DUMP_DIR}/docstats.parquet') ds
+                 USING (doc_int)
+            GROUP BY m.lang ORDER BY m.lang
+        """,
         "spell_correct": _spell_sql(),
         "prefix_suggest": _prefix_sql(),
         "boolean_search": _bool_sql(),

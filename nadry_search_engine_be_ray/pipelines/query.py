@@ -831,6 +831,134 @@ def facet_counts(index_dir: str, terms: list[str],
     return out.sort_by([("facet", "ascending"), ("value", "ascending")])
 
 
+def facet_stats(index_dir: str, terms: list[str], facet: str = "lang",
+                *, mode: str = "any", concurrency: int = 2):
+    """Faceted NUMERIC aggregations over matched docs (the ES stats-
+    aggregation analog of facet_counts): per facet value, n_docs and
+    sum/avg/min/max of the doc length (doc_stats.total_words).
+
+    Distributed shape (same broadcast contract as facet_counts): the
+    matched doc set is sorted-array set ops over posting doc arrays,
+    broadcast once; one streaming pass over prepped collects the matched
+    docs' facet values (bounded by matched size — the same bound the
+    broadcast already pays); one streaming pass over doc_stats emits
+    per-batch INTEGER partials (int sums keep the final avg division
+    bit-equal to the SQL oracle's sum/count) combined per facet value.
+
+    Returns an Arrow table (value, n_docs, sum_words, avg_words,
+    min_words, max_words) sorted by value.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    out_schema = pa.schema(
+        [("value", pa.string()), ("n_docs", pa.int64()),
+         ("sum_words", pa.int64()), ("avg_words", pa.float64()),
+         ("min_words", pa.int64()), ("max_words", pa.int64())]
+    )
+    reader = SegmentReader(index_dir)
+    doc_sets = []
+    for t in sorted(set(terms)):
+        pl = reader.postings(t)
+        doc_sets.append(pl.docs if pl is not None
+                        else np.empty(0, dtype=np.int64))
+    if not doc_sets:
+        return out_schema.empty_table()
+    matched = doc_sets[0]
+    for d in doc_sets[1:]:
+        matched = (np.intersect1d(matched, d) if mode == "all"
+                   else np.union1d(matched, d))
+    if matched.size == 0:
+        return out_schema.empty_table()
+    matched_ref = ray.put(np.ascontiguousarray(matched, dtype=np.int64))
+
+    def _sel(batch: pa.Table, cols: list[str]) -> pa.Table:
+        ids = ray.get(matched_ref)
+        di = batch["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ids, di)
+        idx[idx == ids.size] = 0
+        keep = ids[idx] == di
+        return batch.filter(pa.array(keep)).select(cols)
+
+    fac_tbl = pa.concat_tables(list(ray.get(
+        ray.data.read_parquet(
+            os.path.join(index_dir, "prepped"),
+            columns=["doc_int", facet], file_extensions=["parquet"],
+        )
+        .map_batches(lambda b: _sel(b, ["doc_int", facet]),
+                     batch_format="pyarrow", concurrency=concurrency)
+        .to_arrow_refs()
+    )))
+    fd = fac_tbl["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(fd, kind="stable")
+    fmap_ref = ray.put(
+        (fd[order],
+         np.asarray(fac_tbl[facet].to_pylist(), dtype=object)[order])
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys, vals = ray.get(fmap_ref)
+        t = _sel(batch, ["doc_int", "total_words"])
+        if t.num_rows == 0:
+            return pa.table(
+                {"value": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        di = t["doc_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tw = t["total_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = vals[np.searchsorted(keys, di)]
+        df = pd.DataFrame({"value": v, "w": tw})
+        g = df.groupby("value")["w"].agg(["count", "sum", "min", "max"])
+        return pa.table(
+            {"value": pa.array(g.index.astype(str), pa.string()),
+             "n": pa.array(g["count"].to_numpy(np.int64), pa.int64()),
+             "s": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+             "mn": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+             "mx": pa.array(g["max"].to_numpy(np.int64), pa.int64())}
+        )
+
+    parts = pa.concat_tables(list(ray.get(
+        ray.data.read_parquet(
+            os.path.join(index_dir, "doc_stats"),
+            file_extensions=["parquet"],
+        )
+        .map_batches(_partial, batch_format="pyarrow",
+                     concurrency=concurrency)
+        .to_arrow_refs()
+    )))
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    import pandas as pd
+
+    df = parts.to_pandas().groupby("value").agg(
+        n_docs=("n", "sum"), sum_words=("s", "sum"),
+        min_words=("mn", "min"), max_words=("mx", "max"),
+    ).reset_index().sort_values("value")
+    df["avg_words"] = np.round(
+        df["sum_words"].to_numpy(np.float64)
+        / df["n_docs"].to_numpy(np.float64), 6
+    )
+    return pa.table(
+        {"value": pa.array(df["value"].astype(str), pa.string()),
+         "n_docs": pa.array(df["n_docs"].to_numpy(np.int64), pa.int64()),
+         "sum_words": pa.array(df["sum_words"].to_numpy(np.int64),
+                               pa.int64()),
+         "avg_words": pa.array(df["avg_words"].to_numpy(np.float64),
+                               pa.float64()),
+         "min_words": pa.array(df["min_words"].to_numpy(np.int64),
+                               pa.int64()),
+         "max_words": pa.array(df["max_words"].to_numpy(np.int64),
+                               pa.int64())},
+        schema=out_schema,
+    )
+
+
 def _levenshtein_vec(word: bytes, cand_mat: np.ndarray,
                      cand_lens: np.ndarray) -> np.ndarray:
     """Edit distance from ``word`` to each padded-byte row of ``cand_mat``

@@ -794,3 +794,36 @@ def test_sloppy_phrase_bruteforce_window(engine):
                 exp.add(int(d))
                 break
     assert got == exp
+
+
+def test_facet_stats_matches_pandas_bruteforce(built_index):
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.query import facet_stats
+
+    out = facet_stats(built_index, ["search", "engin"],
+                      facet="lang").to_pandas()
+    assert len(out) > 0
+
+    eng = SearchEngine(built_index)
+    matched = np.union1d(eng.reader.postings("search").docs,
+                         eng.reader.postings("engin").docs)
+    meta = pads.dataset(
+        os.path.join(built_index, "prepped"), format="parquet"
+    ).to_table(columns=["doc_int", "lang"]).to_pandas()
+    stats = pads.dataset(
+        os.path.join(built_index, "doc_stats"), format="parquet"
+    ).to_table().to_pandas()
+    df = meta[meta["doc_int"].isin(matched)].merge(stats, on="doc_int")
+    exp = df.groupby("lang")["total_words"].agg(
+        ["count", "sum", "min", "max"]
+    ).sort_index()
+    assert out["value"].tolist() == exp.index.tolist()
+    assert out["n_docs"].tolist() == exp["count"].tolist()
+    assert out["sum_words"].tolist() == exp["sum"].tolist()
+    assert out["min_words"].tolist() == exp["min"].tolist()
+    assert out["max_words"].tolist() == exp["max"].tolist()
+
+    # no matches -> empty table with the declared schema
+    empty = facet_stats(built_index, ["zzznotaterm"])
+    assert empty.num_rows == 0
