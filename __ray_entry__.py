@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "sloppy_phrase": _q_sloppy_phrase,
         "percolate_matches": _q_percolate,
+        "span_corruption": _q_span_corruption,
         # tombstone deletes (pipelines/deletes.py): mask-at-read df,
         # stale-stats BM25 on the tombstoned index, and the physical
         # purge rewrite — delete rule doc_int%7==3 is replayed in SQL
@@ -1767,6 +1768,22 @@ def _q_percolate(sf_dir: str):
     )
     out = percolate(docs, _PERCOLATE_REGISTRY).to_pandas()
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def _q_span_corruption(sf_dir: str):
+    """T5 span corruption (stages/curation.span_corruption): deterministic
+    salted-sha token masking, consecutive masks merged into sentinel
+    spans; the oracle rebuilds both strings with window functions."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import span_corruption
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = span_corruption(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_incremental_dedup(sf_dir: str):
@@ -5550,6 +5567,63 @@ def oracle_sql() -> dict[str, str]:
         "field_search_desc": _field_search_sql(1),
         "explain_scores": _explain_sql(),
         "sloppy_phrase": _sloppy_sql(),
+        # T5 span corruption: salted-sha mask -> islands -> sentinel
+        # strings, all rebuilt with window functions (threshold =
+        # floor(0.15 * 2^32) = 644245094, same as the engine)
+        "span_corruption": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(ts) AS tok,
+                       generate_subscripts(ts, 1) AS i
+                FROM base
+            ),
+            masked AS (
+                SELECT doc_id, tok, i,
+                       cast(('0x' || substr(sha256('mask-v1:' ||
+                           CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                           < 644245094 AS m
+                FROM toks
+            ),
+            w AS (
+                SELECT *, CASE WHEN m AND NOT coalesce(
+                    lag(m) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+                    THEN 1 ELSE 0 END AS firstm
+                FROM masked
+            ),
+            k AS (
+                SELECT *, sum(firstm) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) - 1 AS span_k
+                FROM w
+            ),
+            inp AS (
+                SELECT doc_id, string_agg(
+                    CASE WHEN NOT m THEN tok
+                         ELSE '<extra_id_' || span_k || '>' END,
+                    ' ' ORDER BY i) AS input_text
+                FROM k WHERE NOT m OR firstm = 1 GROUP BY doc_id
+            ),
+            tgt AS (
+                SELECT doc_id, string_agg(
+                    CASE WHEN firstm = 1
+                         THEN '<extra_id_' || span_k || '> ' || tok
+                         ELSE tok END,
+                    ' ' ORDER BY i) AS target_text
+                FROM k WHERE m GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(inp.input_text, '') AS input_text,
+                   coalesce(tgt.target_text, '') AS target_text
+            FROM documents d
+            LEFT JOIN inp ON inp.doc_id = d.doc_id
+            LEFT JOIN tgt ON tgt.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         # conjunctive token containment per stored query (registry =
         # config shared with pipelines/percolate.py)
         "percolate_matches": "WITH toks AS (SELECT doc_id, "

@@ -580,3 +580,68 @@ def paragraph_dedup(ds):
         .groupby("dpart")
         .map_groups(reassemble_partition, batch_format="pyarrow")
     )
+
+
+def span_corruption(ds, p: float = 0.15, salt: str = "mask-v1",
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): mask a
+    deterministic ~``p`` fraction of whitespace tokens, merge consecutive
+    masked tokens into spans, and emit (input_text with one
+    ``<extra_id_k>`` sentinel per span, target_text = sentinel + masked
+    tokens per span) — the denoising-objective pair construction.
+
+    Determinism contract (shared verbatim with the SQL oracle): token i
+    (1-based, whitespace split of trimmed text) is masked iff
+    ``sha_bucket(f"{salt}:{doc_id}:{i}") < floor(p * 2**32)`` — the same
+    salted-sha primitive as the sampling family, so the draw is a pure
+    function of (doc, position), reproducible at any parallelism.  At
+    100 TB the per-token sha has a documented u64-splitmix fast path
+    (the dup_spans hash_repr precedent); the sha form is the
+    driver-checkable one.
+
+    Per-batch work: one split + explode, vectorized mask/island math
+    (islands = i - running-count), and a per-doc string assembly (string
+    building is inherently per-doc; everything upstream is columnar).
+    Returns a Dataset of (id, input_text, target_text).
+    """
+    import pandas as pd
+
+    from .sampling import sha_bucket
+
+    threshold = int(np.floor(p * 2 ** 32))
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        t = pd.Series(batch[text_col].to_pandas()).fillna("").str.strip()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        toks = t.str.split(r"\s+", regex=True)
+        toks = toks.apply(lambda xs: [x for x in xs if x != ""])
+        out_in, out_tg = [], []
+        for di, ts in zip(ids, toks):
+            if not ts:
+                out_in.append("")
+                out_tg.append("")
+                continue
+            b = sha_bucket([f"{di}:{i}" for i in range(1, len(ts) + 1)],
+                           salt)
+            m = b < threshold
+            first = m & ~np.r_[False, m[:-1]]
+            k = np.cumsum(first) - 1  # span index per position
+            inp, tgt = [], []
+            for i, tok in enumerate(ts):
+                if not m[i]:
+                    inp.append(tok)
+                elif first[i]:
+                    inp.append(f"<extra_id_{k[i]}>")
+                    tgt.append(f"<extra_id_{k[i]}>")
+                    tgt.append(tok)
+                else:
+                    tgt.append(tok)
+            out_in.append(" ".join(inp))
+            out_tg.append(" ".join(tgt))
+        return pa.table(
+            {id_col: batch[id_col],
+             "input_text": pa.array(out_in, pa.string()),
+             "target_text": pa.array(out_tg, pa.string())}
+        )
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")

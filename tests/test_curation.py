@@ -171,3 +171,60 @@ def test_paragraph_dedup_keeps_global_first(ray_session):
     assert out.loc[2, "n_paras_kept"] == 1 and out.loc[2, "n_dupes_removed"] == 1
     assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_paras_kept"] == 0
     assert out.loc[4, "n_paras_kept"] == 1
+
+
+def test_span_corruption_roundtrip_and_determinism(ray_session):
+    """Sentinels in input and target align 1:1 and in order; splicing the
+    target's spans back into the input reconstructs the original token
+    stream; two runs are identical (pure function of (doc, position))."""
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.curation import span_corruption
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5,
+        "one two three",
+        "",
+        "single",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = span_corruption(ds, p=0.3).to_pandas().sort_values("doc_id")
+    out2 = span_corruption(ds, p=0.3).to_pandas().sort_values("doc_id")
+    assert out.equals(out2.reset_index(drop=True).set_axis(out.index))
+
+    sent = re.compile(r"<extra_id_(\d+)>")
+    for _, row in out.iterrows():
+        orig = texts[int(row["doc_id"])].split()
+        inp, tgt = row["input_text"].split(), row["target_text"].split()
+        # target spans keyed by sentinel
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for tok in tgt:
+            m = sent.fullmatch(tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                assert cur is not None
+                spans[cur].append(tok)
+        # splice back
+        rebuilt: list[str] = []
+        seen = []
+        for tok in inp:
+            m = sent.fullmatch(tok)
+            if m:
+                k = int(m.group(1))
+                seen.append(k)
+                rebuilt.extend(spans[k])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == orig, row["doc_id"]
+        assert seen == sorted(spans)  # sentinels in order, all used
+        if orig:
+            assert all(len(v) >= 1 for v in spans.values())
