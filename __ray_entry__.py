@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
         "facet_stats": _q_facet_stats,
+        "significant_terms": _q_significant_terms,
         # SQL-checked since round 2: LSH candidates + distributed exact
         # verify make these equal to their all-pairs SQL oracles
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1818,6 +1819,21 @@ def _q_incremental_dedup(sf_dir: str):
     out = minhash_delta_pairs(docs, delta).to_pandas()
     out["jaccard"] = out["jaccard"].round(9)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (pipelines/query.significant_terms):
+    top-20 lift-overrepresented terms in docs matching any of the query
+    terms — computed by a distributed scan over the segment term rows
+    with per-batch partial top-k; oracle recomputes lift from the tok
+    dump."""
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    from nadry_search_engine_be_ray.pipelines.query import significant_terms
+
+    return significant_terms(
+        index_dir, ["search", "engin"], k=20
+    ).to_pandas()
 
 
 def _q_facet_stats(sf_dir: str):
@@ -5570,6 +5586,36 @@ def oracle_sql() -> dict[str, str]:
         # T5 span corruption: salted-sha mask -> islands -> sentinel
         # strings, all rebuilt with window functions (threshold =
         # floor(0.15 * 2^32) = 644245094, same as the engine)
+        # significant terms: lift vs corpus share over the matched set;
+        # same division order as the engine, ties (lift, n_match) by term
+        "significant_terms": f"""
+            WITH matched AS (
+                SELECT DISTINCT doc_int
+                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet')
+                WHERE term IN ('search', 'engin')
+            ),
+            nm AS (SELECT count(*) AS c FROM matched),
+            per_term AS (
+                SELECT t.term,
+                       count(*) AS df,
+                       count(*) FILTER (WHERE m.doc_int IS NOT NULL)
+                           AS n_match
+                FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') t
+                LEFT JOIN matched m ON m.doc_int = t.doc_int
+                GROUP BY t.term
+            )
+            SELECT term,
+                   CAST(n_match AS BIGINT) AS n_match,
+                   CAST(df AS BIGINT) AS df,
+                   round((CAST(n_match AS DOUBLE) / (SELECT c FROM nm))
+                         / (CAST(df AS DOUBLE) /
+                            (SELECT n_docs FROM
+                             read_parquet('{_MAIN_DUMP_DIR}/stats.parquet'))),
+                         9) AS lift
+            FROM per_term
+            WHERE n_match >= 3
+            ORDER BY lift DESC, n_match DESC, term LIMIT 20
+        """,
         "span_corruption": r"""
             WITH base AS (
                 SELECT doc_id,

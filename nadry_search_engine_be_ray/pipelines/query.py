@@ -959,6 +959,101 @@ def facet_stats(index_dir: str, terms: list[str], facet: str = "lang",
     )
 
 
+def significant_terms(index_dir: str, terms: list[str], k: int = 20,
+                      *, mode: str = "any", min_match: int = 3,
+                      concurrency: int = 2):
+    """Significant-terms aggregation (the ES feature): the terms most
+    OVERREPRESENTED in the matched doc set vs the whole corpus, scored by
+    lift = (n_match / |matched|) / (df / n_docs), ties broken by
+    (n_match DESC, term ASC); ``min_match`` suppresses the 1-doc noise
+    tail.
+
+    Distributed shape — index analytics as a Dataset scan: the matched
+    doc set broadcasts once; the SEGMENT term rows stream through
+    ``map_batches`` (pruned to term+docs columns), each row's docs stream
+    is varint-decoded and probed against the matched ids with one
+    searchsorted membership pass, and each batch emits only its partial
+    top-k by lift — the driver merges k-sized partials, never the
+    dictionary.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..stages.encode import decode_docs_stream
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("n_match", pa.int64()),
+         ("df", pa.int64()), ("lift", pa.float64())]
+    )
+    reader = SegmentReader(index_dir)
+    doc_sets = []
+    for t in sorted(set(terms)):
+        pl = reader.postings(t)
+        doc_sets.append(pl.docs if pl is not None
+                        else np.empty(0, dtype=np.int64))
+    if not doc_sets:
+        return out_schema.empty_table()
+    matched = doc_sets[0]
+    for d in doc_sets[1:]:
+        matched = (np.intersect1d(matched, d) if mode == "all"
+                   else np.union1d(matched, d))
+    if matched.size == 0:
+        return out_schema.empty_table()
+    n_docs = int(reader.stats["n_docs"])
+    n_matched = int(matched.size)
+    docs_codec = reader.stats.get("docs_codec", "varint")
+    matched_ref = ray.put(np.ascontiguousarray(matched, dtype=np.int64))
+
+    seg_name = "segments_merged" if reader.stats.get("compacted") \
+        else "segments"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = ray.get(matched_ref)
+        terms_b = batch["term"].to_pylist()
+        bufs = batch["docs"].to_pylist()
+        rows = []
+        for t, buf in zip(terms_b, bufs):
+            docs = decode_docs_stream(buf, docs_codec).astype(np.int64)
+            idx = np.searchsorted(ids, docs)
+            idx[idx == ids.size] = 0
+            nm = int((ids[idx] == docs).sum())
+            if nm >= min_match:
+                df = int(docs.size)
+                lift = (nm / n_matched) / (df / n_docs)
+                rows.append((t, nm, df, round(lift, 9)))
+        rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
+        rows = rows[:k]
+        return pa.table(
+            {"term": pa.array([r[0] for r in rows], pa.string()),
+             "n_match": pa.array([r[1] for r in rows], pa.int64()),
+             "df": pa.array([r[2] for r in rows], pa.int64()),
+             "lift": pa.array([r[3] for r in rows], pa.float64())},
+            schema=out_schema,
+        )
+
+    parts = pa.concat_tables(
+        [out_schema.empty_table()] + list(ray.get(
+            ray.data.read_parquet(
+                os.path.join(index_dir, seg_name),
+                columns=["term", "docs"],
+            )
+            .map_batches(partial, batch_format="pyarrow",
+                         concurrency=concurrency)
+            .to_arrow_refs()
+        ))
+    )
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    import pandas as pd
+
+    df = parts.to_pandas().sort_values(
+        ["lift", "n_match", "term"], ascending=[False, False, True]
+    ).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, schema=out_schema,
+                                preserve_index=False)
+
+
 def _levenshtein_vec(word: bytes, cand_mat: np.ndarray,
                      cand_lens: np.ndarray) -> np.ndarray:
     """Edit distance from ``word`` to each padded-byte row of ``cand_mat``

@@ -827,3 +827,27 @@ def test_facet_stats_matches_pandas_bruteforce(built_index):
     # no matches -> empty table with the declared schema
     empty = facet_stats(built_index, ["zzznotaterm"])
     assert empty.num_rows == 0
+
+
+def test_significant_terms_matches_bruteforce(built_index):
+    """Partial-top-k segment scan == brute-force lift over every term."""
+    from nadry_search_engine_be_ray.pipelines.query import significant_terms
+
+    out = significant_terms(built_index, ["search", "engin"],
+                            k=10).to_pandas()
+    assert len(out) == 10
+
+    eng = SearchEngine(built_index)
+    matched = np.union1d(eng.reader.postings("search").docs,
+                         eng.reader.postings("engin").docs)
+    n_docs = eng.stats["n_docs"]
+    rows = []
+    for t in eng.reader.terms():
+        pl = eng.reader.postings(t)
+        nm = int(np.isin(pl.docs, matched).sum())
+        if nm >= 3:
+            lift = (nm / matched.size) / (pl.df / n_docs)
+            rows.append((t, nm, pl.df, round(lift, 9)))
+    rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    exp = rows[:10]
+    assert list(map(tuple, out.itertuples(index=False))) == exp
