@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "facet_stats": _q_facet_stats,
         "significant_terms": _q_significant_terms,
+        "search_eval": _q_search_eval,
         # SQL-checked since round 2: LSH candidates + distributed exact
         # verify make these equal to their all-pairs SQL oracles
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1819,6 +1820,20 @@ def _q_incremental_dedup(sf_dir: str):
     out = minhash_delta_pairs(docs, delta).to_pandas()
     out["jaccard"] = out["jaccard"].round(9)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_search_eval(sf_dir: str):
+    """Built-in IR evaluation (pipelines/query.evaluate_bm25): MRR /
+    binary nDCG@10 / recall@10 of the BM25 ranking against derived
+    conjunctive-containment qrels, per reference query."""
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    from nadry_search_engine_be_ray.pipelines.query import evaluate_bm25
+
+    out = evaluate_bm25(
+        index_dir, [p["query"] for p in _bm25_term_plans()]
+    ).to_pandas()
+    return out.sort_values("query").reset_index(drop=True)
 
 
 def _q_significant_terms(sf_dir: str):
@@ -4081,6 +4096,72 @@ def _sloppy_sql(specs=None) -> str:
     )
 
 
+def _search_eval_sql(k: int = 10) -> str:
+    """IR-metrics oracle: qrels = conjunctive token containment, ranking
+    = the generated BM25 CTE, MRR / binary nDCG@k / recall@k recomputed
+    with the SAME discount literals the engine uses (query.NDCG_DISCOUNTS
+    — embedding the doubles sidesteps libm log parity) and an ORDERED
+    list_sum for dcg (sum() has no order guarantee)."""
+    from collections import Counter
+
+    from nadry_search_engine_be_ray.pipelines.query import (
+        NDCG_DISCOUNTS,
+        NDCG_IDCG,
+    )
+
+    D = _MAIN_DUMP_DIR
+    disc_case = " ".join(
+        f"WHEN {i + 1} THEN {NDCG_DISCOUNTS[i]!r}" for i in range(k)
+    )
+    idcg_case = " ".join(
+        f"WHEN {n} THEN {NDCG_IDCG[n - 1]!r}" for n in range(1, k + 1)
+    )
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        n_terms = len(mult)
+        ctes.append(_bm25_score_cte(p) + f""",
+        bpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM bsc{i}),
+        rel{i} AS (
+            SELECT doc_int
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN ({terms_sql})
+            GROUP BY doc_int HAVING count(DISTINCT term) = {n_terms}),
+        fl{i} AS (
+            SELECT t.rn + 1 AS rank,
+                   (r.doc_int IS NOT NULL) AS f
+            FROM bpg{i} t LEFT JOIN rel{i} r USING (doc_int)
+            WHERE t.rn < {k})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               (SELECT CAST(count(*) AS BIGINT) FROM rel{i}) AS n_rel,
+               round(coalesce(
+                   (SELECT 1.0 / min(rank) FROM fl{i} WHERE f), 0.0), 9)
+                   AS mrr,
+               round(CASE WHEN (SELECT count(*) FROM rel{i}) = 0 THEN 0.0
+                     ELSE coalesce(
+                         (SELECT list_sum(list(
+                              CASE rank {disc_case} END ORDER BY rank))
+                          FROM fl{i} WHERE f), 0.0)
+                       / (CASE least((SELECT count(*) FROM rel{i}), {k})
+                          {idcg_case} END)
+                     END, 9) AS ndcg,
+               round(CASE WHEN (SELECT count(*) FROM rel{i}) = 0 THEN 0.0
+                     ELSE (SELECT count(*) FROM fl{i} WHERE f) * 1.0
+                          / (SELECT count(*) FROM rel{i}) END, 9)
+                   AS recall""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
 def _collapse_sql(group_col: str = "repo") -> str:
     """Field-collapse oracle: best doc per ``group_col`` value by
     (score DESC, doc_int ASC), then global top-10 over the winners —
@@ -5583,6 +5664,7 @@ def oracle_sql() -> dict[str, str]:
         "field_search_desc": _field_search_sql(1),
         "explain_scores": _explain_sql(),
         "sloppy_phrase": _sloppy_sql(),
+        "search_eval": _search_eval_sql(),
         # T5 span corruption: salted-sha mask -> islands -> sentinel
         # strings, all rebuilt with window functions (threshold =
         # floor(0.15 * 2^32) = 644245094, same as the engine)

@@ -1054,6 +1054,73 @@ def significant_terms(index_dir: str, terms: list[str], k: int = 20,
                                 preserve_index=False)
 
 
+# nDCG discount table: 1/log2(rank+1) for ranks 1..10, precomputed ONCE
+# and shared as float literals with the SQL oracle (libm log is not
+# guaranteed correctly rounded, so both sides consume the same doubles
+# instead of both calling log)
+NDCG_DISCOUNTS = tuple(float(1.0 / np.log2(i + 1)) for i in range(1, 11))
+NDCG_IDCG = tuple(float(s) for s in np.cumsum(NDCG_DISCOUNTS))
+
+
+def evaluate_bm25(index_dir: str, queries: list[str], k: int = 10):
+    """Built-in retrieval evaluation (the trec_eval triad): for each
+    query, MRR@k, binary nDCG@k and recall@k of the BM25 top-k against
+    DERIVED qrels — a doc is relevant iff it contains ALL the query's
+    tokens (conjunctive containment, computable by both the engine and
+    the SQL oracle with no human labels).  Discounts come from the shared
+    NDCG_DISCOUNTS literals.
+
+    Returns an Arrow table (query, n_rel, mrr, ndcg, recall), metrics
+    rounded to 9 dp; queries with zero relevant docs score 0 across the
+    board (and recall 0 by convention).
+    """
+    import pyarrow as pa
+
+    eng = SearchEngine(index_dir)
+    out = {c: [] for c in ("query", "n_rel", "mrr", "ndcg", "recall")}
+    for q in queries:
+        tokens = sorted(set(eng.tokenizer.tokenize(q)))
+        if not tokens:
+            continue
+        rel = None
+        for t in tokens:
+            pl = eng.reader.postings(t)
+            docs = pl.docs if pl is not None else np.empty(0, np.int64)
+            rel = docs if rel is None else np.intersect1d(rel, docs)
+            if rel.size == 0:
+                break
+        n_rel = int(rel.size) if rel is not None else 0
+        top = eng.topk_taat(q, k=k, scorer="bm25")
+        rel_flags = [
+            n_rel > 0 and bool(
+                rel[np.searchsorted(rel, d) % max(rel.size, 1)] == d
+            )
+            for d, _ in top
+        ]
+        mrr = 0.0
+        for i, f in enumerate(rel_flags):
+            if f:
+                mrr = 1.0 / (i + 1)
+                break
+        dcg = sum(NDCG_DISCOUNTS[i] for i, f in enumerate(rel_flags) if f)
+        idcg = NDCG_IDCG[min(n_rel, k) - 1] if n_rel > 0 else 0.0
+        ndcg = (dcg / idcg) if idcg > 0 else 0.0
+        hits = sum(rel_flags)
+        recall = (hits / n_rel) if n_rel else 0.0
+        out["query"].append(q)
+        out["n_rel"].append(n_rel)
+        out["mrr"].append(round(mrr, 9))
+        out["ndcg"].append(round(ndcg, 9))
+        out["recall"].append(round(recall, 9))
+    return pa.table(
+        {"query": pa.array(out["query"], pa.string()),
+         "n_rel": pa.array(out["n_rel"], pa.int64()),
+         "mrr": pa.array(out["mrr"], pa.float64()),
+         "ndcg": pa.array(out["ndcg"], pa.float64()),
+         "recall": pa.array(out["recall"], pa.float64())}
+    )
+
+
 def _levenshtein_vec(word: bytes, cand_mat: np.ndarray,
                      cand_lens: np.ndarray) -> np.ndarray:
     """Edit distance from ``word`` to each padded-byte row of ``cand_mat``

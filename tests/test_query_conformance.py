@@ -851,3 +851,26 @@ def test_significant_terms_matches_bruteforce(built_index):
     rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
     exp = rows[:10]
     assert list(map(tuple, out.itertuples(index=False))) == exp
+
+
+def test_evaluate_bm25_known_values(built_index):
+    """Metric sanity on constructed cases: a query whose top hit is
+    relevant scores mrr=1; an unknown term scores zeros; metrics bounded
+    in [0, 1]."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        NDCG_DISCOUNTS,
+        evaluate_bm25,
+    )
+
+    out = evaluate_bm25(
+        built_index, ["search", "zzzznotaterm", "search engine"]
+    ).to_pandas().set_index("query")
+    # single-term query: every candidate is relevant -> mrr = ndcg = 1
+    row = out.loc["search"]
+    assert row["mrr"] == 1.0 and row["ndcg"] == 1.0
+    assert 0 < row["recall"] <= 1.0
+    row = out.loc["zzzznotaterm"]
+    assert row["n_rel"] == 0 and row["mrr"] == 0 and row["ndcg"] == 0
+    row = out.loc["search engine"]
+    assert 0 <= row["mrr"] <= 1 and 0 <= row["ndcg"] <= 1
+    assert abs(NDCG_DISCOUNTS[0] - 1.0) < 1e-12
