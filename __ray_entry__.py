@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, method="pointer_doubling"
         ),
         "pagerank_power": _q_pagerank_power,
+        "triangle_count": _q_triangle_count,
         "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
@@ -1934,6 +1935,34 @@ def _q_pagerank(sf_dir: str):
     out = run_pagerank(ray.data.from_arrow(edges), index_dir).to_pandas()
     out["popularity"] = out["popularity"].round(12)
     return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_triangle_count(sf_dir: str):
+    """Triangle count of the synthetic link graph (degree-oriented
+    node-iterator, pipelines/pagerank.triangle_count); the oracle closes
+    wedges with a 3-way self-join over the same edge rule."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import triangle_count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return triangle_count(edges).to_pandas()
 
 
 def _q_pagerank_power(sf_dir: str):
@@ -5665,6 +5694,31 @@ def oracle_sql() -> dict[str, str]:
         "explain_scores": _explain_sql(),
         "sloppy_phrase": _sloppy_sql(),
         "search_eval": _search_eval_sql(),
+        # triangles of the synthetic link graph: undirect+dedup, then the
+        # canonical (x<y<z) 3-way self-join
+        "triangle_count": """
+            WITH raw AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            e0 AS (
+                SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            )
+            SELECT
+                (SELECT count(DISTINCT x) FROM
+                    (SELECT u AS x FROM e0 UNION SELECT v FROM e0))
+                    AS n_nodes,
+                (SELECT count(*) FROM e0) AS n_edges,
+                (SELECT count(*)
+                 FROM e0 a
+                 JOIN e0 b ON b.u = a.u AND b.v > a.v
+                 JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles
+        """,
         # T5 span corruption: salted-sha mask -> islands -> sentinel
         # strings, all rebuilt with window functions (threshold =
         # floor(0.15 * 2^32) = 644245094, same as the engine)

@@ -538,3 +538,92 @@ def hits_int(
             "authority": pa.array(np.round(auth, 9), pa.float64()),
         }
     )
+
+
+def triangle_count(edges_ds, *, src_col: str = "src", dst_col: str = "dst"):
+    """Distributed triangle counting (node-iterator with degree
+    orientation): undirect + dedup the edge list, orient every edge from
+    the lower (degree, node) endpoint to the higher — bounding per-node
+    wedge fan-out by O(sqrt(m)) on any graph — generate wedges per
+    oriented source with one groupby, and close them against the edge
+    set.  The closing membership probe is a BROADCAST sorted u64-packed
+    edge array here (the graph key set; at 10^12 edges swap in the hash
+    join on (y, z) — the probe is the op's only exchange besides the
+    wedge groupby).
+
+    Returns an Arrow table (n_nodes, n_edges, n_triangles) — one row.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    # distinct undirected edges (one groupby-dedup exchange)
+    e0 = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    et = pa.concat_tables(list(ray.get(e0.to_arrow_refs())))
+    uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_edges = int(uu.size)
+    nodes, counts = np.unique(np.concatenate([uu, vv]), return_counts=True)
+    n_nodes = int(nodes.size)
+    # degree-orientation rank: (degree, node) lexicographic
+    deg_ref = ray.put((nodes, counts))
+    # packed closing-edge key set (ORIENTED edges, so each triangle
+    # closes exactly once)
+    du = counts[np.searchsorted(nodes, uu)]
+    dv = counts[np.searchsorted(nodes, vv)]
+    fwd = (du < dv) | ((du == dv) & (uu < vv))
+    a = np.where(fwd, uu, vv)
+    b = np.where(fwd, vv, uu)
+    shift = np.int64(max(int(nodes.max()) + 1, 1))
+    keys_ref = ray.put(np.sort(a * shift + b))
+
+    def wedges_closed(group: pa.Table) -> pa.Table:
+        nds, cnts = ray.get(deg_ref)
+        keys = ray.get(keys_ref)
+        bs = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # neighbors ordered by orientation rank so each wedge is emitted
+        # once with its smaller-rank endpoint first
+        db = cnts[np.searchsorted(nds, bs)]
+        order = np.lexsort((bs, db))
+        bs = bs[order]
+        m = bs.size
+        if m < 2:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        ii, jj = np.triu_indices(m, k=1)
+        wk = bs[ii] * shift + bs[jj]
+        idx = np.searchsorted(keys, wk)
+        idx[idx == keys.size] = 0
+        n_closed = int((keys[idx] == wk).sum())
+        return pa.table({"n": pa.array([n_closed], pa.int64())})
+
+    parts = (
+        ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                      "b": pa.array(b, pa.int64())}))
+        .groupby("a")
+        .map_groups(wedges_closed, batch_format="pyarrow")
+    )
+    total = int(sum(
+        t["n"].to_numpy(zero_copy_only=False).sum()
+        for t in ray.get(parts.to_arrow_refs()) if t.num_rows
+    ))
+    return pa.table(
+        {"n_nodes": pa.array([n_nodes], pa.int64()),
+         "n_edges": pa.array([n_edges], pa.int64()),
+         "n_triangles": pa.array([total], pa.int64())}
+    )

@@ -248,3 +248,32 @@ def test_hits_matches_numpy_bruteforce(ray_session):
                        atol=1e-8)
     # skewed random graph: scores must not be uniform
     assert out["authority"].to_numpy().std() > 1e-6
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """Exact counts on constructed graphs: K4 has 4 triangles; adding a
+    pendant edge changes nothing; duplicate/reversed/self-loop edges are
+    normalized away."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import triangle_count
+
+    def edges(pairs):
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }))
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    out = triangle_count(edges(k4)).to_pandas().iloc[0]
+    assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (4, 6, 4)
+
+    messy = k4 + [(1, 0), (2, 2), (3, 4), (4, 3), (0, 1)]
+    out = triangle_count(edges(messy)).to_pandas().iloc[0]
+    assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (5, 7, 4)
+
+    # triangle-free: star
+    star = [(0, i) for i in range(1, 6)]
+    out = triangle_count(edges(star)).to_pandas().iloc[0]
+    assert out["n_triangles"] == 0
