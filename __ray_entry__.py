@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "pagerank_power": _q_pagerank_power,
         "triangle_count": _q_triangle_count,
+        "kcore_nodes": _q_kcore,
         "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
@@ -1963,6 +1964,71 @@ def _q_triangle_count(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return triangle_count(edges).to_pandas()
+
+
+def _q_kcore(sf_dir: str):
+    """Fixed-round k-core peeling (pipelines/pagerank.kcore_nodes, k=4,
+    5 rounds) on the QUADRATIC skewed link graph (the hits_scores edge
+    rule — the 6-regular linear rule would make k-core all-or-nothing);
+    the oracle unrolls the same rounds as MATERIALIZED CTE chains."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import kcore_nodes
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return kcore_nodes(edges, k=4, n_rounds=5).to_pandas()
+
+
+def _kcore_sql(k: int = 4, rounds: int = 5) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )"""]
+    for r in range(rounds):
+        parts.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e{r}
+                UNION ALL SELECT v FROM e{r}
+            ) GROUP BY node)""")
+        parts.append(f"""
+        a{r} AS MATERIALIZED (
+            SELECT node FROM d{r} WHERE deg >= {k})""")
+        parts.append(f"""
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r} e
+            JOIN a{r} x ON x.node = e.u
+            JOIN a{r} y ON y.node = e.v)""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM e{rounds}
+            UNION ALL SELECT v FROM e{rounds}
+        ) GROUP BY node ORDER BY node
+    """
 
 
 def _q_pagerank_power(sf_dir: str):
@@ -5694,6 +5760,7 @@ def oracle_sql() -> dict[str, str]:
         "explain_scores": _explain_sql(),
         "sloppy_phrase": _sloppy_sql(),
         "search_eval": _search_eval_sql(),
+        "kcore_nodes": _kcore_sql(),
         # triangles of the synthetic link graph: undirect+dedup, then the
         # canonical (x<y<z) 3-way self-join
         "triangle_count": """

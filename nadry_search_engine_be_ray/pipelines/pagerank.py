@@ -627,3 +627,84 @@ def triangle_count(edges_ds, *, src_col: str = "src", dst_col: str = "dst"):
          "n_edges": pa.array([n_edges], pa.int64()),
          "n_triangles": pa.array([total], pa.int64())}
     )
+
+
+def kcore_nodes(edges_ds, k: int = 3, n_rounds: int = 5, *,
+                src_col: str = "src", dst_col: str = "dst"):
+    """Fixed-round k-core peeling: repeatedly drop nodes of undirected
+    degree < ``k`` (``n_rounds`` synchronous rounds — the pagerank_power
+    fixed-iteration idiom, so the SQL oracle unrolls the same rounds as
+    chained MATERIALIZED CTEs; run more rounds to converge fully).
+
+    Distributed shape per round: one degree groupby over the surviving
+    edges + one broadcast survivor filter (survivor set ≤ node count and
+    shrinking); the edge list itself never collects on the driver.
+    Returns (node, deg) over the final surviving edge subgraph, sorted by
+    node.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            batch["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ])
+        un, ct = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "deg": pa.array(ct, pa.int64())})
+
+    def degrees_of(ds):
+        parts = ray.get(
+            ds.map_batches(degree_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+            .to_arrow_refs()
+        )
+        seed = pa.table({"node": pa.array([], pa.int64()),
+                         "deg": pa.array([], pa.int64())})
+        return pa.concat_tables(
+            [seed] + [t.select(["node", "deg"]) for t in parts
+                      if "node" in t.schema.names]  # drop empty-schema blocks
+        )
+
+    cur = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    for _ in range(n_rounds):
+        deg_tbl = degrees_of(cur)
+        nd = deg_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = deg_tbl["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        alive = np.sort(nd[dg >= k])
+        alive_ref = ray.put(alive)
+
+        def alive_filter(batch: pa.Table, ref=alive_ref) -> pa.Table:
+            al = ray.get(ref)
+            if al.size == 0:
+                return batch.slice(0, 0)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            iu = np.searchsorted(al, u)
+            iu[iu == al.size] = 0
+            iv = np.searchsorted(al, v)
+            iv[iv == al.size] = 0
+            return batch.filter(pa.array((al[iu] == u) & (al[iv] == v)))
+
+        cur = cur.map_batches(alive_filter,
+                              batch_format="pyarrow").materialize()
+
+    return degrees_of(cur).sort_by("node")

@@ -277,3 +277,39 @@ def test_triangle_count_known_graphs(ray_session):
     star = [(0, i) for i in range(1, 6)]
     out = triangle_count(edges(star)).to_pandas().iloc[0]
     assert out["n_triangles"] == 0
+
+
+def test_kcore_peeling_bruteforce(ray_session):
+    """Fixed-round peeling == a brute-force set simulation, including a
+    cascade (the tail-chain nodes die round by round)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import kcore_nodes
+
+    # K5 core + a chain hanging off it
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(4, 5), (5, 6), (6, 7)]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    for k in (2, 3, 4, 5):
+        got = kcore_nodes(edges, k=k, n_rounds=5).to_pandas()
+        es = set(pairs)
+        for _ in range(5):
+            deg = collections.Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            alive = {x for x, c in deg.items() if c >= k}
+            es = {(a, b) for a, b in es if a in alive and b in alive}
+        deg = collections.Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        exp = sorted(deg.items())
+        assert list(zip(got["node"], got["deg"])) == exp, k
