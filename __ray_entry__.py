@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_power": _q_pagerank_power,
         "triangle_count": _q_triangle_count,
         "kcore_nodes": _q_kcore,
+        "link_pred_cn": _q_link_pred_cn,
         "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
@@ -2029,6 +2030,36 @@ def _kcore_sql(k: int = 4, rounds: int = 5) -> str:
             UNION ALL SELECT v FROM e{rounds}
         ) GROUP BY node ORDER BY node
     """
+
+
+def _q_link_pred_cn(sf_dir: str):
+    """Link prediction by common-neighbor count over the quadratic skewed
+    link graph (pipelines/pagerank.common_neighbors_topk): top-20
+    non-adjacent pairs; oracle = wedge self-join + edge anti-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        common_neighbors_topk,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return common_neighbors_topk(edges, k=20).to_pandas()
 
 
 def _q_pagerank_power(sf_dir: str):
@@ -5761,6 +5792,35 @@ def oracle_sql() -> dict[str, str]:
         "sloppy_phrase": _sloppy_sql(),
         "search_eval": _search_eval_sql(),
         "kcore_nodes": _kcore_sql(),
+        # common-neighbor link prediction on the quadratic graph: wedge
+        # self-join, edge anti-join, (count DESC, x, y) top-20
+        "link_pred_cn": """
+            WITH raw AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            e0 AS (
+                SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            adj AS (
+                SELECT u AS n, v AS m FROM e0
+                UNION ALL SELECT v, u FROM e0
+            ),
+            w AS (
+                SELECT a.m AS x, b.m AS y, count(*) AS c
+                FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m
+                GROUP BY 1, 2
+            )
+            SELECT w.x, w.y, w.c AS common_neighbors
+            FROM w LEFT JOIN e0 ON e0.u = w.x AND e0.v = w.y
+            WHERE e0.u IS NULL
+            ORDER BY w.c DESC, w.x, w.y LIMIT 20
+        """,
         # triangles of the synthetic link graph: undirect+dedup, then the
         # canonical (x<y<z) 3-way self-join
         "triangle_count": """

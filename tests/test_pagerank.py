@@ -313,3 +313,42 @@ def test_kcore_peeling_bruteforce(ray_session):
             deg[b] += 1
         exp = sorted(deg.items())
         assert list(zip(got["node"], got["deg"])) == exp, k
+
+
+def test_common_neighbors_topk_bruteforce(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        common_neighbors_topk,
+    )
+
+    # two hubs sharing neighbors + noise
+    pairs = [(0, i) for i in range(2, 8)] + [(1, i) for i in range(2, 8)]
+    pairs += [(8, 9), (9, 10)]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    got = common_neighbors_topk(edges, k=5).to_pandas()
+    # brute force
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    cand = []
+    for x, y in itertools.combinations(sorted(adj), 2):
+        if (x, y) in es:
+            continue
+        c = len(adj[x] & adj[y])
+        if c:
+            cand.append((x, y, c))
+    cand.sort(key=lambda r: (-r[2], r[0], r[1]))
+    assert list(map(tuple, got.itertuples(index=False))) == cand[:5]
+    # (0,1) share all 6 neighbors and are non-adjacent -> rank 1
+    assert tuple(got.iloc[0]) == (0, 1, 6)
