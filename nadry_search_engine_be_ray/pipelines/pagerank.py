@@ -575,10 +575,21 @@ def triangle_count(edges_ds, *, src_col: str = "src", dst_col: str = "dst"):
         .select_columns(["u", "v"])
         .materialize()
     )
-    et = pa.concat_tables(list(ray.get(e0.to_arrow_refs())))
+    et = pa.concat_tables(
+        [pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]
+        + [t.select(["u", "v"]) for t in ray.get(e0.to_arrow_refs())
+           if "u" in t.schema.names]  # empty-schema blocks from empty input
+    )
     uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     n_edges = int(uu.size)
+    if n_edges == 0:
+        return pa.table(
+            {"n_nodes": pa.array([0], pa.int64()),
+             "n_edges": pa.array([0], pa.int64()),
+             "n_triangles": pa.array([0], pa.int64())}
+        )
     nodes, counts = np.unique(np.concatenate([uu, vv]), return_counts=True)
     n_nodes = int(nodes.size)
     # degree-orientation rank: (degree, node) lexicographic
@@ -743,11 +754,19 @@ def common_neighbors_topk(edges_ds, k: int = 20, *, src_col: str = "src",
         .select_columns(["u", "v"])
         .materialize()
     )
-    et = pa.concat_tables(list(ray.get(e0.to_arrow_refs())))
+    et = pa.concat_tables(
+        [pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]
+        + [t.select(["u", "v"]) for t in ray.get(e0.to_arrow_refs())
+           if "u" in t.schema.names]
+    )
     uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    shift = np.int64(max(int(max(uu.max(), vv.max())) + 1, 1)) \
-        if uu.size else np.int64(1)
+    if uu.size == 0:
+        return pa.table({"x": pa.array([], pa.int64()),
+                         "y": pa.array([], pa.int64()),
+                         "common_neighbors": pa.array([], pa.int64())})
+    shift = np.int64(max(int(max(uu.max(), vv.max())) + 1, 1))
     ekeys_ref = ray.put(np.sort(uu * shift + vv))
 
     adj = ray.data.from_arrow(pa.table({
@@ -784,6 +803,8 @@ def common_neighbors_topk(edges_ds, k: int = 20, *, src_col: str = "src",
 
     def drop_edges(batch: pa.Table) -> pa.Table:
         ek = ray.get(ekeys_ref)
+        if ek.size == 0:
+            return batch
         x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
         y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
         kk = x * shift + y

@@ -352,3 +352,30 @@ def test_common_neighbors_topk_bruteforce(ray_session):
     assert list(map(tuple, got.itertuples(index=False))) == cand[:5]
     # (0,1) share all 6 neighbors and are non-adjacent -> rank 1
     assert tuple(got.iloc[0]) == (0, 1, 6)
+
+
+def test_graph_ops_empty_and_selfloop_inputs(ray_session):
+    """Empty edge lists and pure-self-loop graphs must yield empty/zero
+    results, not index errors (the clamped-searchsorted edge guards)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        common_neighbors_topk,
+        triangle_count,
+    )
+
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+    }))
+    out = triangle_count(empty).to_pandas().iloc[0]
+    assert tuple(out) == (0, 0, 0)
+    assert common_neighbors_topk(empty).num_rows == 0
+
+    loops = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+    }))
+    out = triangle_count(loops).to_pandas().iloc[0]
+    assert tuple(out) == (0, 0, 0)
+    assert common_neighbors_topk(loops).num_rows == 0
