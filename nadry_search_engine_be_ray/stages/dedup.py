@@ -19,6 +19,7 @@ on the driver).  Pair outputs are canonical (a < b) and deterministic.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import zlib
 
@@ -693,7 +694,8 @@ def exact_jaccard_for_pairs(docs_ds, pairs_ds, n: int = 3,
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      threshold: float = 0.5, cross_split: int | None = None):
+                      threshold: float = 0.5, cross_split: int | None = None,
+                      precomputed_sigs=None):
     """Full near-dup pipeline: minhash -> LSH buckets -> candidate pairs ->
     DISTRIBUTED exact n-gram Jaccard verify.  Returns a Dataset
     (a, b, jaccard) with jaccard >= threshold, deduped canonical pairs
@@ -711,9 +713,13 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
     all-pairs jaccard join (ngram_jaccard SQL oracle) up to the
     (1 - j^2)^bands band-miss probability per pair.
     """
-    sig = ds.map_batches(
-        MinHashBatch(num_perm, bands, ngram, text_col, id_col),
-        batch_format="pyarrow",
+    sig = (
+        precomputed_sigs
+        if precomputed_sigs is not None  # persisted-state incremental path
+        else ds.map_batches(
+            MinHashBatch(num_perm, bands, ngram, text_col, id_col),
+            batch_format="pyarrow",
+        )
     ).materialize()
     # ~500k signature rows (a few MB) per shuffle partition
     nparts = max(4, int(sig.count()) // 500_000 + 1)
@@ -765,10 +771,37 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 32, ngram: int = 3,
     )
 
 
+def write_minhash_state(ds, out_dir: str, *, num_perm: int = 64,
+                        bands: int = 32, ngram: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Persist a corpus's LSH signature rows (``(id, bucket)`` per band)
+    as partitioned parquet — signatures are a pure function of the text,
+    so an incremental-ingest deployment computes them ONCE per corpus
+    and every later :func:`minhash_delta_pairs` run re-reads them
+    instead of re-hashing the (huge) base.  A ``_PARAMS`` file pins the
+    (num_perm, bands, ngram) family; readers assert it matches."""
+    import json as _json
+
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        ds.map_batches(
+            MinHashBatch(num_perm, bands, ngram, text_col, id_col),
+            batch_format="pyarrow",
+        ).write_parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "_PARAMS"), "w") as f:
+        _json.dump({"num_perm": num_perm, "bands": bands,
+                    "ngram": ngram, "id_col": id_col}, f)
+    return out_dir
+
+
 def minhash_delta_pairs(base_ds, delta_ds, *, offset: int = 1_000_000_000,
                         num_perm: int = 64, bands: int = 32, ngram: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.5):
+                        threshold: float = 0.5,
+                        base_sigs_dir: str | None = None):
     """Incremental-ingest near-dup detection: pairs BETWEEN an existing
     base corpus and a newly arriving delta only (the 100 TB ingest-time
     dedup op — a delta of new documents is screened against the corpus
@@ -780,12 +813,17 @@ def minhash_delta_pairs(base_ds, delta_ds, *, offset: int = 1_000_000_000,
     (minhash_lsh_pairs cross_split).  Returns (a, b, jaccard) with
     ``a`` = base id, ``b`` = offset + delta id.
 
-    Scale note: cost is dominated by the base's signature pass; a
-    production deployment would persist base signatures/buckets between
-    ingests (they are a pure function of the text) and stream only the
-    delta through MinHashBatch — the bucket-join shape is unchanged.
+    With ``base_sigs_dir`` (written by :func:`write_minhash_state`) the
+    base corpus is NEVER re-hashed: its persisted signature rows are
+    re-read and only the delta streams through MinHashBatch — signatures
+    are a pure function of the text, so this is exactly the incremental
+    deployment shape (base texts are still consulted, but only for the
+    candidate ids the exact verify pulls).
     """
+    import json as _json
+
     import pyarrow.compute as pc
+    import ray.data
 
     off = int(offset)
 
@@ -795,11 +833,26 @@ def minhash_delta_pairs(base_ds, delta_ds, *, offset: int = 1_000_000_000,
             i, id_col, pc.add(batch[id_col].cast(pa.int64()), off)
         )
 
-    union = base_ds.union(delta_ds.map_batches(shift, batch_format="pyarrow"))
+    delta_shifted = delta_ds.map_batches(shift, batch_format="pyarrow")
+    union = base_ds.union(delta_shifted)
+    sigs = None
+    if base_sigs_dir is not None:
+        with open(os.path.join(base_sigs_dir, "_PARAMS")) as f:
+            params = _json.load(f)
+        assert params == {"num_perm": num_perm, "bands": bands,
+                          "ngram": ngram, "id_col": id_col}, (
+            "persisted minhash state was written with a different "
+            f"signature family: {params}")
+        sigs = ray.data.read_parquet(
+            base_sigs_dir, file_extensions=["parquet"]
+        ).union(delta_shifted.map_batches(
+            MinHashBatch(num_perm, bands, ngram, text_col, id_col),
+            batch_format="pyarrow",
+        ))
     return minhash_lsh_pairs(
         union, num_perm=num_perm, bands=bands, ngram=ngram,
         text_col=text_col, id_col=id_col, threshold=threshold,
-        cross_split=off,
+        cross_split=off, precomputed_sigs=sigs,
     )
 
 

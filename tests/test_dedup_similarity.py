@@ -448,3 +448,47 @@ def test_hard_negatives_excludes_same_label(ray_session):
         got = out[out["query_id"] == qi].reset_index(drop=True)
         assert got["vec_id"].tolist() == exp["vec_id"].tolist()
         assert np.allclose(got["cosine"], exp["cosine"])
+
+
+def test_minhash_persisted_state_equals_recompute(ray_session, tmp_path):
+    """Incremental path with persisted base signatures must equal the
+    recompute-everything path exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import (
+        minhash_delta_pairs,
+        write_minhash_state,
+    )
+
+    base_rows = {
+        "doc_id": list(range(40)),
+        "text": [f"shared prefix tokens alpha beta gamma delta {i} "
+                 f"epsilon zeta" for i in range(40)],
+    }
+    delta_rows = {
+        "doc_id": [0, 1],
+        "text": [base_rows["text"][7] + " tail",  # near-dup of base 7
+                 "completely different fresh content about nothing"],
+    }
+    base = ray.data.from_arrow(pa.table(base_rows))
+    delta = ray.data.from_arrow(pa.table(delta_rows))
+
+    direct = minhash_delta_pairs(base, delta, threshold=0.5).to_pandas()
+    sdir = str(tmp_path / "sigs")
+    write_minhash_state(base, sdir)
+    via_state = minhash_delta_pairs(
+        base, delta, threshold=0.5, base_sigs_dir=sdir
+    ).to_pandas()
+    key = ["a", "b"]
+    assert direct.sort_values(key).reset_index(drop=True).equals(
+        via_state.sort_values(key).reset_index(drop=True)
+    )
+    assert len(direct) > 0
+
+    # wrong-family state is refused
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="different"):
+        minhash_delta_pairs(base, delta, num_perm=32, bands=16,
+                            base_sigs_dir=sdir)
