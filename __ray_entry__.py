@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_additive": tq.search_additive,
         "tfidf_rank": tq.tfidf_rank,
         "bm25_simple": tq.bm25_simple,
+        "search_lm_dirichlet": tq.lm_dirichlet,
         # training-data ops (SQL-checked)
         "exact_dedup": _q_exact_dedup,
         "compact_signature": _q_compact_signature,
@@ -4984,6 +4985,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(raw_score, 6) AS score FROM scored
             ORDER BY raw_score DESC, doc_id LIMIT 10
+        """,
+        "search_lm_dirichlet": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            stats AS (SELECT sum(dl) AS total FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+                WHERE token IN ('hash', 'join', 'performance')
+                GROUP BY doc_id, token
+            ),
+            ctf AS (SELECT token, sum(tf) AS ctf FROM tf GROUP BY token),
+            cand AS (SELECT DISTINCT doc_id FROM tf),
+            scored AS (
+                SELECT cand.doc_id,
+                       sum(ln((coalesce(tf.tf, 0)
+                               + 2000.0 * (ctf.ctf * 1.0 / stats.total))
+                              / (dl.dl + 2000.0))) AS raw
+                FROM cand
+                CROSS JOIN (SELECT unnest(['hash', 'join', 'performance'])
+                            AS token) qt
+                JOIN ctf ON ctf.token = qt.token
+                LEFT JOIN tf ON tf.doc_id = cand.doc_id
+                            AND tf.token = qt.token
+                JOIN dl ON dl.doc_id = cand.doc_id
+                CROSS JOIN stats
+                GROUP BY cand.doc_id
+            )
+            SELECT doc_id, round(raw, 6) AS score FROM scored
+            ORDER BY raw DESC, doc_id LIMIT 10
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

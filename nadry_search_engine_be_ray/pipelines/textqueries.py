@@ -310,6 +310,100 @@ def bm25_simple(sf_dir: str, query: str = "hash join performance",
     return out.reset_index(drop=True)
 
 
+def lm_dirichlet(sf_dir: str, query: str = "hash join performance",
+                 k: int = 10, mu: float = 2000.0) -> pd.DataFrame:
+    """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the third classic scorer family next to the
+    reference's tf-idf (`functions/scoring.py`, `Ranker.java`) and BM25:
+
+        score(q, d) = sum_t qtf_t * ln( (tf_td + mu * p(t|C)) / (dl_d + mu) )
+
+    with p(t|C) = ctf_t / total collection tokens, restricted to docs
+    matching at least one query term (the candidate set every scorer here
+    ranks).  Scale shape is identical to ``bm25_simple``: one vectorized
+    pass emits per-doc (dl, tf per query term) partials; collection stats
+    (ctf_t, total tokens) reduce from those via bounded per-batch partials;
+    scoring + per-block partial top-k run against the broadcast stats and a
+    k-sized driver merge ranks.  No driver materialization beyond the
+    k-row result."""
+    import numpy as np
+    import ray
+
+    terms = [t for t in simple_tokens(query) if len(t) >= 2]
+    qtf = pd.Series(terms).value_counts()
+    uterms = sorted(qtf.index)
+    qtf_vec = np.array([float(qtf[t]) for t in uterms])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        dl = np.bincount(doc_pos[ok], minlength=len(batch))
+        out = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for i, t in enumerate(uterms):
+            hit = ok & pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            out[f"tf{i}"] = pa.array(
+                np.bincount(doc_pos[hit], minlength=len(batch)), pa.int64()
+            )
+        return pa.table(out)
+
+    stats_ds = _docs(sf_dir).map_batches(partials, batch_format="pyarrow")
+    stats_mat = stats_ds.materialize()
+
+    def ctf_partial(batch: pa.Table) -> pa.Table:
+        out = {"total": pa.array(
+            [int(batch["dl"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+        )}
+        for i in range(len(uterms)):
+            out[f"ctf{i}"] = pa.array(
+                [int(batch[f"tf{i}"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    cs = stats_mat.map_batches(ctf_partial, batch_format="pyarrow").to_pandas()
+    total = int(cs["total"].sum())
+    ctf = np.array([int(cs[f"ctf{i}"].sum()) for i in range(len(uterms))])
+    # a term absent from the collection has p(t|C) = 0 — undefined under
+    # the model (ln 0); standard QL drops it from the query (the oracle's
+    # inner join on the ctf CTE encodes the same rule)
+    keep = np.flatnonzero(ctf > 0)
+    p_c = ctf[keep].astype(np.float64) / max(1, total)
+    qtf_keep = qtf_vec[keep]
+    stats_ref = ray.put((keep, p_c, qtf_keep))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        keep_idx, pc_vec, qw = ray.get(stats_ref)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.zeros(len(dl))
+        any_hit = np.zeros(len(dl), dtype=bool)
+        for j, i in enumerate(keep_idx):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            any_hit |= tf > 0
+            score += qw[j] * np.log((tf + mu * pc_vec[j]) / (dl + mu))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, score = ids[any_hit], score[any_hit]
+        kk = min(k, score.size)
+        if kk == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        order = np.lexsort((ids, -score))[:kk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    out = stats_mat.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
 def hybrid_rrf(sf_dir: str, query: str = "hash join performance",
                k_each: int = 50, k: int = 10, rrf_k: int = 60) -> pd.DataFrame:
     """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion (Cormack,

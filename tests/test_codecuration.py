@@ -240,3 +240,58 @@ def test_hybrid_rrf_contract(ray_session):
     row = out[out["doc_id"] == top_bm]
     if len(row):
         assert int(row["bm25_rank"].iloc[0]) == 1
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood Dirichlet LM
+# ---------------------------------------------------------------------------
+
+def test_lm_dirichlet_contract(ray_session):
+    import math
+
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        lm_dirichlet, simple_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = lm_dirichlet(sf, query="hash join", k=10, mu=500.0)
+    assert list(out.columns) == ["doc_id", "score"]
+    assert len(out) >= 1
+    s = out["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    # recompute the top hit's score exactly from the raw corpus
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    toks = {
+        int(r.doc_id): [t for t in simple_tokens(r.text) if len(t) >= 2]
+        for r in docs.itertuples()
+    }
+    total = sum(len(v) for v in toks.values())
+    top = int(out["doc_id"].iloc[0])
+    exp = 0.0
+    for term in ["hash", "join"]:
+        ctf = sum(v.count(term) for v in toks.values())
+        if ctf == 0:
+            continue
+        tf = toks[top].count(term)
+        exp += math.log(
+            (tf + 500.0 * (ctf / total)) / (len(toks[top]) + 500.0)
+        )
+    assert abs(out["score"].iloc[0] - round(exp, 6)) < 1e-6
+    # every returned doc matches at least one in-collection query term
+    for d in out["doc_id"]:
+        assert ("hash" in toks[int(d)]) or ("join" in toks[int(d)])
+
+
+def test_lm_dirichlet_absent_term_dropped(ray_session):
+    from nadry_search_engine_be_ray.pipelines.textqueries import lm_dirichlet
+
+    sf = "/root/testdata/sf0.001"
+    base = lm_dirichlet(sf, query="hash join", k=10)
+    # a term with collection frequency 0 must not perturb the ranking
+    # (p(t|C)=0 is undefined under the model; the term is dropped)
+    with_ghost = lm_dirichlet(sf, query="hash join zzzqqqxyzzy", k=10)
+    assert base.equals(with_ghost)
