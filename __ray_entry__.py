@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_grams_approx": _q_top_grams_approx,
         "tpch_q3": rel.q_tpch_q3,
         "tpch_q5": rel.q_tpch_q5,
+        "tpch_q6": rel.q_tpch_q6,
+        "tpch_q10": rel.q_tpch_q10,
         "set_intersect": rel.q_set_intersect,
         "event_deltas": rel.q_event_deltas,
         "corr_stats": rel.q_corr_stats,
@@ -4558,6 +4560,34 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            WITH agg AS (
+                SELECT o_custkey AS c_custkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                           AS revenue
+                FROM orders
+                JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+                  AND l_returnflag = 'R'
+                GROUP BY o_custkey
+                ORDER BY revenue DESC, c_custkey
+                LIMIT 20
+            )
+            SELECT agg.c_custkey, c_name, revenue, c_acctbal, n_name
+            FROM agg
+            JOIN customer ON customer.c_custkey = agg.c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, agg.c_custkey
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -1317,6 +1317,145 @@ def q_tpch_q5(sf_dir: str) -> pd.DataFrame:
     return agg[["n_name", "revenue"]]
 
 
+def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape — the forecasting-revenue-change scan: a pure
+    filter + global sum with NO joins, the canonical predicate-pushdown
+    benchmark.  Each batch reduces to one partial-sum row (filter and
+    multiply are Arrow kernels), so the driver combine is
+    O(blocks) regardless of corpus size."""
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_discount"], 0.05),
+                        pc.less_equal(batch["l_discount"], 0.07)),
+                pc.less(batch["l_quantity"], 24.0),
+            ),
+        )
+        t = batch.filter(keep)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table(
+            {"revenue": pa.array([rev.as_py() or 0.0], pa.float64())}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue": [round(float(parts["revenue"].sum()), 4)]})
+
+
+def q_tpch_q10(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: orders date-window
+    filter ⨝ lineitem(returnflag='R') is the single all-to-all hash
+    join; revenue partials pre-aggregate per custkey inside each joined
+    batch before the customer-keyed groupby; per-block partial top-k +
+    a k-sized driver merge rank; customer/nation attributes enrich
+    POST-limit (k broadcast keys filter the customer scan — the J3/J4
+    post-limit-join rule, so the wide tables never join before the cut)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-10-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                    pc.less(batch["o_orderdate"], hi))
+        )
+        return batch.select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["l_returnflag"], "R")),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        g = pa.table(
+            {"c_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+             "revenue": rev}
+        ).group_by(["c_custkey"]).aggregate([("revenue", "sum")])
+        return _rename_agg(g, {"revenue_sum": "revenue"})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.round(
+            batch["revenue"].to_numpy(zero_copy_only=False).astype(np.float64),
+            4,
+        )
+        order = np.lexsort((ids, -rev))[: min(k, ids.size)]
+        return pa.table(
+            {"c_custkey": pa.array(ids[order], pa.int64()),
+             "revenue": pa.array(rev[order], pa.float64())}
+        )
+
+    top = agg.map_batches(topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+
+    # post-limit enrich: k keys broadcast into the customer scan
+    keys = np.sort(top["c_custkey"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ks, ck)
+        return batch.filter(pa.array(hit))
+
+    cust = (
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(cust_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey", how="left"
+    )
+    out = top.merge(
+        cust[["c_custkey", "c_name", "c_acctbal", "n_name"]],
+        on="c_custkey", how="left",
+    )
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
 def q_set_intersect(sf_dir: str) -> pd.DataFrame:
     """Distributed INTERSECT: users who both clicked and purchased.  Each
     batch emits per-user flag partials (deduped within the batch), one

@@ -56,3 +56,58 @@ def test_tpch_q5_matches_duckdb(ray_session):
     """).df()
     assert got["n_name"].tolist() == exp["n_name"].tolist()
     assert got["revenue"].tolist() == exp["revenue"].tolist()
+
+
+def test_tpch_q6_matches_duckdb(ray_session):
+    """Q6 pure scan-filter-sum vs DuckDB on sf0.001."""
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_tpch_q6(sf)
+    exp = duckdb.connect().execute(f"""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM read_parquet('{sf}/lineitem.parquet')
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """).df()
+    assert got["revenue"].iloc[0] == exp["revenue"].iloc[0]
+
+
+def test_tpch_q10_matches_duckdb(ray_session):
+    """Q10 (date-window join + custkey groupby + post-limit enrich)
+    vs DuckDB on sf0.001."""
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_tpch_q10(sf)
+    exp = duckdb.connect().execute(f"""
+        WITH agg AS (
+            SELECT o_custkey AS c_custkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/lineitem.parquet') l
+                 ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY o_custkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        )
+        SELECT agg.c_custkey, c_name, revenue, c_acctbal, n_name
+        FROM agg
+        JOIN read_parquet('{sf}/customer.parquet') c
+             ON c.c_custkey = agg.c_custkey
+        JOIN read_parquet('{sf}/nation.parquet') n ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, agg.c_custkey
+    """).df()
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert got["revenue"].tolist() == exp["revenue"].tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
