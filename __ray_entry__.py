@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "kcore_nodes": _q_kcore,
         "link_pred_cn": _q_link_pred_cn,
+        "bfs_depths": _q_bfs_depths,
         "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
@@ -2063,6 +2064,70 @@ def _q_link_pred_cn(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return common_neighbors_topk(edges, k=20).to_pandas()
+
+
+def _q_bfs_depths(sf_dir: str):
+    """Fixed-round synchronous BFS from node 0 over the quadratic skewed
+    link graph (pipelines/pagerank.bfs_depths, 4 rounds); the oracle
+    unrolls frontier/visited rounds as chained MATERIALIZED CTEs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import bfs_depths
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return bfs_depths(edges, source=0, n_rounds=4).to_pandas()
+
+
+def _bfs_sql(rounds: int = 4) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )""", """
+        adj AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION ALL SELECT v, u FROM e0
+        )""", """
+        v0 AS MATERIALIZED (SELECT 0 AS node, 0 AS depth)""", """
+        f0 AS MATERIALIZED (SELECT 0 AS node)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        f{r} AS MATERIALIZED (
+            SELECT DISTINCT adj.b AS node
+            FROM adj JOIN f{r - 1} f ON adj.a = f.node
+            WHERE adj.b NOT IN (SELECT node FROM v{r - 1})
+        )""")
+        parts.append(f"""
+        v{r} AS MATERIALIZED (
+            SELECT node, depth FROM v{r - 1}
+            UNION ALL SELECT node, {r} AS depth FROM f{r}
+        )""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT node, depth FROM v{rounds} ORDER BY node
+    """
 
 
 def _q_pagerank_power(sf_dir: str):
@@ -5856,6 +5921,7 @@ def oracle_sql() -> dict[str, str]:
         "sloppy_phrase": _sloppy_sql(),
         "search_eval": _search_eval_sql(),
         "kcore_nodes": _kcore_sql(),
+        "bfs_depths": _bfs_sql(),
         # common-neighbor link prediction on the quadratic graph: wedge
         # self-join, edge anti-join, (count DESC, x, y) top-20
         "link_pred_cn": """

@@ -832,3 +832,86 @@ def common_neighbors_topk(edges_ds, k: int = 20, *, src_col: str = "src",
         "common_neighbors": pa.array(df["c"].to_numpy(np.int64),
                                      pa.int64()),
     })
+
+
+def bfs_depths(edges_ds, source: int = 0, n_rounds: int = 4, *,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Fixed-round synchronous BFS over the undirected link graph:
+    shortest-hop depth from ``source`` for every node reached within
+    ``n_rounds`` rounds (the pagerank_power fixed-iteration idiom — the
+    SQL oracle unrolls the same rounds as chained MATERIALIZED CTEs).
+
+    Distributed shape per round: the frontier node set broadcasts via
+    ``ray.put`` (frontier ≤ node count; the same bounded-broadcast
+    contract as kcore_nodes' survivor set — at 10^12 edges the frontier
+    probe becomes the bloom/filtered semi-join exchange documented in
+    bloom_semi_join) and one map_batches over the edge list emits
+    per-batch-deduped neighbor partials; a node-keyed groupby dedups
+    globally.  The edge list itself never collects on the driver; the
+    driver holds only node-set-bounded arrays.  Returns (node, depth),
+    sorted by node.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    visited_nodes = np.array([source], dtype=np.int64)
+    visited_depth = np.array([0], dtype=np.int64)
+    frontier = np.array([source], dtype=np.int64)
+
+    for r in range(1, n_rounds + 1):
+        if frontier.size == 0:
+            break
+        fr_ref = ray.put(np.sort(frontier))
+
+        def neigh_partial(batch: pa.Table, ref=fr_ref) -> pa.Table:
+            fr = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            iu = np.searchsorted(fr, u)
+            iu[iu == fr.size] = 0
+            iv = np.searchsorted(fr, v)
+            iv[iv == fr.size] = 0
+            nodes = np.unique(np.concatenate([v[fr[iu] == u],
+                                              u[fr[iv] == v]]))
+            return pa.table({"node": pa.array(nodes, pa.int64())})
+
+        parts = ray.get(
+            edges.map_batches(neigh_partial, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .to_arrow_refs()
+        )
+        seed = pa.table({"node": pa.array([], pa.int64())})
+        reached = pa.concat_tables(
+            [seed] + [t.select(["node"]) for t in parts
+                      if "node" in t.schema.names]
+        )["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fresh = reached[~np.isin(reached, visited_nodes)]
+        visited_nodes = np.concatenate([visited_nodes, fresh])
+        visited_depth = np.concatenate(
+            [visited_depth, np.full(fresh.size, r, dtype=np.int64)]
+        )
+        frontier = fresh
+
+    order = np.argsort(visited_nodes, kind="stable")
+    return pa.table({
+        "node": pa.array(visited_nodes[order], pa.int64()),
+        "depth": pa.array(visited_depth[order], pa.int64()),
+    })

@@ -379,3 +379,68 @@ def test_graph_ops_empty_and_selfloop_inputs(ray_session):
     out = triangle_count(loops).to_pandas().iloc[0]
     assert tuple(out) == (0, 0, 0)
     assert common_neighbors_topk(loops).num_rows == 0
+
+
+def test_bfs_depths_bruteforce(ray_session):
+    """Fixed-round BFS equals a networkx-free BFS brute force on a
+    deterministic random graph, and stops early when the frontier
+    empties (a disconnected component stays unreached)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import bfs_depths
+
+    rng = np.random.RandomState(7)
+    n = 60
+    src = rng.randint(0, n, 150).astype(np.int64)
+    dst = rng.randint(0, n, 150).astype(np.int64)
+    # isolate nodes 50..59 into their own component
+    mask = (src < 50) == (dst < 50)
+    src, dst = src[mask], dst[mask]
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    }))
+    got = bfs_depths(edges, source=0, n_rounds=10).to_pandas()
+
+    # brute-force BFS over the undirected simple graph
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    depth = {0: 0}
+    frontier = [0]
+    r = 0
+    while frontier and r < 10:
+        r += 1
+        nxt = []
+        for x in frontier:
+            for y in adj.get(x, ()):
+                if y not in depth:
+                    depth[y] = r
+                    nxt.append(y)
+        frontier = nxt
+    exp = sorted(depth.items())
+    assert list(zip(got["node"], got["depth"])) == exp
+    # the >= 50 component is unreachable from node 0
+    assert (got["node"] < 50).all()
+
+
+def test_bfs_depths_chain(ray_session):
+    """Depths on a 6-chain are exact and the round cap truncates."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import bfs_depths
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    full = bfs_depths(edges, source=0, n_rounds=10).to_pandas()
+    assert list(full["depth"]) == [0, 1, 2, 3, 4, 5]
+    capped = bfs_depths(edges, source=0, n_rounds=2).to_pandas()
+    assert list(capped["node"]) == [0, 1, 2]
