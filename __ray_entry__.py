@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_rank": tq.tfidf_rank,
         "bm25_simple": tq.bm25_simple,
         "search_lm_dirichlet": tq.lm_dirichlet,
+        "ltr_linear": tq.ltr_linear,
         # training-data ops (SQL-checked)
         "exact_dedup": _q_exact_dedup,
         "compact_signature": _q_compact_signature,
@@ -5113,6 +5114,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(raw, 6) AS score FROM scored
             ORDER BY raw DESC, doc_id LIMIT 10
+        """,
+        "ltr_linear": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id,
+                       len(ts) AS dl,
+                       len(list_filter(ts, t -> t = 'data')) AS tf,
+                       (CASE WHEN list_contains(ts, 'data') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(ts, 'hash') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(ts, 'join') THEN 1 ELSE 0 END
+                       ) AS y
+                FROM toks
+            ),
+            sums AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(dl) AS HUGEINT) AS s1,
+                       CAST(sum(tf) AS HUGEINT) AS s2,
+                       CAST(sum(dl * dl) AS HUGEINT) AS s11,
+                       CAST(sum(dl * tf) AS HUGEINT) AS s12,
+                       CAST(sum(tf * tf) AS HUGEINT) AS s22,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       CAST(sum(dl * y) AS HUGEINT) AS s1y,
+                       CAST(sum(tf * y) AS HUGEINT) AS s2y
+                FROM feats
+            ),
+            dets AS (
+                SELECT n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                           + s2*(s1*s12 - s11*s2) AS det,
+                       sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                           + s2*(s1y*s12 - s11*s2y) AS det0,
+                       n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                           + s2*(s1*s2y - s1y*s2) AS det1,
+                       n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                           + sy*(s1*s12 - s11*s2) AS det2
+                FROM sums
+            ),
+            w AS (
+                SELECT CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
+                       CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
+                       CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2
+                FROM dets
+            )
+            SELECT doc_id,
+                   round(w0 + w1 * dl + w2 * tf, 6) AS yhat,
+                   round(w0, 6) AS w0, round(w1, 6) AS w1,
+                   round(w2, 6) AS w2
+            FROM feats CROSS JOIN w
+            ORDER BY round(w0 + w1 * dl + w2 * tf, 6) DESC, doc_id
+            LIMIT 20
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -789,3 +789,97 @@ def data_card(sf_dir: str) -> pd.DataFrame:
     out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
     out = out.drop(columns=["sum_chars"])
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def ltr_linear(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Pointwise linear learning-to-rank via distributed least squares —
+    the closed-form normal-equations cousin of the SGD quality classifier
+    (`stages/classifier.py`): fit y ~ w0 + w1*dl + w2*tf_data over every
+    document and rank by the fitted score.
+
+    Features and label are deliberately INTEGER (dl = valid-token count,
+    tf = occurrences of 'data', y = #distinct present terms of
+    {hash, join, data}) so the X^T X / X^T y partial sums are exact in
+    both engines: each batch reduces to ONE row of int64 sums, the
+    driver combines them in arbitrary-precision Python ints and solves
+    the 3x3 system by Cramer's rule — weights are then bit-identical to
+    the SQL oracle's HUGEINT-arithmetic solve (the only floats are the
+    final det_i/det divisions, identical single IEEE ops).  Scoring +
+    per-block partial top-k run against the broadcast weights; the
+    driver sees 10-int partials and the k-row result."""
+    import numpy as np
+    import ray
+
+    label_terms = ["data", "hash", "join"]
+    tf_term = "data"
+
+    def feats(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        dl = np.bincount(doc_pos[ok], minlength=len(batch))
+        hit = ok & pc.equal(flat, tf_term).to_numpy(zero_copy_only=False)
+        tf = np.bincount(doc_pos[hit], minlength=len(batch))
+        y = np.zeros(len(batch), dtype=np.int64)
+        for t in label_terms:
+            h = ok & pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            y += np.bincount(doc_pos[h], minlength=len(batch)) > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "dl": pa.array(dl, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    stats = _docs(sf_dir).map_batches(feats, batch_format="pyarrow").materialize()
+
+    def sums(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = {
+            "n": len(dl), "s1": dl.sum(), "s2": tf.sum(),
+            "s11": (dl * dl).sum(), "s12": (dl * tf).sum(),
+            "s22": (tf * tf).sum(), "sy": y.sum(),
+            "s1y": (dl * y).sum(), "s2y": (tf * y).sum(),
+        }
+        return pa.table({c: pa.array([int(v)], pa.int64())
+                         for c, v in vals.items()})
+
+    ps = stats.map_batches(sums, batch_format="pyarrow").to_pandas()
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y = (
+        int(ps[c].sum()) for c in
+        ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    )
+    # Cramer's rule on A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b=[sy,s1y,s2y]
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    w0 = float(det0) / float(det)
+    w1 = float(det1) / float(det)
+    w2 = float(det2) / float(det)
+    w_ref = ray.put((w0, w1, w2))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        a0, a1, a2 = ray.get(w_ref)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        yhat = np.round(a0 + a1 * dl + a2 * tf, 6)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -yhat))[: min(k, ids.size)]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "yhat": pa.array(yhat[order], pa.float64())}
+        )
+
+    out = stats.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["yhat", "doc_id"], ascending=[False, True]).head(k)
+    out["w0"] = round(w0, 6)
+    out["w1"] = round(w1, 6)
+    out["w2"] = round(w2, 6)
+    return out.reset_index(drop=True)

@@ -295,3 +295,44 @@ def test_lm_dirichlet_absent_term_dropped(ray_session):
     # (p(t|C)=0 is undefined under the model; the term is dropped)
     with_ghost = lm_dirichlet(sf, query="hash join zzzqqqxyzzy", k=10)
     assert base.equals(with_ghost)
+
+
+# ---------------------------------------------------------------------------
+# linear learning-to-rank (closed-form normal equations)
+# ---------------------------------------------------------------------------
+
+def test_ltr_linear_matches_numpy_lstsq(ray_session):
+    import duckdb
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        ltr_linear, simple_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = ltr_linear(sf, k=10)
+    assert list(out.columns) == ["doc_id", "yhat", "w0", "w1", "w2"]
+    assert len(out) == 10
+    s = out["yhat"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    rows = []
+    for r in docs.itertuples():
+        ts = [t for t in simple_tokens(r.text) if len(t) >= 2]
+        y = sum(1 for t in ("data", "hash", "join") if t in ts)
+        rows.append((len(ts), ts.count("data"), y))
+    X = np.array([[1.0, dl, tf] for dl, tf, _ in rows])
+    yv = np.array([y for _, _, y in rows], dtype=np.float64)
+    w, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(out["w0"].iloc[0] - w[0]) < 1e-6
+    assert abs(out["w1"].iloc[0] - w[1]) < 1e-6
+    assert abs(out["w2"].iloc[0] - w[2]) < 1e-6
+    # fitted score of the top row recomputes from its own features
+    top = int(out["doc_id"].iloc[0])
+    dl, tf, _ = rows[[i for i, r in enumerate(docs.itertuples())
+                      if int(r.doc_id) == top][0]]
+    exp = out["w0"].iloc[0] + out["w1"].iloc[0] * dl + out["w2"].iloc[0] * tf
+    assert abs(out["yhat"].iloc[0] - exp) < 1e-4
