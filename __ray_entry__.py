@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_fuzzy_pairs": tq.term_fuzzy_pairs,
         "funnel_conversion": rel.q_funnel_conversion,
         "term_cooccur": tq.term_cooccur,
+        "pmi_pairs": tq.pmi_pairs,
         "json_extract_agg": rel.q_json_extract_agg,
         "snapshot_diff": rel.q_snapshot_diff,
         "data_card": tq.data_card,
@@ -4799,6 +4800,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
                    CAST((SELECT count(*) FROM v) AS BIGINT) AS n_click_view,
                    CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+        """,
+        "pmi_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           list_filter({tok}, t -> length(t) >= 2))) AS term
+                FROM documents
+            ),
+            df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+            band AS (SELECT term, df FROM df WHERE df BETWEEN 10 AND 400),
+            bt AS (SELECT doc_id, term FROM toks JOIN band USING (term)),
+            pairs AS (
+                SELECT a.term AS term_a, b.term AS term_b,
+                       count(*) AS n_docs
+                FROM bt a JOIN bt b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ),
+            stats AS (SELECT count(*) AS n FROM documents)
+            SELECT term_a, term_b, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(ln(CAST(stats.n * n_docs AS DOUBLE)
+                            / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+            FROM pairs CROSS JOIN stats
+            JOIN band da ON da.term = term_a
+            JOIN band db ON db.term = term_b
+            ORDER BY round(ln(CAST(stats.n * n_docs AS DOUBLE)
+                              / CAST(da.df * db.df AS DOUBLE)), 6) DESC,
+                     term_a, term_b
+            LIMIT 20
         """,
         "term_cooccur": f"""
             WITH toks AS (

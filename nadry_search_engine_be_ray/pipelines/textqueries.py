@@ -649,17 +649,14 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
     return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
 
 
-def term_cooccur(
-    sf_dir: str, df_lo: int = 10, df_hi: int = 400, k: int = 20
-) -> pd.DataFrame:
-    """Top-k co-occurring mid-frequency term pairs (number of docs
-    containing both).  Scale shape: pass 1 computes df and the driver
-    broadcasts the SMALL mid-band vocabulary (df in [df_lo, df_hi] —
-    frequency banding is what bounds the pair fan-out: stop-word-like
-    terms would pair with everything); pass 2 emits per-doc pairs only
-    over broadcast-filtered terms, then partial pair counts collapse into
-    a groupby and a tiny top-k.  The pair exchange is O(docs × band²),
-    never O(vocab²)."""
+def _band_pair_counts(sf_dir: str, df_lo: int, df_hi: int):
+    """Shared core of term_cooccur / pmi_pairs: df pass -> broadcast the
+    SMALL mid-band vocabulary (df in [df_lo, df_hi] — frequency banding
+    bounds the pair fan-out: stop-word-like terms would pair with
+    everything) -> per-doc pair emission over broadcast-filtered terms ->
+    partial pair counts -> pair groupby.  The pair exchange is
+    O(docs × band²), never O(vocab²).  Returns (pair-counts Dataset with
+    columns term_a/term_b/n_docs, band df DataFrame)."""
     import itertools
 
     import ray
@@ -670,7 +667,7 @@ def term_cooccur(
     df = ds.groupby("term").aggregate(Count(alias_name="df"))
     band = df.filter(
         expr=f"df >= {df_lo} and df <= {df_hi}"
-    ).select_columns(["term"]).to_pandas()
+    ).select_columns(["term", "df"]).to_pandas()
     band_ref = ray.put(frozenset(band["term"].tolist()))
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -717,6 +714,15 @@ def term_cooccur(
         .groupby(["term_a", "term_b"])
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+    return counts, band
+
+
+def term_cooccur(
+    sf_dir: str, df_lo: int = 10, df_hi: int = 400, k: int = 20
+) -> pd.DataFrame:
+    """Top-k co-occurring mid-frequency term pairs (number of docs
+    containing both); see _band_pair_counts for the distributed shape."""
+    counts, _ = _band_pair_counts(sf_dir, df_lo, df_hi)
     out = (
         counts.sort(
             ["n_docs", "term_a", "term_b"], descending=[True, False, False]
@@ -735,6 +741,53 @@ def term_cooccur(
             }
         )
     out["n_docs"] = out["n_docs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def pmi_pairs(sf_dir: str, df_lo: int = 10, df_hi: int = 400, k: int = 20,
+              min_pair: int = 5) -> pd.DataFrame:
+    """Pointwise mutual information over mid-band co-occurring term pairs
+    (Church & Hanks 1990): pmi = ln(N·c(a,b) / (df_a·df_b)) for pairs with
+    c(a,b) >= ``min_pair`` (the support floor that keeps PMI's
+    low-frequency bias out of the top-k).  Same distributed shape as
+    term_cooccur (_band_pair_counts); the PMI arithmetic runs per block
+    over the pair-counts Dataset against the broadcast band-df map — all
+    inputs integer, one division + one ln, so the oracle is bit-parity."""
+    import ray
+
+    counts, band = _band_pair_counts(sf_dir, df_lo, df_hi)
+    n = int(_docs(sf_dir).count())
+    df_map_ref = ray.put(dict(zip(band["term"], band["df"].astype(int))))
+
+    empty = pd.DataFrame({
+        "term_a": pd.Series([], dtype=object),
+        "term_b": pd.Series([], dtype=object),
+        "n_docs": pd.Series([], dtype="int64"),
+        "pmi": pd.Series([], dtype="float64"),
+    })
+
+    def pmi_topk(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_map_ref)
+        t = batch.to_pandas()
+        t = t[t["n_docs"] >= min_pair]
+        if t.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        da = t["term_a"].map(dfm).to_numpy(np.int64)
+        db = t["term_b"].map(dfm).to_numpy(np.int64)
+        c = t["n_docs"].to_numpy(np.int64)
+        pmi = np.log((n * c).astype(np.float64) / (da * db).astype(np.float64))
+        t = t.assign(pmi=np.round(pmi, 6))
+        t["n_docs"] = t["n_docs"].astype("int64")
+        t = t.sort_values(["pmi", "term_a", "term_b"],
+                          ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(t[["term_a", "term_b", "n_docs", "pmi"]],
+                                    preserve_index=False)
+
+    out = counts.map_batches(pmi_topk, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    out = out.sort_values(["pmi", "term_a", "term_b"],
+                          ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True)
 
 

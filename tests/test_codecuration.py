@@ -336,3 +336,39 @@ def test_ltr_linear_matches_numpy_lstsq(ray_session):
                       if int(r.doc_id) == top][0]]
     exp = out["w0"].iloc[0] + out["w1"].iloc[0] * dl + out["w2"].iloc[0] * tf
     assert abs(out["yhat"].iloc[0] - exp) < 1e-4
+
+
+def test_pmi_pairs_contract(ray_session):
+    """PMI values recompute from an exact brute-force pair count and the
+    support floor holds."""
+    import math
+
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        pmi_pairs, simple_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = pmi_pairs(sf, df_lo=3, df_hi=40, k=10, min_pair=2)
+    assert list(out.columns) == ["term_a", "term_b", "n_docs", "pmi"]
+    assert (out["n_docs"] >= 2).all()
+    s = out["pmi"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    tsets = [set(t for t in simple_tokens(r.text) if len(t) >= 2)
+             for r in docs.itertuples()]
+    n = len(tsets)
+    dfc: dict[str, int] = {}
+    for ts in tsets:
+        for t in ts:
+            dfc[t] = dfc.get(t, 0) + 1
+    for row in out.head(3).itertuples():
+        c = sum(1 for ts in tsets
+                if row.term_a in ts and row.term_b in ts)
+        assert c == row.n_docs
+        exp = math.log((n * c) / (dfc[row.term_a] * dfc[row.term_b]))
+        assert abs(row.pmi - round(exp, 6)) < 1e-9
