@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": rel.q_tpch_q5,
         "tpch_q6": rel.q_tpch_q6,
         "tpch_q10": rel.q_tpch_q10,
+        "skyline_orders": rel.q_skyline_orders,
         "set_intersect": rel.q_set_intersect,
         "event_deltas": rel.q_event_deltas,
         "corr_stats": rel.q_corr_stats,
@@ -4655,6 +4656,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON customer.c_custkey = agg.c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             ORDER BY revenue DESC, agg.c_custkey
+        """,
+        "skyline_orders": """
+            SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+                   o_orderdate
+            FROM orders q
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders p
+                WHERE p.o_totalprice >= q.o_totalprice
+                  AND p.o_orderdate <= q.o_orderdate
+                  AND (p.o_totalprice > q.o_totalprice
+                       OR p.o_orderdate < q.o_orderdate)
+            )
+            ORDER BY o_orderkey
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -2110,3 +2110,64 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _skyline_2d(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D Pareto frontier (maximize ``price``, minimize
+    ``date``): q survives iff no p has (price >=, date <=) with one
+    strict.  One sort + two prefix mins — fully vectorized.  Returns
+    positions into the input arrays."""
+    order = np.lexsort((date, -price))  # price desc, date asc
+    p_s, d_s = price[order], date[order]
+    # start index of each equal-price group
+    new_grp = np.concatenate(([True], p_s[1:] != p_s[:-1]))
+    grp_start = np.maximum.accumulate(
+        np.where(new_grp, np.arange(p_s.size), 0)
+    )
+    # min date within the group = date at group start (dates sorted asc)
+    grp_min = d_s[grp_start]
+    # min date over all strictly-higher prices = cummin up to group start
+    cummin = np.minimum.accumulate(d_s)
+    prev = grp_start - 1
+    min_higher = np.where(prev >= 0, cummin[np.maximum(prev, 0)],
+                          np.iinfo(np.int64).max
+                          if np.issubdtype(date.dtype, np.integer)
+                          else np.inf)
+    survive = (d_s == grp_min) & (min_higher > d_s)
+    return order[survive]
+
+
+def q_skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed 2-D skyline over orders — the Pareto frontier
+    maximizing o_totalprice while minimizing o_orderdate ("biggest
+    earliest orders").  Shape: each block reduces to its LOCAL skyline
+    (skyline(union) ⊆ union of block skylines, so the prune is lossless);
+    the driver merges only the surviving candidates with the same sweep —
+    frontier-sized, not corpus-sized (a tree-reduce replaces the driver
+    merge if block frontiers themselves are large)."""
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["o_orderkey", "o_totalprice", "o_orderdate"])
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        date = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        date_i = date.astype("datetime64[us]").astype(np.int64)
+        idx = _skyline_2d(price.astype(np.float64), date_i)
+        return batch.select(
+            ["o_orderkey", "o_totalprice", "o_orderdate"]
+        ).take(pa.array(np.sort(idx)))
+
+    cand = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if cand.empty:
+        return cand
+    price = cand["o_totalprice"].to_numpy(np.float64)
+    date_i = cand["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+    keep = _skyline_2d(price, date_i)
+    out = cand.iloc[np.sort(keep)].sort_values("o_orderkey")
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    return out.reset_index(drop=True)

@@ -111,3 +111,52 @@ def test_tpch_q10_matches_duckdb(ray_session):
     assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
     assert got["revenue"].tolist() == exp["revenue"].tolist()
     assert got["n_name"].tolist() == exp["n_name"].tolist()
+
+
+def test_skyline_2d_bruteforce():
+    """Vectorized sweep equals O(n^2) dominance on random data with
+    heavy ties and duplicate points."""
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines.relational import _skyline_2d
+
+    rng = np.random.RandomState(3)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        price = rng.randint(0, 8, n).astype(np.float64)
+        date = rng.randint(0, 8, n).astype(np.int64)
+        got = set(_skyline_2d(price, date).tolist())
+        exp = set()
+        for i in range(n):
+            dominated = any(
+                price[j] >= price[i] and date[j] <= date[i]
+                and (price[j] > price[i] or date[j] < date[i])
+                for j in range(n)
+            )
+            if not dominated:
+                exp.add(i)
+        assert got == exp, (trial, price.tolist(), date.tolist())
+
+
+def test_skyline_orders_matches_duckdb(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_skyline_orders(sf)
+    exp = duckdb.connect().execute(f"""
+        SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+               o_orderdate
+        FROM read_parquet('{sf}/orders.parquet') q
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{sf}/orders.parquet') p
+            WHERE p.o_totalprice >= q.o_totalprice
+              AND p.o_orderdate <= q.o_orderdate
+              AND (p.o_totalprice > q.o_totalprice
+                   OR p.o_orderdate < q.o_orderdate)
+        )
+        ORDER BY o_orderkey
+    """).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["o_totalprice"].tolist() == exp["o_totalprice"].tolist()
