@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": rel.q_tpch_q6,
         "tpch_q10": rel.q_tpch_q10,
         "skyline_orders": rel.q_skyline_orders,
+        "retention_cohorts": rel.q_retention_cohorts,
         "set_intersect": rel.q_set_intersect,
         "event_deltas": rel.q_event_deltas,
         "corr_stats": rel.q_corr_stats,
@@ -4669,6 +4670,22 @@ def oracle_sql() -> dict[str, str]:
                        OR p.o_orderdate < q.o_orderdate)
             )
             ORDER BY o_orderkey
+        """,
+        "retention_cohorts": """
+            WITH firsts AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            weeks AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                FROM events
+            )
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, w.w) / 7 AS BIGINT)
+                       AS week_offset,
+                   count(*) AS n_users
+            FROM weeks w JOIN firsts f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

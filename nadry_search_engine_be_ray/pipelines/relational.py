@@ -2171,3 +2171,102 @@ def q_skyline_orders(sf_dir: str) -> pd.DataFrame:
     out = cand.iloc[np.sort(keep)].sort_values("o_orderkey")
     out["o_totalprice"] = out["o_totalprice"].round(4)
     return out.reset_index(drop=True)
+
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Weekly retention cohorts over events: cohort = Monday-truncated
+    week of each user's FIRST event; for every (cohort_week, week_offset)
+    count the users active in that week.  Distributed shape: one
+    user-keyed min groupby (first events), one per-batch-deduped
+    (user, week) groupby (active weeks), then a user-keyed hash join of
+    the two user-sized tables; offsets + cohort counts pre-aggregate per
+    batch so only cohort×offset-sized partials reach the final combine —
+    the raw event stream never shuffles twice.  Week truncation matches
+    DuckDB date_trunc('week'): Mondays, computed in integer day space."""
+    from ray.data.aggregate import Min, Sum
+
+    WEEK_US = 7 * 86_400_000_000
+
+    def _monday_us(ts_us: np.ndarray) -> np.ndarray:
+        d = ts_us // 86_400_000_000
+        return (d - ((d + 3) % 7)) * 86_400_000_000
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts_us, u))
+        uu, first = np.unique(u[order], return_index=True)
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "ts_us": pa.array(ts_us[order][first], pa.int64())})
+
+    firsts = (
+        ev.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_us", alias_name="first_us"))
+        .map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "cohort_us": pa.array(
+                    _monday_us(b["first_us"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        w = _monday_us(ts_us)
+        uniq = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                         "w_us": pa.array(uniq[:, 1], pa.int64())})
+
+    weeks = (
+        ev.map_batches(week_partial, batch_format="pyarrow")
+        .groupby(["user_id", "w_us"])
+        .count()
+        .select_columns(["user_id", "w_us"])
+    )
+
+    joined = weeks.join(
+        firsts,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "events"),
+        on=("user_id",),
+    )
+
+    def cohort_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cohort_us": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        w = batch["w_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["cohort_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = (w - c) // WEEK_US
+        g = pa.table({
+            "cohort_us": pa.array(c, pa.int64()),
+            "week_offset": pa.array(off, pa.int64()),
+        }).group_by(["cohort_us", "week_offset"]).aggregate(
+            [("cohort_us", "count")]
+        )
+        return g.rename_columns(
+            [{"cohort_us_count": "n"}.get(c2, c2) for c2 in g.column_names]
+        )
+
+    out = (
+        joined.map_batches(cohort_partial, batch_format="pyarrow")
+        .groupby(["cohort_us", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["cohort_week"] = out["cohort_us"].astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    out = out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    return out[["cohort_week", "week_offset", "n_users"]]

@@ -160,3 +160,37 @@ def test_skyline_orders_matches_duckdb(ray_session):
     """).df()
     assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
     assert got["o_totalprice"].tolist() == exp["o_totalprice"].tolist()
+
+
+def test_retention_cohorts_matches_duckdb(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_retention_cohorts(sf)
+    exp = duckdb.connect().execute(f"""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+        ),
+        weeks AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+            FROM read_parquet('{sf}/events.parquet')
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, w.w) / 7 AS BIGINT)
+                   AS week_offset,
+               count(*) AS n_users
+        FROM weeks w JOIN firsts f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert len(got) == len(exp)
+    assert got["week_offset"].tolist() == exp["week_offset"].tolist()
+    assert got["n_users"].tolist() == exp["n_users"].tolist()
+    assert (got["cohort_week"].to_numpy("datetime64[us]")
+            == exp["cohort_week"].to_numpy("datetime64[us]")).all()
+    # offset-0 cell of each cohort counts the whole cohort (every user is
+    # active in their own first week)
+    z = got[got["week_offset"] == 0]
+    assert (z["n_users"] > 0).all()
