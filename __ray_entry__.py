@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": rel.q_semi_join,
         "skew_join": rel.q_skew_join,
         "rollup_agg": rel.q_rollup,
+        "cube_agg": rel.q_cube_agg,
         "grouped_median": rel.q_grouped_median,
         "heavy_hitters": _q_heavy_hitters,
         "top_grams_approx": _q_top_grams_approx,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": rel.q_tpch_q10,
         "skyline_orders": rel.q_skyline_orders,
         "retention_cohorts": rel.q_retention_cohorts,
+        "interval_coverage": rel.q_interval_coverage,
         "set_intersect": rel.q_set_intersect,
         "event_deltas": rel.q_event_deltas,
         "corr_stats": rel.q_corr_stats,
@@ -4585,6 +4587,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
+        "cube_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
         "rollup_agg": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -4686,6 +4697,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_users
             FROM weeks w JOIN firsts f USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "interval_coverage": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 300000000 AS e
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS maxe
+                FROM iv
+            ),
+            g AS (
+                SELECT user_id, s, e,
+                       sum(CASE WHEN maxe IS NULL OR s > maxe
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+                FROM m
+            ),
+            spans AS (
+                SELECT user_id, isl, max(e) - min(s) AS len
+                FROM g GROUP BY user_id, isl
+            )
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us
+            FROM spans GROUP BY user_id ORDER BY user_id
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -2270,3 +2270,105 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     out["n_users"] = out["n_users"].astype("int64")
     out = out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
     return out[["cohort_week", "week_offset", "n_users"]]
+
+
+def q_cube_agg(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(returnflag, linestatus): the rollup grid plus the
+    per-linestatus marginal.  Same shape as q_rollup — one
+    partial-aggregated pass builds the leaf grid; all three
+    super-aggregate levels roll up from that keys×blocks grid
+    driver-side, no second scan."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return _rename_agg(
+            g, {"l_quantity_sum": "sum_qty", "l_quantity_count": "n_rows"}
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+    )
+    lvl_flag = leaf.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")
+    )
+    lvl_flag["l_linestatus"] = "ALL"
+    lvl_status = leaf.groupby("l_linestatus", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")
+    )
+    lvl_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [leaf["sum_qty"].sum()],
+            "n_rows": [leaf["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([leaf, lvl_flag, lvl_status, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    return out[cols].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+def q_interval_coverage(sf_dir: str, window_minutes: int = 5) -> pd.DataFrame:
+    """Interval-union coverage (gaps-and-islands): per user, the total
+    covered time of the union of [ts, ts + window) activity intervals —
+    uniform width makes the union length Σ min(next_start − start, W)
+    plus W for each user's last event, so one sort + one diff + one
+    reduceat per partition computes it exactly (overlaps merge
+    implicitly); all arithmetic stays integer microseconds.  Partitioning:
+    the user-keyed fused-partition groupby the session/window family uses
+    (a user's rows co-locate; the oracle is the classic windowed
+    islands query)."""
+    n_parts = _fused_parts(sf_dir, "events")
+    w_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def coverage_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        contrib = np.full(len(ts), w_us, dtype=np.int64)
+        if len(ts) > 1:
+            same = uid[1:] == uid[:-1]
+            gap = ts[1:] - ts[:-1]
+            contrib[:-1] = np.where(same, np.minimum(gap, w_us), w_us)
+        ufirst = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(ufirst)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "covered_us": pa.array(
+                    np.add.reduceat(contrib, starts), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("part").map_groups(
+        coverage_partition, batch_format="pyarrow"
+    ).select_columns(["user_id", "covered_us"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -194,3 +194,54 @@ def test_retention_cohorts_matches_duckdb(ray_session):
     # active in their own first week)
     z = got[got["week_offset"] == 0]
     assert (z["n_users"] > 0).all()
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_cube_agg(sf)
+    exp = duckdb.connect().execute(f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        FROM read_parquet('{sf}/lineitem.parquet')
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """).df()
+    assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+    assert got["l_linestatus"].tolist() == exp["l_linestatus"].tolist()
+    assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+
+
+def test_interval_coverage_bruteforce(ray_session):
+    """Σ min(gap, W) + W equals an explicit interval-union merge."""
+    import duckdb
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_interval_coverage(sf)
+    ev = duckdb.sql(
+        f"SELECT user_id, ts FROM read_parquet('{sf}/events.parquet')"
+    ).df()
+    W = 5 * 60 * 1_000_000
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy("datetime64[us]").astype(np.int64))
+        total, cur_s, cur_e = 0, None, None
+        for s in ts:
+            e = s + W
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        total += cur_e - cur_s
+        exp[int(uid)] = int(total)
+    assert dict(zip(got["user_id"], got["covered_us"])) == exp
