@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": rel.q_funnel_conversion,
         "term_cooccur": tq.term_cooccur,
         "pmi_pairs": tq.pmi_pairs,
+        "phrase_suggest": tq.phrase_suggest,
         "json_extract_agg": rel.q_json_extract_agg,
         "snapshot_diff": rel.q_snapshot_diff,
         "data_card": tq.data_card,
@@ -4900,6 +4901,36 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(da.df * db.df AS DOUBLE)), 6) DESC,
                      term_a, term_b
             LIMIT 20
+        """,
+        "phrase_suggest": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dict AS (
+                SELECT DISTINCT unnest(ts) AS term FROM toks
+            ),
+            big AS (
+                SELECT split_part(bg, ' ', 1) AS w1,
+                       split_part(bg, ' ', 2) AS w2, count(*) AS n
+                FROM (
+                    SELECT unnest(list_transform(
+                        range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i + 1])) AS bg
+                    FROM toks WHERE len(ts) >= 2
+                )
+                GROUP BY 1, 2
+            ),
+            c1 AS (SELECT term, levenshtein('tble', term) AS d1
+                   FROM dict WHERE levenshtein('tble', term) <= 1),
+            c2 AS (SELECT term, levenshtein('hach', term) AS d2
+                   FROM dict WHERE levenshtein('hach', term) <= 1)
+            SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+                   CAST(c1.d1 + c2.d2 AS BIGINT) AS dist
+            FROM big b
+            JOIN c1 ON b.w1 = c1.term
+            JOIN c2 ON b.w2 = c2.term
+            ORDER BY b.n DESC, dist, b.w1, b.w2 LIMIT 5
         """,
         "term_cooccur": f"""
             WITH toks AS (

@@ -936,3 +936,113 @@ def ltr_linear(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out["w1"] = round(w1, 6)
     out["w2"] = round(w2, 6)
     return out.reset_index(drop=True)
+
+
+def phrase_suggest(sf_dir: str, phrase: str = "tble hach", k: int = 5,
+                   max_distance: int = 1) -> pd.DataFrame:
+    """Phrase suggester ("did you mean" over BIGRAMS — the phrase-level
+    sibling of the index-backed single-term spell_correct): for a 2-word
+    query, candidate corrections are dictionary terms within
+    ``max_distance`` edits of each word, and candidate PAIRS are ranked
+    by corpus bigram frequency (count desc, summed edit distance asc,
+    pair asc) — frequency is what disambiguates which correction the
+    corpus supports (Manning/Raghavan/Schütze IR ch.3 context-sensitive
+    correction).
+
+    Two passes, both with tiny exchanges: (1) the term dictionary streams
+    through a per-batch vectorized Wagner-Fischer scan (byte-level,
+    = DuckDB levenshtein) emitting per-word candidates; (2) the corpus
+    emits only the bigrams whose BOTH sides are broadcast candidates, so
+    the pair groupby is candidate²-bounded, never vocab²."""
+    import ray
+
+    from .query import _levenshtein_vec
+
+    words = [t for t in simple_tokens(phrase) if len(t) >= 2]
+    if len(words) != 2:
+        raise ValueError("phrase_suggest expects a 2-word phrase")
+
+    empty = pd.DataFrame({
+        "w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype="int64"), "dist": pd.Series([], dtype="int64"),
+    })
+
+    dict_ds = (
+        _docs(sf_dir)
+        .map_batches(lambda b: _explode(b, True), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+
+    def cand_batch(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        tbytes = [t.encode("utf-8") for t in terms]
+        lens = np.array([len(b) for b in tbytes], dtype=np.int64)
+        out_w, out_t, out_d = [], [], []
+        for wi, w in enumerate(words):
+            wb = w.encode("utf-8")
+            sel = np.flatnonzero(np.abs(lens - len(wb)) <= max_distance)
+            if sel.size == 0:
+                continue
+            L = int(lens[sel].max())
+            mat = np.zeros((sel.size, L), dtype=np.uint8)
+            for r, si in enumerate(sel):
+                bs = tbytes[si]
+                mat[r, : len(bs)] = np.frombuffer(bs, np.uint8)
+            dist = _levenshtein_vec(wb, mat, lens[sel])
+            okd = dist <= max_distance
+            for r in np.flatnonzero(okd):
+                out_w.append(wi)
+                out_t.append(terms[sel[r]])
+                out_d.append(int(dist[r]))
+        return pa.table({
+            "wi": pa.array(out_w, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "dist": pa.array(out_d, pa.int64()),
+        })
+
+    cands = dict_ds.map_batches(
+        cand_batch, batch_format="pyarrow"
+    ).to_pandas()
+    c1 = dict(zip(cands.loc[cands["wi"] == 0, "term"],
+                  cands.loc[cands["wi"] == 0, "dist"].astype(int)))
+    c2 = dict(zip(cands.loc[cands["wi"] == 1, "term"],
+                  cands.loc[cands["wi"] == 1, "dist"].astype(int)))
+    if not c1 or not c2:
+        return empty
+    sets_ref = ray.put((pa.array(sorted(c1), pa.string()),
+                        pa.array(sorted(c2), pa.string())))
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        s1, s2 = ray.get(sets_ref)
+        doc_pos, flat, _, ok = _exploded(batch)
+        f_idx = np.flatnonzero(ok)
+        if f_idx.size < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        d = doc_pos[f_idx]
+        w = flat.take(pa.array(f_idx))
+        a, b = w.slice(0, len(w) - 1), w.slice(1)
+        keep = (
+            pc.and_(pc.is_in(a, value_set=s1), pc.is_in(b, value_set=s2))
+            .to_numpy(zero_copy_only=False)
+            & (d[1:] == d[:-1])
+        )
+        m = pa.array(keep)
+        return pa.table({"w1": a.filter(m), "w2": b.filter(m)})
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(big_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .count()
+        .to_pandas()
+    )
+    if counts.empty:
+        return empty
+    counts = counts.rename(columns={"count()": "n"})
+    counts["n"] = counts["n"].astype("int64")
+    counts["dist"] = (counts["w1"].map(c1) + counts["w2"].map(c2)).astype("int64")
+    out = counts.sort_values(["n", "dist", "w1", "w2"],
+                             ascending=[False, True, True, True]).head(k)
+    return out[["w1", "w2", "n", "dist"]].reset_index(drop=True)

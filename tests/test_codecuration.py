@@ -372,3 +372,48 @@ def test_pmi_pairs_contract(ray_session):
         assert c == row.n_docs
         exp = math.log((n * c) / (dfc[row.term_a] * dfc[row.term_b]))
         assert abs(row.pmi - round(exp, 6)) < 1e-9
+
+
+def test_phrase_suggest_bruteforce(ray_session):
+    """Candidate pairs, counts and ranking recompute from a brute-force
+    bigram table + stdlib edit distance."""
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        phrase_suggest, simple_tokens,
+    )
+
+    def lev(a: str, b: str) -> int:
+        pa_, pb = a.encode(), b.encode()
+        prev = list(range(len(pb) + 1))
+        for i, ca in enumerate(pa_, 1):
+            cur = [i]
+            for j, cb in enumerate(pb, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    sf = "/root/testdata/sf0.001"
+    out = phrase_suggest(sf, phrase="tble hach", k=5, max_distance=1)
+    assert list(out.columns) == ["w1", "w2", "n", "dist"]
+
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    bigrams: dict[tuple, int] = {}
+    vocab = set()
+    for t in docs["text"]:
+        ts = [w for w in simple_tokens(t) if len(w) >= 2]
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    c1 = {t: lev("tble", t) for t in vocab if lev("tble", t) <= 1}
+    c2 = {t: lev("hach", t) for t in vocab if lev("hach", t) <= 1}
+    exp = sorted(
+        ((a, b, n, c1[a] + c2[b]) for (a, b), n in bigrams.items()
+         if a in c1 and b in c2),
+        key=lambda r: (-r[2], r[3], r[0], r[1]),
+    )[:5]
+    assert [tuple(r) for r in out.itertuples(index=False)] == exp
+    assert len(exp) >= 1  # the corpus supports at least one correction
