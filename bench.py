@@ -345,6 +345,26 @@ def main() -> None:
                 qv_ids=head["vec_id"].to_numpy(), k=10)
     extra_timings["pq_ann"] = time.time() - t0
 
+    # --- session-7 analytics/IR additions (also non-headline) --------------
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        lm_dirichlet, ltr_linear, phrase_suggest, pmi_pairs,
+    )
+
+    t0 = time.time()
+    lm_dirichlet(SF_DIR)
+    ltr_linear(SF_DIR)
+    pmi_pairs(SF_DIR)
+    phrase_suggest(SF_DIR)
+    extra_timings["ranking_extras"] = time.time() - t0
+
+    t0 = time.time()
+    rel.q_tpch_q6(SF_DIR)
+    rel.q_tpch_q10(SF_DIR)
+    rel.q_skyline_orders(SF_DIR)
+    rel.q_retention_cohorts(SF_DIR)
+    rel.q_interval_coverage(SF_DIR)
+    extra_timings["analytics_extras"] = time.time() - t0
+
     ray.shutdown()
 
     from nadry_search_engine_be_ray.benchconst import (
