@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": rel.q_tpch_q5,
         "tpch_q6": rel.q_tpch_q6,
         "tpch_q10": rel.q_tpch_q10,
+        "tpch_q12": rel.q_tpch_q12,
+        "event_transitions": rel.q_event_transitions,
         "skyline_orders": rel.q_skyline_orders,
         "retention_cohorts": rel.q_retention_cohorts,
         "interval_coverage": rel.q_interval_coverage,
@@ -173,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_rank": tq.tfidf_rank,
         "bm25_simple": tq.bm25_simple,
         "search_lm_dirichlet": tq.lm_dirichlet,
+        "search_lm_jm": tq.lm_jelinek_mercer,
         "ltr_linear": tq.ltr_linear,
         # training-data ops (SQL-checked)
         "exact_dedup": _q_exact_dedup,
@@ -4727,6 +4730,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us
             FROM spans GROUP BY user_id ORDER BY user_id
         """,
+        "tpch_q12": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(sum(CASE WHEN o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS next_type
+                FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY n DESC, from_type, to_type LIMIT 20
+        """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT
@@ -5298,6 +5330,38 @@ def oracle_sql() -> dict[str, str]:
             FROM feats CROSS JOIN w
             ORDER BY round(w0 + w1 * dl + w2 * tf, 6) DESC, doc_id
             LIMIT 20
+        """,
+        "search_lm_jm": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            stats AS (SELECT sum(dl) AS total FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+                WHERE token IN ('hash', 'join', 'table')
+                GROUP BY doc_id, token
+            ),
+            ctf AS (SELECT token, sum(tf) AS ctf FROM tf GROUP BY token),
+            cand AS (SELECT DISTINCT doc_id FROM tf),
+            scored AS (
+                SELECT cand.doc_id,
+                       sum(ln((1 - 0.3) * (coalesce(tf.tf, 0) * 1.0 / dl.dl)
+                              + 0.3 * (ctf.ctf * 1.0 / stats.total))) AS raw
+                FROM cand
+                CROSS JOIN (SELECT unnest(['hash', 'join', 'table'])
+                            AS token) qt
+                JOIN ctf ON ctf.token = qt.token
+                LEFT JOIN tf ON tf.doc_id = cand.doc_id
+                            AND tf.token = qt.token
+                JOIN dl ON dl.doc_id = cand.doc_id
+                CROSS JOIN stats
+                GROUP BY cand.doc_id
+            )
+            SELECT doc_id, round(raw, 6) AS score FROM scored
+            ORDER BY raw DESC, doc_id LIMIT 10
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -2372,3 +2372,125 @@ def q_interval_coverage(sf_dir: str, window_minutes: int = 5) -> pd.DataFrame:
         coverage_partition, batch_format="pyarrow"
     ).select_columns(["user_id", "covered_us"]).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_tpch_q12(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (shipping-priority counts by date window): a
+    filter + conditional aggregation over the lineitem ⨝ orders hash
+    join — per-batch partials split orders into URGENT/HIGH vs other
+    priority counts, so only 2-int rows per block reach the combine.
+    (The synthetic lineitem has no shipmode/commitdate; the grouping
+    dimension here is the shipdate YEAR, keeping the classic
+    conditional-count shape.)"""
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                    pc.less(b["l_shipdate"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"ship_year": pa.array([], pa.int64()),
+                             "high_line_count": pa.array([], pa.int64()),
+                             "low_line_count": pa.array([], pa.int64())})
+        yr = pc.year(batch["l_shipdate"])
+        pri = batch["o_orderpriority"]
+        hi_m = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        t = pa.table({
+            "ship_year": pc.cast(yr, pa.int64()),
+            "high_line_count": pc.cast(hi_m, pa.int64()),
+            "low_line_count": pc.cast(pc.invert(hi_m), pa.int64()),
+        })
+        g = t.group_by(["ship_year"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return _rename_agg(g, {"high_line_count_sum": "high_line_count",
+                               "low_line_count_sum": "low_line_count"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_year")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+        .to_pandas()
+    )
+    for c in ["high_line_count", "low_line_count"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("ship_year").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Clickstream transition counts (the first-order Markov chain of
+    event types): per user, consecutive-event (from_type, to_type)
+    pairs ordered by (ts, event_id), counted corpus-wide — top-k by
+    (count desc, pair asc).  Same fused user partitioning as
+    sessionize: one sort + shift per partition emits pair partials, the
+    pair groupby is |types|²-bounded."""
+    from ray.data.aggregate import Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def trans_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        et = et.take(pa.array(order))
+        uid = uid[order]
+        if len(uid) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = pa.array(uid[1:] == uid[:-1])
+        a = et.slice(0, len(et) - 1).filter(same)
+        b = et.slice(1).filter(same)
+        g = pa.table({"from_type": a, "to_type": b}).group_by(
+            ["from_type", "to_type"]
+        ).aggregate([("from_type", "count")])
+        return g.rename_columns(
+            [{"from_type_count": "n"}.get(c, c) for c in g.column_names]
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("part")
+        .map_groups(trans_partition, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "from_type", "to_type"],
+                          ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True)

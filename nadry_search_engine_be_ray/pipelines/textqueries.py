@@ -1046,3 +1046,95 @@ def phrase_suggest(sf_dir: str, phrase: str = "tble hach", k: int = 5,
     out = counts.sort_values(["n", "dist", "w1", "w2"],
                              ascending=[False, True, True, True]).head(k)
     return out[["w1", "w2", "n", "dist"]].reset_index(drop=True)
+
+
+def lm_jelinek_mercer(sf_dir: str, query: str = "hash join table",
+                      k: int = 10, lam: float = 0.3) -> pd.DataFrame:
+    """Query-likelihood ranking with Jelinek-Mercer smoothing — the
+    linear-interpolation sibling of ``lm_dirichlet`` (Zhai & Lafferty's
+    smoothing comparison):
+
+        score(q, d) = sum_t qtf_t * ln( (1-λ)·tf_td/dl_d + λ·p(t|C) )
+
+    restricted to docs matching at least one in-collection query term;
+    zero-ctf terms drop (same rule as Dirichlet).  Identical distributed
+    shape: one partials pass, bounded collection-stat reduce, broadcast
+    stats + per-block partial top-k."""
+    import numpy as np
+    import ray
+
+    terms = [t for t in simple_tokens(query) if len(t) >= 2]
+    qtf = pd.Series(terms).value_counts()
+    uterms = sorted(qtf.index)
+    qtf_vec = np.array([float(qtf[t]) for t in uterms])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        dl = np.bincount(doc_pos[ok], minlength=len(batch))
+        out = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for i, t in enumerate(uterms):
+            hit = ok & pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            out[f"tf{i}"] = pa.array(
+                np.bincount(doc_pos[hit], minlength=len(batch)), pa.int64()
+            )
+        return pa.table(out)
+
+    stats_mat = _docs(sf_dir).map_batches(
+        partials, batch_format="pyarrow"
+    ).materialize()
+
+    def ctf_partial(batch: pa.Table) -> pa.Table:
+        out = {"total": pa.array(
+            [int(batch["dl"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+        )}
+        for i in range(len(uterms)):
+            out[f"ctf{i}"] = pa.array(
+                [int(batch[f"tf{i}"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    cs = stats_mat.map_batches(ctf_partial, batch_format="pyarrow").to_pandas()
+    total = int(cs["total"].sum())
+    ctf = np.array([int(cs[f"ctf{i}"].sum()) for i in range(len(uterms))])
+    keep = np.flatnonzero(ctf > 0)
+    p_c = ctf[keep].astype(np.float64) / max(1, total)
+    qtf_keep = qtf_vec[keep]
+    stats_ref = ray.put((keep, p_c, qtf_keep))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        keep_idx, pc_vec, qw = ray.get(stats_ref)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.zeros(len(dl))
+        any_hit = np.zeros(len(dl), dtype=bool)
+        for j, i in enumerate(keep_idx):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            any_hit |= tf > 0
+            # max(dl, 1) only guards the 0/0 of empty docs, which any_hit
+            # drops anyway (a hit doc has dl >= 1)
+            score += qw[j] * np.log(
+                (1.0 - lam) * (tf / np.maximum(dl, 1.0)) + lam * pc_vec[j]
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, score = ids[any_hit], score[any_hit]
+        kk = min(k, score.size)
+        if kk == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        order = np.lexsort((ids, -score))[:kk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    out = stats_mat.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)

@@ -417,3 +417,39 @@ def test_phrase_suggest_bruteforce(ray_session):
     )[:5]
     assert [tuple(r) for r in out.itertuples(index=False)] == exp
     assert len(exp) >= 1  # the corpus supports at least one correction
+
+
+def test_lm_jm_contract(ray_session):
+    import math
+
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        lm_jelinek_mercer, simple_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = lm_jelinek_mercer(sf, query="hash join", k=10, lam=0.5)
+    assert list(out.columns) == ["doc_id", "score"]
+    assert len(out) >= 1
+    s = out["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    toks = {
+        int(r.doc_id): [t for t in simple_tokens(r.text) if len(t) >= 2]
+        for r in docs.itertuples()
+    }
+    total = sum(len(v) for v in toks.values())
+    top = int(out["doc_id"].iloc[0])
+    exp = 0.0
+    for term in ["hash", "join"]:
+        ctf = sum(v.count(term) for v in toks.values())
+        if ctf == 0:
+            continue
+        tf = toks[top].count(term)
+        exp += math.log(
+            (1.0 - 0.5) * (tf / len(toks[top])) + 0.5 * (ctf / total)
+        )
+    assert abs(out["score"].iloc[0] - round(exp, 6)) < 1e-6

@@ -245,3 +245,50 @@ def test_interval_coverage_bruteforce(ray_session):
         total += cur_e - cur_s
         exp[int(uid)] = int(total)
     assert dict(zip(got["user_id"], got["covered_us"])) == exp
+
+
+def test_tpch_q12_matches_duckdb(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_tpch_q12(sf)
+    exp = duckdb.connect().execute(f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/orders.parquet') o
+             ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["ship_year"].tolist() == exp["ship_year"].tolist()
+    assert got["high_line_count"].tolist() == exp["high_line_count"].tolist()
+    assert got["low_line_count"].tolist() == exp["low_line_count"].tolist()
+
+
+def test_event_transitions_bruteforce(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_event_transitions(sf, k=1000)
+    ev = duckdb.sql(f"""
+        SELECT user_id, event_id, ts, event_type
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY user_id, ts, event_id
+    """).df()
+    exp: dict[tuple, int] = {}
+    for _, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    got_map = {(r.from_type, r.to_type): r.n
+               for r in got.itertuples(index=False)}
+    assert got_map == exp
