@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, method="pointer_doubling"
         ),
         "pagerank_power": _q_pagerank_power,
+        "ppr_scores": _q_ppr_scores,
         "triangle_count": _q_triangle_count,
         "kcore_nodes": _q_kcore,
         "link_pred_cn": _q_link_pred_cn,
@@ -2137,6 +2138,75 @@ def _bfs_sql(rounds: int = 4) -> str:
         )""")
     return "WITH " + ",".join(parts) + f"""
         SELECT node, depth FROM v{rounds} ORDER BY node
+    """
+
+
+def _q_ppr_scores(sf_dir: str):
+    """Personalized PageRank (random walk with restart at node 0,
+    Haveliwala 2002; 5 fixed iterations) over the quadratic skewed link
+    graph — pipelines/pagerank.pagerank_power_int(restart_node=0); the
+    oracle unrolls the same recurrence with the indicator teleport."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        pagerank_power_int,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = pagerank_power_int(edges, n, restart_node=0).to_pandas()
+    # drop never-visited nodes so the result is reach-sized, not n-sized
+    return out[out["rank"] > 0].reset_index(drop=True)
+
+
+def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            r{k} AS MATERIALIZED (
+                SELECT d.doc_id AS node,
+                       (1 - {damping}) * (CASE WHEN d.doc_id = 0
+                                          THEN 1.0 ELSE 0.0 END)
+                       + {damping} * coalesce(sum(rp.rank / outd.od), 0)
+                           AS rank
+                FROM documents d
+                LEFT JOIN e ON e.dst = d.doc_id
+                LEFT JOIN outd ON outd.src = e.src
+                LEFT JOIN {prev} rp ON rp.node = e.src
+                GROUP BY d.doc_id
+            )""")
+        prev = f"r{k}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        e AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   (doc_id * doc_id * 31 + k * 97) % (SELECT cnt FROM nn)
+                       AS dst
+            FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        ),
+        outd AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS node,
+                      CASE WHEN doc_id = 0 THEN 1.0 ELSE 0.0 END AS rank
+               FROM documents),
+        {','.join(iters)}
+        SELECT node, round(rank, 9) AS rank FROM {prev}
+        WHERE rank > 0 ORDER BY node
     """
 
 
@@ -5986,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "pagerank_power": _PAGERANK_POWER_SQL,
+        "ppr_scores": _ppr_sql(),
         "hits_scores": _hits_sql(),
         "pagerank_quirk": _PAGERANK_QUIRK_SQL,
         # exact output after prefilter+verify -> plain semi join

@@ -312,10 +312,16 @@ def pagerank_power_int(
     n_nodes: int,
     damping: float = 0.85,
     n_iter: int = 5,
+    restart_node: int | None = None,
 ) -> pa.Table:
     """Textbook power-iteration PageRank over integer nodes 0..n_nodes-1
     with a FIXED iteration count — the SQL-checkable variant (the driver
     oracle unrolls the same recurrence as chained CTEs).
+
+    ``restart_node`` switches the teleport vector from uniform to a
+    single-node indicator — personalized PageRank / random walk with
+    restart (Haveliwala 2002): rank = (1-d)·e_s + d·AᵀD⁻¹·rank, started
+    from e_s.  ``None`` keeps the classic uniform teleport bit-exactly.
 
     Same distributed shape as :func:`compute_pagerank_distributed`: edge
     blocks pinned in the object store once, per-iteration raw tasks compute
@@ -358,7 +364,14 @@ def pagerank_power_int(
         np.add.at(acc, inv, vals)
         return uniq, acc
 
-    ranks = np.full(n_nodes, 1.0 / n_nodes)
+    if restart_node is None:
+        teleport = np.full(n_nodes, (1 - damping) / n_nodes)
+        ranks = np.full(n_nodes, 1.0 / n_nodes)
+    else:
+        e_s = np.zeros(n_nodes)
+        e_s[restart_node] = 1.0
+        teleport = (1 - damping) * e_s
+        ranks = e_s.copy()
     for _ in range(n_iter):
         rref = ray.put(ranks)
         partials = ray.get(
@@ -367,7 +380,7 @@ def pagerank_power_int(
         acc = np.zeros(n_nodes)
         for uniq, vals in partials:   # fixed block order -> deterministic
             acc[uniq] += vals
-        ranks = (1 - damping) / n_nodes + damping * acc
+        ranks = teleport + damping * acc
 
     return pa.table(
         {

@@ -444,3 +444,46 @@ def test_bfs_depths_chain(ray_session):
     assert list(full["depth"]) == [0, 1, 2, 3, 4, 5]
     capped = bfs_depths(edges, source=0, n_rounds=2).to_pandas()
     assert list(capped["node"]) == [0, 1, 2]
+
+
+def test_ppr_matches_dense_bruteforce(ray_session):
+    """Personalized PageRank (restart_node) equals the dense power
+    iteration, and the uniform default is untouched by the refactor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        pagerank_power_int,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 40
+    src = rng.randint(0, n, 120).astype(np.int64)
+    dst = rng.randint(0, n, 120).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    }))
+
+    d = 0.85
+    od = np.bincount(src, minlength=n).astype(np.float64)
+    A = np.zeros((n, n))
+    for s, t in zip(src, dst):
+        A[t, s] += 1.0
+    P = A / np.maximum(od, 1.0)
+
+    # personalized: teleport to node 3
+    e = np.zeros(n)
+    e[3] = 1.0
+    r = e.copy()
+    for _ in range(5):
+        r = (1 - d) * e + d * (P @ r)
+    got = pagerank_power_int(edges, n, restart_node=3).to_pandas()
+    assert np.allclose(got["rank"].to_numpy(), np.round(r, 9), atol=1e-9)
+
+    # uniform: same as dense uniform recurrence
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = (1 - d) / n + d * (P @ r)
+    got_u = pagerank_power_int(edges, n).to_pandas()
+    assert np.allclose(got_u["rank"].to_numpy(), np.round(r, 9), atol=1e-9)
