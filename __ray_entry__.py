@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         # product-quantization ANN (Jégou et al. 2011)
         "pq_ann_topk": _q_pq_ann_topk,
+        "ivfpq_ann_topk": _q_ivfpq_topk,
         # CCNet-style perplexity tercile bucketing (head/middle/tail)
         "ppl_buckets": _q_ppl_buckets,
         # code-aware analysis over the source-code corpus (the graft
@@ -675,6 +676,87 @@ def _q_pq_ann_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN top-10 (Jégou IVFADC, non-residual): coarse k-means
+    prune + ADC table-lookup scoring — the composed FAISS-style index
+    completing the brute/LSH/IVF/PQ family.  The trained state (PQ
+    codebooks, per-vector list assignment, per-query probe lists) is
+    DUMPED; the oracle independently recomputes normalization, codes,
+    candidate pruning, ADC distances and the ranking in DuckDB."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.pq import (
+        ivfpq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from nadry_search_engine_be_ray.stages.similarity import (
+        IvfAssignBatch,
+        _normalize,
+        ivf_probe_lists,
+        train_ivf_centroids,
+    )
+
+    emb_tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table()
+    head = emb_tbl.to_pandas().sort_values("vec_id").head(3)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qv_ids = head["vec_id"].to_numpy()
+
+    m, kk, n_lists, n_probes = 8, 16, 8, 3
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = train_ivf_centroids(emb, n_lists=n_lists, seed=13)
+    cb, normed = pq_train(emb, m=m, k=kk, n_iters=8)
+    assigned = normed.map_batches(
+        IvfAssignBatch(cent), batch_format="pyarrow"
+    )
+    encoded = pq_encode(assigned, cb, extra_cols=("ivf_list",)).materialize()
+
+    probes = ivf_probe_lists(_normalize(q), cent, n_probes)
+    os.makedirs(_IVFPQ_DUMP_DIR, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "sub": pa.array(
+                    [j for j in range(m) for _ in range(kk)], pa.int64()
+                ),
+                "cluster": pa.array(list(range(kk)) * m, pa.int64()),
+                "centroid": pa.array(
+                    [list(cb[j, c]) for j in range(m) for c in range(kk)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        f"{_IVFPQ_DUMP_DIR}/codebooks.parquet",
+    )
+    asg = pa.concat_tables(
+        [t.select(["vec_id", "ivf_list"]) for t in
+         __import__("ray").get(encoded.to_arrow_refs())
+         if "vec_id" in t.schema.names]
+    )
+    pq_.write_table(asg, f"{_IVFPQ_DUMP_DIR}/assign.parquet")
+    probe_q, probe_l = [], []
+    for qi, near in enumerate(probes):
+        probe_q += [int(qv_ids[qi])] * len(near)
+        probe_l += [int(x) for x in near]
+    pq_.write_table(
+        pa.table({"query_id": pa.array(probe_q, pa.int64()),
+                  "ivf_list": pa.array(probe_l, pa.int64())}),
+        f"{_IVFPQ_DUMP_DIR}/probes.parquet",
+    )
+
+    out = ivfpq_adc_topk(
+        encoded, q, cb, qv_ids=qv_ids,
+        probe_of_query=[set(pl) for pl in probes], k=10,
+    ).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR data selection: importance-weight every document by the log
     ratio of add-0.1-smoothed bag-of-(uni+bi)gram models (target = the
@@ -992,6 +1074,7 @@ _KM_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/kmeans"
 _SD_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/semdedup"
 _LR_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/lr"
 _PQ_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/pq"
+_IVFPQ_DUMP_DIR = "/tmp/nadry_entry/oracle_dumps/ivfpq"
 
 
 def _tokenizer():
@@ -6974,6 +7057,68 @@ def oracle_sql() -> dict[str, str]:
     # recomputes normalization, per-subspace code assignment (argmin with
     # (distance, cluster) tiebreak), ADC distances, and the
     # (rounded-dist, vec_id) ranking
+    sqls["ivfpq_ann_topk"] = f"""
+        WITH cb AS (
+            SELECT sub, cluster, centroid
+            FROM read_parquet('{_IVFPQ_DUMP_DIR}/codebooks.parquet')
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        n AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / greatest(
+                       sqrt(list_dot_product(v, v)), 1e-12)) AS v
+            FROM e
+        ),
+        subs AS (
+            SELECT vec_id, s.sub, n.v[s.sub * 8 + 1 : (s.sub + 1) * 8] AS sv
+            FROM n, (SELECT unnest(range(0, 8)) AS sub) s
+        ),
+        codes AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT subs.vec_id, subs.sub, cb.cluster,
+                       row_number() OVER (
+                           PARTITION BY subs.vec_id, subs.sub
+                           ORDER BY list_distance(subs.sv, cb.centroid),
+                                    cb.cluster
+                       ) AS rn
+                FROM subs JOIN cb ON cb.sub = subs.sub
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT vec_id AS query_id, sub, sv FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 3)
+        ),
+        qtab AS (
+            SELECT qs.query_id, qs.sub, cb.cluster,
+                   pow(list_distance(qs.sv, cb.centroid), 2) AS d2
+            FROM qsub qs JOIN cb ON cb.sub = qs.sub
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM read_parquet('{_IVFPQ_DUMP_DIR}/probes.parquet') p
+            JOIN read_parquet('{_IVFPQ_DUMP_DIR}/assign.parquet') a
+                 USING (ivf_list)
+        ),
+        adc AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(sum(qt.d2), 6) AS adc_dist
+            FROM cand
+            JOIN codes c ON c.vec_id = cand.vec_id
+            JOIN qtab qt ON qt.query_id = cand.query_id
+                        AND qt.sub = c.sub AND qt.cluster = c.cluster
+            GROUP BY cand.query_id, cand.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, vec_id) - 1 AS rank
+            FROM adc
+        )
+        SELECT query_id, rank, vec_id, adc_dist FROM ranked
+        WHERE rank < 10 ORDER BY query_id, rank
+    """
     sqls["pq_ann_topk"] = f"""
         WITH cb AS (
             SELECT sub, cluster, centroid

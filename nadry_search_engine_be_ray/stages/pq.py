@@ -145,13 +145,15 @@ class PqEncodeBatch:
     oracle's (distance, cluster) ordering)."""
 
     def __init__(self, cb_ref, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding",
+                 extra_cols: tuple = ()):
         import ray
 
         self.cb = (
             ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
         )
         self.id_col, self.vec_col = id_col, vec_col
+        self.extra_cols = tuple(extra_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = self.cb.shape[0]
@@ -162,24 +164,26 @@ class PqEncodeBatch:
                 axis=2
             )
             codes[:, j] = np.argmin(d2, axis=1)
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "code": pa.array(
-                    [list(row) for row in codes], pa.list_(pa.int64())
-                ),
-            }
-        )
+        cols = {
+            self.id_col: batch[self.id_col],
+            "code": pa.array(
+                [list(row) for row in codes], pa.list_(pa.int64())
+            ),
+        }
+        for c in self.extra_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
 
 def pq_encode(ds_normed, codebooks: np.ndarray, id_col: str = "vec_id",
-              vec_col: str = "embedding", concurrency: int | None = None):
+              vec_col: str = "embedding", concurrency: int | None = None,
+              extra_cols: tuple = ()):
     import ray
 
     cb_ref = ray.put(codebooks)
     return ds_normed.map_batches(
         PqEncodeBatch,
-        fn_constructor_args=(cb_ref, id_col, vec_col),
+        fn_constructor_args=(cb_ref, id_col, vec_col, extra_cols),
         batch_format="pyarrow",
         concurrency=concurrency or default_pool_size(),
     )
@@ -228,6 +232,101 @@ def pq_adc_topk(ds_normed_codes, query_vectors: np.ndarray,
         return pa.concat_tables(out)
 
     parts = ds_normed_codes.map_batches(partial_topk, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "adc_dist": pa.array([], pa.float64())})]
+    ).to_pandas()
+    rows = []
+    for qid, grp in merged.groupby("query_id", sort=True):
+        vid = grp["vec_id"].to_numpy()
+        d = grp["adc_dist"].to_numpy()
+        order = np.lexsort((vid, d))[: min(k, len(vid))]
+        rows.append(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        np.full(order.size, qid, dtype=np.int64), pa.int64()
+                    ),
+                    "rank": pa.array(
+                        np.arange(order.size, dtype=np.int64), pa.int64()
+                    ),
+                    "vec_id": pa.array(vid[order], pa.int64()),
+                    "adc_dist": pa.array(d[order], pa.float64()),
+                }
+            )
+        )
+    if not rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "adc_dist": pa.array([], pa.float64())})
+    return pa.concat_tables(rows)
+
+
+def ivfpq_adc_topk(ds_codes_lists, query_vectors: np.ndarray,
+                   codebooks: np.ndarray, qv_ids: np.ndarray,
+                   probe_of_query: list, k: int = 10) -> pa.Table:
+    """IVF-PQ search (Jégou et al. 2011 IVFADC, non-residual variant —
+    FAISS by_residual=False): each query scans ONLY the rows whose
+    ``ivf_list`` is in its probed coarse lists, scoring by the same ADC
+    table lookups as :func:`pq_adc_topk`.  The coarse prune multiplies the
+    PQ compression: per query, candidates shrink from n to
+    ~n·(n_probes/n_lists) BEFORE any distance math, and at scale the
+    list id doubles as a partition column so probes prune at the read.
+
+    ``probe_of_query[i]`` is the iterable of probed list ids for
+    ``qv_ids[i]``.  Output schema and (rounded-dist, vec_id) ranking are
+    identical to pq_adc_topk."""
+    import ray
+
+    m = codebooks.shape[0]
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qsub = _sub_view(q, m)
+    tables = (
+        np.sqrt(((qsub[:, :, None, :] - codebooks[None, :, :, :]) ** 2)
+                .sum(axis=3))
+        ** 2
+    )
+    probes = [np.array(sorted(pset), dtype=np.int64)
+              for pset in probe_of_query]
+    bc_ref = ray.put((tables, np.asarray(qv_ids, dtype=np.int64), probes))
+    sub_idx = np.arange(m)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        tabs, qids, prb = ray.get(bc_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        codes = _batch_matrix(batch, "code", dtype=np.int64)
+        out = []
+        for qi in range(tabs.shape[0]):
+            hit = np.isin(lists, prb[qi])
+            if not hit.any():
+                continue
+            c_ids, c_codes = ids[hit], codes[hit]
+            dist = tabs[qi][sub_idx[None, :], c_codes].sum(axis=1)
+            dr = np.round(dist, 6)
+            order = np.lexsort((c_ids, dr))[: min(k, c_ids.size)]
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.full(order.size, qids[qi]), pa.int64()
+                        ),
+                        "vec_id": pa.array(c_ids[order], pa.int64()),
+                        "adc_dist": pa.array(dr[order], pa.float64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        return pa.concat_tables(out)
+
+    parts = ds_codes_lists.map_batches(partial_topk, batch_format="pyarrow")
     merged = pa.concat_tables(
         [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
         or [pa.table({"query_id": pa.array([], pa.int64()),
