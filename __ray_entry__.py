@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": rel.q_tpch_q6,
         "tpch_q10": rel.q_tpch_q10,
         "tpch_q12": rel.q_tpch_q12,
+        "tpch_q18": rel.q_tpch_q18,
+        "grouped_distinct": rel.q_grouped_distinct,
         "event_transitions": rel.q_event_transitions,
         "skyline_orders": rel.q_skyline_orders,
         "retention_cohorts": rel.q_retention_cohorts,
@@ -4911,6 +4913,23 @@ def oracle_sql() -> dict[str, str]:
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY 1, 2
             ORDER BY n DESC, from_type, to_type LIMIT 20
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "grouped_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -2494,3 +2494,115 @@ def q_event_transitions(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out = out.sort_values(["n", "from_type", "to_type"],
                           ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def q_tpch_q18(sf_dir: str, qty_threshold: float = 250.0,
+               k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the groupby-HAVING
+    semi join.  Pass 1: lineitem groups per orderkey with per-batch
+    partial sums (the one all-to-all); orders whose total quantity
+    exceeds the threshold form a SMALL key set that broadcasts back as
+    a semi-join filter on orders; customer names enrich post-limit.
+    Revenue-free, all-integer-free floats only in sum_qty (rounded 4)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return _rename_agg(g, {"l_quantity_sum": "sum_qty"})
+
+    qty = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+    def big_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["sum_qty"], qty_threshold)
+        )
+
+    big = qty.map_batches(big_filter, batch_format="pyarrow").to_pandas()
+    if big.empty:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype=object),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="float64"),
+        })
+    keys = np.sort(big["l_orderkey"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ks, ok)
+        return batch.filter(pa.array(hit))
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(orders_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = orders.merge(
+        big.rename(columns={"l_orderkey": "o_orderkey"}), on="o_orderkey"
+    )
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+
+    ck = np.sort(out["o_custkey"].unique().astype(np.int64))
+    ck_ref = ray.put(ck)
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ck_ref)
+        cc = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ks, cc)
+        return batch.filter(pa.array(hit))
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(cust_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out[["c_name", "c_custkey", "o_orderkey", "o_totalprice",
+                "sum_qty"]]
+
+
+def q_grouped_distinct(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event type without shuffling
+    raw events twice: per-batch (type, user) dedupe partials collapse
+    into one pair groupby (pair-count-bounded), then counting rows per
+    type is a second, tiny aggregation — the exact two-level shape whose
+    approximate sibling is the HLL sketch in stages/sketches.py."""
+    from ray.data.aggregate import Count
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+        }).group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type", "user_id"])
+    )
+    out = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -292,3 +292,47 @@ def test_event_transitions_bruteforce(ray_session):
     got_map = {(r.from_type, r.to_type): r.n
                for r in got.itertuples(index=False)}
     assert got_map == exp
+
+
+def test_tpch_q18_matches_duckdb(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_tpch_q18(sf)
+    exp = duckdb.connect().execute(f"""
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+            FROM read_parquet('{sf}/lineitem.parquet')
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               round(o_totalprice, 4) AS o_totalprice, sum_qty
+        FROM big
+        JOIN read_parquet('{sf}/orders.parquet') o
+             ON o_orderkey = l_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c
+             ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
+    assert got["c_name"].tolist() == exp["c_name"].tolist()
+
+
+def test_grouped_distinct_matches_duckdb(ray_session):
+    import duckdb
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_grouped_distinct(sf)
+    exp = duckdb.connect().execute(f"""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY event_type ORDER BY event_type
+    """).df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n_users"].tolist() == exp["n_users"].tolist()
