@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": rel.q_tpch_q12,
         "tpch_q18": rel.q_tpch_q18,
         "grouped_distinct": rel.q_grouped_distinct,
+        "time_weighted_avg": rel.q_time_weighted_avg,
         "event_transitions": rel.q_event_transitions,
         "skyline_orders": rel.q_skyline_orders,
         "retention_cohorts": rel.q_retention_cohorts,
@@ -4930,6 +4931,22 @@ def oracle_sql() -> dict[str, str]:
         "grouped_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "time_weighted_avg": """
+            WITH seq AS (
+                SELECT user_id, value, epoch_us(ts) AS t,
+                       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS nt
+                FROM events
+            ),
+            agg AS (
+                SELECT user_id,
+                       sum(value * (nt - t)) AS numer,
+                       max(t) - min(t) AS span
+                FROM seq GROUP BY user_id
+            )
+            SELECT user_id, round(numer / span, 6) AS twa_value
+            FROM agg WHERE span > 0 ORDER BY user_id
         """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'

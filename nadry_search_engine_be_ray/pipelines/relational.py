@@ -2606,3 +2606,57 @@ def q_grouped_distinct(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average of ``value`` (left-constant step
+    interpolation — the metric a monitoring system reports for an
+    irregularly-sampled gauge): twa = Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_n − t_1),
+    users with zero span skipped.  Same fused user partitioning as
+    sessionize: one sort + diff + reduceat per partition; products
+    accumulate in time order so the per-user sum is deterministic."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def twa_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        prod = np.zeros(len(ts))
+        if len(ts) > 1:
+            same = uid[1:] == uid[:-1]
+            prod[:-1] = np.where(same, val[:-1] * (ts[1:] - ts[:-1]), 0.0)
+        ufirst = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(ufirst)
+        numer = np.add.reduceat(prod, starts)
+        span = (np.maximum.reduceat(ts, starts)
+                - np.minimum.reduceat(ts, starts))
+        keep = span > 0
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts][keep], pa.int64()),
+                "twa_value": pa.array(
+                    np.round(numer[keep] / span[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("part").map_groups(
+        twa_partition, batch_format="pyarrow"
+    ).select_columns(["user_id", "twa_value"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -336,3 +336,31 @@ def test_grouped_distinct_matches_duckdb(ray_session):
     """).df()
     assert got["event_type"].tolist() == exp["event_type"].tolist()
     assert got["n_users"].tolist() == exp["n_users"].tolist()
+
+
+def test_time_weighted_avg_bruteforce(ray_session):
+    import duckdb
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_time_weighted_avg(sf)
+    ev = duckdb.sql(f"""
+        SELECT user_id, event_id, ts, value
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY user_id, ts, event_id
+    """).df()
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        span = t[-1] - t[0]
+        if span <= 0:
+            continue
+        numer = float((v[:-1] * np.diff(t)).sum())
+        exp[int(uid)] = round(numer / span, 6)
+    got_map = dict(zip(got["user_id"].astype(int), got["twa_value"]))
+    assert set(got_map) == set(exp)
+    for u in exp:
+        assert abs(got_map[u] - exp[u]) < 1e-9
