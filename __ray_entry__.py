@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": rel.q_tpch_q18,
         "grouped_distinct": rel.q_grouped_distinct,
         "time_weighted_avg": rel.q_time_weighted_avg,
+        "covisitation": rel.q_covisitation,
         "event_transitions": rel.q_event_transitions,
         "skyline_orders": rel.q_skyline_orders,
         "retention_cohorts": rel.q_retention_cohorts,
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccur": tq.term_cooccur,
         "pmi_pairs": tq.pmi_pairs,
         "phrase_suggest": tq.phrase_suggest,
+        "type_token_ratio": tq.type_token_ratio,
         "json_extract_agg": rel.q_json_extract_agg,
         "snapshot_diff": rel.q_snapshot_diff,
         "data_card": tq.data_card,
@@ -4948,6 +4950,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(numer / span, 6) AS twa_value
             FROM agg WHERE span > 0 ORDER BY user_id
         """,
+        "covisitation": """
+            WITH ui AS (
+                SELECT DISTINCT user_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS item
+                FROM events
+            ),
+            pairs AS (
+                SELECT a.item AS i1, b.item AS i2, count(*) AS n
+                FROM ui a JOIN ui b
+                  ON a.user_id = b.user_id AND a.item < b.item
+                GROUP BY 1, 2
+            )
+            SELECT i1, i2, n FROM pairs
+            ORDER BY n DESC, i1, i2 LIMIT 20
+        """,
         "set_intersect": """
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT
@@ -5152,6 +5170,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN c1 ON b.w1 = c1.term
             JOIN c2 ON b.w2 = c2.term
             ORDER BY b.n DESC, dist, b.w1, b.w2 LIMIT 5
+        """,
+        "type_token_ratio": f"""
+            WITH toks AS (
+                SELECT source, unnest(list_filter({tok},
+                           t -> length(t) >= 2)) AS term
+                FROM documents
+            ),
+            t AS (SELECT source, count(DISTINCT term) AS n_types,
+                         count(*) AS n_tokens
+                  FROM toks GROUP BY source)
+            SELECT source, n_types, n_tokens,
+                   round(n_types * 1.0 / n_tokens, 6) AS ttr
+            FROM t ORDER BY source
         """,
         "term_cooccur": f"""
             WITH toks AS (

@@ -2660,3 +2660,82 @@ def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
         twa_partition, batch_format="pyarrow"
     ).select_columns(["user_id", "twa_value"]).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_covisitation(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Item-item co-visitation counts (the "users who touched X also
+    touched Y" recommender primitive): items are the ``k`` prop of each
+    event; count users whose DISTINCT item sets contain both ends of a
+    pair, report the top-k pairs (count desc, pair asc).
+
+    Shape: scan-side JSON extraction (the props string never leaves the
+    read task) -> per-batch (user, item) dedupe partials -> one pair
+    groupby dedupes globally -> fused user-partition pair fan-out
+    (quadratic only in each user's DISTINCT item count — the
+    term_cooccur band contract, with the item universe as the band) ->
+    pair-count groupby -> tiny top-k."""
+    import itertools
+
+    from ray.data.aggregate import Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def extract_dedupe(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        item = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "item": item,
+        }).group_by(["user_id", "item"]).aggregate([])
+
+    ui = (
+        _read(sf_dir, "events", ["user_id", "props"])
+        .map_batches(extract_dedupe, batch_format="pyarrow")
+        .groupby(["user_id", "item"])
+        .count()
+        .select_columns(["user_id", "item"])
+    )
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
+        df = group.select(["user_id", "item"]).to_pandas().sort_values(
+            ["user_id", "item"]
+        )
+        a_o, b_o = [], []
+        for _, items in df.groupby("user_id", sort=False)["item"]:
+            for a, b in itertools.combinations(items.tolist(), 2):
+                a_o.append(a)
+                b_o.append(b)
+        if not a_o:
+            return pa.table({"i1": pa.array([], pa.int64()),
+                             "i2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({
+            "i1": pa.array(a_o, pa.int64()),
+            "i2": pa.array(b_o, pa.int64()),
+        }).group_by(["i1", "i2"]).aggregate([("i1", "count")])
+        return g.rename_columns(
+            [{"i1_count": "n"}.get(c, c) for c in g.column_names]
+        )
+
+    ui = ui.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ui.groupby("part")
+        .map_groups(pairs_partition, batch_format="pyarrow")
+        .groupby(["i1", "i2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "i1", "i2"],
+                          ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True)

@@ -1138,3 +1138,66 @@ def lm_jelinek_mercer(sf_dir: str, query: str = "hash join table",
     out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
     out["score"] = out["score"].round(6)
     return out.reset_index(drop=True)
+
+
+def type_token_ratio(sf_dir: str) -> pd.DataFrame:
+    """Lexical-diversity profile per source: distinct terms (types),
+    total valid tokens, and the type-token ratio — the corpus statistic
+    a data card reports next to volume (a collapsing TTR flags template
+    or boilerplate sources).  Shape: per-batch (source, term) dedupe +
+    per-batch token-count partials; one pair groupby bounds the distinct
+    count exactly (the grouped_distinct two-level shape on text); token
+    totals ride a separate source-sized combine — the corpus never
+    shuffles raw tokens."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        srcs = src.take(pa.array(doc_pos[ok]))
+        return pa.table({
+            "source": srcs, "term": flat.filter(pa.array(ok)),
+        }).group_by(["source", "term"]).aggregate([])
+
+    types = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .count()
+        .select_columns(["source", "term"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_types"))
+        .to_pandas()
+    )
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        doc_pos, _, _, ok = _exploded(batch)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({
+            "source": src,
+            "n": pa.array(
+                np.bincount(doc_pos[ok], minlength=len(batch)), pa.int64()
+            ),
+        }).group_by(["source"]).aggregate([("n", "sum")])
+        return g.rename_columns(
+            [{"n_sum": "n_tokens"}.get(c, c) for c in g.column_names]
+        )
+
+    toks = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    out = types.merge(toks, on="source")
+    out["n_types"] = out["n_types"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["ttr"] = (out["n_types"] / out["n_tokens"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
