@@ -144,6 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": rel.q_tpch_q10,
         "tpch_q12": rel.q_tpch_q12,
         "tpch_q18": rel.q_tpch_q18,
+        "tpch_q13": rel.q_tpch_q13,
+        "tpch_q14": rel.q_tpch_q14,
+        "tpch_q17": rel.q_tpch_q17,
+        "assoc_rules": rel.q_assoc_rules,
+        "gini_by_source": rel.q_gini_by_source,
         "grouped_distinct": rel.q_grouped_distinct,
         "time_weighted_avg": rel.q_time_weighted_avg,
         "covisitation": rel.q_covisitation,
@@ -211,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore,
         "link_pred_cn": _q_link_pred_cn,
         "bfs_depths": _q_bfs_depths,
+        "clustering_coeff": _q_clustering_coeff,
         "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
@@ -2191,6 +2197,35 @@ def _q_bfs_depths(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return bfs_depths(edges, source=0, n_rounds=4).to_pandas()
+
+
+def _q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the quadratic skewed
+    link graph (pipelines/pagerank.clustering_coeff — degree-oriented
+    wedge closing with per-triangle corner emission); the oracle counts
+    each node's closed neighbor pairs with an adjacency self-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import clustering_coeff
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return clustering_coeff(edges, k=20).to_pandas()
 
 
 def _bfs_sql(rounds: int = 4) -> str:
@@ -4929,6 +4964,131 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON o_orderkey = l_orderkey
             JOIN customer ON c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q13": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*) AS custdist FROM per_cust
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14": """
+            WITH j AS (
+                SELECT year(l_shipdate) AS ship_year,
+                       l_extendedprice * (1 - l_discount) AS rev,
+                       p_type = 'PROMO' AS isp
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            a AS (
+                SELECT ship_year,
+                       round(sum(CASE WHEN isp THEN rev ELSE 0 END), 4)
+                           AS promo_rev,
+                       round(sum(rev), 4) AS total_rev
+                FROM j GROUP BY ship_year
+            )
+            SELECT ship_year, promo_rev, total_rev,
+                   round(100.0 * promo_rev / total_rev, 6) AS promo_share
+            FROM a ORDER BY ship_year
+        """,
+        "tpch_q17": """
+            WITH bp AS (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#21'
+            ),
+            st AS (
+                SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+                       count(*) AS n
+                FROM lineitem JOIN bp ON p_partkey = l_partkey
+                GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.sq
+        """,
+        "assoc_rules": """
+            WITH ui AS (
+                SELECT DISTINCT user_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS item
+                FROM events
+            ),
+            nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ui),
+            itc AS (SELECT item, count(*) AS n_item FROM ui GROUP BY item),
+            pairs AS (
+                SELECT a.item AS i1, b.item AS i2, count(*) AS n_pair
+                FROM ui a JOIN ui b
+                  ON a.user_id = b.user_id AND a.item < b.item
+                GROUP BY 1, 2
+            )
+            SELECT i1, i2, n_pair, c1.n_item AS n_i1, c2.n_item AS n_i2,
+                   round(n_pair * 1.0 / nu.n_users, 6) AS support,
+                   round(n_pair * 1.0 / c1.n_item, 6) AS conf_12,
+                   round(n_pair * 1.0 / c2.n_item, 6) AS conf_21,
+                   round(n_pair * 1.0 * nu.n_users /
+                         (c1.n_item * c2.n_item), 6) AS lift
+            FROM pairs
+            JOIN itc c1 ON c1.item = i1
+            JOIN itc c2 ON c2.item = i2
+            CROSS JOIN nu
+            WHERE n_pair >= 2
+            ORDER BY lift DESC, i1, i2 LIMIT 20
+        """,
+        "gini_by_source": """
+            WITH h AS (
+                SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT source, v, c,
+                       coalesce(sum(c) OVER (
+                           PARTITION BY source ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cp
+                FROM h
+            ),
+            agg AS (
+                SELECT source,
+                       sum(v * (c * cp + (c * (c + 1)) // 2)) AS s,
+                       sum(v * c) AS t, sum(c) AS n
+                FROM cum GROUP BY source
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   round(2.0 * s / (n * t) - (n + 1.0) / n, 6) AS gini
+            FROM agg ORDER BY source
+        """,
+        "clustering_coeff": """
+            WITH raw AS MATERIALIZED (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            adj AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM e
+                UNION ALL SELECT v, u FROM e
+            ),
+            deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY a),
+            tri AS (
+                SELECT n1.a AS node, count(*) AS t
+                FROM adj n1
+                JOIN adj n2 ON n1.a = n2.a AND n1.b < n2.b
+                JOIN e ON e.u = n1.b AND e.v = n2.b
+                GROUP BY n1.a
+            )
+            SELECT d.node, d.deg, coalesce(t.t, 0) AS n_tri,
+                   round(2.0 * coalesce(t.t, 0) /
+                         (d.deg * (d.deg - 1)), 6) AS coeff
+            FROM deg d LEFT JOIN tri t ON t.node = d.node
+            WHERE d.deg >= 2
+            ORDER BY coeff DESC, d.node LIMIT 20
         """,
         "grouped_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -2739,3 +2739,318 @@ def q_covisitation(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out = out.sort_values(["n", "i1", "i2"],
                           ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def q_tpch_q13(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT-join semantics
+    without the outer join — orders are filtered and partial-counted per
+    custkey, the per-customer counts fold into a count-of-counts
+    histogram, and the zero bucket is customers − customers-with-orders
+    (exact because the probe batches semi-filter o_custkey against the
+    broadcast customer key set first, so phantom keys can't inflate a
+    bucket).  Both exchanges ship bounded partials: (custkey, n) rows,
+    then (c_count, custdist) rows."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust_keys = np.sort(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .to_pandas()["c_custkey"].to_numpy(np.int64)
+    )
+    n_customers = int(cust_keys.size)
+    keys_ref = ray.put(cust_keys)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"]
+        keep = pc.not_equal(pri, "1-URGENT")
+        ck = pc.filter(batch["o_custkey"], keep).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ray.get(keys_ref), ck)
+        ck = ck[hit]
+        if ck.size == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"c_custkey": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(u, pa.int64()),
+                         "custdist": pa.array(c, pa.int64())})
+
+    out = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    n_with = int(out["custdist"].sum())
+    zero = pd.DataFrame({"c_count": [0], "custdist": [n_customers - n_with]})
+    out = pd.concat([out, zero], ignore_index=True)
+    out = out[out["custdist"] > 0]
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+def q_tpch_q14(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 (promo revenue share) per ship-YEAR: lineitem probes the
+    broadcast part→is-PROMO bitmap (searchsorted, shipped once via
+    ray.put), per-batch partials carry (year, promo_rev, total_rev) and
+    the ratio is taken once on the bounded combine.  Revenue sums are
+    rounded to 4 dp before the ratio so the Ray-vs-DuckDB hash ignores
+    summation order."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy(np.int64))
+    pkeys = part["p_partkey"].to_numpy(np.int64)[order]
+    promo = (part["p_type"].to_numpy()[order] == "PROMO")
+    ref = ray.put((pkeys, promo))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, isp = ray.get(ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, idx = _sorted_lookup(pk, lk)
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        yr = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        yr = yr[hit].astype(np.int64)
+        rev = rev[hit]
+        pm = isp[idx[hit]]
+        t = pa.table({
+            "ship_year": pa.array(yr, pa.int64()),
+            "promo_rev": pa.array(np.where(pm, rev, 0.0), pa.float64()),
+            "total_rev": pa.array(rev, pa.float64()),
+        })
+        return _rename_agg(
+            t.group_by(["ship_year"]).aggregate(
+                [("promo_rev", "sum"), ("total_rev", "sum")]
+            ),
+            {"promo_rev_sum": "promo_rev", "total_rev_sum": "total_rev"},
+        )
+
+    out = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("ship_year", as_index=False)
+        .agg(promo_rev=("promo_rev", "sum"), total_rev=("total_rev", "sum"))
+    )
+    out["promo_rev"] = out["promo_rev"].round(4)
+    out["total_rev"] = out["total_rev"].round(4)
+    out["promo_share"] = (100.0 * out["promo_rev"] / out["total_rev"]).round(6)
+    return out.sort_values("ship_year").reset_index(drop=True)
+
+
+def q_tpch_q17(sf_dir: str, brand: str = "Brand#21") -> pd.DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): avg yearly revenue lost
+    if sub-20%-of-average-quantity orders for one brand's parts stopped.
+    Pass 1 partial-counts (sum_qty, n) per partkey over the brand's parts
+    only; the per-part threshold ships back as a broadcast array and the
+    comparison `l_quantity < 0.2 * avg` is evaluated in INTEGERS
+    (5·q·n < sum_qty — l_quantity is integer-valued in this corpus), so
+    the boundary can't flip on float-summation order; the oracle states
+    the same integer inequality."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    bkeys = np.sort(
+        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(np.int64)
+    )
+    bref = ray.put(bkeys)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ray.get(bref), lk)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        lk = lk[hit]
+        if lk.size == 0:
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, inv, cnt = np.unique(lk, return_inverse=True, return_counts=True)
+        sq = np.bincount(inv, weights=q).astype(np.int64)
+        return pa.table({"p": pa.array(u, pa.int64()),
+                         "sq": pa.array(sq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    stats = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pk = stats["p"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    thr_ref = ray.put((pk[order],
+                       stats["sq"].to_numpy(np.int64)[order],
+                       stats["n"].to_numpy(np.int64)[order]))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pks, sq, nn = ray.get(thr_ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, idx = _sorted_lookup(pks, lk)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        small = hit & (5 * q * nn[idx] < sq[idx])
+        s = float(batch["l_extendedprice"]
+                  .to_numpy(zero_copy_only=False)[small].sum())
+        return pa.table({"s": pa.array([s], pa.float64())})
+
+    tot = sum(
+        t["s"].to_numpy(zero_copy_only=False).sum()
+        for t in ray.get(
+            li.map_batches(rev_partial, batch_format="pyarrow")
+            .to_arrow_refs())
+        if t.num_rows
+    )
+    return pd.DataFrame({"avg_yearly": [round(float(tot) / 7.0, 4)]})
+
+
+def q_assoc_rules(sf_dir: str, k: int = 20, min_count: int = 2) -> pd.DataFrame:
+    """Market-basket association rules over the event item sets
+    (baskets = a user's DISTINCT `k`-prop items): pair supports ride the
+    co-visitation shape (fused per-user-partition fan-out), item supports
+    one (item, users) groupby, and support/confidence/lift are exact
+    rationals of those integer counts (rounded 6 dp only at the end).
+    Top-k by lift — the rule-mining ordering that surfaces rare-but-
+    correlated items rather than the globally popular ones."""
+    import itertools
+
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def extract_dedupe(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        item = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "item": item,
+        }).group_by(["user_id", "item"]).aggregate([])
+
+    ui = (
+        _read(sf_dir, "events", ["user_id", "props"])
+        .map_batches(extract_dedupe, batch_format="pyarrow")
+        .groupby(["user_id", "item"])
+        .count()
+        .select_columns(["user_id", "item"])
+        .materialize()
+    )
+    item_n = (
+        ui.groupby("item").aggregate(Count(alias_name="n_item")).to_pandas()
+    )
+    n_users = int(
+        ui.groupby("user_id").aggregate(Count()).count()
+    )
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
+        df = group.select(["user_id", "item"]).to_pandas().sort_values(
+            ["user_id", "item"]
+        )
+        a_o, b_o = [], []
+        for _, items in df.groupby("user_id", sort=False)["item"]:
+            for a, b in itertools.combinations(items.tolist(), 2):
+                a_o.append(a)
+                b_o.append(b)
+        if not a_o:
+            return pa.table({"i1": pa.array([], pa.int64()),
+                             "i2": pa.array([], pa.int64()),
+                             "n_pair": pa.array([], pa.int64())})
+        g = pa.table({
+            "i1": pa.array(a_o, pa.int64()),
+            "i2": pa.array(b_o, pa.int64()),
+        }).group_by(["i1", "i2"]).aggregate([("i1", "count")])
+        return _rename_agg(g, {"i1_count": "n_pair"})
+
+    pairs = (
+        ui.map_batches(
+            lambda b: b.append_column(
+                "part",
+                pa.array(
+                    b["user_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) % n_parts,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(pairs_partition, batch_format="pyarrow")
+        .groupby(["i1", "i2"])
+        .aggregate(Sum("n_pair", alias_name="n_pair"))
+        .to_pandas()
+    )
+    pairs["n_pair"] = pairs["n_pair"].astype("int64")
+    pairs = pairs[pairs["n_pair"] >= min_count]
+    lk = item_n.set_index("item")["n_item"].astype("int64")
+    pairs["n_i1"] = pairs["i1"].map(lk).astype("int64")
+    pairs["n_i2"] = pairs["i2"].map(lk).astype("int64")
+    pairs["support"] = (pairs["n_pair"] / n_users).round(6)
+    pairs["conf_12"] = (pairs["n_pair"] / pairs["n_i1"]).round(6)
+    pairs["conf_21"] = (pairs["n_pair"] / pairs["n_i2"]).round(6)
+    pairs["lift"] = (
+        pairs["n_pair"] * n_users / (pairs["n_i1"] * pairs["n_i2"])
+    ).round(6)
+    out = pairs.sort_values(["lift", "i1", "i2"],
+                            ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def q_gini_by_source(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of document length (n_chars) per source — the
+    inequality statistic a data card reports next to volume.  Exact from
+    the per-(source, value) HISTOGRAM, not a per-group sort: tied ranks
+    collapse to c·C_prev + c(c+1)/2 per value run, all in int64, so the
+    only shuffle ships (source, n_chars) partials — scale-safe where a
+    per-source map_groups sort would hold a whole source in one task.
+    Gini = 2·S/(n·T) − (n+1)/n with S = Σ v·(rank-sum of its run)."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "v": pc.cast(batch["n_chars"], pa.int64())})
+        g = t.group_by(["source", "v"]).aggregate([("v", "count")])
+        return _rename_agg(g, {"v_count": "c"})
+
+    hist = (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    hist = hist.sort_values(["source", "v"])
+    for c in ["v", "c"]:
+        hist[c] = hist[c].astype("int64")
+    out = []
+    for src, g in hist.groupby("source", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cp = np.concatenate([[0], np.cumsum(c)[:-1]])
+        s = int((v * (c * cp + c * (c + 1) // 2)).sum())
+        t = int((v * c).sum())
+        n = int(c.sum())
+        out.append({"source": src, "n_docs": n,
+                    "gini": round(2.0 * s / (n * t) - (n + 1.0) / n, 6)})
+    return pd.DataFrame(out)

@@ -487,3 +487,66 @@ def test_ppr_matches_dense_bruteforce(ray_session):
         r = (1 - d) / n + d * (P @ r)
     got_u = pagerank_power_int(edges, n).to_pandas()
     assert np.allclose(got_u["rank"].to_numpy(), np.round(r, 9), atol=1e-9)
+
+
+def test_clustering_coeff_bruteforce(ray_session):
+    """clustering_coeff == a dense numpy adjacency brute force on a
+    seeded random graph (coefficients, degrees, triangle counts and the
+    (coeff desc, node asc) top-k cut), plus exact values on K4 (all 1.0)
+    and a star (all 0 for the hub; leaves have deg 1 and are excluded)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import clustering_coeff
+
+    def edges(pairs):
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }))
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    out = clustering_coeff(edges(k4), k=10).to_pandas()
+    assert list(out["node"]) == [0, 1, 2, 3]
+    assert (out["coeff"] == 1.0).all()
+    assert (out["n_tri"] == 3).all()
+
+    star = [(0, i) for i in range(1, 6)]
+    out = clustering_coeff(edges(star), k=10).to_pandas()
+    assert list(out["node"]) == [0] and out["coeff"].iloc[0] == 0.0
+
+    rng = np.random.RandomState(7)
+    n = 40
+    pairs = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(220)]
+    adj = np.zeros((n, n), dtype=bool)
+    for a, b in pairs:
+        if a != b:
+            adj[a, b] = adj[b, a] = True
+    deg = adj.sum(1)
+    a3 = np.linalg.matrix_power(adj.astype(np.int64), 3)
+    tri = np.diag(a3) // 2
+    rows = []
+    for v in range(n):
+        if deg[v] >= 2:
+            rows.append({"node": v, "deg": int(deg[v]), "n_tri": int(tri[v]),
+                         "coeff": round(2.0 * tri[v] / (deg[v] * (deg[v] - 1)), 6)})
+    exp = (pd.DataFrame(rows)
+           .sort_values(["coeff", "node"], ascending=[False, True])
+           .head(15).reset_index(drop=True))
+    got = clustering_coeff(edges(pairs), k=15).to_pandas()
+    got = got.astype({"node": "int64", "deg": "int64", "n_tri": "int64"})
+    pd.testing.assert_frame_equal(got, exp.astype({"node": "int64", "deg": "int64",
+                                                   "n_tri": "int64"}))
+
+
+def test_clustering_coeff_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import clustering_coeff
+
+    e = ray.data.from_arrow(pa.table({"src": pa.array([7], pa.int64()),
+                                      "dst": pa.array([7], pa.int64())}))
+    out = clustering_coeff(e).to_pandas()
+    assert len(out) == 0

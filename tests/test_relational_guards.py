@@ -364,3 +364,69 @@ def test_time_weighted_avg_bruteforce(ray_session):
     assert set(got_map) == set(exp)
     for u in exp:
         assert abs(got_map[u] - exp[u]) < 1e-9
+
+
+def test_gini_by_source_bruteforce(ray_session):
+    """The histogram rank-run formula == the classic sorted-rank Gini
+    (2·Σ i·x_i /(n·Σx) − (n+1)/n over the fully sorted values) per
+    source on sf0.001 — ties collapse losslessly."""
+    import duckdb
+    import numpy as np
+
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    got = rel.q_gini_by_source(sf)
+    df = duckdb.connect().execute(
+        f"SELECT source, n_chars FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    for _, row in got.iterrows():
+        x = np.sort(df.loc[df["source"] == row["source"], "n_chars"]
+                    .to_numpy(np.int64))
+        n = x.size
+        i = np.arange(1, n + 1, dtype=np.int64)
+        g = 2.0 * float((i * x).sum()) / (n * float(x.sum())) - (n + 1.0) / n
+        assert row["n_docs"] == n
+        assert abs(row["gini"] - round(g, 6)) <= 1e-6
+
+
+def test_assoc_rules_consistency(ray_session):
+    """Association-rule outputs are internally consistent: lift ==
+    conf_12 / (n_i2/N) within rounding, support·N == n_pair, and the
+    pair counts are symmetric-bounded by the item counts."""
+    from nadry_search_engine_be_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    out = rel.q_assoc_rules(sf, k=50, min_count=2)
+    assert len(out) > 0
+    assert (out["i1"] < out["i2"]).all()
+    assert (out["n_pair"] <= out[["n_i1", "n_i2"]].min(axis=1)).all()
+    n_users = (out["n_pair"] / out["support"]).round().astype(int)
+    assert n_users.nunique() == 1
+    N = int(n_users.iloc[0])
+    recomputed = (out["n_pair"] * N / (out["n_i1"] * out["n_i2"])).round(6)
+    assert (recomputed - out["lift"]).abs().max() <= 1e-6
+    assert (out["lift"].values == sorted(out["lift"].values, reverse=True)[
+        : len(out)]).all() or out["lift"].is_monotonic_decreasing
+
+
+def test_tpch_q17_integer_boundary(ray_session):
+    """The 5·q·n < sum_q integer form equals the float 0.2·avg predicate
+    on this integer-quantity corpus (checked row-by-row in DuckDB), so
+    the Ray/oracle agreement isn't luck."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    n_diff = con.execute(f"""
+        WITH st AS (
+            SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+                   count(*) AS n, avg(l_quantity) AS av
+            FROM read_parquet('{sf}/lineitem.parquet') GROUP BY l_partkey
+        )
+        SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN st ON st.l_partkey = l.l_partkey
+        WHERE (5 * CAST(l.l_quantity AS BIGINT) * st.n < st.sq)
+              <> (l.l_quantity < 0.2 * st.av)
+    """).fetchone()[0]
+    assert n_diff == 0
