@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": rel.q_tpch_q13,
         "tpch_q14": rel.q_tpch_q14,
         "tpch_q17": rel.q_tpch_q17,
+        "tpch_q15": rel.q_tpch_q15,
+        "tpch_q22": rel.q_tpch_q22,
+        "zscore_outliers": rel.q_zscore_outliers,
         "assoc_rules": rel.q_assoc_rules,
         "gini_by_source": rel.q_gini_by_source,
         "grouped_distinct": rel.q_grouped_distinct,
@@ -217,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred_cn": _q_link_pred_cn,
         "bfs_depths": _q_bfs_depths,
         "clustering_coeff": _q_clustering_coeff,
+        "label_propagation": _q_label_prop,
+        "assortativity": _q_assortativity,
         "hits_scores": _q_hits,
         # Bloom-filter semi join — the documented 10^12-scale replacement
         # for broadcast sorted-key membership (pipelines/pagerank.py):
@@ -2226,6 +2231,103 @@ def _q_clustering_coeff(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return clustering_coeff(edges, k=20).to_pandas()
+
+
+def _q_label_prop(sf_dir: str):
+    """Fixed-round synchronous min-label community propagation over the
+    quadratic skewed link graph (pipelines/pagerank.label_propagation_min,
+    5 rounds); the oracle unrolls the same recurrence as MATERIALIZED
+    CTE rounds and histograms the final labels."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        label_propagation_min,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return label_propagation_min(edges, n, n_rounds=5).to_pandas()
+
+
+def _label_prop_sql(rounds: int = 5) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )""", """
+        adj AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+        )""", """
+        l0 AS MATERIALIZED (
+            SELECT doc_id AS node, doc_id AS lab FROM documents
+        )"""]
+    for r in range(rounds):
+        parts.append(f"""
+        l{r + 1} AS MATERIALIZED (
+            SELECT l.node,
+                   least(l.lab, coalesce(min(ln.lab), l.lab)) AS lab
+            FROM l{r} l
+            LEFT JOIN adj ON adj.a = l.node
+            LEFT JOIN l{r} ln ON ln.node = adj.b
+            GROUP BY l.node, l.lab
+        )""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT lab AS community, count(*) AS size
+        FROM l{rounds} GROUP BY lab ORDER BY community
+    """
+
+
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity of the quadratic skewed link graph
+    (pipelines/pagerank.degree_assortativity — integer edge-moment sums,
+    one float division at the end); the oracle recomputes the same
+    moments from a degree self-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        degree_assortativity,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return degree_assortativity(edges).to_pandas()
 
 
 def _bfs_sql(rounds: int = 4) -> str:
@@ -5008,6 +5110,49 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
             WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.sq
         """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                           AS revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE revenue = (SELECT max(revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q22": """
+            WITH thr AS (
+                SELECT round(avg(c_acctbal), 4) AS t
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer, thr
+            WHERE c_acctbal > thr.t
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "zscore_outliers": """
+            WITH mom AS (
+                SELECT event_type, sum(value) AS s1,
+                       sum(value * value) AS s2, count(*) AS n
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+                   round((e.value - m.s1 / m.n) /
+                         sqrt(m.s2 / m.n - pow(m.s1 / m.n, 2)), 6) AS z
+            FROM events e JOIN mom m ON m.event_type = e.event_type
+            ORDER BY abs(round((e.value - m.s1 / m.n) /
+                         sqrt(m.s2 / m.n - pow(m.s1 / m.n, 2)), 6)) DESC,
+                     e.event_id
+            LIMIT 20
+        """,
         "assoc_rules": """
             WITH ui AS (
                 SELECT DISTINCT user_id,
@@ -6552,6 +6697,38 @@ def oracle_sql() -> dict[str, str]:
         "search_eval": _search_eval_sql(),
         "kcore_nodes": _kcore_sql(),
         "bfs_depths": _bfs_sql(),
+        "label_propagation": _label_prop_sql(),
+        "assortativity": """
+            WITH raw AS MATERIALIZED (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY a),
+            ed AS (
+                SELECT d1.deg AS du, d2.deg AS dv
+                FROM e JOIN deg d1 ON d1.node = e.u
+                       JOIN deg d2 ON d2.node = e.v
+            ),
+            s AS (
+                SELECT count(*) AS m2, sum(2 * du * dv) AS sxy,
+                       sum(du + dv) AS sx, sum(du * du + dv * dv) AS sxx
+                FROM ed
+            )
+            SELECT m2 AS n_edges,
+                   round((sxy * 1.0 / (2 * m2) -
+                          pow(sx * 1.0 / (2 * m2), 2)) /
+                         (sxx * 1.0 / (2 * m2) -
+                          pow(sx * 1.0 / (2 * m2), 2)), 6) AS assortativity
+            FROM s
+        """,
         # common-neighbor link prediction on the quadratic graph: wedge
         # self-join, edge anti-join, (count DESC, x, y) top-20
         "link_pred_cn": """

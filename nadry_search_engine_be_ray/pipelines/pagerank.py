@@ -1032,3 +1032,122 @@ def clustering_coeff(edges_ds, k: int = 20, *, src_col: str = "src",
     df["coeff"] = (2.0 * df["n_tri"] / (df["deg"] * (df["deg"] - 1))).round(6)
     df = df.sort_values(["coeff", "node"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def label_propagation_min(edges_ds, n_nodes: int, n_rounds: int = 5,
+                          *, src_col: str = "src", dst_col: str = "dst"):
+    """Synchronous min-label community propagation over integer nodes
+    0..n_nodes−1: l₀(v) = v; each round every node takes the minimum of
+    its own label and its undirected neighbors' labels.  Fixed
+    ``n_rounds`` keeps it SQL-checkable (the oracle unrolls the same
+    recurrence as MATERIALIZED CTEs, the kcore/bfs idiom); at
+    convergence labels equal connected components, and bounded rounds
+    give the diameter-truncated refinement.  Same distributed shape as
+    ``pagerank_power_int``: undirected edge blocks pinned once, per-round
+    tasks compute per-destination label MINIMA against the broadcast
+    label vector, the driver holds only the O(n) label state.
+
+    Returns (community, size) counts for the final labels, community asc.
+    """
+    import ray
+
+    block_refs = edges_ds.select_columns([src_col, dst_col]).to_arrow_refs()
+
+    @ray.remote
+    def undirect(tbl: pa.Table):
+        s = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if s.size and (min(s.min(), d.min()) < 0
+                       or max(s.max(), d.max()) >= n_nodes):
+            raise ValueError("label_propagation_min: ids out of range")
+        return np.concatenate([s, d]), np.concatenate([d, s])
+
+    both = ray.get([undirect.remote(r) for r in block_refs])
+    edge_refs = [(ray.put(a), ray.put(b)) for a, b in both if a.size]
+
+    @ray.remote
+    def min_contrib(src_ref, dst_ref, labels):
+        vals = labels[src_ref]
+        uniq, inv = np.unique(dst_ref, return_inverse=True)
+        acc = np.full(uniq.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(acc, inv, vals)
+        return uniq, acc
+
+    labels = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(n_rounds):
+        lref = ray.put(labels)
+        partials = ray.get(
+            [min_contrib.remote(s, d, lref) for s, d in edge_refs]
+        )
+        nxt = labels.copy()
+        for uniq, vals in partials:
+            np.minimum.at(nxt, uniq, vals)
+        labels = nxt
+
+    comm, size = np.unique(labels, return_counts=True)
+    return pa.table({"community": pa.array(comm, pa.int64()),
+                     "size": pa.array(size.astype(np.int64), pa.int64())})
+
+
+def degree_assortativity(edges_ds, *, src_col: str = "src",
+                         dst_col: str = "dst"):
+    """Degree assortativity coefficient r (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected deduped edge
+    list.  Every moment is an INTEGER sum over edges (Σdᵢdⱼ, Σ(dᵢ+dⱼ),
+    Σ(dᵢ²+dⱼ²)) so Ray and the SQL oracle agree exactly until the one
+    final float division:
+
+        r = (S_xy/m − (S_x/2m)²) / (S_xx/2m − (S_x/2m)²)
+
+    with S_xy = Σ 2·dᵢdⱼ (both orientations), S_x = Σ(dᵢ+dⱼ),
+    S_xx = Σ(dᵢ²+dⱼ²), m = 2·n_edges directed half-edges.  The edge
+    dedup groupby is the only exchange; degrees are the O(n) driver
+    arrays the other graph ops already hold."""
+    import ray
+    import ray.data
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    e0 = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    et = pa.concat_tables(
+        [pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]
+        + [t.select(["u", "v"]) for t in ray.get(e0.to_arrow_refs())
+           if "u" in t.schema.names]
+    )
+    uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_edges = int(uu.size)
+    if n_edges == 0:
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "assortativity": pa.array([float("nan")],
+                                                   pa.float64())})
+    nodes, counts = np.unique(np.concatenate([uu, vv]), return_counts=True)
+    du = counts[np.searchsorted(nodes, uu)].astype(object)
+    dv = counts[np.searchsorted(nodes, vv)].astype(object)
+    # python-int sums: exact regardless of magnitude
+    s_xy = int((2 * du * dv).sum())
+    s_x = int((du + dv).sum())
+    s_xx = int((du * du + dv * dv).sum())
+    m = 2 * n_edges
+    mean = s_x / m
+    num = s_xy / m - mean * mean
+    den = s_xx / m - mean * mean
+    r = float("nan") if den == 0 else num / den
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "assortativity": pa.array(
+                         [round(r, 6) if r == r else r], pa.float64())})

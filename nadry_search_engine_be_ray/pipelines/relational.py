@@ -3054,3 +3054,184 @@ def q_gini_by_source(sf_dir: str) -> pd.DataFrame:
         out.append({"source": src, "n_docs": n,
                     "gini": round(2.0 * s / (n * t) - (n + 1.0) / n, 6)})
     return pd.DataFrame(out)
+
+
+def q_zscore_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Per-event-type z-score anomaly detection: pass 1 folds (Σv, Σv²,
+    n) partials per event_type into population mean/std (the corr_stats
+    moment shape); pass 2 broadcasts the 5-row moment table and each
+    batch keeps only its local top-k by |z| — the driver merge sees
+    ≤ k·blocks candidate rows, never the stream.  Top-k by (|z| desc,
+    event_id asc) on the 6-dp-rounded score."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "s1": pa.array(v, pa.float64()),
+            "s2": pa.array(v * v, pa.float64()),
+            "n": pa.array(np.ones(v.size, dtype=np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")]
+        )
+        return _rename_agg(g, {"s1_sum": "s1", "s2_sum": "s2", "n_sum": "n"})
+
+    mom = (
+        ds.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    types = mom["event_type"].to_numpy()
+    order = np.argsort(types)
+    types = types[order]
+    mean = (mom["s1"] / mom["n"]).to_numpy()[order]
+    std = np.sqrt((mom["s2"] / mom["n"]).to_numpy()[order] - mean * mean)
+    ref = ray.put((types, mean, std))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ts, mu, sd = ray.get(ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ts, et)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        z = np.round((v - mu[idx]) / sd[idx], 6)
+        az = np.abs(z)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # local top-k by (|z| desc, event_id asc)
+        sel = np.lexsort((eid, -az))[:k]
+        return pa.table({
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "event_type": pa.array(et[sel]),
+            "value": pa.array(np.round(v[sel], 6), pa.float64()),
+            "z": pa.array(z[sel], pa.float64()),
+        })
+
+    cand = ds.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    cand["az"] = cand["z"].abs()
+    out = cand.sort_values(["az", "event_id"],
+                           ascending=[False, True]).head(k)
+    return out.drop(columns=["az"]).reset_index(drop=True)
+
+
+def q_tpch_q15(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier view): per-supplier revenue over one
+    ship-date quarter folded from per-batch partials, then the
+    max-equality filter — suppliers whose 4-dp-rounded revenue equals
+    the maximum (the tie-keeping semantics of the original's view +
+    subquery, which a plain top-1 LIMIT would break)."""
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                       pc.less(batch["l_shipdate"], hi))
+        b = batch.filter(keep)
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_suppkey": b["l_suppkey"], "revenue": rev})
+        g = t.group_by(["l_suppkey"]).aggregate([("revenue", "sum")])
+        return _rename_agg(g, {"revenue_sum": "revenue"})
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    rev["revenue"] = rev["revenue"].round(4)
+    top = rev[rev["revenue"] == rev["revenue"].max()].copy()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "revenue"]]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_tpch_q22(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive balance and NO *urgent* orders, grouped by
+    market segment (the synthetic schema's stand-in for cntrycode; the
+    urgency restriction keeps the anti join non-trivial — every
+    synthetic customer has at least one order).  The above-average
+    threshold is ONE scalar from a moment partial pass; the no-orders
+    test is a broadcast anti join against the distinct urgent o_custkey
+    set (distinct-folded per batch before the driver sees it).  acctbal
+    sums round to 4 dp."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        v = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = v[v > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())], pa.float64()),
+                         "n": pa.array([int(pos.size)], pa.int64())})
+
+    parts = cust.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
+    # round the threshold to 4 dp so Ray and the oracle compare against
+    # the SAME double (unrounded, the two engines' avg differs in ulps
+    # and a balance at the boundary could flip sides)
+    thr = round(float(parts["s"].sum()) / int(parts["n"].sum()), 4)
+
+    def ck_partial(batch: pa.Table) -> pa.Table:
+        urgent = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        u = np.unique(
+            pc.filter(batch["o_custkey"], urgent)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    have_orders = np.sort(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(ck_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .to_pandas()["o_custkey"].to_numpy(np.int64)
+    )
+    oref = ray.put(have_orders)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ray.get(oref), ck)
+        keep = (bal > thr) & ~hit
+        t = pa.table({
+            "c_mktsegment": pc.filter(batch["c_mktsegment"],
+                                      pa.array(keep)),
+            "numcust": pa.array(np.ones(int(keep.sum()), np.int64),
+                                pa.int64()),
+            "totacctbal": pa.array(bal[keep], pa.float64()),
+        })
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("numcust", "sum"), ("totacctbal", "sum")]
+        )
+        return _rename_agg(g, {"numcust_sum": "numcust",
+                               "totacctbal_sum": "totacctbal"})
+
+    out = (
+        cust.map_batches(pick, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("totacctbal", alias_name="totacctbal"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["totacctbal"].round(4)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)

@@ -550,3 +550,84 @@ def test_clustering_coeff_empty(ray_session):
                                       "dst": pa.array([7], pa.int64())}))
     out = clustering_coeff(e).to_pandas()
     assert len(out) == 0
+
+
+def test_label_propagation_bruteforce(ray_session):
+    """Fixed-round min-label propagation == a dense numpy simulation on
+    a seeded random graph, and converges to connected components when
+    rounds ≥ diameter (two disjoint cliques + an isolated node)."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        label_propagation_min,
+    )
+
+    def edges(pairs):
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }))
+
+    # two triangles {0,1,2} and {3,4,5}, node 6 isolated
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    out = label_propagation_min(edges(pairs), 7, n_rounds=3).to_pandas()
+    assert out.set_index("community")["size"].to_dict() == {0: 3, 3: 3, 6: 1}
+
+    rng = np.random.RandomState(11)
+    n = 30
+    pairs = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(40)]
+    rounds = 4
+    # dense simulation
+    lab = np.arange(n, dtype=np.int64)
+    und = {(a, b) for a, b in pairs if a != b}
+    for _ in range(rounds):
+        nxt = lab.copy()
+        for a, b in und:
+            nxt[b] = min(nxt[b], lab[a])
+            nxt[a] = min(nxt[a], lab[b])
+        lab = nxt
+    exp_c, exp_s = np.unique(lab, return_counts=True)
+    out = label_propagation_min(edges(pairs), n, n_rounds=rounds).to_pandas()
+    assert out["community"].tolist() == exp_c.tolist()
+    assert out["size"].tolist() == exp_s.tolist()
+
+
+def test_assortativity_known_values(ray_session):
+    """r = 1 on a disjoint union of a triangle and an edge? No — exact
+    values checked against the dense numpy Pearson correlation of the
+    directed half-edge degree pairs, plus the star graph's r = −1."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        degree_assortativity,
+    )
+
+    def edges(pairs):
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }))
+
+    # star: the hub (deg n-1) pairs only with leaves (deg 1) -> r = -1
+    star = [(0, i) for i in range(1, 6)]
+    out = degree_assortativity(edges(star)).to_pandas().iloc[0]
+    assert out["n_edges"] == 5 and abs(out["assortativity"] + 1.0) < 1e-9
+
+    rng = np.random.RandomState(5)
+    n = 25
+    pairs = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(60)]
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    deg = np.zeros(n, dtype=np.int64)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    xs = np.array([deg[a] for a, b in und] + [deg[b] for a, b in und],
+                  dtype=np.float64)
+    ys = np.array([deg[b] for a, b in und] + [deg[a] for a, b in und],
+                  dtype=np.float64)
+    exp = np.corrcoef(xs, ys)[0, 1]
+    out = degree_assortativity(edges(pairs)).to_pandas().iloc[0]
+    assert out["n_edges"] == len(und)
+    assert abs(out["assortativity"] - exp) < 1e-6
