@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": rel.q_tpch_q15,
         "tpch_q22": rel.q_tpch_q22,
         "zscore_outliers": rel.q_zscore_outliers,
+        "event_trigrams": rel.q_event_trigrams,
+        "daily_autocorr": rel.q_daily_autocorr,
+        "chi2_independence": rel.q_chi2_independence,
         "assoc_rules": rel.q_assoc_rules,
         "gini_by_source": rel.q_gini_by_source,
         "grouped_distinct": rel.q_grouped_distinct,
@@ -218,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "kcore_nodes": _q_kcore,
         "link_pred_cn": _q_link_pred_cn,
+        "link_pred_jaccard": _q_link_pred_jaccard,
         "bfs_depths": _q_bfs_depths,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -2174,6 +2178,38 @@ def _q_link_pred_cn(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return common_neighbors_topk(edges, k=20).to_pandas()
+
+
+def _q_link_pred_jaccard(sf_dir: str):
+    """Jaccard-normalized link prediction over the quadratic skewed
+    link graph (pipelines/pagerank.common_neighbors_topk with
+    score="jaccard"): top-20 non-adjacent pairs by integer-ppm Jaccard;
+    the oracle adds a degree join to the wedge self-join and states the
+    same FLOOR(10⁶·c/union) integer division."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        common_neighbors_topk,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return common_neighbors_topk(edges, k=20, score="jaccard").to_pandas()
 
 
 def _q_bfs_depths(sf_dir: str):
@@ -5153,6 +5189,63 @@ def oracle_sql() -> dict[str, str]:
                      e.event_id
             LIMIT 20
         """,
+        "event_trigrams": """
+            WITH seq AS (
+                SELECT event_type AS t1,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t2,
+                       lead(event_type, 2) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t3
+                FROM events
+            )
+            SELECT t1, t2, t3, count(*) AS n FROM seq
+            WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 20
+        """,
+        "daily_autocorr": """
+            WITH daily AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            ),
+            p AS (
+                SELECT a.n AS x, b.n AS y
+                FROM daily a JOIN daily b ON b.day = a.day + 1
+            ),
+            s AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM p
+            )
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   round((n * sxy - sx * sy) /
+                         sqrt((n * sxx - sx * sx) *
+                              (n * syy - sy * sy) * 1.0), 6) AS autocorr
+            FROM s
+        """,
+        "chi2_independence": """
+            WITH cells AS (
+                SELECT c_mktsegment, o_orderpriority, count(*) AS observed
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(observed) AS t FROM cells),
+            r AS (SELECT c_mktsegment, sum(observed) AS rt
+                  FROM cells GROUP BY 1),
+            c AS (SELECT o_orderpriority, sum(observed) AS ct
+                  FROM cells GROUP BY 1)
+            SELECT cells.c_mktsegment, cells.o_orderpriority, observed,
+                   round((rt * ct) / t, 6) AS expected,
+                   round(pow(observed - (rt * ct) / t, 2) /
+                         ((rt * ct) / t), 6) AS contrib
+            FROM cells
+            JOIN r USING (c_mktsegment)
+            JOIN c USING (o_orderpriority)
+            CROSS JOIN tot
+            ORDER BY cells.c_mktsegment, cells.o_orderpriority
+        """,
         "assoc_rules": """
             WITH ui AS (
                 SELECT DISTINCT user_id,
@@ -6757,6 +6850,42 @@ def oracle_sql() -> dict[str, str]:
             FROM w LEFT JOIN e0 ON e0.u = w.x AND e0.v = w.y
             WHERE e0.u IS NULL
             ORDER BY w.c DESC, w.x, w.y LIMIT 20
+        """,
+        # jaccard link prediction: same wedge chain + degree join; the
+        # score is FLOOR(1e6*c/union) INTEGER ppm — union denominators
+        # are often powers of two whose exact 1e-6 halves round
+        # half-even in numpy but half-away in DuckDB
+        "link_pred_jaccard": """
+            WITH raw AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            e0 AS (
+                SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            adj AS (
+                SELECT u AS n, v AS m FROM e0
+                UNION ALL SELECT v, u FROM e0
+            ),
+            deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+            w AS (
+                SELECT a.m AS x, b.m AS y, count(*) AS c
+                FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m
+                GROUP BY 1, 2
+            )
+            SELECT w.x, w.y, w.c AS common_neighbors,
+                   (1000000 * w.c) // (dx.d + dy.d - w.c) AS jaccard_ppm
+            FROM w
+            JOIN deg dx ON dx.n = w.x
+            JOIN deg dy ON dy.n = w.y
+            LEFT JOIN e0 ON e0.u = w.x AND e0.v = w.y
+            WHERE e0.u IS NULL
+            ORDER BY jaccard_ppm DESC, w.x, w.y LIMIT 20
         """,
         # triangles of the synthetic link graph: undirect+dedup, then the
         # canonical (x<y<z) 3-way self-join

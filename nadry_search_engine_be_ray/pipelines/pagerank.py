@@ -735,11 +735,21 @@ def kcore_nodes(edges_ds, k: int = 3, n_rounds: int = 5, *,
 
 
 def common_neighbors_topk(edges_ds, k: int = 20, *, src_col: str = "src",
-                          dst_col: str = "dst", cap: int = 10_000):
+                          dst_col: str = "dst", cap: int = 10_000,
+                          score: str = "cn"):
     """Link prediction by common-neighbor count (the integer-exact core
     of Adamic-Adar — the 1/ln(deg) weighting is deliberately omitted so
     the SQL oracle needs no libm parity): top-k NON-adjacent node pairs
     by |N(x) ∩ N(y)|, ties (count DESC, x, y).
+
+    ``score="jaccard"`` normalizes by the neighborhood union —
+    |N∩| / (deg(x) + deg(y) − |N∩|) — as FLOOR(10⁶·c/denom) integer
+    ppm, never a float: the union denominators are frequently powers
+    of two, whose exact 1e-6 halves round half-even in numpy but
+    half-away in DuckDB (measured), so a rounded-double column would
+    hash-diverge.  Ranks by (jaccard_ppm DESC, x, y), returns
+    (x, y, common_neighbors, jaccard_ppm).  Degrees come from the same
+    O(n) driver arrays the other graph ops hold.
 
     Distributed shape: adjacency = both edge directions grouped per
     node; each group emits its neighbor pairs (wedges) — quadratic in
@@ -776,9 +786,12 @@ def common_neighbors_topk(edges_ds, k: int = 20, *, src_col: str = "src",
     uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     if uu.size == 0:
-        return pa.table({"x": pa.array([], pa.int64()),
-                         "y": pa.array([], pa.int64()),
-                         "common_neighbors": pa.array([], pa.int64())})
+        cols = {"x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+                "common_neighbors": pa.array([], pa.int64())}
+        if score == "jaccard":
+            cols["jaccard_ppm"] = pa.array([], pa.int64())
+        return pa.table(cols)
     shift = np.int64(max(int(max(uu.max(), vv.max())) + 1, 1))
     ekeys_ref = ray.put(np.sort(uu * shift + vv))
 
@@ -835,6 +848,26 @@ def common_neighbors_topk(edges_ds, k: int = 20, *, src_col: str = "src",
            if "x" in t.schema.names]
     )
     import pandas as pd
+
+    if score == "jaccard":
+        nodes, counts = np.unique(np.concatenate([uu, vv]),
+                                  return_counts=True)
+        df = out.to_pandas()
+        dx = counts[np.searchsorted(nodes, df["x"].to_numpy(np.int64))]
+        dy = counts[np.searchsorted(nodes, df["y"].to_numpy(np.int64))]
+        c = df["c"].to_numpy(np.int64)
+        df["jaccard_ppm"] = (1_000_000 * c) // (dx + dy - c)
+        df = df.sort_values(["jaccard_ppm", "x", "y"],
+                            ascending=[False, True, True]).head(k)
+        df = df.reset_index(drop=True)
+        return pa.table({
+            "x": pa.array(df["x"].to_numpy(np.int64), pa.int64()),
+            "y": pa.array(df["y"].to_numpy(np.int64), pa.int64()),
+            "common_neighbors": pa.array(df["c"].to_numpy(np.int64),
+                                         pa.int64()),
+            "jaccard_ppm": pa.array(df["jaccard_ppm"].to_numpy(np.int64),
+                                    pa.int64()),
+        })
 
     df = out.to_pandas().sort_values(
         ["c", "x", "y"], ascending=[False, True, True]

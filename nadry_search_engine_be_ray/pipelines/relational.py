@@ -3235,3 +3235,165 @@ def q_tpch_q22(sf_dir: str) -> pd.DataFrame:
     out["numcust"] = out["numcust"].astype("int64")
     out["totacctbal"] = out["totacctbal"].round(4)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_event_trigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Third-order clickstream sequences: per user, CONSECUTIVE
+    (t1, t2, t3) event-type triples ordered by (ts, event_id), counted
+    corpus-wide — top-k by (count desc, triple asc).  Linear per user
+    (unlike item-set triples, which are cubic), so the fused user
+    partition emits ≤ |events| triple partials and the final groupby is
+    |types|³-bounded."""
+    from ray.data.aggregate import Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def tri_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        et = et.take(pa.array(order))
+        uid = uid[order]
+        if len(uid) < 3:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "t3": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = pa.array((uid[2:] == uid[:-2]) & (uid[2:] == uid[1:-1]))
+        a = et.slice(0, len(et) - 2).filter(same)
+        b = et.slice(1, len(et) - 2).filter(same)
+        c = et.slice(2).filter(same)
+        g = pa.table({"t1": a, "t2": b, "t3": c}).group_by(
+            ["t1", "t2", "t3"]
+        ).aggregate([("t1", "count")])
+        return _rename_agg(g, {"t1_count": "n"})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("part")
+        .map_groups(tri_partition, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "t1", "t2", "t3"],
+                          ascending=[False, True, True, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def q_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series: day
+    buckets are integer epoch-days (floor division, no timezone), the
+    per-day counts fold from per-batch partials, and the Pearson r over
+    strictly-consecutive calendar-day pairs is computed from EXACT
+    integer moment sums — one float expression at the end, stated
+    identically in the oracle."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64) // 86_400_000_000)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    daily = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy(np.int64)
+    cnt = daily["n"].to_numpy(np.int64)
+    nxt = np.searchsorted(day, day + 1)
+    nxt[nxt == day.size] = 0
+    ok = day[nxt] == day + 1
+    x = cnt[ok].astype(object)           # python-int exact sums
+    y = cnt[nxt[ok]].astype(object)
+    n = int(ok.sum())
+    if n < 2:
+        return pd.DataFrame({"n_pairs": [n], "autocorr": [float("nan")]})
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    num = n * sxy - sx * sy
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame({"n_pairs": [n],
+                         "autocorr": [round(num / den, 6)]})
+
+
+def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Chi-square contingency cells for market segment × order
+    priority: the observed counts fold from per-batch partials over the
+    broadcast customer→segment join (the broadcast_join idiom); row and
+    column totals come off the 25-cell table on the driver, expected
+    counts are exact integer ratios (r·c as int, one division) and the
+    per-cell contribution (o−e)²/e is the same double expression the
+    oracle states.  Cells ordered (segment, priority)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    order = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    keys = cust["c_custkey"].to_numpy(np.int64)[order]
+    segs, seg_codes = np.unique(
+        cust["c_mktsegment"].to_numpy()[order], return_inverse=True
+    )
+    ref = ray.put((keys, seg_codes.astype(np.int64), segs))
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        ks, codes, sg = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, idx = _sorted_lookup(ks, ck)
+        t = pa.table({
+            "c_mktsegment": pa.array(sg[codes[idx[hit]]]),
+            "o_orderpriority": pc.filter(batch["o_orderpriority"],
+                                         pa.array(hit)),
+            "observed": pa.array(np.ones(int(hit.sum()), np.int64),
+                                 pa.int64()),
+        })
+        g = t.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
+            [("observed", "sum")]
+        )
+        return _rename_agg(g, {"observed_sum": "observed"})
+
+    cells = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("observed", alias_name="observed"))
+        .to_pandas()
+    )
+    cells["observed"] = cells["observed"].astype("int64")
+    total = int(cells["observed"].sum())
+    row = cells.groupby("c_mktsegment")["observed"].sum()
+    col = cells.groupby("o_orderpriority")["observed"].sum()
+    r = cells["c_mktsegment"].map(row).astype("int64")
+    c = cells["o_orderpriority"].map(col).astype("int64")
+    e = (r * c).to_numpy(np.int64) / total
+    o = cells["observed"].to_numpy(np.int64)
+    cells["expected"] = np.round(e, 6)
+    cells["contrib"] = np.round((o - e) * (o - e) / e, 6)
+    return cells.sort_values(["c_mktsegment", "o_orderpriority"]) \
+        .reset_index(drop=True)

@@ -631,3 +631,49 @@ def test_assortativity_known_values(ray_session):
     out = degree_assortativity(edges(pairs)).to_pandas().iloc[0]
     assert out["n_edges"] == len(und)
     assert abs(out["assortativity"] - exp) < 1e-6
+
+
+def test_jaccard_link_pred_bruteforce(ray_session):
+    """score="jaccard" == dense set computation (integer ppm floors,
+    (ppm desc, x, y) ordering, adjacency exclusion) on a seeded graph."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        common_neighbors_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 22
+    pairs = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(60)]
+    neigh = {v: set() for v in range(n)}
+    edges_set = set()
+    for a, b in pairs:
+        if a != b:
+            neigh[a].add(b)
+            neigh[b].add(a)
+            edges_set.add((min(a, b), max(a, b)))
+    rows = []
+    for x, y in itertools.combinations(range(n), 2):
+        if (x, y) in edges_set:
+            continue
+        c = len(neigh[x] & neigh[y])
+        if c == 0:
+            continue
+        denom = len(neigh[x]) + len(neigh[y]) - c
+        rows.append({"x": x, "y": y, "common_neighbors": c,
+                     "jaccard_ppm": (1_000_000 * c) // denom})
+    exp = (pd.DataFrame(rows)
+           .sort_values(["jaccard_ppm", "x", "y"],
+                        ascending=[False, True, True])
+           .head(10).reset_index(drop=True))
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    got = common_neighbors_topk(ds, k=10, score="jaccard").to_pandas()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
