@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": rel.q_tpch_q22,
         "zscore_outliers": rel.q_zscore_outliers,
         "event_trigrams": rel.q_event_trigrams,
+        "tpch_q2": rel.q_tpch_q2,
+        "markov_transitions": rel.q_markov_transitions,
+        "trend_slope": rel.q_trend_slope,
         "daily_autocorr": rel.q_daily_autocorr,
         "chi2_independence": rel.q_chi2_independence,
         "assoc_rules": rel.q_assoc_rules,
@@ -5188,6 +5191,68 @@ def oracle_sql() -> dict[str, str]:
                          sqrt(m.s2 / m.n - pow(m.s1 / m.n, 2)), 6)) DESC,
                      e.event_id
             LIMIT 20
+        """,
+        "tpch_q2": """
+            WITH lp AS (
+                SELECT p_partkey FROM part WHERE p_type = 'LARGE'
+            ),
+            ps AS (
+                SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem JOIN lp ON p_partkey = l_partkey
+            ),
+            ranked AS (
+                SELECT p, s, s_acctbal, s_name,
+                       row_number() OVER (PARTITION BY p
+                           ORDER BY s_acctbal DESC, s) AS rn
+                FROM ps JOIN supplier ON s_suppkey = s
+            )
+            SELECT p_partkey, p_name,
+                   round(p_retailprice, 4) AS p_retailprice,
+                   s AS s_suppkey, s_name, round(s_acctbal, 4) AS s_acctbal
+            FROM ranked JOIN part ON p_partkey = p
+            WHERE rn = 1
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+        """,
+        "markov_transitions": """
+            WITH seq AS (
+                SELECT event_type AS f,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t
+                FROM events
+            ),
+            c AS (
+                SELECT f AS from_type, t AS to_type, count(*) AS n
+                FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+            ),
+            o AS (
+                SELECT from_type, CAST(sum(n) AS BIGINT) AS out_total
+                FROM c GROUP BY 1
+            )
+            SELECT c.from_type, c.to_type, c.n, o.out_total,
+                   (1000000 * c.n) // o.out_total AS prob_ppm
+            FROM c JOIN o USING (from_type)
+            ORDER BY c.from_type, c.to_type
+        """,
+        "trend_slope": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n_days,
+                       sum(day) AS sx, sum(n) AS sy,
+                       sum(day * day) AS sxx, sum(day * n) AS sxy
+                FROM daily GROUP BY 1
+            )
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                   round((n_days * sxy - sx * sy) /
+                         (n_days * sxx - sx * sx), 6) AS slope,
+                   round((sy - (n_days * sxy - sx * sy) /
+                          (n_days * sxx - sx * sx) * sx) / n_days, 6)
+                       AS intercept
+            FROM s ORDER BY event_type
         """,
         "event_trigrams": """
             WITH seq AS (

@@ -3397,3 +3397,163 @@ def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
     cells["contrib"] = np.round((o - e) * (o - e) / e, 6)
     return cells.sort_values(["c_mktsegment", "o_orderpriority"]) \
         .reset_index(drop=True)
+
+
+def q_tpch_q2(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part — the argmin join):
+    for each LARGE-type part, the richest supplier that shipped it
+    (max s_acctbal, suppkey asc ties), top-k parts by retail price.
+    distinct (part, supp) pairs fold per batch before the one pair
+    groupby; supplier balance and part attributes broadcast (both dims
+    are small); the argmax itself is a per-part lexsort over the pair
+    table — never a self-join.  (The synthetic schema has no partsupp/
+    ps_supplycost, so lineitem supplies the part↔supplier relation and
+    max-acctbal stands in for min-supplycost; same query shape.)"""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_type", "p_retailprice", "p_name"]).to_pandas()
+    part = part[part["p_type"] == "LARGE"]
+    pkeys = np.sort(part["p_partkey"].to_numpy(np.int64))
+    pref = ray.put(pkeys)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(ray.get(pref), lk)
+        t = pa.table({
+            "p": pa.array(lk[hit], pa.int64()),
+            "s": pa.array(
+                batch["l_suppkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[hit], pa.int64()),
+        })
+        return t.group_by(["p", "s"]).aggregate([])
+
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["p", "s"])
+        .count()
+        .select_columns(["p", "s"])
+        .to_pandas()
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"]) \
+        .to_pandas()
+    m = pairs.merge(sup, left_on="s", right_on="s_suppkey")
+    # argmax per part: sort (acctbal desc, suppkey asc), keep first
+    m = m.sort_values(["p", "s_acctbal", "s_suppkey"],
+                      ascending=[True, False, True])
+    best = m.drop_duplicates("p", keep="first")
+    out = best.merge(part, left_on="p", right_on="p_partkey")
+    out = out[["p_partkey", "p_name", "p_retailprice", "s_suppkey",
+               "s_name", "s_acctbal"]].copy()
+    out["p_retailprice"] = out["p_retailprice"].round(4)
+    out["s_acctbal"] = out["s_acctbal"].round(4)
+    out = out.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(k)
+    for c in ["p_partkey", "s_suppkey"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """Row-normalized clickstream transition matrix: the
+    event_transitions pair counts divided by each from-state's outgoing
+    total — reported as FLOOR(10⁶·n/out) integer ppm (the transition
+    counts divide small integers, whose exact 1e-6 halves round
+    differently across engines; integer division is engine-exact).
+    All |types|² cells, ordered (from, to)."""
+    from ray.data.aggregate import Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def trans_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        et = et.take(pa.array(order))
+        uid = uid[order]
+        if len(uid) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = pa.array(uid[1:] == uid[:-1])
+        a = et.slice(0, len(et) - 1).filter(same)
+        b = et.slice(1).filter(same)
+        g = pa.table({"from_type": a, "to_type": b}).group_by(
+            ["from_type", "to_type"]
+        ).aggregate([("from_type", "count")])
+        return _rename_agg(g, {"from_type_count": "n"})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("part")
+        .map_groups(trans_partition, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    tot = out.groupby("from_type")["n"].sum()
+    out["out_total"] = out["from_type"].map(tot).astype("int64")
+    out["prob_ppm"] = (1_000_000 * out["n"]) // out["out_total"]
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def q_trend_slope(sf_dir: str) -> pd.DataFrame:
+    """Linear trend of the daily event-count series per event type:
+    slope and intercept of the least-squares line count ~ epoch-day,
+    from EXACT integer moment sums (day indexes and counts are ints;
+    the two closing divisions are the only floats, stated identically
+    in the oracle).  One (type, day) groupby of per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64) // 86_400_000_000)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": pa.array(d, pa.int64()),
+            "n": pa.array(np.ones(d.size, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return _rename_agg(g, {"n_sum": "n"})
+
+    daily = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        x = g["day"].to_numpy(np.int64).astype(object)
+        y = g["n"].to_numpy(np.int64).astype(object)
+        n = len(g)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - (n * sxy - sx * sy) / den * sx) / n
+        rows.append({"event_type": et, "n_days": n,
+                     "slope": round(slope, 6),
+                     "intercept": round(intercept, 6)})
+    return pd.DataFrame(rows)
