@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": tq.pmi_pairs,
         "phrase_suggest": tq.phrase_suggest,
         "type_token_ratio": tq.type_token_ratio,
+        "hapax_rate": tq.hapax_rate,
+        "doc_keywords": tq.doc_keywords,
+        "benford_prices": rel.q_benford_prices,
+        "rfm_scores": rel.q_rfm_scores,
         "json_extract_agg": rel.q_json_extract_agg,
         "snapshot_diff": rel.q_snapshot_diff,
         "data_card": tq.data_card,
@@ -5233,6 +5237,54 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN o USING (from_type)
             ORDER BY c.from_type, c.to_type
         """,
+        "benford_prices": """
+            WITH digits AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders
+            ),
+            obs AS (SELECT digit, count(*) AS observed
+                    FROM digits GROUP BY digit),
+            tot AS (SELECT CAST(sum(observed) AS BIGINT) AS t FROM obs),
+            bf(digit, benford_ppm) AS (VALUES
+                (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+                (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+            SELECT o.digit, o.observed,
+                   (1000000 * o.observed) // tot.t AS observed_ppm,
+                   CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+                   CAST((1000000 * o.observed) // tot.t - bf.benford_ppm
+                        AS BIGINT) AS excess_ppm
+            FROM obs o JOIN bf USING (digit) CROSS JOIN tot
+            ORDER BY o.digit
+        """,
+        "rfm_scores": """
+            WITH per AS (
+                SELECT o_custkey AS c_custkey,
+                       max(epoch_us(o_orderdate)) AS last_us,
+                       count(*) AS n_orders, sum(o_totalprice) AS spend
+                FROM orders GROUP BY 1
+            ),
+            mx AS (SELECT max(last_us) AS m FROM per),
+            sc AS (
+                SELECT c_custkey,
+                       CAST((mx.m - last_us) // 86400000000 AS BIGINT)
+                           AS recency_days,
+                       CAST(n_orders AS BIGINT) AS frequency,
+                       round(spend, 4) AS monetary
+                FROM per CROSS JOIN mx
+            )
+            SELECT c_custkey, recency_days, frequency, monetary,
+                   CAST(100 * (CASE WHEN recency_days < 365 THEN 3
+                                    WHEN recency_days < 1095 THEN 2
+                                    ELSE 1 END)
+                        + 10 * (CASE WHEN frequency >= 15 THEN 3
+                                     WHEN frequency >= 8 THEN 2
+                                     ELSE 1 END)
+                        + (CASE WHEN monetary >= 3000000.0 THEN 3
+                                WHEN monetary >= 1500000.0 THEN 2
+                                ELSE 1 END) AS BIGINT) AS rfm
+            FROM sc ORDER BY monetary DESC, c_custkey LIMIT 20
+        """,
         "trend_slope": """
             WITH daily AS (
                 SELECT event_type,
@@ -5633,6 +5685,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN c1 ON b.w1 = c1.term
             JOIN c2 ON b.w2 = c2.term
             ORDER BY b.n DESC, dist, b.w1, b.w2 LIMIT 5
+        """,
+        "hapax_rate": f"""
+            WITH toks AS (
+                SELECT source, unnest(list_filter({tok},
+                           t -> length(t) >= 2)) AS term
+                FROM documents
+            ),
+            tc AS (SELECT source, term, count(*) AS n
+                   FROM toks GROUP BY 1, 2),
+            agg AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax
+                FROM tc GROUP BY source
+            )
+            SELECT source, n_types, n_hapax,
+                   (1000000 * n_hapax) // n_types AS hapax_ppm
+            FROM agg ORDER BY source
+        """,
+        "doc_keywords": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter({tok},
+                           t -> length(t) >= 2)) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks WHERE doc_id < 20 GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       tf.tf * ((nn.n * 1000000) // df.df) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN nn
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score
+            FROM ranked WHERE rn <= 3
+            ORDER BY doc_id, score DESC, term
         """,
         "type_token_ratio": f"""
             WITH toks AS (

@@ -3557,3 +3557,99 @@ def q_trend_slope(sf_dir: str) -> pd.DataFrame:
                      "slope": round(slope, 6),
                      "intercept": round(intercept, 6)})
     return pd.DataFrame(rows)
+
+
+# Benford first-digit expectation, FLOOR(1e6·log10(1+1/d)) ppm — literal
+# constants (NOT computed at runtime) so neither engine's libm log10
+# enters the comparison.
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def q_benford_prices(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law audit of order totals: observed first-digit counts
+    of FLOOR(o_totalprice) vs the Benford expectation.  The leading
+    digit comes from exact integer division (repeated //10 — never a
+    float log10), expectation ppm are shared literals, and the observed
+    share is FLOOR(10⁶·n/total) integer ppm — the whole result is
+    integer-exact across engines."""
+    from ray.data.aggregate import Sum
+
+    def digit_partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        while (v >= 10).any():
+            m = v >= 10
+            v[m] //= 10
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"digit": pa.array(u, pa.int64()),
+                         "observed": pa.array(c, pa.int64())})
+
+    out = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(digit_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("observed", alias_name="observed"))
+        .to_pandas()
+    )
+    out["observed"] = out["observed"].astype("int64")
+    out["digit"] = out["digit"].astype("int64")
+    total = int(out["observed"].sum())
+    out["observed_ppm"] = (1_000_000 * out["observed"]) // total
+    out["benford_ppm"] = out["digit"].map(_BENFORD_PPM).astype("int64")
+    out["excess_ppm"] = out["observed_ppm"] - out["benford_ppm"]
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+def q_rfm_scores(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """RFM customer scoring: recency (days since last order, against
+    the corpus max date), frequency (order count) and monetary (total
+    spend) fold from per-batch per-custkey partials; fixed literal
+    thresholds bucket each axis 1-3 (literals, not quantiles, so the
+    buckets are integer-exact and the oracle states the same CASE
+    ladder); rfm = 100r + 10f + m.  Top-k by (monetary desc, custkey).
+    Recency days are exact integer µs division."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ck, return_inverse=True)
+        last = np.full(u.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, inv, d)
+        return pa.table({
+            "c_custkey": pa.array(u, pa.int64()),
+            "last_us": pa.array(last, pa.int64()),
+            "n_orders": pa.array(np.bincount(inv), pa.int64()),
+            "spend": pa.array(np.bincount(inv, weights=p), pa.float64()),
+        })
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Max("last_us", alias_name="last_us"),
+                   Sum("n_orders", alias_name="n_orders"),
+                   Sum("spend", alias_name="spend"))
+        .to_pandas()
+    )
+    max_us = int(agg["last_us"].max())
+    rec = (max_us - agg["last_us"].astype("int64")) // 86_400_000_000
+    freq = agg["n_orders"].astype("int64")
+    mon = agg["spend"].round(4)
+    r = np.where(rec < 365, 3, np.where(rec < 1095, 2, 1))
+    f = np.where(freq >= 15, 3, np.where(freq >= 8, 2, 1))
+    m = np.where(mon >= 3_000_000.0, 3, np.where(mon >= 1_500_000.0, 2, 1))
+    out = pd.DataFrame({
+        "c_custkey": agg["c_custkey"].astype("int64"),
+        "recency_days": rec.astype("int64"),
+        "frequency": freq,
+        "monetary": mon,
+        "rfm": (100 * r + 10 * f + m).astype("int64"),
+    })
+    out = out.sort_values(["monetary", "c_custkey"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

@@ -1201,3 +1201,139 @@ def type_token_ratio(sf_dir: str) -> pd.DataFrame:
     out["n_tokens"] = out["n_tokens"].astype("int64")
     out["ttr"] = (out["n_types"] / out["n_tokens"]).round(6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def hapax_rate(sf_dir: str) -> pd.DataFrame:
+    """Hapax-legomena rate per source: the share of a source's distinct
+    vocabulary that occurs exactly once there — the boilerplate/
+    template-detection complement of type_token_ratio (templated
+    sources have almost no hapaxes).  Per-batch (source, term) count
+    partials -> one pair groupby (each pair lands exactly once) ->
+    second-level per-batch (n_types, n_hapax) partials -> a
+    sources-sized combine.  The rate is FLOOR(10⁶·hapax/types) integer
+    ppm (cross-engine exact; see link_pred_jaccard for the half-
+    rounding divergence this avoids)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        srcs = src.take(pa.array(doc_pos[ok]))
+        g = pa.table({
+            "source": srcs, "term": flat.filter(pa.array(ok)),
+        }).group_by(["source", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(
+            [{"term_count": "n"}.get(c, c) for c in g.column_names]
+        )
+
+    pair_counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hapax_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "source": batch["source"],
+            "n_types": pa.array(np.ones(n.size, np.int64), pa.int64()),
+            "n_hapax": pa.array((n == 1).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["source"]).aggregate(
+            [("n_types", "sum"), ("n_hapax", "sum")]
+        )
+        return g.rename_columns(
+            [{"n_types_sum": "n_types", "n_hapax_sum": "n_hapax"}.get(c, c)
+             for c in g.column_names]
+        )
+
+    out = (
+        pair_counts.map_batches(hapax_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_types", alias_name="n_types"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+        .to_pandas()
+    )
+    for c in ["n_types", "n_hapax"]:
+        out[c] = out[c].astype("int64")
+    out["hapax_ppm"] = (1_000_000 * out["n_hapax"]) // out["n_types"]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def doc_keywords(sf_dir: str, n_docs: int = 20, k: int = 3) -> pd.DataFrame:
+    """Per-document keyword extraction: top-``k`` terms of each of the
+    first ``n_docs`` documents by tf·idf with a LINEAR integer idf —
+    score = tf · FLOOR(10⁶·N/df) — so Ray and SQL agree bit-for-bit
+    with no libm log parity (same monotone term ranking per df as
+    ln(N/df) would give within a document when tf ties break by term).
+    Shape: tf partials over the target docs only (scan-side filter);
+    df over the FULL corpus but semi-filtered to the target docs'
+    vocabulary via a broadcast term set, so the df groupby ships only
+    the needed terms; the driver joins two small tables."""
+    import ray
+
+    docs = _docs(sf_dir)
+    n_total = int(docs.count())
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["doc_id"], n_docs)
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        doc_pos, flat, _, ok = _exploded(b)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[doc_pos[ok]]
+        g = pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": flat.filter(pa.array(ok)),
+        }).group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(
+            [{"term_count": "tf"}.get(c, c) for c in g.column_names]
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+        .to_pandas()
+    )
+    vocab = np.sort(np.unique(tf["term"].to_numpy()))
+    vref = ray.put(vocab)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vref)
+        doc_pos, flat, _, ok = _exploded(batch)
+        terms = flat.filter(pa.array(ok))
+        tarr = terms.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(voc, tarr)
+        idx[idx == voc.size] = 0
+        hit = voc[idx] == tarr
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_pos[ok]]
+        g = pa.table({
+            "doc_id": pa.array(doc_ids[hit], pa.int64()),
+            "term": pa.array(tarr[hit]),
+        }).group_by(["doc_id", "term"]).aggregate([])
+        return g.select(["doc_id", "term"])
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "term"])
+        .count()
+        .select_columns(["term"])
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    out = tf.merge(df_tbl, on="term")
+    for c in ["tf", "df"]:
+        out[c] = out[c].astype("int64")
+    out["score"] = out["tf"] * ((n_total * 1_000_000) // out["df"])
+    out = out.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+    out = out.groupby("doc_id", sort=True).head(k)
+    return out[["doc_id", "term", "tf", "df", "score"]].reset_index(drop=True)
