@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": rel.q_tpch_q14,
         "tpch_q17": rel.q_tpch_q17,
         "tpch_q15": rel.q_tpch_q15,
+        "tpch_q4": rel.q_tpch_q4,
+        "tpch_q7": rel.q_tpch_q7,
+        "tpch_q11": rel.q_tpch_q11,
+        "tpch_q19": rel.q_tpch_q19,
         "tpch_q22": rel.q_tpch_q22,
         "zscore_outliers": rel.q_zscore_outliers,
         "event_trigrams": rel.q_event_trigrams,
@@ -5195,6 +5199,57 @@ def oracle_sql() -> dict[str, str]:
                          sqrt(m.s2 / m.n - pow(m.s1 / m.n, 2)), 6)) DESC,
                      e.event_id
             LIMIT 20
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q7": """
+            WITH top3 AS (SELECT n_name FROM nation ORDER BY n_name LIMIT 3)
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            WHERE ns.n_name IN (SELECT n_name FROM top3)
+              AND nc.n_name IN (SELECT n_name FROM top3)
+              AND ns.n_name <> nc.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "tpch_q11": """
+            WITH pv AS (
+                SELECT l_partkey AS p_partkey,
+                       round(sum(l_extendedprice), 4) AS value
+                FROM lineitem GROUP BY 1
+            ),
+            tot AS (SELECT sum(value) AS t FROM pv)
+            SELECT p_partkey, value FROM pv CROSS JOIN tot
+            WHERE 1000000.0 * value > 600 * t
+            ORDER BY value DESC, p_partkey
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1.0 AND 15.0)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
+                   AND l_quantity BETWEEN 5.0 AND 25.0)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10.0 AND 35.0)
         """,
         "tpch_q2": """
             WITH lp AS (

@@ -3653,3 +3653,210 @@ def q_rfm_scores(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out = out.sort_values(["monetary", "c_custkey"],
                           ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def q_tpch_q4(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking — the EXISTS semi join):
+    count orders per priority that have at least one LATE line
+    (l_shipdate > o_orderdate + 60 days; the synthetic lineitem has no
+    commitdate, so lateness is relative to the order date).  The order
+    dates broadcast once as a sorted (orderkey → date) array; lineitem
+    batches emit DISTINCT late orderkeys (per-batch dedupe), one
+    orderkey groupby dedupes globally, and the late-key set broadcasts
+    back as the semi filter on orders — both directions ship keys, not
+    rows."""
+    import ray
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    odf = orders.to_pandas()
+    order = np.argsort(odf["o_orderkey"].to_numpy(np.int64))
+    okeys = odf["o_orderkey"].to_numpy(np.int64)[order]
+    odate = (odf["o_orderdate"].to_numpy("datetime64[us]")
+             .astype(np.int64)[order])
+    ref = ray.put((okeys, odate))
+    late_us = 60 * 86_400_000_000
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        ks, ds_ = ray.get(ref)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        hit, idx = _sorted_lookup(ks, lk)
+        late = hit & (sd > ds_[idx] + late_us)
+        u = np.unique(lk[late])
+        return pa.table({"o_orderkey": pa.array(u, pa.int64())})
+
+    late_keys = np.sort(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .count()
+        .to_pandas()["o_orderkey"].to_numpy(np.int64)
+    )
+    hit, _ = _sorted_lookup(late_keys, odf["o_orderkey"].to_numpy(np.int64))
+    out = (odf[hit].groupby("o_orderpriority", as_index=False)
+           .agg(order_count=("o_orderkey", "count")))
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_tpch_q7(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue by
+    (supplier nation, customer nation, ship year) for the ordered nation
+    pairs among the first three nations.  Both dimension chains
+    (suppkey→nation, orderkey→custkey→nation) broadcast as sorted
+    arrays; each lineitem batch resolves both nations, filters the pair
+    set, and folds (s_nation, c_nation, year, revenue) partials — the
+    fact table never shuffles."""
+    import ray
+
+    nations = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = nations["n_nationkey"].to_numpy(np.int64)
+    order = np.argsort(nk)
+    nk = nk[order]
+    nname = nations["n_name"].to_numpy()[order]
+    keep_nations = set(np.sort(nname)[:3].tolist())
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(sup["s_suppkey"].to_numpy(np.int64))
+    skeys = sup["s_suppkey"].to_numpy(np.int64)[so]
+    snat = sup["s_nationkey"].to_numpy(np.int64)[so]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    co = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    ckeys = cust["c_custkey"].to_numpy(np.int64)[co]
+    cnat = cust["c_nationkey"].to_numpy(np.int64)[co]
+
+    odf = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    oo = np.argsort(odf["o_orderkey"].to_numpy(np.int64))
+    okeys = odf["o_orderkey"].to_numpy(np.int64)[oo]
+    ocust = odf["o_custkey"].to_numpy(np.int64)[oo]
+
+    ref = ray.put((nk, nname, skeys, snat, ckeys, cnat, okeys, ocust))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk_, nm_, sk_, sn_, ck_, cn_, ok_, oc_ = ray.get(ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, is_ = _sorted_lookup(sk_, lsk)
+        ho, io_ = _sorted_lookup(ok_, lok)
+        keep = hs & ho
+        s_n = nm_[np.searchsorted(nk_, sn_[is_[keep]])]
+        custk = oc_[io_[keep]]
+        hc, ic_ = _sorted_lookup(ck_, custk)
+        c_n = nm_[np.searchsorted(nk_, cn_[ic_[hc]])]
+        s_n = s_n[hc]
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        rev = rev[keep][hc]
+        yr = (pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+              .astype(np.int64)[keep][hc])
+        m = (np.isin(s_n, list(keep_nations))
+             & np.isin(c_n, list(keep_nations)) & (s_n != c_n))
+        t = pa.table({
+            "supp_nation": pa.array(s_n[m]),
+            "cust_nation": pa.array(c_n[m]),
+            "l_year": pa.array(yr[m], pa.int64()),
+            "revenue": pa.array(rev[m], pa.float64()),
+        })
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("revenue", "sum")]
+        )
+        return _rename_agg(g, {"revenue_sum": "revenue"})
+
+    out = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
+               "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)
+        .agg(revenue=("revenue", "sum"))
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def q_tpch_q11(sf_dir: str, fraction_ppm: int = 600) -> pd.DataFrame:
+    """TPC-H Q11 shape (important stock — the global-fraction HAVING):
+    per-part value (Σ extendedprice) kept only where it exceeds
+    fraction·total corpus value.  Per-batch part partials fold in one
+    groupby; the grand total is the sum OF THE ROUNDED per-part values
+    (stated identically in the oracle, so the threshold is the same
+    double on both sides); the comparison multiplies out the division
+    (1e6·value > ppm·total) to avoid a divide."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "p_partkey": batch["l_partkey"],
+            "value": batch["l_extendedprice"],
+        }).group_by(["p_partkey"]).aggregate([("value", "sum")])
+        return _rename_agg(g, {"value_sum": "value"})
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value", alias_name="value"))
+        .to_pandas()
+    )
+    per_part["value"] = per_part["value"].round(4)
+    total = float(per_part["value"].sum())
+    keep = 1_000_000.0 * per_part["value"] > fraction_ppm * total
+    out = per_part[keep].copy()
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out.sort_values(["value", "p_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q_tpch_q19(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue under DISJUNCTIVE predicate
+    triples): revenue over lineitem ⨝ part where ANY of three
+    (brand, size-range, quantity-range) clauses matches.  Part
+    attributes broadcast once as sorted arrays; each batch evaluates
+    the OR of vectorized clause masks — the disjunction never turns
+    into three scans."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    po = np.argsort(part["p_partkey"].to_numpy(np.int64))
+    pkeys = part["p_partkey"].to_numpy(np.int64)[po]
+    brands, bcodes = np.unique(part["p_brand"].to_numpy()[po],
+                               return_inverse=True)
+    psize = part["p_size"].to_numpy(np.int64)[po]
+    ref = ray.put((pkeys, bcodes.astype(np.int64), brands, psize))
+
+    clauses = [("Brand#11", 1, 10, 1.0, 15.0),
+               ("Brand#22", 5, 20, 5.0, 25.0),
+               ("Brand#33", 10, 30, 10.0, 35.0)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, bc, bn, sz = ray.get(ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, idx = _sorted_lookup(ks, lk)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        brand = bn[bc[idx]]
+        size = sz[idx]
+        m = np.zeros(len(batch), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in clauses:
+            m |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                  & (q >= q_lo) & (q <= q_hi))
+        m &= hit
+        return pa.table({"s": pa.array([float(rev[m].sum())], pa.float64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "revenue": [round(float(parts["s"].sum()), 4)],
+        "n_lines": [int(parts["n"].sum())],
+    })
