@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": rel.q_tpch_q7,
         "tpch_q11": rel.q_tpch_q11,
         "tpch_q19": rel.q_tpch_q19,
+        "tpch_q8": rel.q_tpch_q8,
+        "tpch_q9": rel.q_tpch_q9,
+        "tpch_q16": rel.q_tpch_q16,
+        "tpch_q20": rel.q_tpch_q20,
+        "tpch_q21": rel.q_tpch_q21,
         "tpch_q22": rel.q_tpch_q22,
         "zscore_outliers": rel.q_zscore_outliers,
         "event_trigrams": rel.q_event_trigrams,
@@ -5250,6 +5255,81 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 5.0 AND 25.0)
                OR (p_brand = 'Brand#33' AND p_size BETWEEN 10 AND 30
                    AND l_quantity BETWEEN 10.0 AND 35.0)
+        """,
+        "tpch_q8": """
+            WITH rn AS (
+                SELECT n_nationkey FROM nation
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'ASIA'
+            )
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN ns.n_name = 'NATION_2'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            WHERE c_nationkey IN (SELECT n_nationkey FROM rn)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q9": """
+            SELECT ns.n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   round(sum(l_quantity), 4) AS total_qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier s ON s.s_suppkey = l_suppkey
+            WHERE p_name LIKE 'red%'
+            GROUP BY 1, 2
+            HAVING sum(l_quantity) > 100.0
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            WITH pairs AS (
+                SELECT l_orderkey AS o, l_suppkey AS s,
+                       max(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                GROUP BY 1, 2
+            ),
+            ord AS (
+                SELECT o, count(*) AS n_supp, sum(late) AS n_late,
+                       sum(late * s) AS late_skey
+                FROM pairs GROUP BY 1
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM ord JOIN supplier ON s_suppkey = late_skey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 25
         """,
         "tpch_q2": """
             WITH lp AS (

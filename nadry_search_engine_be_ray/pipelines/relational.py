@@ -3860,3 +3860,343 @@ def q_tpch_q19(sf_dir: str) -> pd.DataFrame:
         "revenue": [round(float(parts["s"].sum()), 4)],
         "n_lines": [int(parts["n"].sum())],
     })
+
+
+def q_tpch_q8(sf_dir: str, region: str = "ASIA",
+              nation: str = "NATION_2") -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): for orders placed by
+    customers in one region, the fraction of lineitem revenue supplied
+    by one target nation, per order year.  The three dimension chains
+    (suppkey→nation name, orderkey→(year, custkey), custkey→in-region)
+    broadcast once as sorted arrays; every lineitem batch folds
+    (year, target_revenue, total_revenue) partials, so the single scan
+    carries both numerator and denominator — no second pass, no fact
+    shuffle.  Cf. nadry's SQL-side aggregation in ranker/* (the
+    reference has no relational engine; this family documents the Ray
+    translation of the shapes its store queries imply)."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+
+    no = np.argsort(nat["n_nationkey"].to_numpy(np.int64))
+    nk = nat["n_nationkey"].to_numpy(np.int64)[no]
+    nname = nat["n_name"].to_numpy()[no]
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(sup["s_suppkey"].to_numpy(np.int64))
+    skeys = sup["s_suppkey"].to_numpy(np.int64)[so]
+    s_is_target = (nname[np.searchsorted(nk, sup["s_nationkey"]
+                                         .to_numpy(np.int64)[so])] == nation)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    co = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    ckeys = cust["c_custkey"].to_numpy(np.int64)[co]
+    c_in_region = np.isin(cust["c_nationkey"].to_numpy(np.int64)[co],
+                          list(region_nations))
+
+    odf = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    oo = np.argsort(odf["o_orderkey"].to_numpy(np.int64))
+    okeys = odf["o_orderkey"].to_numpy(np.int64)[oo]
+    ocust = odf["o_custkey"].to_numpy(np.int64)[oo]
+    oyear = pd.DatetimeIndex(odf["o_orderdate"]).year.to_numpy(np.int64)[oo]
+
+    ref = ray.put((skeys, s_is_target, ckeys, c_in_region,
+                   okeys, ocust, oyear))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk_, st_, ck_, cr_, ok_, oc_, oy_ = ray.get(ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, is_ = _sorted_lookup(sk_, lsk)
+        ho, io_ = _sorted_lookup(ok_, lok)
+        keep = hs & ho
+        hc, ic_ = _sorted_lookup(ck_, oc_[io_[keep]])
+        keep2 = hc & cr_[ic_]
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        rev = rev[keep][keep2]
+        yr = oy_[io_[keep]][keep2]
+        tgt = st_[is_[keep]][keep2]
+        years, inv = np.unique(yr, return_inverse=True)
+        tot = np.bincount(inv, weights=rev)
+        num = np.bincount(inv, weights=rev * tgt)
+        return pa.table({
+            "o_year": pa.array(years, pa.int64()),
+            "num": pa.array(num, pa.float64()),
+            "den": pa.array(tot, pa.float64()),
+        })
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("o_year", as_index=False)
+        .agg(num=("num", "sum"), den=("den", "sum"))
+    )
+    parts["mkt_share"] = (parts["num"] / parts["den"]).round(6)
+    out = parts[["o_year", "mkt_share"]].sort_values("o_year")
+    return out.reset_index(drop=True)
+
+
+def q_tpch_q9(sf_dir: str, name_token: str = "red") -> pd.DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year).  The
+    synthetic schema has no partsupp, so supply cost is adapted to the
+    part's retail price: profit = extendedprice·(1−discount) −
+    p_retailprice·quantity, over parts whose name contains the token.
+    Part (cost + name filter), supplier→nation and orderkey→year chains
+    broadcast sorted; each lineitem batch folds (nation, year, profit)
+    partials through one pyarrow group_by."""
+    import ray
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    no = np.argsort(nat["n_nationkey"].to_numpy(np.int64))
+    nk = nat["n_nationkey"].to_numpy(np.int64)[no]
+    nname = nat["n_name"].to_numpy()[no]
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    m = part["p_name"].str.contains(name_token, regex=False)
+    part = part[m]
+    po = np.argsort(part["p_partkey"].to_numpy(np.int64))
+    pkeys = part["p_partkey"].to_numpy(np.int64)[po]
+    pcost = part["p_retailprice"].to_numpy(np.float64)[po]
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(sup["s_suppkey"].to_numpy(np.int64))
+    skeys = sup["s_suppkey"].to_numpy(np.int64)[so]
+    snat = nname[np.searchsorted(
+        nk, sup["s_nationkey"].to_numpy(np.int64)[so])]
+
+    odf = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    oo = np.argsort(odf["o_orderkey"].to_numpy(np.int64))
+    okeys = odf["o_orderkey"].to_numpy(np.int64)[oo]
+    oyear = pd.DatetimeIndex(odf["o_orderdate"]).year.to_numpy(np.int64)[oo]
+
+    ref = ray.put((pkeys, pcost, skeys, snat, okeys, oyear))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_, pc_, sk_, sn_, ok_, oy_ = ray.get(ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hp, ip_ = _sorted_lookup(pk_, lpk)
+        hs, is_ = _sorted_lookup(sk_, lsk)
+        ho, io_ = _sorted_lookup(ok_, lok)
+        keep = hp & hs & ho
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        profit = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+            - pc_[ip_[keep]] * qty
+        )
+        t = pa.table({
+            "nation": pa.array(sn_[is_[keep]]),
+            "o_year": pa.array(oy_[io_[keep]], pa.int64()),
+            "sum_profit": pa.array(profit, pa.float64()),
+        })
+        g = t.group_by(["nation", "o_year"]).aggregate([("sum_profit", "sum")])
+        return _rename_agg(g, {"sum_profit_sum": "sum_profit"})
+
+    out = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+               "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["nation", "o_year"], as_index=False)
+        .agg(sum_profit=("sum_profit", "sum"))
+    )
+    out["sum_profit"] = out["sum_profit"].round(4)
+    return out.sort_values(["nation", "o_year"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
+def q_tpch_q16(sf_dir: str, excl_brand: str = "Brand#11",
+               excl_type: str = "PROMO") -> pd.DataFrame:
+    """TPC-H Q16 shape (supplier count per part attribute).  No partsupp
+    table exists, so the part↔supplier relation is DERIVED from lineitem:
+    a (partkey, suppkey) pair exists iff some line shipped it.  The
+    count-distinct dedupe stays distributed — each batch emits unique
+    composite int keys (partkey·2²⁰ | suppkey), one Ray groupby dedupes
+    globally, and only the UNIQUE pairs (bounded by |part|×suppliers-per-
+    part, not by lineitem) reach the driver for the small attr rollup."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    m = ((part["p_brand"] != excl_brand) & (part["p_type"] != excl_type)
+         & part["p_size"].isin([1, 5, 10, 15, 20, 25, 30, 35]))
+    part = part[m]
+    po = np.argsort(part["p_partkey"].to_numpy(np.int64))
+    pkeys = part["p_partkey"].to_numpy(np.int64)[po]
+    ref = ray.put(pkeys)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pk_ = ray.get(ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(pk_, lpk)
+        key = (lpk[hit] << np.int64(20)) | lsk[hit]
+        return pa.table({"pair": pa.array(np.unique(key), pa.int64())})
+
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .count()
+        .to_pandas()
+    )
+    pk = (pairs["pair"].to_numpy(np.int64) >> np.int64(20))
+    sk = pairs["pair"].to_numpy(np.int64) & np.int64((1 << 20) - 1)
+    attr = part.set_index("p_partkey").loc[pk]
+    df = pd.DataFrame({
+        "p_brand": attr["p_brand"].to_numpy(),
+        "p_type": attr["p_type"].to_numpy(),
+        "p_size": attr["p_size"].to_numpy(np.int64),
+        "s": sk,
+    })
+    out = (df.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+           .agg(supplier_cnt=("s", "nunique")))
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+def q_tpch_q20(sf_dir: str, name_prefix: str = "red",
+               min_qty: float = 100.0) -> pd.DataFrame:
+    """TPC-H Q20 shape (part-prefix volume suppliers).  partsupp's
+    availqty is absent, so the predicate is adapted to shipped volume:
+    suppliers whose total shipped quantity of parts named with the
+    prefix exceeds min_qty.  Prefix-filtered partkeys broadcast; one
+    lineitem scan folds per-supplier quantity partials; the final
+    threshold + supplier-name join happens on the supplier-sized
+    result."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_name"].str.startswith(name_prefix),
+                             "p_partkey"].to_numpy(np.int64))
+    ref = ray.put(pkeys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_ = ray.get(ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _sorted_lookup(pk_, lpk)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        ks, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(ks.astype(np.int64), pa.int64()),
+            "qty": pa.array(np.bincount(inv, weights=q), pa.float64()),
+        })
+
+    per_supp = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("s_suppkey", as_index=False)
+        .agg(qty=("qty", "sum"))
+    )
+    per_supp = per_supp[per_supp["qty"] > min_qty]
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = per_supp.merge(sup, on="s_suppkey")
+    out["total_qty"] = out["qty"].round(4)
+    out = out[["s_suppkey", "s_name", "total_qty"]]
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+def q_tpch_q21(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting).  Lateness is adapted to the synthetic schema as in Q4:
+    l_shipdate > o_orderdate + 60 days.  A supplier counts for an order
+    iff it shipped a late line, the order involved ANOTHER supplier,
+    and NO other supplier was late.  Fully distributed: batch partials
+    dedupe to (orderkey·2²⁰|suppkey, late) composite keys, one Ray
+    groupby Max folds line→pair, a second fused-key groupby folds
+    pair→order as (n_supp, n_late, Σ late·suppkey) — when n_late == 1
+    that sum IS the guilty supplier, so the per-order supplier set
+    never materializes."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    odf = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    oo = np.argsort(odf["o_orderkey"].to_numpy(np.int64))
+    okeys = odf["o_orderkey"].to_numpy(np.int64)[oo]
+    odate = (odf["o_orderdate"].to_numpy("datetime64[us]")
+             .astype(np.int64)[oo])
+    ref = ray.put((okeys, odate))
+    late_us = 60 * 86_400_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ok_, od_ = ray.get(ref)
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        hit, idx = _sorted_lookup(ok_, lok)
+        late = (hit & (sd > od_[idx] + late_us)).astype(np.int64)
+        key = (lok << np.int64(20)) | lsk
+        ks, inv = np.unique(key, return_inverse=True)
+        any_late = (np.bincount(inv, weights=late, minlength=ks.size)
+                    > 0).astype(np.int64)
+        return pa.table({
+            "pair": pa.array(ks, pa.int64()),
+            "late": pa.array(any_late, pa.int64()),
+        })
+
+    pair_ds = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        pairk = batch["pair"].to_numpy(zero_copy_only=False)
+        late = batch["late"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = pairk >> np.int64(20)
+        skey = pairk & np.int64((1 << 20) - 1)
+        return pa.table({
+            "o": pa.array(okey, pa.int64()),
+            "n_supp": pa.array(np.ones(okey.size, np.int64), pa.int64()),
+            "n_late": pa.array(late, pa.int64()),
+            "late_skey": pa.array(late * skey, pa.int64()),
+        })
+
+    def guilty_partial(batch: pa.Table) -> pa.Table:
+        m = ((batch["n_supp"].to_numpy(zero_copy_only=False) > 1)
+             & (batch["n_late"].to_numpy(zero_copy_only=False) == 1))
+        sk = batch["late_skey"].to_numpy(zero_copy_only=False)[m]
+        ks, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(ks.astype(np.int64), pa.int64()),
+            "numwait": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64()),
+        })
+
+    counts = (
+        pair_ds.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o")
+        .aggregate(Sum("n_supp", alias_name="n_supp"),
+                   Sum("n_late", alias_name="n_late"),
+                   Sum("late_skey", alias_name="late_skey"))
+        .map_batches(guilty_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("s_suppkey", as_index=False)
+        .agg(numwait=("numwait", "sum"))
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(sup, on="s_suppkey")
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out[["s_name", "numwait"]].sort_values(
+        ["numwait", "s_name"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
