@@ -219,6 +219,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
+        "naive_bayes": _q_naive_bayes,
+        "knn_classify": _q_knn_classify,
+        "ntile_quartiles": rel.q_ntile_quartiles,
+        "iqr_outliers": rel.q_iqr_outliers,
+        "ewma_daily": rel.q_ewma_daily,
         "facet_stats": _q_facet_stats,
         "significant_terms": _q_significant_terms,
         "search_eval": _q_search_eval,
@@ -1039,6 +1044,74 @@ def _q_top_grams_approx(sf_dir: str):
     from nadry_search_engine_be_ray.stages.heavyhitters import approx_top_grams
 
     return approx_top_grams(sf_dir, k=25)
+
+
+def _q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes (stages/classifier.nb_fit/nb_classify):
+    train on the documents table with lang as the label, classify every
+    document, report (doc_id, pred_label, score).  The oracle recomputes
+    the full count model + log-space argmax in SQL."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.classifier import (
+        nb_classify,
+        nb_fit,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    model = nb_fit(docs, text_col="text", label_col="lang")
+    out = nb_classify(docs, model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
+    """k-NN label prediction over the embedding column: for the first 20
+    vectors, majority label among the top-5 cosine neighbors (self
+    excluded; vote ties broken by label asc).  Self-exclusion is exact
+    via a k+1 retrieval: dropping the query row from its own top-(k+1)
+    leaves exactly the top-k of the others whether or not self made the
+    cut."""
+    import numpy as np
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import (
+        brute_force_topk,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    top = brute_force_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=k + 1
+    ).to_pandas()
+    top["query_id"] = head["vec_id"].to_numpy()[top["query_id"].to_numpy()]
+    top = top[top["vec_id"] != top["query_id"]]
+    top = (top.sort_values(["query_id", "rank"])
+           .groupby("query_id", as_index=False).head(k))
+
+    # neighbor labels: broadcast the (tiny) hit-id set and filter the
+    # corpus scan down to it — only n_queries×k label rows reach the driver
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    need = np.unique(top["vec_id"].to_numpy(np.int64))
+    lab = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label"])
+           .map_batches(lambda b: b.filter(
+               _pc.is_in(b["vec_id"], value_set=pa.array(need))),
+               batch_format="pyarrow")
+           .to_pandas())
+    top = top.merge(lab, on="vec_id")
+    votes = (top.groupby(["query_id", "label"], as_index=False)
+             .agg(votes=("vec_id", "count")))
+    votes = votes.sort_values(["query_id", "votes", "label"],
+                              ascending=[True, False, True])
+    out = votes.groupby("query_id", as_index=False).head(1).copy()
+    out = out.rename(columns={"label": "pred_label"})
+    out["votes"] = out["votes"].astype("int64")
+    return out[["query_id", "pred_label", "votes"]] \
+        .sort_values("query_id").reset_index(drop=True)
 
 
 def _q_hard_negatives(sf_dir: str):
@@ -5330,6 +5403,136 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY numwait DESC, s_name
             LIMIT 25
+        """,
+        "naive_bayes": """
+            WITH toks AS (
+                SELECT doc_id, lang, t AS token
+                FROM documents,
+                     unnest(string_split_regex(lower(text),
+                                               '[^a-z0-9_]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            ct AS (SELECT lang, token, count(*) AS c FROM toks GROUP BY 1, 2),
+            tot AS (SELECT lang, sum(c) AS tl FROM ct GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT token) AS v FROM ct),
+            priors AS (
+                SELECT lang,
+                       ln(CAST(count(*) AS DOUBLE)
+                          / (SELECT count(*) FROM documents)) AS lp
+                FROM documents GROUP BY 1
+            ),
+            doc_lang AS (
+                SELECT d.doc_id, p.lang, p.lp, t2.tl, vocab.v
+                FROM documents d
+                CROSS JOIN priors p
+                JOIN tot t2 ON t2.lang = p.lang
+                CROSS JOIN vocab
+            ),
+            tok_scores AS (
+                SELECT tk.doc_id, dl.lang,
+                       sum(ln((COALESCE(ct.c, 0) + 1.0)
+                              / (dl.tl + dl.v))) AS s
+                FROM toks tk
+                JOIN doc_lang dl ON dl.doc_id = tk.doc_id
+                LEFT JOIN ct ON ct.lang = dl.lang AND ct.token = tk.token
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT dl.doc_id, dl.lang, dl.lp + COALESCE(ts.s, 0.0) AS sc
+                FROM doc_lang dl
+                LEFT JOIN tok_scores ts
+                  ON ts.doc_id = dl.doc_id AND ts.lang = dl.lang
+            ),
+            best AS (
+                SELECT doc_id, lang, sc,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY sc DESC, lang) AS rb
+                FROM scored
+            )
+            SELECT doc_id, lang AS pred_label, round(sc, 4) AS score
+            FROM best WHERE rb = 1 ORDER BY doc_id
+        """,
+        "knn_classify": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 20
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cosine
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rn
+                FROM sims
+            ),
+            votes AS (
+                SELECT query_id, label, count(*) AS v
+                FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT query_id, label, v,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY v DESC, label) AS rb
+                FROM votes
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   label AS pred_label, CAST(v AS BIGINT) AS votes
+            FROM best WHERE rb = 1 ORDER BY query_id
+        """,
+        "ntile_quartiles": """
+            WITH t AS (
+                SELECT o_totalprice,
+                       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+                FROM orders
+            )
+            SELECT CAST(q AS BIGINT) AS quartile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "iqr_outliers": """
+            WITH s AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.25) AS q1,
+                       quantile_disc(value, 0.75) AS q3
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, round(s.q1, 6) AS q1, round(s.q3, 6) AS q3,
+                   CAST(count(*) FILTER (
+                       WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                          OR e.value > s.q3 + 1.5 * (s.q3 - s.q1))
+                       AS BIGINT) AS n_outliers,
+                   COALESCE(round(sum(e.value) FILTER (
+                       WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                          OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)), 4),
+                       0.0) AS sum_outliers
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type, s.q1, s.q3
+            ORDER BY e.event_type
+        """,
+        "ewma_daily": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       avg(value) AS m
+                FROM events GROUP BY 1, 2
+            ),
+            numbered AS (
+                SELECT event_type, m,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            )
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+                   round(sum(CASE WHEN rn = 1 THEN pow(0.7, n - 1) * m
+                                  ELSE 0.3 * pow(0.7, n - rn) * m END), 6)
+                       AS ewma
+            FROM numbered GROUP BY event_type ORDER BY event_type
         """,
         "tpch_q2": """
             WITH lp AS (

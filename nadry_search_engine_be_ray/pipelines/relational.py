@@ -4200,3 +4200,155 @@ def q_tpch_q21(sf_dir: str, k: int = 25) -> pd.DataFrame:
     out = out[["s_name", "numwait"]].sort_values(
         ["numwait", "s_name"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def q_ntile_quartiles(sf_dir: str, n_tiles: int = 4,
+                      n_bins: int = 4096) -> pd.DataFrame:
+    """NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) rolled up per
+    quartile — WITHOUT a global sort.  Two-pass exact-rank shape (the
+    ``stages/lm.py`` ppl_rank_buckets pattern, linear bins here): pass 1
+    folds a fixed linear price histogram (driver pull = n_bins counts,
+    corpus-size independent) whose cumsum gives every bin's base rank;
+    pass 2 range-partitions by the same bin and ranks exactly inside
+    each bin with the (price, orderkey) tiebreak — equal prices always
+    share a bin, so the tiebreak never crosses a partition.  SQL NTILE
+    bucket widths (first n%k buckets one wider) are reproduced from the
+    global rank arithmetically."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    mm = ds.aggregate(Min("o_totalprice", alias_name="lo"),
+                      Max("o_totalprice", alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = (hi - lo) or 1.0
+
+    def binkey(v: np.ndarray) -> np.ndarray:
+        b = np.floor((v - lo) / span * n_bins).astype(np.int64)
+        return np.clip(b, 0, n_bins - 1)
+
+    def coarse_hist(batch: pa.Table) -> pa.Table:
+        b = binkey(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(counts[nz], pa.int64())})
+
+    hist = (ds.map_batches(coarse_hist, batch_format="pyarrow")
+            .to_pandas().groupby("bin", as_index=False).agg(cnt=("cnt", "sum")))
+    base = np.zeros(n_bins, dtype=np.int64)
+    base[hist["bin"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
+    n_total = int(base.sum())
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+    ref = ray.put(base)
+
+    size, rem = divmod(n_total, n_tiles)
+
+    def rank_to_tile(r: np.ndarray) -> np.ndarray:
+        wide = rem * (size + 1)
+        t = np.where(r < wide, r // (size + 1),
+                     rem + (r - wide) // max(size, 1))
+        return t.astype(np.int64) + 1
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bin", pa.array(binkey(v), pa.int64()))
+
+    def tile_partial(group: pa.Table) -> pa.Table:
+        base_ = ray.get(ref)
+        b = int(group["bin"][0].as_py())
+        v = group["o_totalprice"].to_numpy(zero_copy_only=False)
+        k = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, v))
+        ranks = np.empty(v.size, dtype=np.int64)
+        ranks[order] = base_[b] + np.arange(v.size)
+        tiles = rank_to_tile(ranks)
+        ts, inv = np.unique(tiles, return_inverse=True)
+        return pa.table({
+            "quartile": pa.array(ts, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "sum_price": pa.array(np.bincount(inv, weights=v), pa.float64()),
+        })
+
+    out = (ds.map_batches(add_bin, batch_format="pyarrow")
+           .groupby("bin").map_groups(tile_partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("quartile", as_index=False)
+           .agg(n=("n", "sum"), sum_price=("sum_price", "sum")))
+    out["sum_price"] = out["sum_price"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("quartile").reset_index(drop=True)
+
+
+def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier profile per event_type: Q1/Q3 as DISCRETE
+    order statistics (sorted[ceil(q·n)−1], DuckDB quantile_disc
+    semantics — no interpolation, so the fences are exact values from
+    the data), IQR, and the count / extremes of points outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR].  Low-cardinality partition → per-type
+    map_groups sort, same declared contract as percent_rank."""
+
+    def profile(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy(zero_copy_only=False))
+        n = v.size
+        q1 = v[int(np.ceil(0.25 * n)) - 1]
+        q3 = v[int(np.ceil(0.75 * n)) - 1]
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        out = v[(v < lo) | (v > hi)]
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "q1": pa.array([round(float(q1), 6)], pa.float64()),
+            "q3": pa.array([round(float(q3), 6)], pa.float64()),
+            "n_outliers": pa.array([int(out.size)], pa.int64()),
+            "sum_outliers": pa.array(
+                [round(float(out.sum()), 4) if out.size else 0.0],
+                pa.float64()),
+        })
+
+    out = (_read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type").map_groups(profile, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_ewma_daily(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """Final-day exponentially weighted moving average of the DAILY MEAN
+    value per event_type: ewma_n = Σᵢ wᵢ·mᵢ with w_first = (1−α)^(n−1)
+    and wᵢ = α·(1−α)^(n−i) — the closed form of the recursive EWMA with
+    first-value init, so both engines compute the same weighted sum
+    instead of a recurrence.  Daily means fold distributed (per-batch
+    (type, day, sum, cnt) partials); only the (type×day)-sized daily
+    table reaches the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "s": batch["value"],
+            "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("s", "sum"), ("c", "sum")])
+        return _rename_agg(g, {"s_sum": "s", "c_sum": "c"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["event_type", "day"], as_index=False)
+             .agg(s=("s", "sum"), c=("c", "sum")))
+    daily["m"] = daily["s"] / daily["c"]
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        m = g["m"].to_numpy(np.float64)
+        n = m.size
+        w = alpha * np.power(1.0 - alpha, n - 1 - np.arange(n))
+        w[0] = np.power(1.0 - alpha, n - 1)
+        rows.append({"event_type": etype, "n_days": n,
+                     "ewma": round(float((w * m).sum()), 6)})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

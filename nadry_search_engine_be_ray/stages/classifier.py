@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .clustering import _matrix
 
@@ -140,3 +141,108 @@ def lr_predict(ds, w: np.ndarray, vec_col: str = "embedding"):
         return LrPredictBatch(ray.get(w_ref), vec_col)(batch)
 
     return ds.map_batches(predict, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes over a text column
+# ---------------------------------------------------------------------------
+
+def nb_fit(ds, text_col: str = "text", label_col: str = "lang"):
+    """Train a multinomial Naive Bayes text classifier (Laplace α=1).
+
+    Distributed shape: each batch pre-aggregates (label, token) counts
+    through one pyarrow group_by (tokens never leave Arrow), one Ray
+    groupby on the composed ``label\\x1ftoken`` key folds them globally,
+    and ONLY the model-sized (vocab × labels, bounded like the LM
+    broadcast models) count table reaches the driver.  Priors come from
+    a doc-count aggregate of the same scan shape.
+
+    Returns ``(labels, log_prior, keys, logp, default_logp)``:
+    ``keys``/``logp`` give per-(label,token) log P(tok|label) as a flat
+    Arrow probe table (``lookup_counts`` fast path), ``default_logp`` the
+    per-label unseen-token mass log(1/(tot_l + V))."""
+    from .lm import exploded_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, lens = exploded_tokens(batch[text_col])
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        doc_pos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        composed = pc.binary_join_element_wise(
+            pa.array(labels[doc_pos].astype(str)), flat, "\x1f")
+        t = pa.table({
+            "k": composed,
+            "cnt": pa.array(np.ones(len(composed), np.int64), pa.int64()),
+        }).group_by(["k"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(
+            [{"cnt_sum": "cnt"}.get(c, c) for c in t.column_names])
+        ls, inv = np.unique(labels, return_inverse=True)
+        docs = pa.table({
+            "k": pa.array(["\x00docs\x1f" + str(l) for l in ls]),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+        })
+        return pa.concat_tables([t, docs])
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    kk = counts["k"].astype(str)
+    is_doc = kk.str.startswith("\x00docs\x1f")
+    doc_counts = {k.split("\x1f", 1)[1]: int(c)
+                  for k, c in zip(kk[is_doc], counts["cnt"][is_doc])}
+    tok = counts[~is_doc].copy()
+    lab_tok = kk[~is_doc].str.split("\x1f", n=1, expand=True)
+    tok["label"], tok["token"] = lab_tok[0].to_numpy(), lab_tok[1].to_numpy()
+
+    labels = np.array(sorted(doc_counts))
+    n_docs = sum(doc_counts.values())
+    log_prior = np.log(np.array([doc_counts[l] for l in labels], np.float64)
+                       / n_docs)
+    vocab_size = tok["token"].nunique()
+    tot = tok.groupby("label")["cnt"].sum()
+    tot_l = np.array([float(tot.get(l, 0.0)) for l in labels])
+    default_logp = -np.log(tot_l + vocab_size)
+    # per-(label,token) delta over the unseen default, probed flat
+    li = np.searchsorted(labels, tok["label"].to_numpy())
+    logp = (np.log(tok["cnt"].to_numpy(np.float64) + 1.0)
+            - np.log(tot_l[li] + vocab_size))
+    keys = pa.array(tok["label"].to_numpy().astype(object)
+                    + "\x1f" + tok["token"].to_numpy().astype(object))
+    return labels, log_prior, keys, logp, default_logp
+
+
+def nb_classify(ds, model, text_col: str = "text",
+                id_col: str = "doc_id") -> "pa.Table":
+    """Score every document against the broadcast NB model and emit
+    (id, pred_label, score): argmax over labels of
+    log prior + Σ_tok log P(tok|label), ties broken by label order.
+    One ``lookup_counts`` probe per label per batch — vectorized, model
+    read from the object store once per task."""
+    import ray
+
+    from .lm import exploded_tokens, lookup_counts
+
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        labels, log_prior, keys, logp, default_logp = ray.get(ref)
+        doc_pos, flat, lens = exploded_tokens(batch[text_col])
+        n = batch.num_rows
+        scores = np.tile(log_prior, (n, 1))
+        for j, lab in enumerate(labels):
+            composed = pc.binary_join_element_wise(
+                pa.array(np.repeat(lab, len(flat))), flat, "\x1f")
+            delta = lookup_counts(composed, keys, logp - default_logp[j])
+            per_tok = default_logp[j] + delta
+            scores[:, j] += np.bincount(doc_pos, weights=per_tok,
+                                        minlength=n) + 0.0
+        best = np.argmax(scores, axis=1)  # ties -> lowest label index
+        return pa.table({
+            id_col: batch[id_col],
+            "pred_label": pa.array(labels[best]),
+            "score": pa.array(
+                np.round(scores[np.arange(n), best], 4), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
