@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_rank": tq.tfidf_rank,
         "bm25_simple": tq.bm25_simple,
         "search_lm_dirichlet": tq.lm_dirichlet,
+        "search_dfr_pl2": tq.dfr_pl2,
+        "kwic_concordance": tq.kwic_concordance,
+        "session_paths": tq.session_paths,
         "search_lm_jm": tq.lm_jelinek_mercer,
         "ltr_linear": tq.ltr_linear,
         # training-data ops (SQL-checked)
@@ -244,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "bfs_depths": _q_bfs_depths,
+        "scc_seeded": _q_scc_seeded,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
         "assortativity": _q_assortativity,
@@ -2453,6 +2457,82 @@ def _q_assortativity(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return degree_assortativity(edges).to_pandas()
+
+
+def _q_scc_seeded(sf_dir: str):
+    """Radius-bounded SCC of node 191 (pipelines/pagerank.scc_seeded): the
+    forward-backward seed step over the DIRECTED quadratic link graph —
+    nodes both forward- and backward-reachable within 4 hops; the oracle
+    unrolls both directed BFS sweeps as chained MATERIALIZED CTEs and
+    intersects them."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import scc_seeded
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return scc_seeded(edges, source=191, n_rounds=4)
+
+
+def _scc_sql(rounds: int = 4) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e AS MATERIALIZED (
+            SELECT DISTINCT src AS a, dst AS b FROM raw WHERE src <> dst
+        )""", """
+        fv0 AS MATERIALIZED (SELECT 191 AS node, 0 AS depth)""", """
+        ff0 AS MATERIALIZED (SELECT 191 AS node)""", """
+        bv0 AS MATERIALIZED (SELECT 191 AS node, 0 AS depth)""", """
+        bf0 AS MATERIALIZED (SELECT 191 AS node)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        ff{r} AS MATERIALIZED (
+            SELECT DISTINCT e.b AS node
+            FROM e JOIN ff{r - 1} f ON e.a = f.node
+            WHERE e.b NOT IN (SELECT node FROM fv{r - 1})
+        )""")
+        parts.append(f"""
+        fv{r} AS MATERIALIZED (
+            SELECT node, depth FROM fv{r - 1}
+            UNION ALL SELECT node, {r} AS depth FROM ff{r}
+        )""")
+        parts.append(f"""
+        bf{r} AS MATERIALIZED (
+            SELECT DISTINCT e.a AS node
+            FROM e JOIN bf{r - 1} f ON e.b = f.node
+            WHERE e.a NOT IN (SELECT node FROM bv{r - 1})
+        )""")
+        parts.append(f"""
+        bv{r} AS MATERIALIZED (
+            SELECT node, depth FROM bv{r - 1}
+            UNION ALL SELECT node, {r} AS depth FROM bf{r}
+        )""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT f.node, f.depth AS fwd_depth, b.depth AS bwd_depth
+        FROM fv{rounds} f JOIN bv{rounds} b ON b.node = f.node
+        ORDER BY f.node
+    """
 
 
 def _bfs_sql(rounds: int = 4) -> str:
@@ -5404,6 +5484,52 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name
             LIMIT 25
         """,
+        "kwic_concordance": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM toks
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   COALESCE(array_to_string(t[greatest(i - 2, 1):i - 1],
+                                            ' '), '') AS left_ctx,
+                   COALESCE(array_to_string(t[i + 1:least(i + 2, len(t))],
+                                            ' '), '') AS right_ctx
+            FROM occ WHERE t[i] = 'batch'
+            ORDER BY doc_id, pos
+        """,
+        "session_paths": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events
+            ), s AS (
+                SELECT *, sum(CASE WHEN prev IS NULL
+                                   OR ts - prev > INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM e
+            ), r AS (
+                SELECT user_id, session_no, event_type,
+                       row_number() OVER (PARTITION BY user_id, session_no
+                                          ORDER BY ts, event_id) AS rn
+                FROM s
+            ), p AS (
+                SELECT user_id, session_no,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 3 GROUP BY 1, 2
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+        """,
         "naive_bayes": """
             WITH toks AS (
                 SELECT doc_id, lang, t AS token
@@ -6395,6 +6521,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(raw, 6) AS score FROM scored
             ORDER BY raw DESC, doc_id LIMIT 10
         """,
+        "search_dfr_pl2": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            stats AS (SELECT sum(dl) AS total, count(*) AS n FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+                WHERE token IN ('merge', 'join', 'column', 'scan')
+                GROUP BY doc_id, token
+            ),
+            ctf AS (SELECT token, sum(tf) AS ctf FROM tf GROUP BY token),
+            normed AS (
+                SELECT tf.doc_id,
+                       tf.tf * ln(1.0 + (stats.total * 1.0 / stats.n)
+                                  / dl.dl) / ln(2) AS tfn,
+                       ctf.ctf * 1.0 / stats.n AS lam
+                FROM tf
+                JOIN dl ON dl.doc_id = tf.doc_id
+                JOIN ctf ON ctf.token = tf.token
+                CROSS JOIN stats
+            ),
+            scored AS (
+                SELECT doc_id,
+                       sum((1.0 / (tfn + 1.0)) * (
+                           tfn * ln(tfn / lam) / ln(2)
+                           + (lam - tfn) / ln(2)
+                           + 0.5 * ln(2 * pi() * tfn) / ln(2))) AS raw
+                FROM normed GROUP BY doc_id
+            )
+            SELECT doc_id, round(raw, 6) AS score FROM scored
+            ORDER BY raw DESC, doc_id LIMIT 10
+        """,
         "ltr_linear": f"""
             WITH toks AS (
                 SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
@@ -7288,6 +7449,7 @@ def oracle_sql() -> dict[str, str]:
         "search_eval": _search_eval_sql(),
         "kcore_nodes": _kcore_sql(),
         "bfs_depths": _bfs_sql(),
+        "scc_seeded": _scc_sql(),
         "label_propagation": _label_prop_sql(),
         "assortativity": """
             WITH raw AS MATERIALIZED (

@@ -1184,3 +1184,98 @@ def degree_assortativity(edges_ds, *, src_col: str = "src",
     return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                      "assortativity": pa.array(
                          [round(r, 6) if r == r else r], pa.float64())})
+
+
+def reachable_fixed(edges_ds, source: int = 0, n_rounds: int = 4, *,
+                    reverse: bool = False,
+                    src_col: str = "src", dst_col: str = "dst"):
+    """Fixed-round DIRECTED reachability from ``source``: hop depth for
+    every node reachable within ``n_rounds`` following edge direction
+    (``reverse=True`` follows edges backwards).  Same bounded-broadcast
+    frontier shape as :func:`bfs_depths`, but over the directed distinct
+    edge list.  Returns a (node -> depth) dict-shaped pandas frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    a_col, b_col = (dst_col, src_col) if reverse else (src_col, dst_col)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(dedup, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    visited_nodes = np.array([source], dtype=np.int64)
+    visited_depth = np.array([0], dtype=np.int64)
+    frontier = np.array([source], dtype=np.int64)
+
+    for r in range(1, n_rounds + 1):
+        if frontier.size == 0:
+            break
+        fr_ref = ray.put(np.sort(frontier))
+
+        def neigh_partial(batch: pa.Table, ref=fr_ref) -> pa.Table:
+            fr = ray.get(ref)
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(fr, a)
+            ia[ia == fr.size] = 0
+            nodes = np.unique(b[fr[ia] == a])
+            return pa.table({"node": pa.array(nodes, pa.int64())})
+
+        parts = ray.get(
+            edges.map_batches(neigh_partial, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .to_arrow_refs()
+        )
+        seed = pa.table({"node": pa.array([], pa.int64())})
+        reached = pa.concat_tables(
+            [seed] + [t.select(["node"]) for t in parts
+                      if "node" in t.schema.names]
+        )["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fresh = reached[~np.isin(reached, visited_nodes)]
+        visited_nodes = np.concatenate([visited_nodes, fresh])
+        visited_depth = np.concatenate(
+            [visited_depth, np.full(fresh.size, r, dtype=np.int64)]
+        )
+        frontier = fresh
+
+    order = np.argsort(visited_nodes)
+    return pd.DataFrame({"node": visited_nodes[order],
+                         "depth": visited_depth[order]})
+
+
+def scc_seeded(edges_ds, source: int = 0, n_rounds: int = 4, *,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Radius-bounded strongly-connected component of ``source`` — the
+    forward-backward (Fleischer/Hendrickson/Pinar) seed step with FIXED
+    rounds: nodes both forward- and backward-reachable from the seed
+    within ``n_rounds`` hops.  Two directed BFS sweeps share the edge
+    materialization; output is (node, fwd_depth, bwd_depth) for the
+    intersection, sorted by node.  The fixed-round bound is the same
+    declared contract as bfs_depths / kcore_nodes (the SQL oracle
+    unrolls identical rounds)."""
+    import pandas as pd
+
+    fwd = reachable_fixed(edges_ds, source, n_rounds,
+                          src_col=src_col, dst_col=dst_col)
+    bwd = reachable_fixed(edges_ds, source, n_rounds, reverse=True,
+                          src_col=src_col, dst_col=dst_col)
+    out = fwd.rename(columns={"depth": "fwd_depth"}).merge(
+        bwd.rename(columns={"depth": "bwd_depth"}), on="node")
+    out["node"] = out["node"].astype("int64")
+    out["fwd_depth"] = out["fwd_depth"].astype("int64")
+    out["bwd_depth"] = out["bwd_depth"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

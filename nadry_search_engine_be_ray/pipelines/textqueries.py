@@ -1337,3 +1337,211 @@ def doc_keywords(sf_dir: str, n_docs: int = 20, k: int = 3) -> pd.DataFrame:
                           ascending=[True, False, True])
     out = out.groupby("doc_id", sort=True).head(k)
     return out[["doc_id", "term", "tf", "df", "score"]].reset_index(drop=True)
+
+
+def kwic_concordance(sf_dir: str, term: str = "batch",
+                     width: int = 2) -> pd.DataFrame:
+    """KeyWord-In-Context concordance: every occurrence of ``term`` in
+    the simple-tokenized stream with up to ``width`` tokens of context
+    each side (clipped at document boundaries).  One map_batches pass:
+    the explode/position arithmetic is vectorized; context strings are
+    assembled only for the HIT rows (output-sized, not corpus-sized).
+    Output: (doc_id, pos, left_ctx, right_ctx) sorted by (doc_id, pos),
+    pos 0-based over the non-empty token stream."""
+
+    def kwic(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch, min_len=1)
+        doc_pos = doc_pos[ok]
+        flat = flat.filter(pa.array(ok))
+        n = len(flat)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "left_ctx": pa.array([], pa.string()),
+                "right_ctx": pa.array([], pa.string()),
+            })
+        # 0-based position within each doc's kept-token stream
+        counts = np.bincount(doc_pos, minlength=int(doc_pos.max()) + 1)
+        nz = counts[counts > 0]
+        first = np.repeat(
+            np.concatenate([[0], np.cumsum(nz)[:-1]]), nz)
+        pos = np.arange(n, dtype=np.int64) - first
+        hits = np.flatnonzero(
+            pc.equal(flat, term).to_numpy(zero_copy_only=False))
+        toks = flat.to_numpy(zero_copy_only=False)  # object array
+        left, right = [], []
+        for j in hits:
+            lo = j - width
+            l_parts = [toks[i] for i in range(max(lo, 0), j)
+                       if doc_pos[i] == doc_pos[j]]
+            r_parts = [toks[i] for i in range(j + 1, min(j + width + 1, n))
+                       if doc_pos[i] == doc_pos[j]]
+            left.append(" ".join(l_parts))
+            right.append(" ".join(r_parts))
+        doc_ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False)[doc_pos[hits]]
+        return pa.table({
+            "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+            "pos": pa.array(pos[hits], pa.int64()),
+            "left_ctx": pa.array(left, pa.string()),
+            "right_ctx": pa.array(right, pa.string()),
+        })
+
+    out = _docs(sf_dir).map_batches(kwic, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30, path_len: int = 3,
+                  k: int = 20) -> pd.DataFrame:
+    """Top-k session OPENING PATHS: per (user, session) the first up-to-3
+    event types joined with '>', counted across all sessions.  Session
+    assignment is identical to q_sessionize (gap > 30 min splits); the
+    path gather and the count fold both stay inside the fused user
+    partitions — only (path, count) partials shuffle."""
+    from .relational import _fused_parts
+
+    n_parts = _fused_parts(sf_dir, "events")
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def paths_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        brk = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(ts)))
+        path = et[starts].astype(object)
+        for step in range(1, path_len):
+            has = lens > step
+            path[has] = path[has] + ">" + et[starts[has] + step]
+        ps, inv = np.unique(path.astype(str), return_inverse=True)
+        return pa.table({
+            "path": pa.array(ps, pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+        })
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(u % n_parts, pa.int64()))
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"])
+        .map_batches(part_key, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(paths_partition, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("path", as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "path"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def dfr_pl2(sf_dir: str, query: str = "merge join column scan",
+            k: int = 10, c: float = 1.0) -> pd.DataFrame:
+    """Divergence-from-randomness ranking, PL2 model (Amati & van
+    Rijsbergen, TOIS 2002) — Poisson randomness, Laplace first
+    normalization, c-scaled document-length normalization 2:
+
+        tfn    = tf · log2(1 + c·avdl/dl)
+        λ_t    = ctf_t / N
+        score += qtf · (tfn·log2(tfn/λ) + (λ−tfn)·log2(e)
+                        + 0.5·log2(2π·tfn)) / (tfn + 1)
+
+    summed over query terms with tf > 0 (λ = 0 terms dropped, the
+    lm_dirichlet rule).  Same distributed shape as lm_dirichlet: one
+    vectorized stats pass, bounded collection-stat partials, broadcast
+    stats + per-block partial top-k.  log2 is computed as ln(x)/ln(2)
+    in BOTH engines so the oracle's arithmetic matches op for op."""
+    import numpy as np
+    import ray
+
+    terms = [t for t in simple_tokens(query) if len(t) >= 2]
+    qtf = pd.Series(terms).value_counts()
+    uterms = sorted(qtf.index)
+    qtf_vec = np.array([float(qtf[t]) for t in uterms])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        dl = np.bincount(doc_pos[ok], minlength=len(batch))
+        out = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for i, t in enumerate(uterms):
+            hit = ok & pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            out[f"tf{i}"] = pa.array(
+                np.bincount(doc_pos[hit], minlength=len(batch)), pa.int64()
+            )
+        return pa.table(out)
+
+    stats_mat = _docs(sf_dir).map_batches(
+        partials, batch_format="pyarrow").materialize()
+
+    def coll_partial(batch: pa.Table) -> pa.Table:
+        out = {
+            "total": pa.array(
+                [int(batch["dl"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+        }
+        for i in range(len(uterms)):
+            out[f"ctf{i}"] = pa.array(
+                [int(batch[f"tf{i}"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64())
+        return pa.table(out)
+
+    cs = stats_mat.map_batches(
+        coll_partial, batch_format="pyarrow").to_pandas()
+    total = int(cs["total"].sum())
+    n_docs = int(cs["n_docs"].sum())
+    ctf = np.array([int(cs[f"ctf{i}"].sum()) for i in range(len(uterms))])
+    keep = np.flatnonzero(ctf > 0)
+    lam = ctf[keep].astype(np.float64) / n_docs
+    avdl = total / n_docs
+    stats_ref = ray.put((keep, lam, qtf_vec[keep], avdl))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        keep_idx, lam_vec, qw, avdl_ = ray.get(stats_ref)
+        ln2 = np.log(2.0)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.zeros(len(dl))
+        any_hit = np.zeros(len(dl), dtype=bool)
+        for j, i in enumerate(keep_idx):
+            tf = batch[f"tf{i}"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            m = tf > 0
+            any_hit |= m
+            tfn = tf[m] * np.log(1.0 + c * avdl_ / dl[m]) / ln2
+            contrib = (qw[j] / (tfn + 1.0)) * (
+                tfn * np.log(tfn / lam_vec[j]) / ln2
+                + (lam_vec[j] - tfn) / ln2
+                + 0.5 * np.log(2 * np.pi * tfn) / ln2)
+            score[m] += contrib
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, score = ids[any_hit], score[any_hit]
+        kk = min(k, score.size)
+        if kk == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())})
+        order = np.lexsort((ids, -score))[:kk]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "score": pa.array(score[order], pa.float64())})
+
+    out = stats_mat.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
