@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dfr_pl2": tq.dfr_pl2,
         "kwic_concordance": tq.kwic_concordance,
         "session_paths": tq.session_paths,
+        "mlm_masking": tq.mlm_masking,
+        "attribution_first_touch": rel.q_attribution_first_touch,
+        "column_profile": rel.q_column_profile,
+        "seasonal_dow": rel.q_seasonal_dow,
         "search_lm_jm": tq.lm_jelinek_mercer,
         "ltr_linear": tq.ltr_linear,
         # training-data ops (SQL-checked)
@@ -5503,6 +5507,85 @@ def oracle_sql() -> dict[str, str]:
                                             ' '), '') AS right_ctx
             FROM occ WHERE t[i] = 'batch'
             ORDER BY doc_id, pos
+        """,
+        "mlm_masking": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(
+                       list_transform(range(1, len(t) + 1),
+                           i -> CASE WHEN i % 7 = 3 THEN '[MASK]'
+                                     ELSE t[i] END), ' '), '')
+                       AS masked_text,
+                   COALESCE(array_to_string(
+                       list_transform(
+                           list_filter(range(1, len(t) + 1),
+                                       i -> i % 7 = 3),
+                           i -> t[i]), ' '), '') AS labels,
+                   CAST(len(list_filter(range(1, len(t) + 1),
+                                        i -> i % 7 = 3)) AS BIGINT)
+                       AS n_masked
+            FROM toks ORDER BY doc_id
+        """,
+        "attribution_first_touch": """
+            WITH f AS (
+                SELECT user_id, value,
+                       first_value(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS ftype
+                FROM events
+            )
+            SELECT ftype AS event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "column_profile": """
+            WITH p AS (
+                SELECT 'l_quantity' AS "column", count(*) AS n,
+                       count(*) - count(l_quantity) AS n_null,
+                       round(min(l_quantity), 6) AS min_v,
+                       round(max(l_quantity), 6) AS max_v,
+                       round(sum(l_quantity), 4) AS sum_v,
+                       round(round(sum(l_quantity), 4) / count(l_quantity), 6) AS avg_v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', count(*),
+                       count(*) - count(l_extendedprice),
+                       round(min(l_extendedprice), 6),
+                       round(max(l_extendedprice), 6),
+                       round(sum(l_extendedprice), 4),
+                       round(round(sum(l_extendedprice), 4) / count(l_extendedprice), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', count(*),
+                       count(*) - count(l_discount),
+                       round(min(l_discount), 6), round(max(l_discount), 6),
+                       round(sum(l_discount), 4),
+                       round(round(sum(l_discount), 4) / count(l_discount), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                       round(min(l_tax), 6), round(max(l_tax), 6),
+                       round(sum(l_tax), 4),
+                       round(round(sum(l_tax), 4) / count(l_tax), 6)
+                FROM lineitem
+            )
+            SELECT "column", CAST(n AS BIGINT) AS n,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   min_v, max_v, sum_v, avg_v
+            FROM p ORDER BY "column"
+        """,
+        "seasonal_dow": """
+            SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "session_paths": """
             WITH e AS (

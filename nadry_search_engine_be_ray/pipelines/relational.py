@@ -4352,3 +4352,133 @@ def q_ewma_daily(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     out["n_days"] = out["n_days"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_attribution_first_touch(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: every user's TOTAL event value is
+    credited to the event_type of their first event (ts, event_id
+    order).  One pass over the fused user partitions computes each
+    user's first type and value total together (a user never spans two
+    partitions), then per-partition (type, users, value) partials fold
+    in a tiny driver combine — the classic marketing-attribution shape
+    with no per-user rows leaving the cluster."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def attribute(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, val, et = uid[order], val[order], et[order]
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        ftype = et[starts]
+        totals = np.add.reduceat(val, starts)
+        ts_, inv = np.unique(ftype, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ts_),
+            "n_users": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64()),
+            "sum_value": pa.array(np.bincount(inv, weights=totals),
+                                  pa.float64()),
+        })
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(u % n_parts, pa.int64()))
+
+    out = (
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "ts", "event_type", "value"])
+        .map_batches(part_key, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attribute, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_users=("n_users", "sum"), sum_value=("sum_value", "sum"))
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_column_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-profiling operator: per numeric lineitem column — row count,
+    null count, min, max, sum and mean in one scan.  Per-batch partials
+    are one row per column (constant size), so the driver combine is
+    O(n_columns) regardless of corpus size; the mean derives from the
+    global (sum, n), not an average of batch means."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, n, nnull, mn, mx, sm = [], [], [], [], [], []
+        for c in cols:
+            arr = batch[c]
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            nulls = int(pc.count(arr, mode="only_null").as_py())
+            ok = v[~np.isnan(v)] if nulls else v
+            names.append(c)
+            n.append(batch.num_rows)
+            nnull.append(nulls)
+            mn.append(float(ok.min()) if ok.size else np.inf)
+            mx.append(float(ok.max()) if ok.size else -np.inf)
+            sm.append(float(ok.sum()))
+        return pa.table({
+            "column": pa.array(names),
+            "n": pa.array(n, pa.int64()),
+            "n_null": pa.array(nnull, pa.int64()),
+            "min_v": pa.array(mn, pa.float64()),
+            "max_v": pa.array(mx, pa.float64()),
+            "sum_v": pa.array(sm, pa.float64()),
+        })
+
+    out = (_read(sf_dir, "lineitem", cols)
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("column", as_index=False)
+           .agg(n=("n", "sum"), n_null=("n_null", "sum"),
+                min_v=("min_v", "min"), max_v=("max_v", "max"),
+                sum_v=("sum_v", "sum")))
+    # avg from the ROUNDED sum: round(sum,4) is the cross-engine-stable
+    # artifact, so deriving avg from it keeps round(avg,6) stable too
+    out["sum_v"] = out["sum_v"].round(4)
+    out["avg_v"] = (out["sum_v"] / (out["n"] - out["n_null"])).round(6)
+    out["min_v"] = out["min_v"].round(6)
+    out["max_v"] = out["max_v"].round(6)
+    out["n"] = out["n"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def q_seasonal_dow(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality profile per event_type: event count and
+    mean value per ISO weekday (1=Monday..7=Sunday).  Per-batch (type,
+    dow, sum, count) partials — 7×types rows — fold in one tiny driver
+    combine; means derive from global sums."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(batch["ts"]), 1)  # arrow Monday=0
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pc.cast(dow, pa.int64()),
+            "s": batch["value"],
+            "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [("s", "sum"), ("c", "sum")])
+        return _rename_agg(g, {"s_sum": "s", "c_sum": "c"})
+
+    out = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby(["event_type", "dow"], as_index=False)
+           .agg(s=("s", "sum"), c=("c", "sum")))
+    out["avg_value"] = (out["s"] / out["c"]).round(6)
+    out = out.rename(columns={"c": "n"})[
+        ["event_type", "dow", "n", "avg_value"]]
+    out["n"] = out["n"].astype("int64")
+    out["dow"] = out["dow"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)

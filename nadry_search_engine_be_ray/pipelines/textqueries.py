@@ -1545,3 +1545,47 @@ def dfr_pl2(sf_dir: str, query: str = "merge join column scan",
     out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
     out["score"] = out["score"].round(6)
     return out.reset_index(drop=True)
+
+
+def mlm_masking(sf_dir: str, every: int = 7, phase: int = 3) -> pd.DataFrame:
+    """Deterministic BERT-style masked-LM data prep: over the non-empty
+    simple-token stream, every token whose 1-based in-doc position ≡
+    ``phase`` (mod ``every``) is replaced with ``[MASK]``; the masked
+    originals become the label sequence.  Positional masking (not RNG)
+    keeps the op bit-reproducible and SQL-checkable — swap the mask
+    predicate for a seeded hash at training time.  The rebuild is fully
+    vectorized: flat replace + offset ListArray + one binary_join per
+    doc column, no Python token loop."""
+
+    def mask(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch, min_len=1)
+        doc_pos = doc_pos[ok]
+        flat = flat.filter(pa.array(ok))
+        n = len(flat)
+        lens = np.bincount(doc_pos, minlength=len(batch)).astype(np.int64)
+        first = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        pos = np.arange(n, dtype=np.int64) - first + 1  # 1-based in doc
+        hit = (pos % every) == phase
+
+        masked = pc.if_else(pa.array(hit), pa.scalar("[MASK]"), flat)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        masked_list = pa.ListArray.from_arrays(offsets, masked)
+        masked_text = pc.binary_join(masked_list, " ")
+
+        lab_flat = flat.filter(pa.array(hit))
+        lab_lens = np.bincount(doc_pos[hit], minlength=len(batch))
+        lab_offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lab_lens)]).astype(np.int32))
+        labels = pc.binary_join(
+            pa.ListArray.from_arrays(lab_offsets, lab_flat), " ")
+
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "masked_text": masked_text,
+            "labels": labels,
+            "n_masked": pa.array(lab_lens.astype(np.int64), pa.int64()),
+        })
+
+    out = _docs(sf_dir).map_batches(mask, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
