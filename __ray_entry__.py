@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_concordance": tq.kwic_concordance,
         "session_paths": tq.session_paths,
         "mlm_masking": tq.mlm_masking,
+        "anchor_text_agg": tq.anchor_text_agg,
+        "label_centroids": rel.q_label_centroids,
+        "conversion_lag": rel.q_conversion_lag,
         "attribution_first_touch": rel.q_attribution_first_touch,
         "column_profile": rel.q_column_profile,
         "seasonal_dow": rel.q_seasonal_dow,
@@ -5531,6 +5534,66 @@ def oracle_sql() -> dict[str, str]:
                                         i -> i % 7 = 3)) AS BIGINT)
                        AS n_masked
             FROM toks ORDER BY doc_id
+        """,
+        "anchor_text_agg": """
+            WITH anchors AS (
+                SELECT doc_id,
+                       COALESCE(array_to_string(
+                           (list_filter(string_split_regex(lower(text),
+                                                           '[^a-z0-9]+'),
+                                        x -> x <> ''))[1:2], ' '), '')
+                           AS anchor
+                FROM documents
+            ),
+            edges AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            cnt AS (
+                SELECT e.dst, a.anchor, count(*) AS n
+                FROM edges e JOIN anchors a ON a.doc_id = e.src
+                WHERE e.dst < 10 AND e.src <> e.dst
+                GROUP BY 1, 2
+            ),
+            rk AS (
+                SELECT dst, anchor, n,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY n DESC, anchor) AS r
+                FROM cnt
+            )
+            SELECT CAST(dst AS BIGINT) AS dst, anchor,
+                   CAST(n AS BIGINT) AS n
+            FROM rk WHERE r <= 3 ORDER BY dst, n DESC, anchor
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "conversion_lag": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t1
+                FROM events e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > v.t0
+                GROUP BY 1
+            ),
+            lag AS (
+                SELECT epoch_us(p.t1) - epoch_us(v.t0) AS lag_us
+                FROM p JOIN v USING (user_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   CAST(quantile_disc(lag_us, 0.5) AS BIGINT)
+                       AS median_lag_us,
+                   CAST(quantile_disc(lag_us, 0.9) AS BIGINT) AS p90_lag_us
+            FROM lag
         """,
         "attribution_first_touch": """
             WITH f AS (

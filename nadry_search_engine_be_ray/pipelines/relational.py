@@ -4482,3 +4482,91 @@ def q_seasonal_dow(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["dow"] = out["dow"].astype("int64")
     return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dim): the vector-aggregate shape every embedding pipeline needs
+    (class prototypes, cluster seeding).  Per-batch partials are one
+    (labels × dim) sum matrix + counts via the zero-copy _batch_matrix
+    flatten — the driver combine is model-sized, never corpus-sized."""
+    from ..stages.similarity import _batch_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, "embedding")
+        labs = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((ls.size, m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnts = np.bincount(inv).astype(np.int64)
+        dim = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(ls, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    ls.size), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "c": pa.array(np.repeat(cnts, dim), pa.int64()),
+        })
+
+    out = (_read(sf_dir, "embeddings", ["embedding", "label"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby(["label", "dim"], as_index=False)
+           .agg(s=("s", "sum"), c=("c", "sum")))
+    out["centroid"] = (out["s"] / out["c"]).round(6)
+    out = out[["label", "dim", "centroid"]]
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def q_conversion_lag(sf_dir: str) -> pd.DataFrame:
+    """Funnel timing: for every user whose first 'purchase' follows
+    their first 'view', the view→purchase lag; reports converted-user
+    count and the exact discrete median / p90 lag in microseconds
+    (sorted[ceil(q·n)−1], quantile_disc semantics).  Per-user firsts
+    fold inside the fused user partitions; the lag set reaching the
+    driver is converted-user-sized (at 10⁹ users the exact quantile
+    becomes the q_ntile_quartiles two-pass bin rank — same order
+    statistic, documented rather than duplicated here)."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def lags(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        vmask = et == "view"
+        vu, vidx = np.unique(uid[vmask], return_index=True)
+        t0 = ts[vmask][vidx]               # first view per user
+        pmask = et == "purchase"
+        pu, pt = uid[pmask], ts[pmask]
+        hit, pos = _sorted_lookup(vu, pu)
+        cand = hit & (pt > t0[pos])        # purchases after the first view
+        cu, cidx = np.unique(pu[cand], return_index=True)
+        lag = pt[cand][cidx] - t0[np.searchsorted(vu, cu)]
+        return pa.table({"lag_us": pa.array(lag.astype(np.int64),
+                                            pa.int64())})
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(u % n_parts, pa.int64()))
+
+    lag = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+           .map_batches(part_key, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(lags, batch_format="pyarrow")
+           .to_pandas()["lag_us"].to_numpy(np.int64))
+    lag = np.sort(lag)
+    n = lag.size
+
+    def qd(q: float) -> int:
+        return int(lag[int(np.ceil(q * n)) - 1]) if n else 0
+
+    return pd.DataFrame({
+        "n_converted": pd.array([n], dtype="int64"),
+        "median_lag_us": pd.array([qd(0.5)], dtype="int64"),
+        "p90_lag_us": pd.array([qd(0.9)], dtype="int64"),
+    })

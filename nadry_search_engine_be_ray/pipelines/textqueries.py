@@ -1589,3 +1589,59 @@ def mlm_masking(sf_dir: str, every: int = 7, phase: int = 3) -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(mask, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def anchor_text_agg(sf_dir: str, max_dst: int = 10, top: int = 3,
+                    anchor_len: int = 2) -> pd.DataFrame:
+    """Anchor-text aggregation — the web-search index signal the
+    reference's link graph implies: for each link target, the most
+    common anchor phrases pointing at it (anchor of a link = the source
+    document's first ``anchor_len`` tokens; links follow the synthetic
+    quadratic rule used by the graph-ops family).  The key scale trick:
+    an edge's anchor comes from its OWN source row, so each batch emits
+    (dst, anchor) pairs with zero joins; one (dst, anchor) groupby
+    counts, and only the ≤ max_dst targets' counts reach the driver for
+    the top-k cut.  Parallel edges (two k-values hitting the same dst)
+    count twice — declared, matching the oracle's no-DISTINCT join."""
+    docs = _docs(sf_dir)
+    n = int(docs.count())
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch, min_len=1)
+        doc_pos = doc_pos[ok]
+        flat = flat.filter(pa.array(ok))
+        lens = np.bincount(doc_pos, minlength=len(batch)).astype(np.int64)
+        first = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        take = np.minimum(lens, anchor_len)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(take)]).astype(np.int32))
+        idx = (np.repeat(first, take)
+               + (np.arange(int(take.sum()), dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(take)[:-1]]),
+                              take)))
+        anchor = pc.fill_null(pc.binary_join(
+            pa.ListArray.from_arrays(offsets, flat.take(pa.array(idx))),
+            " "), "").to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        keep = (dst < max_dst) & (src != dst)
+        a = np.repeat(anchor, 3)[keep]
+        t = pa.table({
+            "dst": pa.array(dst[keep], pa.int64()),
+            "anchor": pa.array(a, pa.string()),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64()),
+        }).group_by(["dst", "anchor"]).aggregate([("n", "sum")])
+        return t.rename_columns(
+            [{"n_sum": "n"}.get(c, c) for c in t.column_names])
+
+    out = (docs.map_batches(pairs, batch_format="pyarrow")
+           .to_pandas()
+           .groupby(["dst", "anchor"], as_index=False)
+           .agg(n=("n", "sum")))
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["dst", "n", "anchor"],
+                          ascending=[True, False, True])
+    out = out.groupby("dst", as_index=False).head(top)
+    return out.reset_index(drop=True)
