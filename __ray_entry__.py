@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_signature": _q_compact_signature,
         "compact_dedup": _q_compact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "containment_pairs": _q_containment_pairs,
+        "js_divergence_sources": tq.js_divergence_sources,
+        "ks_test_2sample": rel.q_ks_test_2sample,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -1002,6 +1005,24 @@ def _q_ngram_jaccard(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
     out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_containment_pairs(sf_dir: str):
+    """Broder CONTAINMENT near-dup pairs (stages/dedup.ngram_jaccard_pairs
+    with measure='containment'): c / min(|A|,|B|) over distinct 3-gram
+    sets — the asymmetric measure that catches short-inside-long
+    duplicates jaccard dilutes; same count-based exact plan."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.6,
+                              measure="containment").to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64",
+                             "containment": "float64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -5534,6 +5555,97 @@ def oracle_sql() -> dict[str, str]:
                                         i -> i % 7 = 3)) AS BIGINT)
                        AS n_masked
             FROM toks ORDER BY doc_id
+        """,
+        "containment_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(ts) < 3
+                                THEN [array_to_string(ts, ' ')]
+                                ELSE list_transform(range(1, len(ts) - 1),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' '
+                                         || ts[i+2])
+                           END AS gs
+                    FROM toks WHERE len(ts) >= 1
+                ), unnest(gs) AS u(g)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS c
+                FROM grams g1
+                JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, round(c * 1.0 / least(sa.n, sb.n), 9)
+                       AS containment
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE c * 1.0 / least(sa.n, sb.n) >= 0.6
+            ORDER BY a, b
+        """,
+        "js_divergence_sources": """
+            WITH toks AS (
+                SELECT source, t AS token
+                FROM documents,
+                     unnest(string_split_regex(lower(text),
+                                               '[^a-z0-9_]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            ct AS (SELECT source, token, count(*) AS c FROM toks
+                   GROUP BY 1, 2),
+            tot AS (SELECT source, sum(c) AS t FROM ct GROUP BY 1),
+            pairs AS (
+                SELECT a.source AS s1, a.t AS t1, b.source AS s2, b.t AS t2
+                FROM tot a JOIN tot b ON a.source < b.source
+            ),
+            vocab AS (SELECT DISTINCT token FROM ct),
+            terms AS (
+                SELECT p.s1, p.s2,
+                       COALESCE(c1.c, 0) * 1.0 / p.t1 AS p1,
+                       COALESCE(c2.c, 0) * 1.0 / p.t2 AS p2
+                FROM pairs p
+                CROSS JOIN vocab
+                LEFT JOIN ct c1 ON c1.source = p.s1
+                               AND c1.token = vocab.token
+                LEFT JOIN ct c2 ON c2.source = p.s2
+                               AND c2.token = vocab.token
+            )
+            SELECT s1, s2, round(sum(
+                CASE WHEN p1 > 0
+                     THEN 0.5 * p1 * ln(p1 / ((p1 + p2) / 2.0))
+                     ELSE 0 END
+              + CASE WHEN p2 > 0
+                     THEN 0.5 * p2 * ln(p2 / ((p1 + p2) / 2.0))
+                     ELSE 0 END), 6) AS jsd
+            FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ks_test_2sample": """
+            WITH s AS (
+                SELECT value, event_type FROM events
+                WHERE event_type IN ('click', 'error')
+            ),
+            n AS (SELECT count(*) FILTER (WHERE event_type = 'click') AS n1,
+                         count(*) FILTER (WHERE event_type = 'error') AS n2
+                  FROM s),
+            g AS (SELECT value,
+                         count(*) FILTER (WHERE event_type = 'click') AS ca,
+                         count(*) FILTER (WHERE event_type = 'error') AS cb
+                  FROM s GROUP BY value),
+            cum AS (SELECT sum(ca) OVER (ORDER BY value) AS f1c,
+                           sum(cb) OVER (ORDER BY value) AS f2c
+                    FROM g)
+            SELECT round(max(abs(f1c * 1.0 / n1 - f2c * 1.0 / n2)), 6)
+                       AS ks_d,
+                   CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+            FROM cum CROSS JOIN n GROUP BY n1, n2
         """,
         "anchor_text_agg": """
             WITH anchors AS (

@@ -4570,3 +4570,46 @@ def q_conversion_lag(sf_dir: str) -> pd.DataFrame:
         "median_lag_us": pd.array([qd(0.5)], dtype="int64"),
         "p90_lag_us": pd.array([qd(0.9)], dtype="int64"),
     })
+
+
+def q_ks_test_2sample(sf_dir: str, type_a: str = "click",
+                      type_b: str = "error") -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic between the value
+    distributions of two event types — the drift test a feature-quality
+    monitor runs between data snapshots.  Distributed shape: per-batch
+    (value, c_a, c_b) partials collapse duplicate values, one Ray
+    groupby folds them, and the driver sees one row per DISTINCT value
+    (already far below row count; the 100 TB refinement is the
+    q_ntile_quartiles coarse-bin pre-pass around the supremum's bin).
+    D is the max |F_a − F_b| over the merged support."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ma, mb = et == type_a, et == type_b
+        keep = ma | mb
+        v, isa = v[keep], ma[keep]
+        vs, inv = np.unique(v, return_inverse=True)
+        ca = np.bincount(inv, weights=isa).astype(np.int64)
+        cb = np.bincount(inv, weights=~isa).astype(np.int64)
+        return pa.table({
+            "value": pa.array(vs, pa.float64()),
+            "ca": pa.array(ca, pa.int64()),
+            "cb": pa.array(cb, pa.int64()),
+        })
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas()
+         .groupby("value", as_index=False)
+         .agg(ca=("ca", "sum"), cb=("cb", "sum"))
+         .sort_values("value"))
+    n1, n2 = int(g["ca"].sum()), int(g["cb"].sum())
+    f1 = np.cumsum(g["ca"].to_numpy(np.int64)) * 1.0 / n1
+    f2 = np.cumsum(g["cb"].to_numpy(np.int64)) * 1.0 / n2
+    d = float(np.abs(f1 - f2).max()) if len(g) else 0.0
+    return pd.DataFrame({
+        "ks_d": [round(d, 6)],
+        "n1": pd.array([n1], dtype="int64"),
+        "n2": pd.array([n2], dtype="int64"),
+    })

@@ -1645,3 +1645,58 @@ def anchor_text_agg(sf_dir: str, max_dst: int = 10, top: int = 3,
                           ascending=[True, False, True])
     out = out.groupby("dst", as_index=False).head(top)
     return out.reset_index(drop=True)
+
+
+def js_divergence_sources(sf_dir: str) -> pd.DataFrame:
+    """Corpus-drift detection: Jensen-Shannon divergence (natural log)
+    between the unigram distributions of every source pair.  The
+    (source, token) count table folds distributed exactly like the NB
+    trainer — per-batch pyarrow group_by partials, one composed-key Ray
+    groupby — and only the model-sized count table reaches the driver,
+    where the pairwise JSD is one vectorized pass over aligned count
+    arrays.  Output (s1, s2, jsd) for s1 < s2."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.lm import exploded_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, lens = exploded_tokens(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        dpos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        composed = pc.binary_join_element_wise(
+            pa.array(src[dpos].astype(str)), flat, "\x1f")
+        t = pa.table({
+            "k": composed,
+            "cnt": pa.array(np.ones(len(composed), np.int64), pa.int64()),
+        }).group_by(["k"]).aggregate([("cnt", "sum")])
+        return t.rename_columns(
+            [{"cnt_sum": "cnt"}.get(c, c) for c in t.column_names])
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    kk = counts["k"].astype(str).str.split("\x1f", n=1, expand=True)
+    counts["source"], counts["token"] = kk[0].to_numpy(), kk[1].to_numpy()
+    piv = counts.pivot_table(index="token", columns="source",
+                             values="cnt", fill_value=0, aggfunc="sum")
+    sources = sorted(piv.columns)
+    rows = []
+    for i, s1 in enumerate(sources):
+        c1 = piv[s1].to_numpy(np.float64)
+        p1 = c1 / c1.sum()
+        for s2 in sources[i + 1:]:
+            c2 = piv[s2].to_numpy(np.float64)
+            p2 = c2 / c2.sum()
+            m = (p1 + p2) / 2.0
+            t1 = np.where(p1 > 0, 0.5 * p1 * np.log(
+                np.where(p1 > 0, p1, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+            t2 = np.where(p2 > 0, 0.5 * p2 * np.log(
+                np.where(p2 > 0, p2, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+            rows.append({"s1": s1, "s2": s2,
+                         "jsd": round(float(t1.sum() + t2.sum()), 6)})
+    return pd.DataFrame(rows).sort_values(["s1", "s2"]).reset_index(
+        drop=True)

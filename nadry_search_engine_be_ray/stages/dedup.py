@@ -873,13 +873,20 @@ def ngram_strings(text: str, n: int = 3) -> list[str]:
 
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        bucket_cap: int = 200):
+                        bucket_cap: int = 200, measure: str = "jaccard"):
     """All-pairs n-gram Jaccard >= threshold via the count-based exact
     plan: explode DISTINCT grams (with each doc's gram-set size attached),
     emit co-occurring pairs per gram bucket, and count shared grams in the
     SAME groupby that dedups the pairs.  When no bucket capped anywhere,
     that count c is exactly |A ∩ B| and jaccard = c / (na + nb - c) —
     no document text is ever re-read or re-shuffled for verification.
+
+    ``measure="containment"`` scores Broder CONTAINMENT instead —
+    c / min(|A|, |B|) — the asymmetric near-dup measure that catches a
+    short document embedded in a long one (jaccard dilutes those).  It
+    rides the identical count-based plan; only the final division
+    changes.  Containment requires the exact-count regime (no capped
+    buckets) because the text-verify fallback recomputes jaccard only.
 
     Scale notes: the per-gram pair fan-out is quadratic in bucket size, so
     buckets above ``bucket_cap`` (ultra-common grams — the same head-term
@@ -1029,13 +1036,16 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
             na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
             nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
             c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-            j = c / (na + nb - c)
+            if measure == "containment":
+                j = c / np.minimum(na, nb)
+            else:
+                j = c / (na + nb - c)
             keep = j >= threshold
             return pa.table(
                 {
                     "a": pa.array(a[keep], pa.int64()),
                     "b": pa.array(b[keep], pa.int64()),
-                    "jaccard": pa.array(
+                    measure: pa.array(
                         [round(float(x), 9) for x in j[keep]], pa.float64()
                     ),
                 }
@@ -1046,6 +1056,11 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
     # a capped bucket means c may UNDERCOUNT |A ∩ B| for pairs that also
     # share a capped gram — fall back to the exact distributed text verify
     # for every candidate (today's 100 TB head-gram path)
+    if measure != "jaccard":
+        raise ValueError(
+            "containment needs the exact-count regime: raise bucket_cap "
+            "(a gram bucket exceeded it, so counts may undercount)"
+        )
     cands = _distinct_pairs(
         counted.filter(expr="a >= 0").select_columns(["a", "b"])
     )
