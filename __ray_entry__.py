@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred_jaccard": _q_link_pred_jaccard,
         "bfs_depths": _q_bfs_depths,
         "scc_seeded": _q_scc_seeded,
+        "sssp_fixed": _q_sssp_fixed,
+        "scd2_dimension": rel.q_scd2_dimension,
+        "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
         "assortativity": _q_assortativity,
@@ -2560,6 +2563,72 @@ def _scc_sql(rounds: int = 4) -> str:
         SELECT f.node, f.depth AS fwd_depth, b.depth AS bwd_depth
         FROM fv{rounds} f JOIN bv{rounds} b ON b.node = f.node
         ORDER BY f.node
+    """
+
+
+def _q_sssp_fixed(sf_dir: str):
+    """Fixed-round weighted SSSP (pipelines/pagerank.sssp_fixed,
+    Bellman-Ford min-plus, 4 rounds) from node 191 over the directed
+    quadratic graph with integer weights w = (src+dst)%7 + 1; the
+    oracle unrolls relax/min rounds as MATERIALIZED CTEs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import sssp_fixed
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        w = (src + dst) % 7 + 1
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64()),
+             "w": pa.array(w, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = sssp_fixed(edges, source=191, n_rounds=4)
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    parts = ["""
+        e AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst,
+                   (d.doc_id + (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents)) % 7 + 1 AS w
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        d0 AS MATERIALIZED (SELECT 191 AS node, 0 AS dist)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        c{r} AS MATERIALIZED (
+            SELECT e.dst AS node, min(d.dist + e.w) AS nd
+            FROM e JOIN d{r - 1} d ON e.src = d.node
+            GROUP BY 1
+        )""")
+        parts.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{r - 1}
+                UNION ALL SELECT node, nd AS dist FROM c{r}
+            ) GROUP BY node
+        )""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} ORDER BY node
     """
 
 
@@ -5556,6 +5625,55 @@ def oracle_sql() -> dict[str, str]:
                        AS n_masked
             FROM toks ORDER BY doc_id
         """,
+        "scd2_dimension": """
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            ),
+            c AS (
+                SELECT *, CASE WHEN prev_type IS NULL
+                               OR prev_type <> event_type
+                          THEN 1 ELSE 0 END AS chg
+                FROM s
+            ),
+            r AS (
+                SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS run
+                FROM c
+            ),
+            runs AS (
+                SELECT user_id, run, event_type AS state,
+                       min(ts) AS valid_from, max(ts) AS last_ts
+                FROM r GROUP BY 1, 2, 3
+            ),
+            nxt AS (
+                SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                                                 ORDER BY run) AS nxt_from
+                FROM runs
+            )
+            SELECT user_id, run, state, valid_from,
+                   COALESCE(nxt_from, last_ts) AS valid_to
+            FROM nxt ORDER BY user_id, run
+        """,
+        "id_gaps": """
+            WITH c AS (
+                SELECT event_id FROM events WHERE event_type = 'click'
+            ),
+            l AS (
+                SELECT event_id,
+                       lead(event_id) OVER (ORDER BY event_id) AS nxt
+                FROM c
+            )
+            SELECT CAST(event_id + 1 AS BIGINT) AS gap_start,
+                   CAST(nxt - 1 AS BIGINT) AS gap_end,
+                   CAST(nxt - 1 - event_id AS BIGINT) AS gap_len
+            FROM l WHERE nxt > event_id + 1 ORDER BY gap_start
+        """,
         "containment_pairs": """
             WITH toks AS (
                 SELECT doc_id,
@@ -7708,6 +7826,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": _kcore_sql(),
         "bfs_depths": _bfs_sql(),
         "scc_seeded": _scc_sql(),
+        "sssp_fixed": _sssp_sql(),
         "label_propagation": _label_prop_sql(),
         "assortativity": """
             WITH raw AS MATERIALIZED (

@@ -1279,3 +1279,79 @@ def scc_seeded(edges_ds, source: int = 0, n_rounds: int = 4, *,
     out["fwd_depth"] = out["fwd_depth"].astype("int64")
     out["bwd_depth"] = out["bwd_depth"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def sssp_fixed(edges_ds, source: int = 0, n_rounds: int = 4, *,
+               src_col: str = "src", dst_col: str = "dst",
+               weight_col: str = "w"):
+    """Fixed-round single-source shortest paths (Bellman-Ford over the
+    min-plus semiring) on a DIRECTED weighted edge list: after round r,
+    dist(v) is the cheapest path from ``source`` using ≤ r edges — the
+    weighted counterpart of bfs_depths, same bounded-broadcast shape
+    (the frontier dict of IMPROVED nodes broadcasts; per-batch edge
+    relaxations emit (node, candidate) min-partials; a node groupby
+    folds them; the driver keeps only the node-sized dist array).
+    Integer weights make every min exact."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    edges = edges_ds.materialize()
+
+    dist_nodes = np.array([source], dtype=np.int64)
+    dist_vals = np.array([0], dtype=np.int64)
+    frontier_nodes = dist_nodes
+    frontier_vals = dist_vals
+
+    for _ in range(n_rounds):
+        if frontier_nodes.size == 0:
+            break
+        ref = ray.put((frontier_nodes, frontier_vals))
+
+        def relax(batch: pa.Table, ref=ref) -> pa.Table:
+            fn, fv = ray.get(ref)
+            a = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch[weight_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(fn, a)
+            idx[idx == fn.size] = 0
+            hit = fn[idx] == a
+            cand_n = b[hit]
+            cand_d = fv[idx[hit]] + w[hit]
+            ks, inv = np.unique(cand_n, return_inverse=True)
+            best = np.full(ks.size, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, cand_d)
+            return pa.table({"node": pa.array(ks, pa.int64()),
+                             "d": pa.array(best, pa.int64())})
+
+        cand = (edges.map_batches(relax, batch_format="pyarrow")
+                .groupby("node").aggregate(Min("d", alias_name="d"))
+                .to_pandas())
+        cn = cand["node"].to_numpy(np.int64)
+        cd = cand["d"].to_numpy(np.int64)
+        pos = np.searchsorted(dist_nodes, cn)
+        pos_c = np.minimum(pos, max(dist_nodes.size - 1, 0))
+        known = (dist_nodes.size > 0) & (dist_nodes[pos_c] == cn)
+        improved = np.zeros(cn.size, dtype=bool)
+        improved[~known] = True
+        improved[known] = cd[known] < dist_vals[pos_c[known]]
+        # merge
+        upd_n, upd_d = cn[improved], cd[improved]
+        if upd_n.size:
+            keep_known = known & improved
+            dist_vals[pos_c[keep_known]] = cd[keep_known]
+            new_mask = improved & ~known
+            dist_nodes = np.concatenate([dist_nodes, cn[new_mask]])
+            dist_vals = np.concatenate([dist_vals, cd[new_mask]])
+            order = np.argsort(dist_nodes)
+            dist_nodes, dist_vals = dist_nodes[order], dist_vals[order]
+        frontier_nodes, frontier_vals = upd_n, upd_d
+        fo = np.argsort(frontier_nodes)
+        frontier_nodes, frontier_vals = frontier_nodes[fo], frontier_vals[fo]
+
+    order = np.argsort(dist_nodes)
+    return pd.DataFrame({"node": dist_nodes[order].astype(np.int64),
+                         "dist": dist_vals[order].astype(np.int64)})

@@ -4613,3 +4613,119 @@ def q_ks_test_2sample(sf_dir: str, type_a: str = "click",
         "n1": pd.array([n1], dtype="int64"),
         "n2": pd.array([n2], dtype="int64"),
     })
+
+
+def q_scd2_dimension(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension type-2 build from the event stream:
+    per user, consecutive same-type event runs collapse to one validity
+    row (user_id, run, state, valid_from, valid_to) where valid_to is
+    the next run's start (the SCD2 closing convention) and the final
+    run closes at the user's last event.  Runs never cross the fused
+    user partitions, so the whole build is one shuffle-free
+    map_groups."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def runs(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        chg = np.ones(uid.size, dtype=bool)
+        if uid.size > 1:
+            chg[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(chg)
+        ends = np.append(starts[1:], uid.size) - 1
+        ruid = uid[starts]
+        ufirst = np.concatenate(([True], ruid[1:] != ruid[:-1]))
+        ubase = np.flatnonzero(ufirst)
+        runlen = np.diff(np.append(ubase, starts.size))
+        run_no = (np.arange(starts.size, dtype=np.int64)
+                  - np.repeat(ubase, runlen) + 1)
+        # valid_to: next run's start within the same user, else the
+        # user's last event ts
+        nxt_from = np.empty(starts.size, dtype=np.int64)
+        nxt_from[:-1] = ts[starts[1:]]
+        nxt_from[-1] = ts[ends[-1]]
+        last_of_user = np.concatenate(
+            (ruid[1:] != ruid[:-1], [True]))
+        nxt_from[last_of_user] = ts[ends[last_of_user]]
+        return pa.table({
+            "user_id": pa.array(ruid, pa.int64()),
+            "run": pa.array(run_no, pa.int64()),
+            "state": pa.array(et[starts]),
+            "valid_from": pa.array(ts[starts].astype("datetime64[us]"),
+                                   pa.timestamp("us")),
+            "valid_to": pa.array(nxt_from.astype("datetime64[us]"),
+                                 pa.timestamp("us")),
+        })
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(u % n_parts, pa.int64()))
+
+    out = (_read(sf_dir, "events",
+                 ["user_id", "event_id", "ts", "event_type"])
+           .map_batches(part_key, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(runs, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["user_id", "run"]).reset_index(drop=True)
+
+
+def q_id_gaps(sf_dir: str, event_type: str = "click",
+              n_bins: int = 256) -> pd.DataFrame:
+    """Sequence-gap detection: the missing event_id ranges between
+    consecutive ids of one event type — the data-quality check for
+    dropped records in an ordered feed.  Distributed without a global
+    sort: ids range-partition by VALUE (id-space bins), each bin finds
+    its internal gaps after a local sort, and the driver stitches only
+    the n_bins (min, max) boundary rows — the q_ntile two-pass idea
+    applied to gap detection."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"]).filter(
+        expr=f"event_type == '{event_type}'").select_columns(["event_id"])
+    mm = ds.aggregate(Min("event_id", alias_name="lo"),
+                      Max("event_id", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    width = max((hi - lo) // n_bins + 1, 1)
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        v = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bin", pa.array((v - lo) // width, pa.int64()))
+
+    def bin_gaps(group: pa.Table) -> pa.Table:
+        v = np.sort(group["event_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        d = np.diff(v)
+        g = np.flatnonzero(d > 1)
+        b = int(group["bin"][0].as_py())
+        return pa.table({
+            "kind": pa.array(["gap"] * g.size + ["edge"], pa.string()),
+            "bin": pa.array(np.append(np.full(g.size, b), b), pa.int64()),
+            "a": pa.array(np.append(v[g], v[0]), pa.int64()),
+            "b": pa.array(np.append(v[g + 1], v[-1]), pa.int64()),
+        })
+
+    parts = (ds.map_batches(add_bin, batch_format="pyarrow")
+             .groupby("bin").map_groups(bin_gaps, batch_format="pyarrow")
+             .to_pandas())
+    gaps = parts[parts["kind"] == "gap"][["a", "b"]]
+    edges = parts[parts["kind"] == "edge"].sort_values("bin")
+    cross = pd.DataFrame({
+        "a": edges["b"].to_numpy(np.int64)[:-1],
+        "b": edges["a"].to_numpy(np.int64)[1:],
+    })
+    cross = cross[cross["b"] > cross["a"] + 1]
+    allg = pd.concat([gaps, cross], ignore_index=True)
+    out = pd.DataFrame({
+        "gap_start": (allg["a"] + 1).astype("int64"),
+        "gap_end": (allg["b"] - 1).astype("int64"),
+    })
+    out["gap_len"] = (out["gap_end"] - out["gap_start"] + 1).astype("int64")
+    return out.sort_values("gap_start").reset_index(drop=True)
