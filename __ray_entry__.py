@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_seeded": _q_scc_seeded,
         "sssp_fixed": _q_sssp_fixed,
         "scd2_dimension": rel.q_scd2_dimension,
+        "state_asof": rel.q_state_asof,
+        "random_projection": rel.q_random_projection,
+        "rank_join": rel.q_rank_join,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -5624,6 +5627,34 @@ def oracle_sql() -> dict[str, str]:
                                         i -> i % 7 = 3)) AS BIGINT)
                        AS n_masked
             FROM toks ORDER BY doc_id
+        """,
+        "state_asof": """
+            WITH f AS (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '2024-01-15'
+            )
+            SELECT user_id, event_type AS state, ts AS state_ts
+            FROM f WHERE rn = 1 ORDER BY user_id
+        """,
+        "random_projection": """
+            SELECT vec_id, CAST(j AS BIGINT) AS dim,
+                   round(sum(CAST(embedding[i] AS DOUBLE)
+                             * (((i * 31 + j * 17) % 2) * 2 - 1)), 6)
+                       AS value
+            FROM embeddings,
+                 unnest(range(1, 65)) AS u(i),
+                 unnest(range(1, 9)) AS v(j)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rank_join": """
+            SELECT c_custkey, o_orderkey,
+                   round(c_acctbal + o_totalprice, 4) AS combined
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            ORDER BY c_acctbal + o_totalprice DESC, c_custkey, o_orderkey
+            LIMIT 10
         """,
         "scd2_dimension": """
             WITH s AS (

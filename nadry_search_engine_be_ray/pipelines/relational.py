@@ -4729,3 +4729,121 @@ def q_id_gaps(sf_dir: str, event_type: str = "click",
     })
     out["gap_len"] = (out["gap_end"] - out["gap_start"] + 1).astype("int64")
     return out.sort_values("gap_start").reset_index(drop=True)
+
+
+def q_state_asof(sf_dir: str, asof: str = "2024-01-15") -> pd.DataFrame:
+    """Bitemporal point lookup: every user's state (last event_type) AS
+    OF a fixed timestamp — the query the SCD2 build answers.  Per fused
+    user partition: mask events ≤ T, take each user's last by (ts,
+    event_id); users never span partitions so no global window is
+    needed.  Output (user_id, state, state_ts)."""
+    n_parts = _fused_parts(sf_dir, "events")
+    t_us = np.datetime64(asof, "us").astype(np.int64)
+
+    def last_state(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        keep = ts <= t_us
+        uid, eid, ts, et = uid[keep], eid[keep], ts[keep], et[keep]
+        if uid.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "state": pa.array([], pa.string()),
+                "state_ts": pa.array([], pa.timestamp("us")),
+            })
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        return pa.table({
+            "user_id": pa.array(uid[last], pa.int64()),
+            "state": pa.array(et[last]),
+            "state_ts": pa.array(ts[last].astype("datetime64[us]"),
+                                 pa.timestamp("us")),
+        })
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(u % n_parts, pa.int64()))
+
+    out = (_read(sf_dir, "events",
+                 ["user_id", "event_id", "ts", "event_type"])
+           .map_batches(part_key, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(last_state, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_random_projection(sf_dir: str, out_dim: int = 8) -> pd.DataFrame:
+    """Deterministic sign-random-projection dimensionality reduction
+    (Achlioptas 2003 with a closed-form ±1 sign s(i,j) =
+    ((i·31 + j·17) mod 2)·2 − 1 so the oracle recomputes the projection
+    matrix arithmetically): 64-dim embeddings → ``out_dim`` components
+    as one matmul per batch against the broadcast sign matrix.  Output
+    long-form (vec_id, dim, value)."""
+    from ..stages.similarity import _batch_matrix
+
+    i = np.arange(1, 65, dtype=np.int64)[:, None]
+    j = np.arange(1, out_dim + 1, dtype=np.int64)[None, :]
+    signs = (((i * 31 + j * 17) % 2) * 2 - 1).astype(np.float64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, "embedding")
+        p = m @ signs
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, out_dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, out_dim + 1,
+                                              dtype=np.int64), ids.size),
+                            pa.int64()),
+            "value": pa.array(np.round(p.ravel(), 6), pa.float64()),
+        })
+
+    out = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(project, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+def q_rank_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k rank join (Ilyas et al.'s top-k join shape): the k best
+    (customer, order) pairs by combined score c_acctbal + o_totalprice.
+    The small side broadcasts sorted; each orders batch emits only ITS
+    top-k partials, so the driver merge sees blocks×k rows — the join
+    never materializes."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    co = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    ckeys = cust["c_custkey"].to_numpy(np.int64)[co]
+    cbal = cust["c_acctbal"].to_numpy(np.float64)[co]
+    ref = ray.put((ckeys, cbal))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, bal = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        hit, idx = _sorted_lookup(ks, ck)
+        comb = bal[idx] + tp
+        comb, ck, ok = comb[hit], ck[hit], ok[hit]
+        kk = min(k, comb.size)
+        order = np.lexsort((ok, ck, -comb))[:kk]
+        return pa.table({
+            "c_custkey": pa.array(ck[order], pa.int64()),
+            "o_orderkey": pa.array(ok[order], pa.int64()),
+            "combined": pa.array(comb[order], pa.float64()),
+        })
+
+    out = (_read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["combined", "c_custkey", "o_orderkey"],
+                        ascending=[False, True, True])
+           .head(k))
+    out["combined"] = out["combined"].round(4)
+    return out.reset_index(drop=True)
