@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_simple": tq.bm25_simple,
         "search_lm_dirichlet": tq.lm_dirichlet,
         "search_dfr_pl2": tq.dfr_pl2,
+        "zipf_fit": tq.zipf_fit,
         "kwic_concordance": tq.kwic_concordance,
         "session_paths": tq.session_paths,
         "mlm_masking": tq.mlm_masking,
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "state_asof": rel.q_state_asof,
         "random_projection": rel.q_random_projection,
         "rank_join": rel.q_rank_join,
+        "quality_rules": rel.q_quality_rules,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -369,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Stupid-Backoff n-gram LM: count-training + CCNet-style
         # perplexity scoring (both fully SQL-expressible — no dump)
         "ngram_lm_top": _q_ngram_lm_top,
+        "kn_bigram_top": _q_kn_bigram_top,
         "lm_perplexity": _q_lm_perplexity,
         # DSIR importance resampling (Xie et al. 2023): target = lang='en'
         "dsir_select": _q_dsir_select,
@@ -834,6 +837,20 @@ def _q_dsir_select(sf_dir: str):
     target = ds.filter(expr="lang == 'en'")
     out = dsir_select(ds, target, k=100).to_pandas()
     return out.sort_values("rank").reset_index(drop=True)
+
+
+def _q_kn_bigram_top(sf_dir: str):
+    """Interpolated Kneser-Ney bigram continuation probabilities for the
+    context 'hash' (stages/lm.kn_bigram_top, D=0.75) — the oracle
+    recomputes discounted counts, continuation mass and bigram-type
+    totals in SQL with the identical left-associated algebra."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.lm import kn_bigram_top
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return kn_bigram_top(ds, context="hash", k=20)
 
 
 def _q_ngram_lm_top(sf_dir: str):
@@ -5627,6 +5644,82 @@ def oracle_sql() -> dict[str, str]:
                                         i -> i % 7 = 3)) AS BIGINT)
                        AS n_masked
             FROM toks ORDER BY doc_id
+        """,
+        "kn_bigram_top": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ),
+            pos AS (
+                SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+                FROM toks WHERE len(ts) >= 2
+            ),
+            big AS (
+                SELECT ts[i - 1] AS v, ts[i] AS w, count(*) AS c
+                FROM pos GROUP BY 1, 2
+            ),
+            cv AS (SELECT v, sum(c) AS cv, count(*) AS n1f FROM big
+                   GROUP BY v),
+            back AS (SELECT w, count(*) AS n1b FROM big GROUP BY w),
+            t AS (SELECT count(*) AS nt FROM big),
+            raw AS (
+                SELECT b.w,
+                       greatest(b.c - 0.75, 0) / cv.cv
+                       + 0.75 * cv.n1f / cv.cv
+                         * (back.n1b * 1.0 / t.nt) AS p
+                FROM big b
+                JOIN cv ON cv.v = b.v
+                JOIN back ON back.w = b.w
+                CROSS JOIN t
+                WHERE b.v = 'hash'
+            )
+            SELECT w, round(p, 6) AS p_kn FROM raw
+            ORDER BY p DESC, w LIMIT 20
+        """,
+        "quality_rules": """
+            WITH n AS (SELECT count(*) AS nr FROM lineitem),
+            v AS (
+                SELECT 'discount_high' AS rule, count(*) AS n_violations
+                FROM lineitem WHERE l_discount >= 0.09
+                UNION ALL
+                SELECT 'quantity_high', count(*) FROM lineitem
+                WHERE l_quantity >= 45.0
+                UNION ALL
+                SELECT 'price_high', count(*) FROM lineitem
+                WHERE l_extendedprice > 90000.0
+                UNION ALL
+                SELECT 'ship_late', count(*)
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+                   round(n_violations * 1.0 / n.nr, 6) AS pct
+            FROM v CROSS JOIN n ORDER BY rule
+        """,
+        "zipf_fit": f"""
+            WITH tf AS (
+                SELECT token AS term, count(*) AS tf
+                FROM (SELECT unnest({tok}) AS token FROM documents)
+                WHERE length(token) >= 2
+                GROUP BY token
+            ),
+            top AS (
+                SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS r
+                FROM tf
+            ),
+            xy AS (SELECT ln(r * 1.0) AS x, ln(tf * 1.0) AS y
+                   FROM top WHERE r <= 100),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                  FROM xy)
+            SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n, 6)
+                       AS intercept,
+                   CAST(n AS BIGINT) AS n_terms
+            FROM s
         """,
         "state_asof": """
             WITH f AS (

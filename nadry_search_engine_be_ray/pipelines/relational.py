@@ -4847,3 +4847,51 @@ def q_rank_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
            .head(k))
     out["combined"] = out["combined"].round(4)
     return out.reset_index(drop=True)
+
+
+def q_quality_rules(sf_dir: str) -> pd.DataFrame:
+    """Rule-engine data validation: named predicates over lineitem (one
+    broadcast o_orderdate probe for the lateness rule), reported as
+    (rule, n_violations, pct).  One scan evaluates every rule as a
+    vectorized mask; per-batch partials are one row per rule."""
+    import ray
+
+    odf = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    oo = np.argsort(odf["o_orderkey"].to_numpy(np.int64))
+    okeys = odf["o_orderkey"].to_numpy(np.int64)[oo]
+    odate = (odf["o_orderdate"].to_numpy("datetime64[us]")
+             .astype(np.int64)[oo])
+    ref = ray.put((okeys, odate))
+    late_us = 60 * 86_400_000_000
+    rules = ["discount_high", "quantity_high", "price_high", "ship_late"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, ds_ = ray.get(ref)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        hit, idx = _sorted_lookup(ks, lk)
+        masks = [disc >= 0.09, qty >= 45.0, price > 90000.0,
+                 hit & (sd > ds_[idx] + late_us)]
+        return pa.table({
+            "rule": pa.array(rules, pa.string()),
+            "n_violations": pa.array([int(m.sum()) for m in masks],
+                                     pa.int64()),
+            "n_rows": pa.array([batch.num_rows] * len(rules), pa.int64()),
+        })
+
+    out = (_read(sf_dir, "lineitem",
+                 ["l_discount", "l_quantity", "l_extendedprice",
+                  "l_orderkey", "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("rule", as_index=False)
+           .agg(n_violations=("n_violations", "sum"),
+                n_rows=("n_rows", "sum")))
+    out["pct"] = (out["n_violations"] * 1.0 / out["n_rows"]).round(6)
+    out["n_violations"] = out["n_violations"].astype("int64")
+    out = out[["rule", "n_violations", "pct"]]
+    return out.sort_values("rule").reset_index(drop=True)

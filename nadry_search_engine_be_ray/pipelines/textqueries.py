@@ -1700,3 +1700,30 @@ def js_divergence_sources(sf_dir: str) -> pd.DataFrame:
                          "jsd": round(float(t1.sum() + t2.sum()), 6)})
     return pd.DataFrame(rows).sort_values(["s1", "s2"]).reset_index(
         drop=True)
+
+
+def zipf_fit(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Zipf power-law fit: OLS slope/intercept of ln(tf) on ln(rank)
+    over the top-k terms — the distribution-shape diagnostic a corpus
+    monitor tracks between snapshots (natural text ≈ −1).  The term
+    counts fold in the usual distributed groupby; the fit runs on the
+    k-row driver result with the explicit closed-form normal equations
+    (both engines compute the identical Σx/Σy/Σxy/Σxx algebra)."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: _explode(b, False), batch_format="pyarrow"
+    )
+    counts = ds.groupby("term").aggregate(Count(alias_name="tf"))
+    top = counts.sort(["tf", "term"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    n = len(top)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["tf"].to_numpy(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "slope": [round(slope, 6)],
+        "intercept": [round(intercept, 6)],
+        "n_terms": pd.array([n], dtype="int64"),
+    })

@@ -390,3 +390,42 @@ def lm_score(ds, model: LMModel, text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency or default_pool_size(),
     )
+
+
+def kn_bigram_top(ds, context: str = "hash", discount: float = 0.75,
+                  k: int = 20, text_col: str = "text"):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    fixed absolute discount) for one context word:
+
+        P_KN(w|v) = max(c(vw)−D, 0)/c(v·)
+                    + D·N1+(v·)/c(v·) · N1+(·w)/|bigram types|
+
+    Counts come from the same distributed ``ngram_count_table`` shuffle
+    the Stupid-Backoff trainer uses (model-sized driver table); the KN
+    algebra is one vectorized pandas pass over it.  Returns the top-k
+    OBSERVED continuations of ``context`` by probability."""
+    import pandas as pd
+
+    tbl = ngram_count_table(ds, text_col)
+    df = pd.DataFrame({"gram": tbl["gram"].to_pandas(),
+                       "c": tbl["count"].to_pandas().astype("int64")})
+    bi = df[df["gram"].str.contains(" ")].copy()
+    vw = bi["gram"].str.split(" ", n=1, expand=True)
+    bi["v"], bi["w"] = vw[0].to_numpy(), vw[1].to_numpy()
+    cv = bi.groupby("v")["c"].sum()
+    n1f = bi.groupby("v")["c"].count()
+    n1b = bi.groupby("w")["c"].count()
+    n_types = len(bi)
+    sub = bi[bi["v"] == context].copy()
+    if len(sub) == 0:
+        return pd.DataFrame({"w": pd.array([], dtype=str),
+                             "p_kn": pd.array([], dtype="float64")})
+    cvv = float(cv[context])
+    n1fv = float(n1f[context])
+    cont = n1b[sub["w"]].to_numpy(np.float64)
+    p = (np.maximum(sub["c"].to_numpy(np.float64) - discount, 0.0) / cvv
+         + discount * n1fv / cvv * (cont * 1.0 / n_types))
+    sub = pd.DataFrame({"w": sub["w"].to_numpy(), "p_kn": p})
+    sub = sub.sort_values(["p_kn", "w"], ascending=[False, True]).head(k)
+    sub["p_kn"] = sub["p_kn"].round(6)
+    return sub.reset_index(drop=True)
