@@ -365,6 +365,29 @@ def main() -> None:
     rel.q_interval_coverage(SF_DIR)
     extra_timings["analytics_extras"] = time.time() - t0
 
+    # --- session-8 additions (also non-headline): the TPC-H tail, the NB
+    # classifier's count shuffle, and the two-pass exact-rank NTILE -------
+    t0 = time.time()
+    rel.q_tpch_q8(SF_DIR)
+    rel.q_tpch_q9(SF_DIR)
+    rel.q_tpch_q21(SF_DIR)
+    rel.q_ntile_quartiles(SF_DIR)
+    rel.q_scd2_dimension(SF_DIR)
+    extra_timings["tpch_tail_extras"] = time.time() - t0
+
+    t0 = time.time()
+    import ray.data as _rd
+
+    from nadry_search_engine_be_ray.stages.classifier import (
+        nb_classify, nb_fit,
+    )
+
+    _docs_ds = _rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text", "lang"])
+    _model = nb_fit(_docs_ds, text_col="text", label_col="lang")
+    nb_classify(_docs_ds, _model).materialize()
+    extra_timings["naive_bayes"] = time.time() - t0
+
     ray.shutdown()
 
     from nadry_search_engine_be_ray.benchconst import (
