@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": rel.q_random_projection,
         "rank_join": rel.q_rank_join,
         "quality_rules": rel.q_quality_rules,
+        "eb_smoothed_rates": rel.q_eb_smoothed_rates,
+        "late_orders": rel.q_late_orders,
+        "golden_records": tq.golden_records,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -5676,6 +5679,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w, round(p, 6) AS p_kn FROM raw
             ORDER BY p DESC, w LIMIT 20
+        """,
+        "eb_smoothed_rates": """
+            WITH u AS (
+                SELECT user_id, count(*) AS n,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS k
+                FROM events GROUP BY 1
+            ),
+            r AS (SELECT user_id, n, k, k * 1.0 / n AS p FROM u),
+            mo AS (SELECT avg(p) AS m, avg(p * p) - avg(p) * avg(p) AS v
+                   FROM r),
+            ab AS (SELECT m * (m * (1 - m) / v - 1) AS a,
+                          (1 - m) * (m * (1 - m) / v - 1) AS b
+                   FROM mo)
+            SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                   round((k + a) / (n + a + b), 6) AS smoothed
+            FROM r CROSS JOIN ab
+            ORDER BY (k + a) / (n + a + b) DESC, user_id LIMIT 20
+        """,
+        "late_orders": """
+            WITH w AS (
+                SELECT o_orderdate AS ts,
+                       max(o_orderdate) OVER (ORDER BY o_orderkey
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                           AS mx
+                FROM orders
+            )
+            SELECT CAST(year(ts) AS BIGINT) AS o_year,
+                   CAST(count(*) AS BIGINT) AS n_late
+            FROM w WHERE mx IS NOT NULL AND ts < mx - INTERVAL 365 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "golden_records": """
+            WITH anchors AS (
+                SELECT doc_id, n_chars,
+                       COALESCE(array_to_string(
+                           (list_filter(string_split_regex(lower(text),
+                                                           '[^a-z0-9]+'),
+                                        x -> x <> ''))[1:2], ' '), '')
+                           AS block_key
+                FROM documents
+            ),
+            rk AS (
+                SELECT block_key, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY block_key
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS r,
+                       count(*) OVER (PARTITION BY block_key) AS n_members
+                FROM anchors
+            )
+            SELECT block_key, CAST(doc_id AS BIGINT) AS golden_doc_id,
+                   CAST(n_chars AS BIGINT) AS max_chars,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM rk WHERE r = 1 AND n_members >= 2 ORDER BY block_key
         """,
         "quality_rules": """
             WITH n AS (SELECT count(*) AS nr FROM lineitem),

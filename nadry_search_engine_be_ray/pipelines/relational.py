@@ -4895,3 +4895,125 @@ def q_quality_rules(sf_dir: str) -> pd.DataFrame:
     out["n_violations"] = out["n_violations"].astype("int64")
     out = out[["rule", "n_violations", "pct"]]
     return out.sort_values("rule").reset_index(drop=True)
+
+
+def q_eb_smoothed_rates(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Empirical-Bayes (beta-binomial) smoothed purchase rates: the
+    method-of-moments Beta prior fit on the per-user rate distribution,
+    then (k+α)/(n+α+β) per user — the CTR-smoothing shape every
+    ranking/ads pipeline uses.  Per-user (n, k) folds in one groupby;
+    the moment sums are one more tiny aggregate; scoring is a
+    broadcast-α,β vectorized pass.  Top-k users by smoothed rate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buy = (batch["event_type"].to_numpy(zero_copy_only=False)
+               == "purchase").astype(np.int64)
+        us, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(us, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "k": pa.array(np.bincount(inv, weights=buy).astype(np.int64),
+                          pa.int64()),
+        })
+
+    u = (_read(sf_dir, "events", ["user_id", "event_type"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas()
+         .groupby("user_id", as_index=False)
+         .agg(n=("n", "sum"), k=("k", "sum")))
+    p = u["k"].to_numpy(np.float64) / u["n"].to_numpy(np.float64)
+    m = float(np.mean(p))
+    v = float(np.mean(p * p)) - m * m
+    a = m * (m * (1 - m) / v - 1)
+    b = (1 - m) * (m * (1 - m) / v - 1)
+    u["smoothed"] = (u["k"] + a) / (u["n"] + a + b)
+    u = u.sort_values(["smoothed", "user_id"],
+                      ascending=[False, True]).head(k)
+    u["smoothed"] = u["smoothed"].round(6)
+    u["n"] = u["n"].astype("int64")
+    u["k"] = u["k"].astype("int64")
+    return u.reset_index(drop=True)
+
+
+def q_late_orders(sf_dir: str, lateness_days: int = 365,
+                  n_bins: int = 256) -> pd.DataFrame:
+    """Watermark / late-data audit: orders whose o_orderdate is more
+    than ``lateness_days`` behind the running maximum order date in
+    ARRIVAL order (o_orderkey), counted per order-date year — the
+    out-of-order rate a streaming ingester tracks (the events table is
+    strictly time-sorted, so the order feed is the disordered stream
+    here).  Global running max without a global sort: pass A folds each
+    arrival-order bin's max date (n_bins rows to the driver), a prefix
+    over the bin maxes gives every bin's carry-in watermark, and pass B
+    computes the in-bin running max against the broadcast carry — the
+    cumulative_sum stitching pattern on the max monoid."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .rename_columns({"o_orderkey": "event_id", "o_orderdate": "ts"})
+    mm = ds.aggregate(Min("event_id", alias_name="lo"),
+                      Max("event_id", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    width = max((hi - lo) // n_bins + 1, 1)
+    late_us = np.int64(lateness_days) * 86_400_000_000
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        v = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bin", pa.array((v - lo) // width, pa.int64()))
+
+    binned = ds.map_batches(add_bin, batch_format="pyarrow").materialize()
+
+    def bin_max(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "bin": pa.array([int(group["bin"][0].as_py())], pa.int64()),
+            "mx": pa.array([int(ts.max())], pa.int64()),
+        })
+
+    maxes = (binned.groupby("bin").map_groups(bin_max,
+                                              batch_format="pyarrow")
+             .to_pandas().sort_values("bin"))
+    carry = np.full(n_bins, np.iinfo(np.int64).min, dtype=np.int64)
+    bins = maxes["bin"].to_numpy(np.int64)
+    mx = maxes["mx"].to_numpy(np.int64)
+    run = np.maximum.accumulate(mx)
+    # carry-in for bin b = max over occupied bins strictly before b
+    for i, bn in enumerate(bins):
+        carry[bn] = run[i - 1] if i > 0 else np.iinfo(np.int64).min
+    ref = ray.put(carry)
+
+    def count_late(group: pa.Table) -> pa.Table:
+        carry_ = ray.get(ref)
+        b = int(group["bin"][0].as_py())
+        eid = group["event_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.argsort(eid)
+        ts = ts[order]
+        # prev_i = max(carry-in, ts_0..ts_{i-1}): seed the running max
+        # with the carry so a prior-bin watermark dominates in-bin values
+        prev = np.maximum.accumulate(
+            np.concatenate(([carry_[b]], ts)))[:-1]
+        late = (prev > np.iinfo(np.int64).min) & (ts < prev - late_us)
+        yr = (ts[late].astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        dv, cnt = np.unique(yr, return_counts=True)
+        return pa.table({
+            "o_year": pa.array(dv.astype(np.int64), pa.int64()),
+            "n_late": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    out = (binned.groupby("bin").map_groups(count_late,
+                                            batch_format="pyarrow")
+           .to_pandas()
+           .groupby("o_year", as_index=False)
+           .agg(n_late=("n_late", "sum")))
+    out["n_late"] = out["n_late"].astype("int64")
+    out["o_year"] = out["o_year"].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)

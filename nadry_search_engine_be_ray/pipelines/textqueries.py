@@ -1727,3 +1727,61 @@ def zipf_fit(sf_dir: str, k: int = 100) -> pd.DataFrame:
         "intercept": [round(intercept, 6)],
         "n_terms": pd.array([n], dtype="int64"),
     })
+
+
+def golden_records(sf_dir: str, anchor_len: int = 2) -> pd.DataFrame:
+    """MDM survivorship: block documents by their first-``anchor_len``-
+    token key and elect each multi-member block's golden record by the
+    rule (longest n_chars, then smallest doc_id).  Argmax is
+    associative, so each batch emits one partial winner per block key
+    and a second fold finishes — no block's members ever co-locate.
+    Output (block_key, golden_doc_id, n_members, max_chars)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch, min_len=1)
+        doc_pos = doc_pos[ok]
+        flat = flat.filter(pa.array(ok))
+        lens = np.bincount(doc_pos, minlength=len(batch)).astype(np.int64)
+        first = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        take = np.minimum(lens, anchor_len)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(take)]).astype(np.int32))
+        idx = (np.repeat(first, take)
+               + (np.arange(int(take.sum()), dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(take)[:-1]]),
+                              take)))
+        key = pc.fill_null(pc.binary_join(
+            pa.ListArray.from_arrays(offsets, flat.take(pa.array(idx))),
+            " "), "").to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"block_key": key, "doc_id": ids,
+                           "n_chars": nch, "n_members": 1})
+        # partial survivorship per block: argmax inside this batch
+        df = df.sort_values(["block_key", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        agg = (df.groupby("block_key", as_index=False)
+               .agg(golden_doc_id=("doc_id", "first"),
+                    max_chars=("n_chars", "first"),
+                    n_members=("n_members", "sum")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (_docs_meta(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas())
+    out = out.sort_values(["block_key", "max_chars", "golden_doc_id"],
+                          ascending=[True, False, True])
+    fin = (out.groupby("block_key", as_index=False)
+           .agg(golden_doc_id=("golden_doc_id", "first"),
+                max_chars=("max_chars", "first"),
+                n_members=("n_members", "sum")))
+    fin = fin[fin["n_members"] >= 2]
+    for c in ("golden_doc_id", "max_chars", "n_members"):
+        fin[c] = fin[c].astype("int64")
+    return fin.sort_values("block_key").reset_index(drop=True)
+
+
+def _docs_meta(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars"])
