@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eb_smoothed_rates": rel.q_eb_smoothed_rates,
         "late_orders": rel.q_late_orders,
         "golden_records": tq.golden_records,
+        "changepoint_daily": rel.q_changepoint_daily,
+        "join_cardinality_est": rel.q_join_cardinality_est,
+        "rendezvous_hashing": rel.q_rendezvous_hashing,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -5710,6 +5713,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_late
             FROM w WHERE mx IS NOT NULL AND ts < mx - INTERVAL 365 DAY
             GROUP BY 1 ORDER BY 1
+        """,
+        "changepoint_daily": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ),
+            numbered AS (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS s1,
+                       sum(c * c) OVER (PARTITION BY event_type
+                                        ORDER BY day
+                                        ROWS UNBOUNDED PRECEDING) AS q1,
+                       sum(c) OVER (PARTITION BY event_type) AS st,
+                       sum(c * c) OVER (PARTITION BY event_type) AS qt
+                FROM daily
+            ),
+            splits AS (
+                SELECT event_type, rn AS k,
+                       (q1 - s1 * s1 / rn)
+                       + ((qt - q1) - (st - s1) * (st - s1) / (n - rn))
+                           AS sse,
+                       s1 / rn AS mean_left,
+                       (st - s1) / (n - rn) AS mean_right
+                FROM numbered WHERE rn < n
+            ),
+            best AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY sse, k) AS r
+                FROM splits
+            )
+            SELECT event_type, CAST(k AS BIGINT) AS split_rn,
+                   round(sse, 6) AS sse,
+                   round(mean_left, 6) AS mean_left,
+                   round(mean_right, 6) AS mean_right
+            FROM best WHERE r = 1 ORDER BY event_type
+        """,
+        "join_cardinality_est": """
+            WITH s AS (
+                SELECT count(*) AS n_sample
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderkey % 20 = 0
+            ),
+            e AS (
+                SELECT count(*) AS n_exact
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            )
+            SELECT CAST(20 * n_sample AS BIGINT) AS estimated,
+                   CAST(n_exact AS BIGINT) AS exact,
+                   round(20 * n_sample * 1.0 / n_exact, 6) AS ratio
+            FROM s CROSS JOIN e
+        """,
+        "rendezvous_hashing": """
+            WITH h AS (
+                SELECT doc_id, j,
+                       (((2654435761 * (j + 1)) % 2147483647) * doc_id
+                        + ((40503 * (j + 1)) % 2147483647)) % 2147483647
+                           AS hv
+                FROM documents, unnest(range(0, 8)) AS n(j)
+            ),
+            rk AS (
+                SELECT doc_id, j,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, j) AS r
+                FROM h
+            )
+            SELECT CAST(j + 1 AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM rk WHERE r = 1 GROUP BY 1 ORDER BY 1
         """,
         "golden_records": """
             WITH anchors AS (

@@ -5017,3 +5017,127 @@ def q_late_orders(sf_dir: str, lateness_days: int = 365,
     out["n_late"] = out["n_late"].astype("int64")
     out["o_year"] = out["o_year"].astype("int64")
     return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_changepoint_daily(sf_dir: str) -> pd.DataFrame:
+    """Single-changepoint detection per event_type: the split of the
+    daily-count series minimizing total within-segment SSE (the CUSUM /
+    binary-segmentation step).  Daily counts fold distributed; the
+    O(days) split scan runs vectorized on the (types × days)-bounded
+    driver table with cumulative sums — both engines compute the
+    identical (q − s²/n) algebra.  Output (event_type, split_rn, sse,
+    mean_left, mean_right)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([("c", "sum")])
+        return _rename_agg(g, {"c_sum": "c"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["event_type", "day"], as_index=False)
+             .agg(c=("c", "sum")))
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        y = g.sort_values("day")["c"].to_numpy(np.float64)
+        n = y.size
+        cs = np.cumsum(y)
+        cq = np.cumsum(y * y)
+        ks = np.arange(1, n)
+        s1, q1 = cs[ks - 1], cq[ks - 1]
+        s2, q2 = cs[-1] - s1, cq[-1] - q1
+        sse = (q1 - s1 * s1 / ks) + (q2 - s2 * s2 / (n - ks))
+        best = int(np.argmin(sse))  # ties -> smallest k
+        k = int(ks[best])
+        rows.append({
+            "event_type": etype,
+            "split_rn": k,
+            "sse": round(float(sse[best]), 6),
+            "mean_left": round(float(s1[best] / k), 6),
+            "mean_right": round(float(s2[best] / (n - k)), 6),
+        })
+    out = pd.DataFrame(rows)
+    out["split_rn"] = out["split_rn"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_join_cardinality_est(sf_dir: str, rate: int = 20) -> pd.DataFrame:
+    """Join-cardinality estimation by key-universe sampling (the query-
+    optimizer primitive): sample the orders build side with the
+    deterministic predicate o_orderkey % rate == 0, count the probe
+    rows that semi-join the sample, and scale by rate; report the exact
+    count beside it.  Both counts come from ONE lineitem scan folding
+    two per-batch counters against the broadcast sampled-key array."""
+    import ray
+
+    odf = _read(sf_dir, "orders", ["o_orderkey"]).to_pandas()
+    okeys = np.sort(odf["o_orderkey"].to_numpy(np.int64))
+    sampled = okeys[okeys % rate == 0]
+    ref = ray.put((okeys, sampled))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, sk = ray.get(ref)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit_all, _ = _sorted_lookup(ks, lk)
+        hit_s, _ = _sorted_lookup(sk, lk)
+        return pa.table({
+            "n_exact": pa.array([int(hit_all.sum())], pa.int64()),
+            "n_sample": pa.array([int(hit_s.sum())], pa.int64()),
+        })
+
+    parts = (_read(sf_dir, "lineitem", ["l_orderkey"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    exact = int(parts["n_exact"].sum())
+    est = rate * int(parts["n_sample"].sum())
+    return pd.DataFrame({
+        "estimated": pd.array([est], dtype="int64"),
+        "exact": pd.array([exact], dtype="int64"),
+        "ratio": [round(est * 1.0 / exact, 6) if exact else 0.0],
+    })
+
+
+def q_rendezvous_hashing(sf_dir: str, n_nodes: int = 8) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) hashing assignment of doc ids
+    to virtual nodes — the shard-placement primitive whose property is
+    that removing a node remaps ONLY its own keys.  Node hashes are the
+    SQL-expressible affine family h_j(k) = (A_j·k + B_j) mod M31 with
+    A_j = 2654435761·j mod M31 (Knuth multipliers large enough that the
+    modulo actually wraps — small multipliers leave argmax constant);
+    assignment is a vectorized argmax over the n_nodes hash columns per
+    batch, nodes numbered 1..n.  Output per-node key counts."""
+    M = 2_147_483_647
+
+    j1 = np.arange(1, n_nodes + 1, dtype=np.int64)
+    a = ((2654435761 * j1) % M)[None, :]
+    b = ((40503 * j1) % M)[None, :]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[:, None]
+        hv = (a * ids + b) % M
+        # argmax with ties to the SMALLEST node index: argmax picks the
+        # first maximum, and node index increases along the axis
+        node = np.argmax(hv, axis=1).astype(np.int64) + 1
+        ns, inv = np.unique(node, return_inverse=True)
+        return pa.table({
+            "node": pa.array(ns, pa.int64()),
+            "n_keys": pa.array(np.bincount(inv).astype(np.int64),
+                               pa.int64()),
+        })
+
+    out = (_read(sf_dir, "documents", ["doc_id"])
+           .map_batches(assign, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("node", as_index=False)
+           .agg(n_keys=("n_keys", "sum")))
+    out["n_keys"] = out["n_keys"].astype("int64")
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
