@@ -1355,3 +1355,119 @@ def sssp_fixed(edges_ds, source: int = 0, n_rounds: int = 4, *,
     order = np.argsort(dist_nodes)
     return pd.DataFrame({"node": dist_nodes[order].astype(np.int64),
                          "dist": dist_vals[order].astype(np.int64)})
+
+
+def luby_mis(edges_ds, n_nodes: int, n_rounds: int = 4, *,
+             src_col: str = "src", dst_col: str = "dst"):
+    """Fixed-round Luby maximal-independent-set (Luby 1986, the
+    deterministic-priority variant): each round every UNDECIDED node
+    whose affine-hash priority beats all undecided neighbors joins the
+    MIS, and its neighbors become excluded.  Priorities p(v) =
+    (2654435761·v + 12345) mod M31 are injective over the node range,
+    so no ties exist and the rounds are fully deterministic (the SQL
+    oracle unrolls the identical rounds).
+
+    Distributed shape per round: the undecided set broadcasts (node-
+    bounded, the kcore_nodes contract); pass 1 folds each undecided
+    node's max undecided-neighbor priority via per-batch partials +
+    one groupby Max; pass 2 marks neighbors of the new MIS members.
+    Edges never leave the cluster.  Returns (node, status, round) for
+    all DECIDED nodes after ``n_rounds``; undecided nodes are absent.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    M = 2_147_483_647
+
+    def prio(v: np.ndarray) -> np.ndarray:
+        return (2654435761 * v + 12345) % M
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    edges = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+             .groupby(["u", "v"]).count().select_columns(["u", "v"])
+             .materialize())
+
+    undecided = np.arange(n_nodes, dtype=np.int64)
+    out_nodes, out_status, out_round = [], [], []
+
+    for r in range(1, n_rounds + 1):
+        if undecided.size == 0:
+            break
+        und_ref = ray.put(undecided)
+
+        def max_nbr(batch: pa.Table, ref=und_ref) -> pa.Table:
+            und = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            iu = np.searchsorted(und, u)
+            iu[iu == und.size] = 0
+            iv = np.searchsorted(und, v)
+            iv[iv == und.size] = 0
+            both = (und[iu] == u) & (und[iv] == v)
+            u, v = u[both], v[both]
+            nodes = np.concatenate([u, v])
+            nbrp = np.concatenate([prio(v), prio(u)])
+            ks, inv = np.unique(nodes, return_inverse=True)
+            mx = np.zeros(ks.size, dtype=np.int64)
+            np.maximum.at(mx, inv, nbrp)
+            return pa.table({"node": pa.array(ks, pa.int64()),
+                             "mx": pa.array(mx, pa.int64())})
+
+        nbr = (edges.map_batches(max_nbr, batch_format="pyarrow")
+               .groupby("node").aggregate(Max("mx", alias_name="mx"))
+               .to_pandas())
+        mx_map = np.full(undecided.size, -1, dtype=np.int64)
+        nn = nbr["node"].to_numpy(np.int64)
+        pos = np.searchsorted(undecided, nn)
+        mx_map[pos] = nbr["mx"].to_numpy(np.int64)
+        join = prio(undecided) > mx_map  # no undecided nbr -> mx -1 -> join
+        mis = undecided[join]
+        mis_ref = ray.put(mis)
+
+        def excl_partial(batch: pa.Table, ref=mis_ref) -> pa.Table:
+            ms = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            iu = np.searchsorted(ms, u)
+            iu[iu == ms.size] = 0
+            iv = np.searchsorted(ms, v)
+            iv[iv == ms.size] = 0
+            nodes = np.unique(np.concatenate(
+                [v[ms[iu] == u], u[ms[iv] == v]]))
+            return pa.table({"node": pa.array(nodes, pa.int64())})
+
+        if mis.size:
+            exn = (edges.map_batches(excl_partial, batch_format="pyarrow")
+                   .groupby("node").count().to_pandas())
+            excluded = exn["node"].to_numpy(np.int64) if len(exn) \
+                else np.array([], np.int64)
+        else:
+            excluded = np.array([], np.int64)
+        excluded = np.setdiff1d(
+            np.intersect1d(excluded, undecided), mis)
+        out_nodes += [mis, excluded]
+        out_status += [np.repeat("mis", mis.size),
+                       np.repeat("excluded", excluded.size)]
+        out_round += [np.full(mis.size, r), np.full(excluded.size, r)]
+        undecided = np.setdiff1d(undecided, np.concatenate([mis, excluded]))
+
+    nodes = np.concatenate(out_nodes) if out_nodes else np.array([], np.int64)
+    status = np.concatenate(out_status) if out_status else np.array([], str)
+    rnd = (np.concatenate(out_round) if out_round
+           else np.array([], np.int64))
+    order = np.argsort(nodes)
+    return pd.DataFrame({
+        "node": nodes[order].astype(np.int64),
+        "status": status[order],
+        "round": rnd[order].astype(np.int64),
+    })

@@ -3765,15 +3765,22 @@ def q_tpch_q7(sf_dir: str) -> pd.DataFrame:
         )
         return _rename_agg(g, {"revenue_sum": "revenue"})
 
-    out = (
+    parts = (
         _read(sf_dir, "lineitem",
               ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
                "l_shipdate"])
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
-        .groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)
-        .agg(revenue=("revenue", "sum"))
     )
+    if len(parts) == 0:  # no qualifying pair at this scale
+        parts = pd.DataFrame({"supp_nation": pd.array([], dtype=str),
+                              "cust_nation": pd.array([], dtype=str),
+                              "l_year": pd.array([], dtype="int64"),
+                              "revenue": pd.array([], dtype="float64")})
+    out = (parts
+           .groupby(["supp_nation", "cust_nation", "l_year"],
+                    as_index=False)
+           .agg(revenue=("revenue", "sum")))
     out["revenue"] = out["revenue"].round(4)
     return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
         .reset_index(drop=True)
