@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": _q_bfs_depths,
         "scc_seeded": _q_scc_seeded,
         "sssp_fixed": _q_sssp_fixed,
+        "luby_mis": _q_luby_mis,
+        "rank_correlation": tq.rank_correlation,
         "scd2_dimension": rel.q_scd2_dimension,
         "state_asof": rel.q_state_asof,
         "random_projection": rel.q_random_projection,
@@ -2589,6 +2591,95 @@ def _scc_sql(rounds: int = 4) -> str:
         SELECT f.node, f.depth AS fwd_depth, b.depth AS bwd_depth
         FROM fv{rounds} f JOIN bv{rounds} b ON b.node = f.node
         ORDER BY f.node
+    """
+
+
+def _q_luby_mis(sf_dir: str):
+    """Fixed-round deterministic Luby MIS (pipelines/pagerank.luby_mis,
+    4 rounds, injective affine priorities) over the undirected quadratic
+    link graph; the oracle unrolls identical join/exclude rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import luby_mis
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return luby_mis(edges, n_nodes=n, n_rounds=4)
+
+
+def _luby_sql(rounds: int = 4) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )""", """
+        adj AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+        )""", """
+        u0 AS MATERIALIZED (
+            SELECT doc_id AS node,
+                   (2654435761 * doc_id + 12345) % 2147483647 AS p
+            FROM documents
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        mx{r} AS MATERIALIZED (
+            SELECT a.a AS node, max(ub.p) AS mx
+            FROM adj a
+            JOIN u{r - 1} un ON un.node = a.a
+            JOIN u{r - 1} ub ON ub.node = a.b
+            GROUP BY 1
+        )""")
+        parts.append(f"""
+        m{r} AS MATERIALIZED (
+            SELECT un.node FROM u{r - 1} un
+            LEFT JOIN mx{r} x ON x.node = un.node
+            WHERE un.p > COALESCE(x.mx, -1)
+        )""")
+        parts.append(f"""
+        x{r} AS MATERIALIZED (
+            SELECT DISTINCT a.b AS node
+            FROM adj a
+            JOIN m{r} m ON m.node = a.a
+            JOIN u{r - 1} ub ON ub.node = a.b
+            WHERE a.b NOT IN (SELECT node FROM m{r})
+        )""")
+        parts.append(f"""
+        u{r} AS MATERIALIZED (
+            SELECT node, p FROM u{r - 1}
+            WHERE node NOT IN (SELECT node FROM m{r})
+              AND node NOT IN (SELECT node FROM x{r})
+        )""")
+    sel = " UNION ALL ".join(
+        [f"SELECT node, 'mis' AS status, {r} AS round FROM m{r} "
+         f"UNION ALL SELECT node, 'excluded', {r} FROM x{r}"
+         for r in range(1, rounds + 1)])
+    return "WITH " + ",".join(parts) + f"""
+        SELECT CAST(node AS BIGINT) AS node, status,
+               CAST(round AS BIGINT) AS round
+        FROM ({sel}) ORDER BY node
     """
 
 
@@ -7155,6 +7246,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(raw, 6) AS score FROM scored
             ORDER BY raw DESC, doc_id LIMIT 10
         """,
+        "rank_correlation": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+                WHERE token IN ('hash', 'join', 'performance')
+                GROUP BY 1, 2
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(DISTINCT doc_id) AS nc FROM tf),
+            bm AS (
+                SELECT tf.doc_id,
+                       sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dl.dl / stats.avgdl)))
+                           AS s
+                FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                CROSS JOIN stats GROUP BY 1
+            ),
+            ti AS (
+                SELECT tf.doc_id,
+                       sum((tf.tf * 1.0 / dl.dl)
+                           * log10(nn.nc * 1.0 / (1 + df.df))
+                           * ((1.0 / 3)
+                              * log10(nn.nc * 1.0 / (1 + df.df)))) AS s
+                FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                CROSS JOIN nn GROUP BY 1
+            ),
+            r1 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY round(s, 6) DESC,
+                                             doc_id) - 1 AS r
+                   FROM bm),
+            r2 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY round(s, 6) DESC,
+                                             doc_id) - 1 AS r
+                   FROM ti),
+            d AS (SELECT sum((r1.r - r2.r) * (r1.r - r2.r)) AS d2,
+                         count(*) AS n
+                  FROM r1 JOIN r2 USING (doc_id))
+            SELECT CAST(n AS BIGINT) AS n_common,
+                   CAST(d2 AS BIGINT) AS sum_d2,
+                   round(1.0 - 6.0 * d2 / (n * (n * n - 1.0)), 6)
+                       AS spearman_rho
+            FROM d
+        """,
         "search_dfr_pl2": f"""
             WITH toks AS (
                 SELECT doc_id, list_filter({tok}, t -> length(t) >= 2) AS ts
@@ -8085,6 +8227,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_depths": _bfs_sql(),
         "scc_seeded": _scc_sql(),
         "sssp_fixed": _sssp_sql(),
+        "luby_mis": _luby_sql(),
         "label_propagation": _label_prop_sql(),
         "assortativity": """
             WITH raw AS MATERIALIZED (

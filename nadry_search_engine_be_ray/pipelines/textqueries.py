@@ -1785,3 +1785,69 @@ def _docs_meta(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "n_chars"])
+
+
+def rank_correlation(sf_dir: str,
+                     query: str = "hash join performance") -> pd.DataFrame:
+    """Ranking-agreement metric: Spearman's rho between the BM25 and
+    tf-idf orderings of the SAME candidate set (docs matching ≥1 query
+    term) — what an engine reports when swapping scorers.  One stats
+    pass builds (dl, tf per term) exactly like lm_dirichlet; both
+    scores compute vectorized on the candidate-sized driver table
+    (declared contract: ranks are global order statistics; the
+    two-pass bin rank applies at 100 TB).  rho = 1 − 6Σd²/(n(n²−1))
+    with integer Σd²; ranks assign on 6-dp-ROUNDED scores (doc_id
+    ties) so the order is bit-deterministic across engines — the
+    hybrid_rrf trick."""
+    terms = [t for t in simple_tokens(query) if len(t) >= 2]
+    uterms = sorted(set(terms))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_pos, flat, _, ok = _exploded(batch)
+        dl = np.bincount(doc_pos[ok], minlength=len(batch))
+        out = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for i, t in enumerate(uterms):
+            hit = ok & pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            out[f"tf{i}"] = pa.array(
+                np.bincount(doc_pos[hit], minlength=len(batch)), pa.int64())
+        return pa.table(out)
+
+    stats = (_docs(sf_dir).map_batches(partials, batch_format="pyarrow")
+             .to_pandas())
+    n_docs = len(stats)
+    avgdl = float(stats["dl"].mean())
+    tfm = stats[[f"tf{i}" for i in range(len(uterms))]].to_numpy(np.float64)
+    cand = tfm.sum(axis=1) > 0
+    sub = stats[cand]
+    tfm = tfm[cand]
+    dl = sub["dl"].to_numpy(np.float64)
+    df = (tfm > 0).sum(axis=0).astype(np.float64)
+    n_cand = int(cand.sum())
+
+    bm25 = np.zeros(n_cand)
+    tfidf = np.zeros(n_cand)
+    for i in range(len(uterms)):
+        tf = tfm[:, i]
+        m = tf > 0
+        idf = np.log((n_docs - df[i] + 0.5) / (df[i] + 0.5) + 1)
+        bm25[m] += (idf * tf[m] * (1.2 + 1)
+                    / (tf[m] + 1.2 * (1 - 0.75 + 0.75 * dl[m] / avgdl)))
+        w = np.log10(n_cand * 1.0 / (1 + df[i]))
+        tfidf[m] += (tf[m] * 1.0 / dl[m]) * w * ((1.0 / 3) * w)
+    ids = sub["doc_id"].to_numpy(np.int64)
+    # rank on the 6-dp-ROUNDED scores (ties by doc_id) — the hybrid_rrf
+    # trick that makes rank assignment bit-deterministic across engines
+    r1 = np.empty(n_cand, np.int64)
+    r1[np.lexsort((ids, -np.round(bm25, 6)))] = np.arange(n_cand)
+    r2 = np.empty(n_cand, np.int64)
+    r2[np.lexsort((ids, -np.round(tfidf, 6)))] = np.arange(n_cand)
+    d2 = int(((r1 - r2) ** 2).sum())
+    rho = 1.0 - 6.0 * d2 / (n_cand * (n_cand * n_cand - 1.0))
+    return pd.DataFrame({
+        "n_common": pd.array([n_cand], dtype="int64"),
+        "sum_d2": pd.array([d2], dtype="int64"),
+        "spearman_rho": [round(rho, 6)],
+    })
