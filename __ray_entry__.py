@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
+        "adamic_adar": _q_adamic_adar,
+        "trigram_substring_search": tq.trigram_substring_search,
         "bfs_depths": _q_bfs_depths,
         "scc_seeded": _q_scc_seeded,
         "sssp_fixed": _q_sssp_fixed,
@@ -2330,6 +2332,37 @@ def _q_link_pred_cn(sf_dir: str):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return common_neighbors_topk(edges, k=20).to_pandas()
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (pipelines/pagerank.adamic_adar_topk)
+    over the quadratic skewed link graph: top-20 non-adjacent pairs by
+    the degree-discounted common-neighbor sum; oracle = weighted wedge
+    self-join + edge anti-join, ranked on the 6-dp-rounded score."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        adamic_adar_topk,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return adamic_adar_topk(edges, k=20)
 
 
 def _q_link_pred_jaccard(sf_dir: str):
@@ -8228,6 +8261,53 @@ def oracle_sql() -> dict[str, str]:
         "scc_seeded": _scc_sql(),
         "sssp_fixed": _sssp_sql(),
         "luby_mis": _luby_sql(),
+        "adamic_adar": """
+            WITH raw AS MATERIALIZED (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            adj AS MATERIALIZED (
+                SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+            ),
+            deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+            wed AS (
+                SELECT a.m AS x, b.m AS y, sum(1.0 / ln(deg.d)) AS w
+                FROM adj a
+                JOIN adj b ON a.n = b.n AND a.m < b.m
+                JOIN deg ON deg.n = a.n
+                GROUP BY 1, 2
+            ),
+            nonadj AS (
+                SELECT wed.* FROM wed
+                LEFT JOIN e ON e.u = wed.x AND e.v = wed.y
+                WHERE e.u IS NULL
+            )
+            SELECT x, y, round(w, 6) AS aa_score FROM nonadj
+            ORDER BY round(w, 6) DESC, x, y LIMIT 20
+        """,
+        "trigram_substring_search": """
+            WITH low AS (
+                SELECT doc_id, lower(COALESCE(text, '')) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN contains(t, 'hash join')
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_match
+            FROM low
+            WHERE contains(t, 'has') AND contains(t, 'ash')
+              AND contains(t, 'sh ') AND contains(t, 'h j')
+              AND contains(t, ' jo') AND contains(t, 'joi')
+              AND contains(t, 'oin')
+            ORDER BY doc_id
+        """,
         "label_propagation": _label_prop_sql(),
         "assortativity": """
             WITH raw AS MATERIALIZED (

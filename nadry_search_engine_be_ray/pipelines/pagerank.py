@@ -1471,3 +1471,88 @@ def luby_mis(edges_ds, n_nodes: int, n_rounds: int = 4, *,
         "status": status[order],
         "round": rnd[order].astype(np.int64),
     })
+
+
+def adamic_adar_topk(edges_ds, k: int = 20, *, src_col: str = "src",
+                     dst_col: str = "dst", cap: int = 10_000):
+    """Adamic-Adar link prediction: top-k non-adjacent pairs by
+    Σ_z 1/ln(deg(z)) over common neighbors z — the degree-discounted
+    refinement of :func:`common_neighbors_topk`, riding the identical
+    wedge plan (each center group knows its own degree, so the weight
+    attaches at EMISSION and the pair groupby just sums floats).
+    Ranking uses the 6-dp-rounded score with (x, y) ties so the order
+    is bit-deterministic against the SQL oracle (ln = libm both
+    sides; only summation order differs, absorbed by the rounding)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    e0 = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["u", "v"]).count().select_columns(["u", "v"])
+          .materialize())
+    et = pa.concat_tables(
+        [pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]
+        + [t.select(["u", "v"]) for t in ray.get(e0.to_arrow_refs())
+           if "u" in t.schema.names])
+    uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if uu.size == 0:
+        return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                             "y": pd.array([], dtype="int64"),
+                             "aa_score": pd.array([], dtype="float64")})
+    shift = np.int64(max(int(max(uu.max(), vv.max())) + 1, 1))
+    ekeys_ref = ray.put(np.sort(uu * shift + vv))
+
+    adj = ray.data.from_arrow(pa.table({
+        "n": pa.array(np.concatenate([uu, vv]), pa.int64()),
+        "m": pa.array(np.concatenate([vv, uu]), pa.int64()),
+    }))
+
+    def wedges(group: pa.Table) -> pa.Table:
+        ms = np.sort(group["m"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        if ms.size < 2:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        ii, jj = np.triu_indices(ms.size, k=1)
+        if ii.size > cap:
+            print(f"adamic_adar_topk: truncating hub wedge set "
+                  f"{ii.size} -> {cap}")
+            ii, jj = ii[:cap], jj[:cap]
+        w = 1.0 / np.log(float(ms.size))
+        return pa.table({"x": pa.array(ms[ii], pa.int64()),
+                         "y": pa.array(ms[jj], pa.int64()),
+                         "w": pa.array(np.full(ii.size, w), pa.float64())})
+
+    pairs = (adj.groupby("n").map_groups(wedges, batch_format="pyarrow")
+             .groupby(["x", "y"]).aggregate(Sum("w", alias_name="w")))
+
+    def drop_edges(batch: pa.Table) -> pa.Table:
+        ek = ray.get(ekeys_ref)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = x * shift + y
+        idx = np.searchsorted(ek, kk)
+        idx[idx == ek.size] = 0
+        return batch.filter(pa.array(ek[idx] != kk))
+
+    df = (pairs.map_batches(drop_edges, batch_format="pyarrow")
+          .to_pandas())
+    df["aa_score"] = df["w"].round(6)
+    df = df.sort_values(["aa_score", "x", "y"],
+                        ascending=[False, True, True]).head(k)
+    df["x"] = df["x"].astype("int64")
+    df["y"] = df["y"].astype("int64")
+    return df[["x", "y", "aa_score"]].reset_index(drop=True)

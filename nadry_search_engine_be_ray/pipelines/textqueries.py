@@ -1851,3 +1851,38 @@ def rank_correlation(sf_dir: str,
         "sum_d2": pd.array([d2], dtype="int64"),
         "spearman_rho": [round(rho, 6)],
     })
+
+
+def trigram_substring_search(sf_dir: str,
+                             pattern: str = "hash join") -> pd.DataFrame:
+    """Trigram-prefiltered substring search (the pg_trgm plan): a doc
+    can contain the pattern only if it contains EVERY character trigram
+    of the pattern, so the cheap per-trigram containment masks prune
+    before the exact match check.  Both stages are Arrow
+    match_substring kernels over the lowered text — one scan, no
+    index rebuild; output one row per CANDIDATE doc with its exact-
+    match flag, which exposes the pruning selectivity the real trigram
+    index would deliver."""
+    pat = pattern.lower()
+    tris = [pat[i:i + 3] for i in range(len(pat) - 2)]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        cand = np.ones(len(low), dtype=bool)
+        for t in tris:
+            cand &= pc.match_substring(low, t).to_numpy(
+                zero_copy_only=False)
+        is_match = pc.match_substring(low, pat).to_numpy(
+            zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[cand], pa.int64()),
+            "is_match": pa.array(is_match[cand].astype(np.int64),
+                                 pa.int64()),
+        })
+
+    out = _docs(sf_dir).map_batches(scan, batch_format="pyarrow") \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["is_match"] = out["is_match"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
