@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_daily": rel.q_changepoint_daily,
         "join_cardinality_est": rel.q_join_cardinality_est,
         "rendezvous_hashing": rel.q_rendezvous_hashing,
+        "incremental_agg": rel.q_incremental_agg,
+        "zorder_layout": rel.q_zorder_layout,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -5893,6 +5895,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact AS BIGINT) AS exact,
                    round(20 * n_sample * 1.0 / n_exact, 6) AS ratio
             FROM s CROSS JOIN e
+        """,
+        "incremental_agg": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "zorder_layout": """
+            WITH b AS (
+                SELECT CAST(l_quantity AS BIGINT) AS qb,
+                       CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS pb,
+                       l_quantity AS q
+                FROM lineitem
+            ),
+            z AS (
+                SELECT q, sum((((qb >> i) & 1) << (2 * i + 1))
+                              + (((pb >> i) & 1) << (2 * i))) AS zkey
+                FROM (SELECT *, row_number() OVER () AS rid FROM b),
+                     unnest(range(0, 8)) AS u(i)
+                GROUP BY rid, q
+            )
+            SELECT CAST(zkey >> 8 AS BIGINT) AS zprefix,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(q), 4) AS sum_qty
+            FROM z GROUP BY 1
+            ORDER BY n DESC, zprefix LIMIT 20
         """,
         "rendezvous_hashing": """
             WITH h AS (

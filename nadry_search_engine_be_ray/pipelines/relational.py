@@ -5148,3 +5148,90 @@ def q_rendezvous_hashing(sf_dir: str, n_nodes: int = 8) -> pd.DataFrame:
     out["n_keys"] = out["n_keys"].astype("int64")
     out["node"] = out["node"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_incremental_agg(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance: the per-type (count, sum) aggregate
+    is built as BASE (all days before the last) plus DELTA (the last
+    day) merged by monoid addition — the maintenance path a warehouse
+    takes when a late partition lands — and must equal the full
+    recompute (which is exactly what the oracle runs).  Both legs are
+    ordinary partial-aggregate scans; the merge is a driver combine of
+    two type-sized tables."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    mx = pd.Timestamp(ds.aggregate(Max("ts", alias_name="mx"))["mx"])
+    last_day_us = ((mx.value // 1000) // 86_400_000_000) * 86_400_000_000
+
+    def partial(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            day = (ts // 86_400_000_000) * 86_400_000_000
+            m = day < last_day_us if which == "base" else \
+                day >= last_day_us
+            et = batch["event_type"].to_numpy(zero_copy_only=False)[m]
+            val = batch["value"].to_numpy(zero_copy_only=False)[m]
+            ks, inv = np.unique(et, return_inverse=True)
+            return pa.table({
+                "event_type": pa.array(ks),
+                "n": pa.array(np.bincount(inv).astype(np.int64),
+                              pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=val), pa.float64()),
+            })
+        return fn
+
+    def fold(which: str) -> pd.DataFrame:
+        return (ds.map_batches(partial(which), batch_format="pyarrow")
+                .to_pandas()
+                .groupby("event_type", as_index=False)
+                .agg(n=("n", "sum"), s=("s", "sum")))
+
+    base, delta = fold("base"), fold("delta")
+    merged = (pd.concat([base, delta], ignore_index=True)
+              .groupby("event_type", as_index=False)
+              .agg(n=("n", "sum"), s=("s", "sum")))
+    merged["sum_value"] = merged["s"].round(4)
+    merged["n"] = merged["n"].astype("int64")
+    out = merged[["event_type", "n", "sum_value"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_zorder_layout(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Z-order (Morton) data-layout keys: interleave the bits of the
+    quantity bucket and the price bucket into one clustering key — the
+    locality-preserving sort key behind Delta/Iceberg Z-ORDER BY — and
+    profile the top-k 8-bit z-prefixes by row count.  The interleave is
+    pure vectorized bit arithmetic per batch; prefix partials fold in
+    one tiny combine."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qb = batch["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pb = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) / 500.0).astype(np.int64)
+        z = np.zeros(qb.size, dtype=np.int64)
+        for i in range(8):
+            z += (((qb >> i) & 1) << (2 * i + 1)) + (((pb >> i) & 1)
+                                                     << (2 * i))
+        pref = z >> 8
+        ks, inv = np.unique(pref, return_inverse=True)
+        return pa.table({
+            "zprefix": pa.array(ks, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "sum_qty": pa.array(
+                np.bincount(inv, weights=qb.astype(np.float64)),
+                pa.float64()),
+        })
+
+    out = (_read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("zprefix", as_index=False)
+           .agg(n=("n", "sum"), sum_qty=("sum_qty", "sum")))
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "zprefix"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
