@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_hashing": rel.q_rendezvous_hashing,
         "incremental_agg": rel.q_incremental_agg,
         "zorder_layout": rel.q_zorder_layout,
+        "shard_move_plan": rel.q_shard_move_plan,
+        "ohlc_daily": rel.q_ohlc_daily,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -5895,6 +5897,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact AS BIGINT) AS exact,
                    round(20 * n_sample * 1.0 / n_exact, 6) AS ratio
             FROM s CROSS JOIN e
+        """,
+        "shard_move_plan": """
+            WITH h AS (
+                SELECT doc_id, j,
+                       (((2654435761 * (j + 1)) % 2147483647) * doc_id
+                        + ((40503 * (j + 1)) % 2147483647)) % 2147483647
+                           AS hv
+                FROM documents, unnest(range(0, 9)) AS n(j)
+            ),
+            old AS (
+                SELECT doc_id, j + 1 AS node,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, j) AS r
+                FROM h WHERE j < 8
+            ),
+            new AS (
+                SELECT doc_id, j + 1 AS node,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, j) AS r
+                FROM h
+            )
+            SELECT CAST(o.node AS BIGINT) AS from_node,
+                   CAST(count(*) AS BIGINT) AS n_moved
+            FROM old o JOIN new nn ON nn.doc_id = o.doc_id AND nn.r = 1
+            WHERE o.r = 1 AND o.node <> nn.node
+            GROUP BY 1 ORDER BY 1
+        """,
+        "ohlc_daily": """
+            WITH e AS (
+                SELECT event_type, date_trunc('day', ts) AS day, value,
+                       row_number() OVER (PARTITION BY event_type,
+                                          date_trunc('day', ts)
+                                          ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY event_type,
+                                          date_trunc('day', ts)
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rl
+                FROM events
+            )
+            SELECT event_type, day,
+                   round(max(CASE WHEN rf = 1 THEN value END), 6) AS open,
+                   round(max(value), 6) AS high,
+                   round(min(value), 6) AS low,
+                   round(max(CASE WHEN rl = 1 THEN value END), 6) AS close
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "incremental_agg": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -5235,3 +5235,90 @@ def q_zorder_layout(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out = out.sort_values(["n", "zprefix"],
                           ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def q_shard_move_plan(sf_dir: str, n_nodes: int = 8) -> pd.DataFrame:
+    """Shard-rebalancing plan when a node JOINS a rendezvous-hashed
+    cluster (n → n+1): which keys move where.  HRW guarantees every
+    moved key lands on the NEW node, so the plan is (from_node,
+    n_moved) per source — computed in the same vectorized argmax pass
+    as q_rendezvous_hashing, two assignments per batch, no shuffle.
+    The oracle recomputes both assignments and diffs them."""
+    M = 2_147_483_647
+
+    j1 = np.arange(1, n_nodes + 2, dtype=np.int64)
+    a = ((2654435761 * j1) % M)[None, :]
+    b = ((40503 * j1) % M)[None, :]
+
+    def plan(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[:, None]
+        hv = (a * ids + b) % M
+        old = np.argmax(hv[:, :n_nodes], axis=1).astype(np.int64) + 1
+        new = np.argmax(hv, axis=1).astype(np.int64) + 1
+        moved = old != new
+        ks, inv = np.unique(old[moved], return_inverse=True)
+        return pa.table({
+            "from_node": pa.array(ks, pa.int64()),
+            "n_moved": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64()),
+        })
+
+    out = (_read(sf_dir, "documents", ["doc_id"])
+           .map_batches(plan, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("from_node", as_index=False)
+           .agg(n_moved=("n_moved", "sum")))
+    out["from_node"] = out["from_node"].astype("int64")
+    out["n_moved"] = out["n_moved"].astype("int64")
+    return out.sort_values("from_node").reset_index(drop=True)
+
+
+def q_ohlc_daily(sf_dir: str) -> pd.DataFrame:
+    """OHLC bar aggregation: per (event_type, day) the open (first
+    value by ts, event_id), high, low, close (last value) — the
+    order-dependent aggregate family (arg_min/arg_max) beyond
+    commutative sums.  Each batch emits one candidate row per key
+    carrying (first_ts/eid, open, ...) partials; the merge picks the
+    globally earliest/latest candidates — associative, so it works as
+    a two-level fold."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000) * 86_400_000_000
+        key = pd.DataFrame({"event_type": et, "day": day, "ts": ts,
+                            "eid": eid, "v": val})
+        key = key.sort_values(["event_type", "day", "ts", "eid"])
+        g = key.groupby(["event_type", "day"], as_index=False).agg(
+            open_ts=("ts", "first"), open_eid=("eid", "first"),
+            open=("v", "first"),
+            close_ts=("ts", "last"), close_eid=("eid", "last"),
+            close=("v", "last"),
+            high=("v", "max"), low=("v", "min"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_read(sf_dir, "events",
+                   ["event_type", "event_id", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    parts = parts.sort_values(
+        ["event_type", "day", "open_ts", "open_eid"])
+    opens = parts.groupby(["event_type", "day"], as_index=False).agg(
+        open=("open", "first"))
+    parts2 = parts.sort_values(
+        ["event_type", "day", "close_ts", "close_eid"],
+        ascending=[True, True, False, False])
+    closes = parts2.groupby(["event_type", "day"], as_index=False).agg(
+        close=("close", "first"))
+    hl = parts.groupby(["event_type", "day"], as_index=False).agg(
+        high=("high", "max"), low=("low", "min"))
+    out = opens.merge(closes, on=["event_type", "day"]).merge(
+        hl, on=["event_type", "day"])
+    for c in ("open", "high", "low", "close"):
+        out[c] = out[c].round(6)
+    out["day"] = pd.to_datetime(out["day"], unit="us")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
