@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": rel.q_zorder_layout,
         "shard_move_plan": rel.q_shard_move_plan,
         "ohlc_daily": rel.q_ohlc_daily,
+        "wilson_ci_rates": rel.q_wilson_ci_rates,
+        "psi_drift": rel.q_psi_drift,
+        "seasonal_naive_mase": rel.q_seasonal_naive_mase,
         "id_gaps": rel.q_id_gaps,
         "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_prop,
@@ -5897,6 +5900,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact AS BIGINT) AS exact,
                    round(20 * n_sample * 1.0 / n_exact, 6) AS ratio
             FROM s CROSS JOIN e
+        """,
+        "wilson_ci_rates": """
+            WITH u AS (
+                SELECT event_type, count(*) AS n,
+                       count(*) FILTER (WHERE value > 100.0) AS k
+                FROM events GROUP BY 1
+            ),
+            f AS (
+                SELECT event_type, n, k, k * 1.0 / n AS p,
+                       1 + 1.96 * 1.96 / n AS denom
+                FROM u
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS k, round(p, 6) AS p,
+                   round((p + 1.96 * 1.96 / (2 * n)) / denom
+                         - (1.96 * sqrt(p * (1 - p) / n
+                                        + 1.96 * 1.96 / (4 * n * n)))
+                           / denom, 6) AS ci_lo,
+                   round((p + 1.96 * 1.96 / (2 * n)) / denom
+                         + (1.96 * sqrt(p * (1 - p) / n
+                                        + 1.96 * 1.96 / (4 * n * n)))
+                           / denom, 6) AS ci_hi
+            FROM f ORDER BY event_type
+        """,
+        "psi_drift": """
+            WITH base AS (
+                SELECT quantile_disc(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]) AS bds
+                FROM events WHERE event_type = 'click'
+            ),
+            binned AS (
+                SELECT CAST(list_sum(list_transform(base.bds,
+                           b -> CASE WHEN e.value > b THEN 1 ELSE 0 END))
+                           AS BIGINT) AS bin,
+                       count(*) FILTER (WHERE event_type = 'click') AS ca,
+                       count(*) FILTER (WHERE event_type = 'error') AS cb
+                FROM events e CROSS JOIN base
+                WHERE event_type IN ('click', 'error')
+                GROUP BY 1
+            ),
+            dense AS (
+                SELECT b.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                FROM (SELECT unnest(range(0, 10)) AS bin) b
+                LEFT JOIN binned USING (bin)
+            ),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM dense),
+            p AS (
+                SELECT bin, (ca + 0.5) / (na + 5) AS pa,
+                       (cb + 0.5) / (nb + 5) AS pb
+                FROM dense CROSS JOIN tot
+            )
+            SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+                   CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+                   CAST((SELECT nb FROM tot) AS BIGINT) AS n_b
+            FROM p
+        """,
+        "seasonal_naive_mase": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       avg(value) AS m
+                FROM events GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT event_type, m,
+                       lag(m, 7) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS m7,
+                       lag(m, 1) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS m1
+                FROM daily
+            )
+            SELECT event_type,
+                   round((avg(abs(m - m7)) FILTER (WHERE m7 IS NOT NULL))
+                         / (avg(abs(m - m1))
+                            FILTER (WHERE m1 IS NOT NULL)), 6) AS mase,
+                   round(avg(abs(m - m7)) FILTER (WHERE m7 IS NOT NULL),
+                         6) AS mae_seasonal,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM l GROUP BY 1 HAVING count(*) > 7 ORDER BY 1
         """,
         "shard_move_plan": """
             WITH h AS (

@@ -5322,3 +5322,145 @@ def q_ohlc_daily(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].round(6)
     out["day"] = pd.to_datetime(out["day"], unit="us")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def q_wilson_ci_rates(sf_dir: str, threshold: float = 100.0) -> pd.DataFrame:
+    """Wilson score interval (z = 1.96) for each event type's
+    high-value rate P(value > threshold) — the proportion CI a metrics
+    layer reports instead of the unstable raw ratio.  (n, k) fold as
+    per-batch partials; the closed-form interval is evaluated with the
+    identical operation order in both engines."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        hi = (batch["value"].to_numpy(zero_copy_only=False)
+              > threshold).astype(np.int64)
+        ks, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ks),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "k": pa.array(np.bincount(inv, weights=hi).astype(np.int64),
+                          pa.int64()),
+        })
+
+    u = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas()
+         .groupby("event_type", as_index=False)
+         .agg(n=("n", "sum"), k=("k", "sum")))
+    z = 1.96
+    n = u["n"].to_numpy(np.float64)
+    p = u["k"].to_numpy(np.float64) / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / denom
+    u["p"] = np.round(p, 6)
+    u["ci_lo"] = np.round(center - half, 6)
+    u["ci_hi"] = np.round(center + half, 6)
+    u["n"] = u["n"].astype("int64")
+    u["k"] = u["k"].astype("int64")
+    return u.sort_values("event_type").reset_index(drop=True)
+
+
+def q_psi_drift(sf_dir: str, type_a: str = "click",
+                type_b: str = "error") -> pd.DataFrame:
+    """Population Stability Index between two event types' value
+    distributions — the binned drift metric monitoring teams pair with
+    KS: decile bounds come from the BASELINE's exact discrete quantiles
+    (sorted[ceil(q·n)−1]), both populations bucket against them, and
+    PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over (count+0.5)/(n+5)-smoothed shares.
+    Bucketing folds distributed (one vectorized searchsorted per
+    batch against the broadcast bounds); only 10-bin count rows reach
+    the driver."""
+    import ray
+
+    def val_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        m = et == type_a
+        return pa.table({"v": pa.array(v[m], pa.float64())})
+
+    base_vals = np.sort(
+        (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(val_partial, batch_format="pyarrow")
+         .to_pandas())["v"].to_numpy(np.float64))
+    nb = base_vals.size
+    qs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    bounds = np.array([base_vals[int(np.ceil(q * nb)) - 1] for q in qs])
+    ref = ray.put(bounds)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        bds = ray.get(ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        out = {"bin": pa.array(np.arange(10, dtype=np.int64), pa.int64())}
+        for name, t in (("ca", type_a), ("cb", type_b)):
+            vv = v[et == t]
+            # bin = number of bounds strictly below the value (0..9)
+            b = np.searchsorted(bds, vv, side="left")
+            out[name] = pa.array(
+                np.bincount(b, minlength=10).astype(np.int64),
+                pa.int64())
+        return pa.table(out)
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(bucket_partial, batch_format="pyarrow")
+         .to_pandas()
+         .groupby("bin", as_index=False)
+         .agg(ca=("ca", "sum"), cb=("cb", "sum")))
+    g = g.sort_values("bin")
+    ca = g["ca"].to_numpy(np.float64)
+    cb = g["cb"].to_numpy(np.float64)
+    pa_ = (ca + 0.5) / (ca.sum() + 5)
+    pb_ = (cb + 0.5) / (cb.sum() + 5)
+    psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+    out = pd.DataFrame({
+        "psi": [round(psi, 6)],
+        "n_a": pd.array([int(ca.sum())], dtype="int64"),
+        "n_b": pd.array([int(cb.sum())], dtype="int64"),
+    })
+    return out
+
+
+def q_seasonal_naive_mase(sf_dir: str, season: int = 7) -> pd.DataFrame:
+    """Forecast-quality baseline: MASE of the seasonal-naive forecast
+    (ŷ_d = y_{d−7}) of each type's daily mean, scaled by the one-step
+    naive MAE — the sanity metric any forecasting pipeline reports
+    before a model earns its keep.  Daily means fold distributed; the
+    lag algebra runs on the (types × days) driver table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "s": batch["value"],
+            "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("s", "sum"), ("c", "sum")])
+        return _rename_agg(g, {"s_sum": "s", "c_sum": "c"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["event_type", "day"], as_index=False)
+             .agg(s=("s", "sum"), c=("c", "sum")))
+    daily["m"] = daily["s"] / daily["c"]
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        y = g.sort_values("day")["m"].to_numpy(np.float64)
+        if y.size <= season:
+            continue
+        mae_seasonal = float(np.abs(y[season:] - y[:-season]).mean())
+        mae_naive = float(np.abs(y[1:] - y[:-1]).mean())
+        rows.append({
+            "event_type": etype,
+            "mase": round(mae_seasonal / mae_naive, 6),
+            "mae_seasonal": round(mae_seasonal, 6),
+            "n_days": y.size,
+        })
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
