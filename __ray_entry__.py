@@ -109,6 +109,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nadry_search_engine_be_ray.pipelines import relational as rel
+    from nadry_search_engine_be_ray.pipelines import scan_ops as scan
     from nadry_search_engine_be_ray.pipelines import textqueries as tq
 
     out: dict[str, Callable[[str], Any]] = {
@@ -418,6 +419,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relevance-vs-redundancy re-rank of the cosine top-20, unrolled
         # greedy chain replayed by the oracle CTE-per-pick
         "mmr_diversify": _q_mmr_diversify,
+        # ordered-scan primitives: halo-exchange rolling window,
+        # distributed row_number, streaming burst-collapse dedup
+        "rolling_halo": scan.q_rolling_halo,
+        "dense_ids": scan.q_dense_ids,
+        "stream_dedup": scan.q_stream_dedup,
     }
     return out
 
@@ -8943,6 +8949,50 @@ def oracle_sql() -> dict[str, str]:
             FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
         """,
         "mmr_diversify": _mmr_sql(),
+        "rolling_halo": """
+            WITH s AS (
+                SELECT event_type,
+                       round(avg(value) OVER (
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                           AS rm
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(rm), 4) AS sum_rm,
+                   CAST(sum(CASE WHEN rm > 60.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hi_cnt
+            FROM s GROUP BY event_type ORDER BY event_type
+        """,
+        "dense_ids": """
+            WITH n AS (
+                SELECT o_orderkey, o_orderdate,
+                       row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                           AS rn
+                FROM orders
+            )
+            SELECT rn, o_orderkey, o_orderdate FROM n
+            WHERE rn <= 10 OR rn % 500 = 0 ORDER BY rn
+        """,
+        "stream_dedup": """
+            WITH l AS (
+                SELECT event_type, value, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL 10 SECOND
+                            THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                 AND ts - prev <= INTERVAL 10 SECOND
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+                   round(sum(CASE WHEN prev IS NULL
+                                  OR ts - prev > INTERVAL 10 SECOND
+                             THEN value ELSE 0 END), 4) AS kept_value
+            FROM l GROUP BY event_type ORDER BY event_type
+        """,
     }
     # sampling family: the salted sha256-prefix bucket is recomputed by
     # DuckDB byte-for-byte, so the whole decision path is SQL-checkable
