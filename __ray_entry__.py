@@ -424,6 +424,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_halo": scan.q_rolling_halo,
         "dense_ids": scan.q_dense_ids,
         "stream_dedup": scan.q_stream_dedup,
+        # stats / privacy family
+        "mutual_info": rel.q_mutual_info,
+        "cramers_v": rel.q_cramers_v,
+        "k_anonymity": rel.q_k_anonymity,
+        "k_anonymity_stats": rel.q_k_anonymity_stats,
+        "ab_ztest": rel.q_ab_ztest,
     }
     return out
 
@@ -8992,6 +8998,108 @@ def oracle_sql() -> dict[str, str]:
                                   OR ts - prev > INTERVAL 10 SECOND
                              THEN value ELSE 0 END), 4) AS kept_value
             FROM l GROUP BY event_type ORDER BY event_type
+        """,
+        "mutual_info": """
+            WITH cells AS (
+                SELECT c_mktsegment AS seg,
+                       CAST(c_nationkey AS BIGINT) AS nat,
+                       count(*) AS n
+                FROM customer GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n) AS total FROM cells),
+            rw AS (SELECT seg, sum(n) AS nr FROM cells GROUP BY 1),
+            cl AS (SELECT nat, sum(n) AS nc FROM cells GROUP BY 1)
+            SELECT seg, nat, CAST(n AS BIGINT) AS n,
+                   round(ln(CAST(n AS DOUBLE) * total / (nr * nc)), 6)
+                       AS pmi,
+                   round(CAST(n AS DOUBLE) / total
+                         * ln(CAST(n AS DOUBLE) * total / (nr * nc)), 6)
+                       AS contrib
+            FROM cells JOIN rw USING (seg) JOIN cl USING (nat)
+            CROSS JOIN tot
+            ORDER BY seg, nat
+        """,
+        "cramers_v": """
+            WITH cells AS (
+                SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                       count(*) AS n
+                FROM customer GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n) AS total, count(*) AS n_cells FROM cells),
+            rw AS (SELECT seg, sum(n) AS nr FROM cells GROUP BY 1),
+            cl AS (SELECT nat, sum(n) AS nc FROM cells GROUP BY 1),
+            dims AS (SELECT (SELECT count(*) FROM rw) AS kr,
+                            (SELECT count(*) FROM cl) AS kc),
+            chi AS (
+                SELECT sum(pow(n - CAST(nr AS DOUBLE) * nc / total, 2)
+                           / (CAST(nr AS DOUBLE) * nc / total)) AS chi2
+                FROM cells JOIN rw USING (seg) JOIN cl USING (nat)
+                CROSS JOIN tot
+            )
+            SELECT CAST(total AS BIGINT) AS n_rows,
+                   CAST(n_cells AS BIGINT) AS n_cells,
+                   round(chi2, 4) AS chi2,
+                   round(sqrt(chi2 / (total * (least(kr, kc) - 1))), 6)
+                       AS cramers_v
+            FROM tot, chi, dims
+        """,
+        "k_anonymity": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                   c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+            HAVING count(*) >= 5 ORDER BY 1, 2, 3
+        """,
+        "k_anonymity_stats": """
+            WITH g AS (
+                SELECT count(*) AS n
+                FROM customer
+                GROUP BY c_nationkey, c_mktsegment,
+                         floor(c_acctbal / 2000.0)
+            )
+            SELECT CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS groups_released,
+                   CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS groups_suppressed,
+                   CAST(coalesce(sum(CASE WHEN n >= 5 THEN n END), 0)
+                        AS BIGINT) AS rows_released,
+                   CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+                        AS BIGINT) AS rows_suppressed,
+                   CAST(coalesce(min(CASE WHEN n >= 5 THEN n END), 0)
+                        AS BIGINT) AS min_released_size
+            FROM g
+        """,
+        "ab_ztest": """
+            WITH u AS (
+                SELECT user_id, user_id % 2 AS cohort,
+                       max(CASE WHEN event_type = 'purchase'
+                                AND value > 150.0
+                           THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT cohort, count(*) AS users, sum(conv) AS converted
+                FROM u GROUP BY 1
+            ),
+            w AS (
+                SELECT
+                    (SELECT users FROM c WHERE cohort = 0) AS na,
+                    (SELECT converted FROM c WHERE cohort = 0) AS xa,
+                    (SELECT users FROM c WHERE cohort = 1) AS nb,
+                    (SELECT converted FROM c WHERE cohort = 1) AS xb
+            )
+            SELECT CAST(na AS BIGINT) AS users_a,
+                   CAST(xa AS BIGINT) AS conv_a,
+                   CAST(nb AS BIGINT) AS users_b,
+                   CAST(xb AS BIGINT) AS conv_b,
+                   round(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+                   round(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+                   round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                         / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                                * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                                * (1.0 / na + 1.0 / nb)), 6) AS z
+            FROM w
         """,
     }
     # sampling family: the salted sha256-prefix bucket is recomputed by

@@ -5464,3 +5464,184 @@ def q_seasonal_naive_mase(sf_dir: str, season: int = 7) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     out["n_days"] = out["n_days"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _seg_nation_cells(sf_dir: str) -> pd.DataFrame:
+    """Observed (mktsegment x nationkey) contingency counts, folded from
+    per-batch partials (the chi2_independence count shape reused by the
+    mutual-information and Cramer's-V ops)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "seg": batch["c_mktsegment"],
+            "nat": pc.cast(batch["c_nationkey"], pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["seg", "nat"]).aggregate([("n", "sum")]),
+            {"n_sum": "n"})
+
+    cells = (_read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["seg", "nat"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    cells["n"] = cells["n"].astype("int64")
+    return cells
+
+
+def q_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between customer market segment and nation:
+    per-cell pointwise MI ln(n*N / (nr*nc)) and contribution
+    (n/N)*pmi — all ratios formed from exact integer counts so both
+    engines feed ln() the same double.  The count shuffle is the only
+    exchange; the seg x nat cell table is category-sized on the
+    driver."""
+    cells = _seg_nation_cells(sf_dir)
+    total = int(cells["n"].sum())
+    nr = cells.groupby("seg")["n"].sum()
+    nc = cells.groupby("nat")["n"].sum()
+    r = cells["seg"].map(nr).to_numpy(np.int64)
+    c = cells["nat"].map(nc).to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    pmi = np.log(n.astype(np.float64) * total / (r * c))
+    cells["pmi"] = np.round(pmi, 6)
+    cells["contrib"] = np.round(n / total * pmi, 6)
+    return cells.sort_values(["seg", "nat"]).reset_index(drop=True)
+
+
+def q_cramers_v(sf_dir: str) -> pd.DataFrame:
+    """Cramer's V effect size for segment x nation: chi-square over the
+    same distributed contingency counts, normalized by
+    N * (min(rows, cols) - 1).  One summary row."""
+    cells = _seg_nation_cells(sf_dir)
+    total = int(cells["n"].sum())
+    nr = cells.groupby("seg")["n"].sum()
+    nc = cells.groupby("nat")["n"].sum()
+    r = cells["seg"].map(nr).to_numpy(np.int64)
+    c = cells["nat"].map(nc).to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64).astype(np.float64)
+    e = r.astype(np.float64) * c / total
+    chi2 = float(((n - e) * (n - e) / e).sum())
+    kmin = min(nr.size, nc.size)
+    return pd.DataFrame({
+        "n_rows": pd.array([total], dtype="int64"),
+        "n_cells": pd.array([len(cells)], dtype="int64"),
+        "chi2": [round(chi2, 4)],
+        "cramers_v": [round(float(np.sqrt(chi2 / (total * (kmin - 1)))), 6)],
+    })
+
+
+def _k_anon_groups(sf_dir: str, bal_bin: float = 2000.0) -> pd.DataFrame:
+    """Quasi-identifier group sizes for the k-anonymity ops: customers
+    keyed by (nationkey, mktsegment, floor(acctbal / bal_bin)) — the
+    generalized release key.  Distributed partial counts, category-sized
+    result."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "nat": pc.cast(batch["c_nationkey"], pa.int64()),
+            "seg": batch["c_mktsegment"],
+            "bal_bin": pa.array(
+                np.floor(bal / bal_bin).astype(np.int64), pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["nat", "seg", "bal_bin"]).aggregate([("n", "sum")]),
+            {"n_sum": "n"})
+
+    g = (_read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["nat", "seg", "bal_bin"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    g["n"] = g["n"].astype("int64")
+    return g
+
+
+def q_k_anonymity(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-anonymity release: quasi-identifier groups
+    (nation, segment, acctbal bin) with fewer than ``k`` members are
+    suppressed; the released table is every surviving group with its
+    size — the privacy-preserving aggregation a training-data pipeline
+    applies before publishing user-derived statistics."""
+    g = _k_anon_groups(sf_dir)
+    out = g[g["n"] >= k].sort_values(["nat", "seg", "bal_bin"])
+    return out.reset_index(drop=True)
+
+
+def q_k_anonymity_stats(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Suppression audit for the k-anonymity release: group and row
+    counts on each side of the k threshold, worst released group size."""
+    g = _k_anon_groups(sf_dir)
+    rel = g[g["n"] >= k]
+    sup = g[g["n"] < k]
+    return pd.DataFrame({
+        "groups_released": pd.array([len(rel)], dtype="int64"),
+        "groups_suppressed": pd.array([len(sup)], dtype="int64"),
+        "rows_released": pd.array([int(rel["n"].sum())], dtype="int64"),
+        "rows_suppressed": pd.array([int(sup["n"].sum())], dtype="int64"),
+        "min_released_size": pd.array(
+            [int(rel["n"].min()) if len(rel) else 0], dtype="int64"),
+    })
+
+
+def q_ab_ztest(sf_dir: str, min_value: float = 150.0) -> pd.DataFrame:
+    """Two-proportion z-test (pooled variance) between user cohorts
+    A/B = user_id parity, conversion = the user has at least one
+    'purchase' event with value > ``min_value`` (every user purchases
+    SOMETHING in the synthetic stream, so the plain flag is degenerate
+    1.0 both sides).  Per-user flags fold inside fused user partitions
+    (a user never spans two partitions), so only cohort-sized counts
+    reach the driver; z is formed from exact integer counts."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def cohort_partial(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_p = np.logical_and(
+            pc.equal(group["event_type"], "purchase").to_numpy(
+                zero_copy_only=False),
+            group["value"].to_numpy(zero_copy_only=False) > min_value)
+        users, inv = np.unique(uid, return_inverse=True)
+        conv = np.zeros(users.size, dtype=bool)
+        np.logical_or.at(conv, inv, is_p)
+        cohort = users % 2
+        return pa.table({
+            "cohort": pa.array(cohort, pa.int64()),
+            "users": pa.array(np.ones(users.size, np.int64), pa.int64()),
+            "converted": pa.array(conv.astype(np.int64), pa.int64()),
+        }).group_by(["cohort"]).aggregate(
+            [("users", "sum"), ("converted", "sum")])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts, pa.int64())),
+        batch_format="pyarrow")
+    agg = (ds.groupby("part").map_groups(
+        cohort_partial, batch_format="pyarrow").to_pandas()
+        .groupby("cohort", as_index=False)
+        .agg(users=("users_sum", "sum"), converted=("converted_sum", "sum")))
+    na, xa = (int(agg.loc[agg["cohort"] == 0, c].sum())
+              for c in ("users", "converted"))
+    nb, xb = (int(agg.loc[agg["cohort"] == 1, c].sum())
+              for c in ("users", "converted"))
+    p = (xa + xb) / (na + nb)
+    se = np.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    z = (xa / na - xb / nb) / se
+    return pd.DataFrame({
+        "users_a": pd.array([na], dtype="int64"),
+        "conv_a": pd.array([xa], dtype="int64"),
+        "users_b": pd.array([nb], dtype="int64"),
+        "conv_b": pd.array([xb], dtype="int64"),
+        "rate_a": [round(xa / na, 6)],
+        "rate_b": [round(xb / nb, 6)],
+        "z": [round(float(z), 6)],
+    })
