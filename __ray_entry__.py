@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_ids": scan.q_dense_ids,
         "stream_dedup": scan.q_stream_dedup,
         # stats / privacy family
+        # text curation: readability + vocabulary growth
+        "flesch_scores": tq.flesch_scores,
+        "heaps_law": tq.heaps_law,
         "mutual_info": rel.q_mutual_info,
         "cramers_v": rel.q_cramers_v,
         "k_anonymity": rel.q_k_anonymity,
@@ -8998,6 +9001,50 @@ def oracle_sql() -> dict[str, str]:
                                   OR ts - prev > INTERVAL 10 SECOND
                              THEN value ELSE 0 END), 4) AS kept_value
             FROM l GROUP BY event_type ORDER BY event_type
+        """,
+        "flesch_scores": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS words,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS sentences,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS syllables
+                FROM documents
+            )
+            SELECT doc_id, CAST(words AS BIGINT) AS words,
+                   CAST(sentences AS BIGINT) AS sentences,
+                   CAST(syllables AS BIGINT) AS syllables,
+                   round(206.835
+                         - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                         - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+                       AS flesch
+            FROM c WHERE words > 0 ORDER BY doc_id
+        """,
+        "heaps_law": f"""
+            WITH first AS (
+                SELECT token, min(doc_id) AS fd
+                FROM (SELECT doc_id, unnest({tok}) AS token FROM documents)
+                WHERE length(token) >= 2 GROUP BY token
+            ),
+            n AS (SELECT count(*) AS nd FROM documents),
+            sel AS (
+                SELECT CAST(ceil(nd * i / 10.0) AS BIGINT) AS k_docs,
+                       (SELECT count(*) FROM first
+                        WHERE fd < ceil(nd * i / 10.0)) AS vocab
+                FROM n, range(1, 11) t(i)
+            ),
+            st AS (
+                SELECT count(*) AS m, sum(ln(k_docs)) AS sx,
+                       sum(ln(vocab)) AS sy,
+                       sum(ln(k_docs) * ln(vocab)) AS sxy,
+                       sum(ln(k_docs) * ln(k_docs)) AS sxx
+                FROM sel
+            )
+            SELECT k_docs, CAST(vocab AS BIGINT) AS vocab,
+                   round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                       AS beta
+            FROM sel, st ORDER BY k_docs
         """,
         "mutual_info": """
             WITH cells AS (

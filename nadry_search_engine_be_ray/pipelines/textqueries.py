@@ -1886,3 +1886,89 @@ def trigram_substring_search(sf_dir: str,
     out["doc_id"] = out["doc_id"].astype("int64")
     out["is_match"] = out["is_match"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def flesch_scores(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease readability per document — the classic
+    curation quality signal (Gopher/C4-style filters threshold on it).
+    Counts are regex-group counts the oracle reproduces exactly:
+    words = non-whitespace runs, sentences = max(1, [.!?]+ runs) (the
+    synthetic corpus is unpunctuated word salad, so the max(1) floor is
+    load-bearing), syllables = [aeiouy]+ vowel runs in the lowercased
+    text — the standard cheap syllable proxy.  Score arithmetic runs on
+    exact integers; one vectorized pass, no shuffle (doc-local)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        words = pc.count_substring_regex(txt, r"\S+").to_numpy().astype(
+            np.int64)
+        sents = np.maximum(
+            pc.count_substring_regex(txt, r"[.!?]+").to_numpy().astype(
+                np.int64), 1)
+        syls = pc.count_substring_regex(
+            pc.utf8_lower(txt), "[aeiouy]+").to_numpy().astype(np.int64)
+        keep = words > 0
+        w = words[keep].astype(np.float64)
+        fre = 206.835 - 1.015 * (w / sents[keep]) - 84.6 * (syls[keep] / w)
+        return pa.table({
+            "doc_id": pc.filter(batch["doc_id"], pa.array(keep)),
+            "words": pa.array(words[keep], pa.int64()),
+            "sentences": pa.array(sents[keep], pa.int64()),
+            "syllables": pa.array(syls[keep], pa.int64()),
+            "flesch": pa.array(np.round(fre, 6), pa.float64()),
+        })
+
+    out = _docs(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def heaps_law(sf_dir: str, n_checkpoints: int = 10) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth curve: V(k) = distinct simple-token
+    vocabulary of the first k documents (doc_id order), sampled at
+    ``n_checkpoints`` evenly spaced prefixes, plus the fitted log-log
+    slope beta (V ~ K * n^beta).  Distributed shape: the term->min(doc_id)
+    first-occurrence shuffle (the term_df exchange keyed the same way),
+    then each checkpoint count folds from per-batch partials over the
+    first-occurrence table — the full token stream is never re-scanned
+    per checkpoint.  doc_ids are dense 0..n-1 in the synthetic corpus
+    (asserted), so the k-th prefix threshold is k-1; on a non-dense
+    corpus the thresholds would come from the ntile exact-rank pass."""
+    ds = _docs(sf_dir)
+    n_docs = ds.count()
+
+    first = (
+        ds.map_batches(
+            lambda b: _explode(b, distinct_per_doc=True),
+            batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(ray.data.aggregate.Min("doc_id", alias_name="first_doc"))
+    )
+
+    ks = np.ceil(n_docs * (np.arange(1, n_checkpoints + 1)
+                           / n_checkpoints)).astype(np.int64)
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        fd = batch["first_doc"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # dense-id prefix: doc_id < k  <=>  among the first k docs
+        counts = (fd[None, :] < ks[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "k_docs": pa.array(ks, pa.int64()),
+            "vocab": pa.array(counts, pa.int64()),
+        })
+
+    agg = (first.map_batches(vocab_partial, batch_format="pyarrow")
+           .to_pandas().groupby("k_docs", as_index=False)
+           .agg(vocab=("vocab", "sum")))
+    agg = agg.sort_values("k_docs").reset_index(drop=True)
+    x = np.log(agg["k_docs"].to_numpy(np.float64))
+    y = np.log(agg["vocab"].to_numpy(np.float64))
+    n = float(len(agg))
+    beta = ((n * (x * y).sum() - x.sum() * y.sum())
+            / (n * (x * x).sum() - x.sum() ** 2))
+    agg["vocab"] = agg["vocab"].astype("int64")
+    agg["beta"] = round(float(beta), 6)
+    return agg
