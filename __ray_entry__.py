@@ -433,6 +433,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": rel.q_k_anonymity,
         "k_anonymity_stats": rel.q_k_anonymity_stats,
         "ab_ztest": rel.q_ab_ztest,
+        # entity resolution: brand blocking + exact Levenshtein matching
+        "er_blocking": rel.q_er_blocking,
+        # Holt level+trend forecast (recursive-CTE-checked recurrence)
+        "holt_forecast": rel.q_holt_forecast,
     }
     return out
 
@@ -9045,6 +9049,60 @@ def oracle_sql() -> dict[str, str]:
                    round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
                        AS beta
             FROM sel, st ORDER BY k_docs
+        """,
+        "holt_forecast": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            numbered AS (
+                SELECT event_type, y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ),
+            rec AS (
+                SELECT a.event_type, 1 AS rn, a.y AS l, b.y - a.y AS b, a.n
+                FROM numbered a JOIN numbered b
+                  ON a.event_type = b.event_type AND a.rn = 1 AND b.rn = 2
+                UNION ALL
+                SELECT r.event_type, r.rn + 1,
+                       0.5 * d.y + 0.5 * (r.l + r.b),
+                       0.3 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l)
+                           + 0.7 * r.b,
+                       r.n
+                FROM rec r JOIN numbered d
+                  ON d.event_type = r.event_type AND d.rn = r.rn + 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                   round(l, 6) AS level, round(b, 6) AS trend,
+                   round(l + 7 * b, 6) AS forecast_7
+            FROM rec WHERE rn = n ORDER BY event_type
+        """,
+        "er_blocking": """
+            WITH p AS (
+                SELECT a.p_brand AS brand,
+                       levenshtein(a.p_name, b.p_name) AS d
+                FROM part a JOIN part b
+                  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            ),
+            agg AS (
+                SELECT brand, count(*) AS pairs,
+                       sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS dup_d0,
+                       sum(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS dup_le1,
+                       sum(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS dup_le2
+                FROM p GROUP BY brand
+            ),
+            it AS (SELECT p_brand AS brand, count(*) AS n_items
+                   FROM part GROUP BY 1)
+            SELECT brand, CAST(n_items AS BIGINT) AS n_items,
+                   CAST(coalesce(pairs, 0) AS BIGINT) AS pairs,
+                   CAST(coalesce(dup_d0, 0) AS BIGINT) AS dup_d0,
+                   CAST(coalesce(dup_le1, 0) AS BIGINT) AS dup_le1,
+                   CAST(coalesce(dup_le2, 0) AS BIGINT) AS dup_le2
+            FROM it LEFT JOIN agg USING (brand) ORDER BY brand
         """,
         "mutual_info": """
             WITH cells AS (

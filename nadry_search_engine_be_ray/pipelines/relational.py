@@ -5645,3 +5645,129 @@ def q_ab_ztest(sf_dir: str, min_value: float = 150.0) -> pd.DataFrame:
         "rate_b": [round(xb / nb, 6)],
         "z": [round(float(z), 6)],
     })
+
+
+def _lev_matrix(names: np.ndarray) -> np.ndarray:
+    """All-pairs Levenshtein over the DISTINCT name array, vectorized
+    across the pair axis: the DP runs L^2 numpy steps (L = max length,
+    short attribute strings) regardless of how many pairs there are.
+    Returns the full symmetric distance matrix."""
+    k = names.size
+    L = max((len(s) for s in names), default=0)
+    enc = np.zeros((k, L), dtype=np.int32)
+    ln = np.zeros(k, dtype=np.int64)
+    for i, s in enumerate(names):
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        enc[i, :b.size] = b
+        ln[i] = b.size
+    ia, ib = np.triu_indices(k, 1)
+    A, B = enc[ia], enc[ib]
+    la, lb = ln[ia], ln[ib]
+    P = ia.size
+    res = np.zeros(P, dtype=np.int64)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (P, 1))
+    done = la == 0
+    res[done] = lb[done]
+    for i in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, L + 1):
+            sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        hit = ln[ia] == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    d = np.zeros((k, k), dtype=np.int64)
+    d[ia, ib] = res
+    d[ib, ia] = res
+    return d
+
+
+def q_er_blocking(sf_dir: str) -> pd.DataFrame:
+    """Entity-resolution blocking + pairwise edit-distance match: parts
+    are blocked by brand, and within each block pair similarity is
+    exact Levenshtein over p_name.  The scale design exploits attribute
+    redundancy: each block first collapses to DISTINCT (name, count), the
+    O(L^2)-step vectorized DP runs over distinct-name pairs only, and
+    duplicate-pair counts recover exactly via count products
+    (C(c,2) within a name, c_i*c_j across) — so the quadratic work is in
+    distinct values, not rows.  Per-brand audit row: items, total pairs,
+    and pair counts at distance 0 / <=1 / <=2."""
+    def block_stats(group: pa.Table) -> pa.Table:
+        brand = group["p_brand"][0].as_py()
+        names, counts = np.unique(
+            group["p_name"].to_numpy(zero_copy_only=False), return_counts=True)
+        counts = counts.astype(np.int64)
+        n = int(counts.sum())
+        d = _lev_matrix(names)
+        ia, ib = np.triu_indices(names.size, 1)
+        cross = counts[ia] * counts[ib]
+        d0 = int((counts * (counts - 1) // 2).sum())
+        dists = d[ia, ib]
+        d1 = d0 + int(cross[dists <= 1].sum())
+        d2 = d0 + int(cross[dists <= 2].sum())
+        return pa.table({
+            "brand": pa.array([brand], pa.string()),
+            "n_items": pa.array([n], pa.int64()),
+            "pairs": pa.array([n * (n - 1) // 2], pa.int64()),
+            "dup_d0": pa.array([d0], pa.int64()),
+            "dup_le1": pa.array([d1], pa.int64()),
+            "dup_le2": pa.array([d2], pa.int64()),
+        })
+
+    out = (_read(sf_dir, "part", ["p_brand", "p_name"])
+           .groupby("p_brand")
+           .map_groups(block_stats, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("brand").reset_index(drop=True)
+
+
+def q_holt_forecast(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
+                    horizon: int = 7) -> pd.DataFrame:
+    """Holt double-exponential (level+trend) smoothing of the DAILY
+    EVENT COUNT per type, with an h-step linear forecast.  The heavy
+    part — the daily histogram — folds distributed; the O(n_days)
+    recurrence runs on the driver from exact integer day counts, in the
+    same expression order the oracle's recursive CTE states, so both
+    engines walk identical IEEE doubles.  Init l1 = y1, b1 = y2 - y1."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "y": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "day"]).aggregate([("y", "sum")]),
+            {"y_sum": "y"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["event_type", "day"], as_index=False)
+             .agg(y=("y", "sum")))
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        y = g.sort_values("day")["y"].to_numpy(np.float64)
+        if y.size < 2:
+            continue
+        lvl = y[0]
+        trd = y[1] - y[0]
+        for t in range(1, y.size):
+            new_l = alpha * y[t] + (1 - alpha) * (lvl + trd)
+            trd = beta * (new_l - lvl) + (1 - beta) * trd
+            lvl = new_l
+        rows.append({
+            "event_type": etype,
+            "n_days": int(y.size),
+            "level": round(float(lvl), 6),
+            "trend": round(float(trd), 6),
+            "forecast_7": round(float(lvl + horizon * trd), 6),
+        })
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
