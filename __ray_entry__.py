@@ -437,6 +437,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocking": rel.q_er_blocking,
         # Holt level+trend forecast (recursive-CTE-checked recurrence)
         "holt_forecast": rel.q_holt_forecast,
+        # recursive-hierarchy closure rollup (arithmetic org tree)
+        "hierarchy_rollup": rel.q_hierarchy_rollup,
+        # distributed PCA: dim^2 Gram partials + driver power iteration
+        "pca_power": _q_pca_power,
     }
     return out
 
@@ -1247,6 +1251,68 @@ def _q_ann_topk(sf_dir: str):
     out["cosine"] = out["cosine"].round(6)
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_pca_power(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import (
+        pca_top_component,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+    v, eig = pca_top_component(emb, iters=8)
+    return pd.DataFrame({
+        "i": pd.array(np.arange(v.size), dtype="int64"),
+        "loading": np.round(v, 6),
+        "eigval": round(eig, 4),
+    })
+
+
+def _pca_sql(iters: int = 8) -> str:
+    """Unrolled power-iteration oracle: DuckDB recomputes the rounded
+    covariance from the raw embeddings (same 6-dp rounding as the Ray
+    side, so both engines iterate from bit-identical matrices), then
+    ``iters`` matvec+normalize CTE pairs — every CTE MATERIALIZED (the
+    repo-wide unrolled-chain rule; inlining re-evaluates exponentially)."""
+    parts = ["""
+        WITH el AS MATERIALIZED (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        sums AS MATERIALIZED (SELECT i, sum(x) AS s FROM el GROUP BY i),
+        cov AS MATERIALIZED (
+            SELECT g.i, g.j,
+                   round((g.g - sa.s * sb.s / nn.n) / nn.n, 6) AS c
+            FROM (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+                  FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2) g
+            JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j
+            CROSS JOIN nn
+        ),
+        v0 AS MATERIALIZED (
+            SELECT i, 1.0 / sqrt((SELECT count(*) FROM sums)) AS v
+            FROM sums
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        w{t} AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.v) AS w
+            FROM cov c JOIN v{t - 1} v ON v.i = c.j GROUP BY c.i
+        ),
+        n{t} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nv FROM w{t}),
+        v{t} AS MATERIALIZED (SELECT i, w / nv AS v FROM w{t}, n{t})""")
+    parts.append(f"""
+        SELECT CAST(v{iters}.i - 1 AS BIGINT) AS i,
+               round(v{iters}.v, 6) AS loading,
+               round(n{iters}.nv, 4) AS eigval
+        FROM v{iters}, n{iters} ORDER BY i""")
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -9049,6 +9115,28 @@ def oracle_sql() -> dict[str, str]:
                    round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
                        AS beta
             FROM sel, st ORDER BY k_docs
+        """,
+        "pca_power": _pca_sql(),
+        "hierarchy_rollup": """
+            WITH RECURSIVE cl AS (
+                SELECT c_custkey AS node, c_custkey AS anc,
+                       c_acctbal AS bal
+                FROM customer
+                UNION ALL
+                SELECT node, anc // 2, bal FROM cl WHERE anc > 0
+            ),
+            agg AS (
+                SELECT anc, count(*) AS subtree_size,
+                       round(sum(bal), 4) AS subtree_bal
+                FROM cl GROUP BY 1
+            ),
+            dep AS (SELECT node, count(*) - 1 AS depth FROM cl GROUP BY 1)
+            SELECT CAST(anc AS BIGINT) AS c_custkey,
+                   CAST(depth AS BIGINT) AS depth,
+                   CAST(subtree_size AS BIGINT) AS subtree_size,
+                   subtree_bal
+            FROM agg JOIN dep ON node = anc
+            WHERE anc < 63 ORDER BY c_custkey
         """,
         "holt_forecast": """
             WITH RECURSIVE daily AS (

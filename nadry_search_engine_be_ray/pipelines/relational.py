@@ -5771,3 +5771,57 @@ def q_holt_forecast(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
     out = pd.DataFrame(rows)
     out["n_days"] = out["n_days"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_hierarchy_rollup(sf_dir: str, max_key: int = 63) -> pd.DataFrame:
+    """Hierarchical (recursive-CTE-shaped) subtree rollup over the
+    synthetic customer org tree parent(c) = c // 2 (c=0 is the root —
+    a binary-heap hierarchy derived arithmetically so no edge table is
+    needed).  Each batch EXPLODES every node into its ancestor chain
+    (O(log n) vectorized halving steps) emitting (ancestor, 1, acctbal)
+    contributions, pre-aggregated per batch; one ancestor-keyed shuffle
+    then yields subtree size and balance — the distributed transitive
+    closure + rollup, linear in nodes x depth, no joins.  Depth falls
+    out of the same loop.  Reported for the top of the tree
+    (c_custkey < ``max_key``)."""
+    from ray.data.aggregate import Sum
+
+    def explode_ancestors(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ancs = [ck]
+        bals = [bal]
+        depth = np.zeros(ck.size, dtype=np.int64)
+        cur, cbal, idx = ck, bal, np.arange(ck.size)
+        while cur.size and (cur > 0).any():
+            m = cur > 0
+            cur, cbal, idx = cur[m] // 2, cbal[m], idx[m]
+            depth[idx] += 1
+            ancs.append(cur)
+            bals.append(cbal)
+        t = pa.table({
+            "anc": pa.array(np.concatenate(ancs), pa.int64()),
+            "size": pa.array(
+                np.ones(sum(a.size for a in ancs), np.int64), pa.int64()),
+            "bal": pa.array(np.concatenate(bals), pa.float64()),
+        })
+        g = t.group_by(["anc"]).aggregate([("size", "sum"), ("bal", "sum")])
+        return _rename_agg(g, {"size_sum": "size", "bal_sum": "bal"})
+
+    agg = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+           .map_batches(explode_ancestors, batch_format="pyarrow")
+           .groupby("anc")
+           .aggregate(Sum("size", alias_name="subtree_size"),
+                      Sum("bal", alias_name="subtree_bal"))
+           .to_pandas())
+    agg = agg[agg["anc"] < max_key].copy()
+    keys = agg["anc"].to_numpy(np.int64)
+    # depth(n) = bit_length(n): halvings to reach 0
+    agg["depth"] = np.ceil(np.log2(keys + 1)).astype(np.int64)
+    agg["subtree_bal"] = agg["subtree_bal"].round(4)
+    agg["subtree_size"] = agg["subtree_size"].astype("int64")
+    out = agg.rename(columns={"anc": "c_custkey"})
+    out = out[["c_custkey", "depth", "subtree_size", "subtree_bal"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -407,3 +407,55 @@ def mmr_diversify(ds, query_vector: np.ndarray, k: int = 5,
     return pd.DataFrame(
         sel_rows, columns=["rank", "vec_id", "mmr_score"]
     ).astype({"rank": "int64", "vec_id": "int64"})
+
+
+def pca_top_component(ds, iters: int = 8, round_cov: int = 6):
+    """Top principal component by power iteration (the distributed-PCA
+    baseline): each batch contributes the Gram-matrix partials
+    (X^T X, column sums, count) via one zero-copy ``_batch_matrix`` +
+    ``einsum`` — a dim^2-sized exchange independent of row count — and
+    the driver forms the covariance, ROUNDS it to ``round_cov`` decimals
+    (so an independent engine recomputing the same rounded covariance
+    from the same rows starts the iteration from bit-identical state),
+    then runs ``iters`` matrix-vector products from the uniform unit
+    vector.  Returns (loadings, last_norm) — the last norm is the
+    Rayleigh eigenvalue estimate of an almost-converged iterate."""
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, "embedding")
+        g = np.einsum("ni,nj->ij", x, x)
+        dim = x.shape[1]
+        i, j = np.meshgrid(np.arange(dim, dtype=np.int64),
+                           np.arange(dim, dtype=np.int64), indexing="ij")
+        return pa.table({
+            "i": pa.array(
+                np.concatenate([i.ravel(), np.arange(dim), [-1]]),
+                pa.int64()),
+            "j": pa.array(
+                np.concatenate([j.ravel(), np.full(dim, -1), [-1]]),
+                pa.int64()),
+            "v": pa.array(
+                np.concatenate([g.ravel(), x.sum(axis=0),
+                                [float(x.shape[0])]]),
+                pa.float64()),
+        })
+
+    parts = (ds.map_batches(gram_partial, batch_format="pyarrow")
+             .to_pandas().groupby(["i", "j"], as_index=False)
+             .agg(v=("v", "sum")))
+    n = float(parts.loc[(parts["i"] == -1) & (parts["j"] == -1), "v"].iloc[0])
+    sums = (parts[(parts["j"] == -1) & (parts["i"] >= 0)]
+            .sort_values("i")["v"].to_numpy())
+    dim = sums.size
+    gram = np.zeros((dim, dim))
+    sq = parts[(parts["i"] >= 0) & (parts["j"] >= 0)]
+    gram[sq["i"].to_numpy(np.int64), sq["j"].to_numpy(np.int64)] = \
+        sq["v"].to_numpy()
+    cov = np.round((gram - np.outer(sums, sums) / n) / n, round_cov)
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    nrm = 0.0
+    for _ in range(iters):
+        w = cov @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        v = w / nrm
+    return v, nrm
