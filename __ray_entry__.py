@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_scores": _q_ppr_scores,
         "triangle_count": _q_triangle_count,
         "kcore_nodes": _q_kcore,
+        "ktruss_nodes": _q_ktruss,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "adamic_adar": _q_adamic_adar,
@@ -2388,6 +2389,74 @@ def _kcore_sql(k: int = 4, rounds: int = 5) -> str:
             SELECT e.u, e.v FROM e{r} e
             JOIN a{r} x ON x.node = e.u
             JOIN a{r} y ON y.node = e.v)""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM e{rounds}
+            UNION ALL SELECT v FROM e{rounds}
+        ) GROUP BY node ORDER BY node
+    """
+
+
+def _q_ktruss(sf_dir: str):
+    """Fixed-round k-truss peeling (pipelines/pagerank.ktruss_nodes,
+    k=3 so an edge must stay in a triangle of survivors, 4 rounds — at
+    k=4 this graph's truss is empty) on the quadratic skewed link
+    graph; the oracle unrolls the same rounds — triangles via the
+    canonical 3-way self-join, per-edge support via the 3-projection
+    UNION ALL, survivors re-joined — as MATERIALIZED CTE chains."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import ktruss_nodes
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = ktruss_nodes(edges, k=3, n_rounds=4).to_pandas()
+    return out
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 4) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )"""]
+    for r in range(rounds):
+        parts.append(f"""
+        tri{r} AS MATERIALIZED (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM e{r} a JOIN e{r} b ON b.u = a.u AND b.v > a.v
+            JOIN e{r} c ON c.u = a.v AND c.v = b.v)""")
+        parts.append(f"""
+        e{r + 1} AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v, count(*) AS c FROM (
+                    SELECT x AS u, y AS v FROM tri{r}
+                    UNION ALL SELECT x, z FROM tri{r}
+                    UNION ALL SELECT y, z FROM tri{r}
+                ) GROUP BY u, v
+            ) WHERE c >= {k - 2})""")
     return "WITH " + ",".join(parts) + f"""
         SELECT node, count(*) AS deg FROM (
             SELECT u AS node FROM e{rounds}
@@ -8497,6 +8566,7 @@ def oracle_sql() -> dict[str, str]:
         "sloppy_phrase": _sloppy_sql(),
         "search_eval": _search_eval_sql(),
         "kcore_nodes": _kcore_sql(),
+        "ktruss_nodes": _ktruss_sql(),
         "bfs_depths": _bfs_sql(),
         "scc_seeded": _scc_sql(),
         "sssp_fixed": _sssp_sql(),

@@ -1556,3 +1556,110 @@ def adamic_adar_topk(edges_ds, k: int = 20, *, src_col: str = "src",
     df["x"] = df["x"].astype("int64")
     df["y"] = df["y"].astype("int64")
     return df[["x", "y", "aa_score"]].reset_index(drop=True)
+
+
+def ktruss_nodes(edges_ds, k: int = 4, n_rounds: int = 4, *,
+                 src_col: str = "src", dst_col: str = "dst"):
+    """Fixed-round k-truss peeling: repeatedly drop edges supported by
+    fewer than ``k - 2`` triangles (``n_rounds`` synchronous rounds —
+    the kcore_nodes fixed-iteration idiom, so the SQL oracle unrolls the
+    same rounds as chained MATERIALIZED CTEs).  The truss is the classic
+    cohesive-subgraph refinement of k-core: an edge survives only if its
+    endpoints share >= k-2 common neighbors in the surviving graph.
+
+    Distributed shape per round: wedges fan out from each node's
+    neighbor list (one groupby over the oriented edge list), close
+    against the BROADCAST u64-packed edge set (graph-key-set-sized, the
+    triangle_count probe), and per-edge support partials fold in one
+    (u, v) groupby; the support table that returns to the driver is
+    edge-set-sized — the same scale as the probe broadcast this op
+    already assumes.  Returns (node, deg) over the final truss edges.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    def collect_edges(ds) -> pa.Table:
+        seed = pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+        return pa.concat_tables(
+            [seed] + [t.select(["u", "v"])
+                      for t in ray.get(ds.to_arrow_refs())
+                      if "u" in t.schema.names])
+
+    cur = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    min_sup = k - 2
+    for _ in range(n_rounds):
+        et = collect_edges(cur)
+        uu = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if uu.size == 0:
+            break
+        packed = np.sort(uu << np.int64(32) | vv)
+        packed_ref = ray.put(packed)
+
+        def support_partial(group: pa.Table) -> pa.Table:
+            """Wedges of one source node closed against the broadcast
+            edge set; emits (edge, support) partials for the 3 edges of
+            every closed triangle, pre-summed within the group."""
+            ps = ray.get(packed_ref)
+            x = group["u"][0].as_py()
+            ys = np.sort(
+                group["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+            if ys.size < 2:
+                return pa.table({"u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "sup": pa.array([], pa.int64())})
+            ia, ib = np.triu_indices(ys.size, 1)
+            y, z = ys[ia], ys[ib]
+            key = y << np.int64(32) | z
+            pos = np.searchsorted(ps, key)
+            pos[pos == ps.size] = 0
+            hit = ps[pos] == key
+            y, z = y[hit], z[hit]
+            eu = np.concatenate([np.full(y.size, x), np.full(y.size, x), y])
+            ev = np.concatenate([y, z, z])
+            ek = eu << np.int64(32) | ev
+            un, ct = np.unique(ek, return_counts=True)
+            return pa.table({
+                "u": pa.array(un >> np.int64(32), pa.int64()),
+                "v": pa.array(un & np.int64(0xFFFFFFFF), pa.int64()),
+                "sup": pa.array(ct.astype(np.int64), pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        sup = (cur.groupby("u").map_groups(
+            support_partial, batch_format="pyarrow")
+            .groupby(["u", "v"])
+            .aggregate(Sum("sup", alias_name="sup"))
+            .to_pandas())
+        sup = sup[sup["sup"] >= min_sup]
+        if len(sup) == uu.size:
+            break  # fixpoint: every surviving edge already qualifies
+        cur = ray.data.from_arrow(pa.table({
+            "u": pa.array(sup["u"].to_numpy(np.int64), pa.int64()),
+            "v": pa.array(sup["v"].to_numpy(np.int64), pa.int64()),
+        })).materialize()
+
+    final = collect_edges(cur)
+    nodes = np.concatenate([
+        final["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+        final["v"].to_numpy(zero_copy_only=False).astype(np.int64)])
+    un, ct = np.unique(nodes, return_counts=True)
+    return pa.table({"node": pa.array(un, pa.int64()),
+                     "deg": pa.array(ct.astype(np.int64), pa.int64())})
