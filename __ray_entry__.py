@@ -257,6 +257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "kcore_nodes": _q_kcore,
         "ktruss_nodes": _q_ktruss,
+        "katz_centrality": _q_katz,
+        # ops/integrity family
+        "partition_checksums": rel.q_partition_checksums,
+        "winsorized_mean": rel.q_winsorized_mean,
+        "compaction_plan": rel.q_compaction_plan,
+        "rolling_median_smooth": rel.q_rolling_median_smooth,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "adamic_adar": _q_adamic_adar,
@@ -2462,6 +2468,103 @@ def _ktruss_sql(k: int = 3, rounds: int = 4) -> str:
             SELECT u AS node FROM e{rounds}
             UNION ALL SELECT v FROM e{rounds}
         ) GROUP BY node ORDER BY node
+    """
+
+
+def _q_katz(sf_dir: str, alpha: float = 0.05, iters: int = 6, k: int = 20):
+    """Katz centrality (fixed ``iters`` synchronous rounds of
+    v <- 1 + alpha * A^T v from v0 = 1) on the DIRECTED quadratic link
+    graph; the top-k ranks on 6-dp-rounded scores (node-asc ties), the
+    repo-wide cross-engine rank rule.  Distributed shape per round: one
+    edge->dst partial-sum shuffle with the node-count-sized score vector
+    broadcast (the pagerank_power exchange); the oracle unrolls the same
+    rounds as MATERIALIZED LEFT-JOIN CTEs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    edges = (docs.map_batches(mk_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .select_columns(["src", "dst"]).materialize())
+
+    v = np.ones(n, dtype=np.float64)
+    for _ in range(iters):
+        v_ref = ray.put(v)
+
+        def push(batch: pa.Table) -> pa.Table:
+            vv = ray.get(v_ref)
+            s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            un, inv = np.unique(d, return_inverse=True)
+            return pa.table({
+                "dst": pa.array(un, pa.int64()),
+                "x": pa.array(np.bincount(inv, weights=vv[s]), pa.float64()),
+            })
+
+        agg = (edges.map_batches(push, batch_format="pyarrow")
+               .groupby("dst")
+               .aggregate(ray.data.aggregate.Sum("x", alias_name="x"))
+               .to_pandas())
+        nv = np.ones(n, dtype=np.float64)
+        nv[agg["dst"].to_numpy(np.int64)] += \
+            alpha * agg["x"].to_numpy(np.float64)
+        v = nv
+
+    import pandas as pd
+
+    out = pd.DataFrame({"node": np.arange(n, dtype=np.int64),
+                        "katz": np.round(v, 6)})
+    out = out.sort_values(["katz", "node"],
+                          ascending=[False, True]).head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "node", "katz"]].reset_index(drop=True)
+
+
+def _katz_sql(alpha: float = 0.05, iters: int = 6, k: int = 20) -> str:
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT src AS u, dst AS v FROM raw WHERE src <> dst
+        )""", """
+        v0 AS MATERIALIZED (
+            SELECT doc_id AS node, 1.0 AS val FROM documents
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        v{t} AS MATERIALIZED (
+            SELECT d.doc_id AS node,
+                   1.0 + {alpha} * coalesce(s.x, 0) AS val
+            FROM documents d LEFT JOIN (
+                SELECT e.v, sum(vp.val) AS x
+                FROM e0 e JOIN v{t - 1} vp ON vp.node = e.u
+                GROUP BY e.v
+            ) s ON s.v = d.doc_id)""")
+    return "WITH " + ",".join(parts) + f"""
+        SELECT CAST(row_number() OVER (ORDER BY round(val, 6) DESC, node)
+                    AS BIGINT) AS rank,
+               node, round(val, 6) AS katz
+        FROM v{iters}
+        ORDER BY round(val, 6) DESC, node LIMIT {k}
     """
 
 
@@ -8567,6 +8670,7 @@ def oracle_sql() -> dict[str, str]:
         "search_eval": _search_eval_sql(),
         "kcore_nodes": _kcore_sql(),
         "ktruss_nodes": _ktruss_sql(),
+        "katz_centrality": _katz_sql(),
         "bfs_depths": _bfs_sql(),
         "scc_seeded": _scc_sql(),
         "sssp_fixed": _sssp_sql(),
@@ -9187,6 +9291,89 @@ def oracle_sql() -> dict[str, str]:
             FROM sel, st ORDER BY k_docs
         """,
         "pca_power": _pca_sql(),
+        "partition_checksums": """
+            WITH r AS (
+                SELECT date_trunc('day', ts) AS day, event_id,
+                       CAST(event_id AS VARCHAR) || '|' ||
+                       CAST(user_id AS VARCHAR) || '|' ||
+                       event_type || '|' ||
+                       CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                           AS line
+                FROM events
+            )
+            SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+                   sha256(string_agg(line, chr(10) ORDER BY event_id))
+                       AS sha
+            FROM r GROUP BY day ORDER BY day
+        """,
+        "winsorized_mean": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.05) AS p_lo,
+                       quantile_disc(value, 0.95) AS p_hi,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, CAST(max(q.n) AS BIGINT) AS n,
+                   round(max(q.p_lo), 6) AS p_lo,
+                   round(max(q.p_hi), 6) AS p_hi,
+                   CAST(sum(CASE WHEN e.value < q.p_lo
+                                 OR e.value > q.p_hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+                   round(sum(e.value) / max(q.n), 6) AS mean_raw,
+                   round(sum(CASE WHEN e.value < q.p_lo THEN q.p_lo
+                                  WHEN e.value > q.p_hi THEN q.p_hi
+                                  ELSE e.value END) / max(q.n), 6)
+                       AS mean_winsorized
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "compaction_plan": """
+            WITH RECURSIVE daily AS (
+                SELECT date_trunc('day', ts) AS day, count(*) AS n
+                FROM events GROUP BY 1
+            ),
+            num AS (
+                SELECT day, n, row_number() OVER (ORDER BY day) AS rn
+                FROM daily
+            ),
+            rec AS (
+                SELECT day, n, rn, 1 AS bin, n AS bin_fill
+                FROM num WHERE rn = 1
+                UNION ALL
+                SELECT x.day, x.n, x.rn,
+                       CASE WHEN r.bin_fill + x.n > 1200
+                            THEN r.bin + 1 ELSE r.bin END,
+                       CASE WHEN r.bin_fill + x.n > 1200
+                            THEN x.n ELSE r.bin_fill + x.n END
+                FROM rec r JOIN num x ON x.rn = r.rn + 1
+            )
+            SELECT day, CAST(n AS BIGINT) AS n,
+                   CAST(bin AS BIGINT) AS bin,
+                   CAST(bin_fill AS BIGINT) AS bin_fill
+            FROM rec ORDER BY day
+        """,
+        "rolling_median_smooth": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       round(avg(value), 6) AS m,
+                       CAST(round(round(avg(value), 6) * 1000000)
+                            AS BIGINT) AS mi
+                FROM events GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT event_type, day, m, mi,
+                       CAST(round(2 * median(mi) OVER (
+                           PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                           AS BIGINT) AS med2_micro
+                FROM daily
+            )
+            SELECT event_type, day, m, med2_micro,
+                   abs(2 * mi - med2_micro) > 16000000 AS is_spike
+            FROM w ORDER BY event_type, day
+        """,
         "hierarchy_rollup": """
             WITH RECURSIVE cl AS (
                 SELECT c_custkey AS node, c_custkey AS anc,

@@ -5825,3 +5825,178 @@ def q_hierarchy_rollup(sf_dir: str, max_key: int = 63) -> pd.DataFrame:
     out = agg.rename(columns={"anc": "c_custkey"})
     out = out[["c_custkey", "depth", "subtree_size", "subtree_bal"]]
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_partition_checksums(sf_dir: str) -> pd.DataFrame:
+    """Merkle-style partition integrity checksums: each DAY partition of
+    the event stream hashes its rows in canonical form (event_id order,
+    integer-only field encoding: id|user|type|epoch_us|cents) to one
+    sha256 — the per-partition fingerprint a resumable 100 TB writer
+    stores next to each output shard so replicas / re-runs can be
+    verified without row-level diffing.  groupby(day) keeps each
+    partition's hash local; only (day, n_rows, sha) rows move."""
+    import hashlib
+
+    def checksum(group: pa.Table) -> pa.Table:
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        us = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.round(
+            group["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.argsort(eid)
+        cols = [eid[order].astype("U"), uid[order].astype("U"),
+                et[order].astype("U"), us[order].astype("U"),
+                cents[order].astype("U")]
+        joined = cols[0]
+        for c in cols[1:]:
+            joined = np.char.add(np.char.add(joined, "|"), c)
+        lines = "\n".join(joined.tolist())
+        day = us.min() // 86_400_000_000 * 86_400_000_000
+        return pa.table({
+            "day": pa.array(np.array([day], "int64").astype(
+                "datetime64[us]"), pa.timestamp("us")),
+            "n_rows": pa.array([len(eid)], pa.int64()),
+            "sha": pa.array(
+                [hashlib.sha256(lines.encode()).hexdigest()], pa.string()),
+        })
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "day",
+            pc.cast(pc.floor_temporal(b["ts"], unit="day"),
+                    pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (ds.groupby("day").map_groups(checksum, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_winsorized_mean(sf_dir: str, lo_q: float = 0.05,
+                      hi_q: float = 0.95) -> pd.DataFrame:
+    """Winsorized (clipped) mean per event_type: values below the exact
+    p05 / above the exact p95 order statistics (quantile_disc semantics
+    sorted[ceil(q*n)-1], the iqr_outliers calibration) are clamped to the
+    fence before averaging — the robust-mean preprocessing a quality
+    pipeline applies to heavy-tailed signals.  Low-cardinality partition
+    -> per-type map_groups sort."""
+
+    def winsorize(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy(zero_copy_only=False))
+        n = v.size
+        p_lo = v[int(np.ceil(lo_q * n)) - 1]
+        p_hi = v[int(np.ceil(hi_q * n)) - 1]
+        w = np.clip(v, p_lo, p_hi)
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "n": pa.array([n], pa.int64()),
+            "p_lo": pa.array([round(float(p_lo), 6)], pa.float64()),
+            "p_hi": pa.array([round(float(p_hi), 6)], pa.float64()),
+            "n_clipped": pa.array(
+                [int(((v < p_lo) | (v > p_hi)).sum())], pa.int64()),
+            "mean_raw": pa.array(
+                [round(float(v.sum() / n), 6)], pa.float64()),
+            "mean_winsorized": pa.array(
+                [round(float(w.sum() / n), 6)], pa.float64()),
+        })
+
+    out = (_read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type").map_groups(
+               winsorize, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_compaction_plan(sf_dir: str, capacity: int = 1200) -> pd.DataFrame:
+    """Small-files compaction planning: day partitions of the event
+    stream (sizes = row counts) are greedily packed, in day order, into
+    compaction bins of at most ``capacity`` rows (a bin closes when the
+    next file would overflow it) — the deterministic merge plan an
+    object-store compactor executes.  Daily sizes fold distributed; the
+    O(n_days) greedy runs on the driver in the same order the oracle's
+    recursive CTE replays."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "day": day,
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(t.group_by(["day"]).aggregate([("n", "sum")]),
+                           {"n_sum": "n"})
+
+    daily = (_read(sf_dir, "events", ["ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("day", as_index=False)
+             .agg(n=("n", "sum")).sort_values("day"))
+    bins, accs = [], []
+    b, acc = 1, 0
+    for sz in daily["n"]:
+        if acc + sz > capacity and acc > 0:
+            b += 1
+            acc = 0
+        acc += int(sz)
+        bins.append(b)
+        accs.append(acc)
+    daily["bin"] = pd.array(bins, dtype="int64")
+    daily["bin_fill"] = pd.array(accs, dtype="int64")
+    daily["n"] = daily["n"].astype("int64")
+    return daily.reset_index(drop=True)
+
+
+def q_rolling_median_smooth(sf_dir: str, window: int = 7,
+                            spike: float = 8.0) -> pd.DataFrame:
+    """Robust rolling-median smoothing of the daily mean value per
+    event_type: a centered ``window``-day median with ragged edges,
+    flagging days that deviate from their window median by more than
+    ``spike`` — the median-filter despiking pass of a metrics pipeline.
+    The median is reported DOUBLED in integer micro-units (med2_micro):
+    an even-count median is the average of two 6-dp values, which lands
+    exactly on the .5e-6 rounding boundary where DuckDB (half-away) and
+    numpy (half-even) disagree — doubling keeps every intermediate an
+    exact integer in both engines.  Daily means fold distributed; the
+    rolling pass is O(days x types) on the driver."""
+    half = window // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "s": batch["value"],
+            "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("s", "sum"), ("c", "sum")])
+        return _rename_agg(g, {"s_sum": "s", "c_sum": "c"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["event_type", "day"], as_index=False)
+             .agg(s=("s", "sum"), c=("c", "sum")))
+    daily["m"] = (daily["s"] / daily["c"]).round(6)
+    spike2 = int(round(2 * spike * 1_000_000))
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        m = g["m"].to_numpy(np.float64)
+        mi = np.round(m * 1_000_000).astype(np.int64)
+        for i in range(len(g)):
+            w = mi[max(0, i - half): i + half + 1]
+            med2 = int(round(2 * float(np.median(w))))
+            rows.append({
+                "event_type": etype, "day": g["day"].iloc[i],
+                "m": round(float(m[i]), 6), "med2_micro": med2,
+                "is_spike": bool(abs(2 * int(mi[i]) - med2) > spike2),
+            })
+    out = pd.DataFrame(rows)
+    out["med2_micro"] = out["med2_micro"].astype("int64")
+    return (out.sort_values(["event_type", "day"]).reset_index(drop=True))
