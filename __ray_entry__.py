@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean": rel.q_winsorized_mean,
         "compaction_plan": rel.q_compaction_plan,
         "rolling_median_smooth": rel.q_rolling_median_smooth,
+        "clamped_balance": rel.q_clamped_balance,
+        "theil_sen": rel.q_theil_sen,
+        "ts_dod_bits": rel.q_ts_dod_bits,
+        "feature_hashing": tq.feature_hashing_stats,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "adamic_adar": _q_adamic_adar,
@@ -9291,6 +9295,123 @@ def oracle_sql() -> dict[str, str]:
             FROM sel, st ORDER BY k_docs
         """,
         "pca_power": _pca_sql(),
+        "feature_hashing": f"""
+            WITH v AS (
+                SELECT DISTINCT token AS term
+                FROM (SELECT unnest({tok}) AS token FROM documents)
+                WHERE length(token) >= 2
+            ),
+            b AS (
+                SELECT CAST(('0x' || substr(sha256(term), 1, 8)) AS BIGINT)
+                       % 4096 AS bucket
+                FROM v
+            ),
+            g AS (SELECT bucket, count(*) AS n_terms FROM b GROUP BY 1),
+            t AS (SELECT sum(n_terms) AS total FROM g)
+            SELECT bucket, CAST(n_terms AS BIGINT) AS n_terms,
+                   CAST(total AS BIGINT) AS total_terms
+            FROM g, t ORDER BY n_terms DESC, bucket LIMIT 15
+        """,
+        "ts_dod_bits": """
+            WITH s AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            d AS (
+                SELECT user_id, rn,
+                       t - lag(t) OVER (PARTITION BY user_id
+                                        ORDER BY rn) AS delta
+                FROM s
+            ),
+            x AS (
+                SELECT user_id, rn,
+                       CASE WHEN rn = 2 THEN delta
+                            ELSE delta - lag(delta) OVER (
+                                PARTITION BY user_id ORDER BY rn) END AS v
+                FROM d WHERE rn >= 2
+            ),
+            b AS (
+                SELECT user_id,
+                       sum(length(format('{:b}',
+                           CASE WHEN v >= 0 THEN 2 * v
+                                ELSE -2 * v - 1 END)) + 6) AS extra
+                FROM x GROUP BY user_id
+            ),
+            n AS (SELECT user_id, count(*) AS n_events
+                  FROM events GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(64 + coalesce(extra, 0) AS BIGINT) AS dod_bits,
+                   round(64.0 * n_events / (64 + coalesce(extra, 0)), 6)
+                       AS ratio
+            FROM n LEFT JOIN b USING (user_id) ORDER BY user_id
+        """,
+        "clamped_balance": """
+            WITH d AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE -CAST(round(value * 100) AS BIGINT)
+                       END AS delta
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(delta) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM d
+            ),
+            w AS (
+                SELECT user_id, s, rn, n,
+                       min(s) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS mn,
+                       coalesce(min(s) OVER (PARTITION BY user_id
+                           ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS prevmn
+                FROM s
+            ),
+            agg AS (
+                SELECT user_id,
+                       max(CASE WHEN rn = n
+                           THEN s - least(0, mn) END) AS balance_cents,
+                       sum(CASE WHEN s < least(0, prevmn)
+                           THEN 1 ELSE 0 END) AS n_clamps
+                FROM w GROUP BY user_id
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(balance_cents AS BIGINT) AS balance_cents,
+                   CAST(n_clamps AS BIGINT) AS n_clamps
+            FROM agg ORDER BY balance_cents DESC, user_id LIMIT 25
+        """,
+        "theil_sen": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(round(round(avg(value), 6) * 1000000)
+                            AS BIGINT) AS mi
+                FROM events GROUP BY 1, 2
+            ),
+            num AS (
+                SELECT event_type, mi,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY day) - 1 AS x
+                FROM daily
+            ),
+            sl AS (
+                SELECT a.event_type,
+                       CAST(b.mi - a.mi AS DOUBLE) / (b.x - a.x) AS s
+                FROM num a JOIN num b
+                  ON a.event_type = b.event_type AND b.x > a.x
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(2 * median(s), 6) AS slope2_micro
+            FROM sl GROUP BY event_type ORDER BY event_type
+        """,
         "partition_checksums": """
             WITH r AS (
                 SELECT date_trunc('day', ts) AS day, event_id,

@@ -6000,3 +6000,174 @@ def q_rolling_median_smooth(sf_dir: str, window: int = 7,
     out = pd.DataFrame(rows)
     out["med2_micro"] = out["med2_micro"].astype("int64")
     return (out.sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+def q_clamped_balance(sf_dir: str, top: int = 25) -> pd.DataFrame:
+    """Clamped prefix scan (inventory/credit semantics): per user, a
+    running balance over the event stream — purchases add value, every
+    other event drains it — FLOORED AT ZERO after each step.  The clamp
+    looks irreducible to window functions, but has the closed form
+    bal_t = S_t - min(0, min_{k<=t} S_k), and a clamp fires exactly when
+    S_t is a new strict minimum below zero — so both engines express it
+    as cumsum + running min (vectorized here, window functions in the
+    oracle).  All arithmetic runs in integer CENTS: an external engine's
+    windowed sums need not accumulate sequentially, so float prefix sums
+    are not comparison-safe.  Fused user partitions; only (user, final
+    balance, clamp count) rows leave the cluster.  Top ``top`` users by
+    final balance (user asc ties)."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def scan_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, val, et = uid[order], val[order], et[order]
+        cents = np.round(val * 100).astype(np.int64)
+        delta = np.where(et == "purchase", cents, -cents)
+        users, starts = np.unique(uid, return_index=True)
+        out_u, out_b, out_c = [], [], []
+        bounds = np.append(starts, uid.size)
+        for k in range(users.size):
+            d = delta[bounds[k]:bounds[k + 1]]
+            s = np.cumsum(d)
+            m = np.minimum.accumulate(s)
+            prevmin = np.minimum(
+                0, np.concatenate(([np.int64(0)], m[:-1])))
+            out_u.append(int(users[k]))
+            out_b.append(int(s[-1] - min(0, int(m[-1]))))
+            out_c.append(int((s < prevmin).sum()))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "balance_cents": pa.array(out_b, pa.int64()),
+            "n_clamps": pa.array(out_c, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts, pa.int64())),
+        batch_format="pyarrow")
+    out = (ds.groupby("part").map_groups(
+        scan_partition, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["balance_cents", "user_id"],
+                          ascending=[False, True]).head(top)
+    return out.reset_index(drop=True)
+
+
+def q_theil_sen(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend per event_type: the median of all pairwise
+    slopes of the (day index, daily mean) series.  Slopes are kept in
+    DOUBLED integer micro-units (the rolling_median_smooth boundary
+    rule: an even-count median averages two values and lands on the
+    .5e-6 half-rounding boundary where the engines' round() modes
+    differ).  Daily means fold distributed; the O(days^2) pair set is
+    per-type tiny and replayed identically by the oracle's self-join."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "s": batch["value"],
+            "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("s", "sum"), ("c", "sum")])
+        return _rename_agg(g, {"s_sum": "s", "c_sum": "c"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["event_type", "day"], as_index=False)
+             .agg(s=("s", "sum"), c=("c", "sum")))
+    daily["m"] = (daily["s"] / daily["c"]).round(6)
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        mi = np.round(g["m"].to_numpy(np.float64) * 1_000_000).astype(
+            np.int64)
+        ia, ib = np.triu_indices(mi.size, 1)
+        # exact-integer numerator / integer gap: one float division,
+        # identical in both engines; never rounded mid-stream
+        sl = (mi[ib] - mi[ia]).astype(np.float64) / (ib - ia)
+        med2 = 2.0 * float(np.median(sl))
+        rows.append({
+            "event_type": etype,
+            "n_pairs": int(sl.size),
+            "slope2_micro": round(med2, 6),
+        })
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _bit_length(z: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for non-negative int64 < 2^53:
+    frexp's exponent IS the bit length for exactly-representable ints
+    (no log2 rounding concerns); 0 -> 1 bit by convention."""
+    _, e = np.frexp(z.astype(np.float64))
+    return np.where(z == 0, 1, e).astype(np.int64)
+
+
+def q_ts_dod_bits(sf_dir: str) -> pd.DataFrame:
+    """Gorilla-style delta-of-delta timestamp compression profile: per
+    user, timestamps (ts, event_id order) cost 64 bits for the first
+    value, then bit_length(zigzag(x)) + 6 header bits for the first
+    delta and every delta-of-delta — the integer-exact size model of a
+    time-series block codec (Facebook Gorilla, VLDB'15), the timestamp
+    sibling of the posting-codec size profiles.  Fused user partitions,
+    vectorized diffs; one 150-row audit table leaves the cluster."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def dod_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        users, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, uid.size)
+        out_u, out_n, out_bits = [], [], []
+        for k in range(users.size):
+            t = ts[bounds[k]:bounds[k + 1]]
+            if t.size > 1:
+                deltas = np.diff(t)
+                # stream = [delta_1, dod_2, dod_3, ...]
+                stream = np.concatenate(([deltas[0]], np.diff(deltas)))
+            else:
+                stream = np.empty(0, np.int64)
+            zig = np.where(stream >= 0, 2 * stream, -2 * stream - 1)
+            bits = 64 + int((_bit_length(zig) + 6).sum())
+            out_u.append(int(users[k]))
+            out_n.append(int(t.size))
+            out_bits.append(bits)
+        raw = 64 * np.asarray(out_n, np.int64)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "dod_bits": pa.array(out_bits, pa.int64()),
+            "ratio": pa.array(
+                np.round(raw / np.asarray(out_bits, np.float64), 6),
+                pa.float64()),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part",
+            pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_parts, pa.int64())),
+        batch_format="pyarrow")
+    out = (ds.groupby("part").map_groups(
+        dod_partition, batch_format="pyarrow").to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1972,3 +1972,43 @@ def heaps_law(sf_dir: str, n_checkpoints: int = 10) -> pd.DataFrame:
     agg["vocab"] = agg["vocab"].astype("int64")
     agg["beta"] = round(float(beta), 6)
     return agg
+
+
+def feature_hashing_stats(sf_dir: str, n_buckets: int = 4096,
+                          k: int = 15) -> pd.DataFrame:
+    """Hashing-trick (feature-hashing) collision audit: every DISTINCT
+    vocabulary term maps to bucket = first-8-hex(sha256(term)) mod
+    ``n_buckets`` — the fixed-width featurizer a streaming classifier
+    uses instead of a vocabulary dict (Weinberger et al. 2009) — and the
+    audit reports the ``k`` most collided buckets plus the global
+    distinct-term count.  Distributed shape: the distinct-term shuffle
+    (term_df's exchange), a per-batch hash map (hashing is inherently
+    per-string; the term table is vocabulary-sized, not corpus-sized),
+    one bucket-count groupby."""
+    import hashlib
+
+    vocab = (_docs(sf_dir)
+             .map_batches(lambda b: _explode(b, distinct_per_doc=True),
+                          batch_format="pyarrow")
+             .groupby("term").count())
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        b = np.fromiter(
+            (int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % n_buckets
+             for t in terms), np.int64, len(terms))
+        un, ct = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(un, pa.int64()),
+            "n_terms": pa.array(ct.astype(np.int64), pa.int64()),
+        })
+
+    agg = (vocab.map_batches(bucketize, batch_format="pyarrow")
+           .to_pandas().groupby("bucket", as_index=False)
+           .agg(n_terms=("n_terms", "sum")))
+    total = int(agg["n_terms"].sum())
+    agg = agg.sort_values(["n_terms", "bucket"],
+                          ascending=[False, True]).head(k)
+    agg["n_terms"] = agg["n_terms"].astype("int64")
+    agg["total_terms"] = pd.array([total] * len(agg), dtype="int64")
+    return agg.reset_index(drop=True)
