@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": rel.q_theil_sen,
         "ts_dod_bits": rel.q_ts_dod_bits,
         "feature_hashing": tq.feature_hashing_stats,
+        "kleinberg_burst": rel.q_kleinberg_burst,
+        "zone_map_prune": rel.q_zone_map_prune,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "adamic_adar": _q_adamic_adar,
@@ -9295,6 +9297,59 @@ def oracle_sql() -> dict[str, str]:
             FROM sel, st ORDER BY k_docs
         """,
         "pca_power": _pca_sql(),
+        "kleinberg_burst": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            num AS (
+                SELECT event_type, y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       sum(y) OVER (PARTITION BY event_type)
+                           / count(*) OVER (PARTITION BY event_type) AS p0
+                FROM daily
+            ),
+            rec AS (
+                SELECT event_type, rn, n, p0,
+                       least(0.0, 1.0) + (p0 - y * ln(p0)) AS c0,
+                       least(0.0 + 1.0, 1.0)
+                           + (2 * p0 - y * ln(2 * p0)) AS c1,
+                       CASE WHEN least(0.0 + 1.0, 1.0)
+                                 + (2 * p0 - y * ln(2 * p0))
+                               < least(0.0, 1.0) + (p0 - y * ln(p0))
+                            THEN 1 ELSE 0 END AS bd
+                FROM num WHERE rn = 1
+                UNION ALL
+                SELECT x.event_type, x.rn, x.n, x.p0,
+                       least(r.c0, r.c1) + (x.p0 - x.y * ln(x.p0)),
+                       least(r.c0 + 1.0, r.c1)
+                           + (2 * x.p0 - x.y * ln(2 * x.p0)),
+                       r.bd + CASE WHEN least(r.c0 + 1.0, r.c1)
+                                        + (2 * x.p0 - x.y * ln(2 * x.p0))
+                                      < least(r.c0, r.c1)
+                                        + (x.p0 - x.y * ln(x.p0))
+                                   THEN 1 ELSE 0 END
+                FROM rec r JOIN num x
+                  ON x.event_type = r.event_type AND x.rn = r.rn + 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                   round(c0, 6) AS cost_base,
+                   round(c1, 6) AS cost_burst,
+                   CAST(bd AS BIGINT) AS burst_days
+            FROM rec WHERE rn = n ORDER BY event_type
+        """,
+        "zone_map_prune": """
+            SELECT CAST(floor(value / 50.0) AS BIGINT) AS val_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   (round(max(value), 6) < 80.0
+                    OR round(min(value), 6) > 120.0) AS prunable
+            FROM events GROUP BY 1 ORDER BY val_bucket
+        """,
         "feature_hashing": f"""
             WITH v AS (
                 SELECT DISTINCT token AS term

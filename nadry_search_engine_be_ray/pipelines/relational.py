@@ -6171,3 +6171,103 @@ def q_ts_dod_bits(sf_dir: str) -> pd.DataFrame:
     out = (ds.groupby("part").map_groups(
         dod_partition, batch_format="pyarrow").to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_kleinberg_burst(sf_dir: str, rate_mult: float = 2.0,
+                      gamma: float = 1.0) -> pd.DataFrame:
+    """Kleinberg 2-state burst detection (KDD'02) over the daily event
+    count per type: a Viterbi forward pass with base state rate p0 = the
+    type's mean daily count, burst state rate p1 = ``rate_mult`` * p0,
+    per-day Poisson cost p - y*ln(p) (the y! term is state-independent
+    and dropped), and transition penalty ``gamma`` charged on 0->1.
+    Both engines walk the identical sequential recurrence — here on the
+    driver over the distributed daily histogram, in the oracle as a
+    recursive CTE — so the min() comparisons see bit-identical doubles.
+    Per type: final costs and the count of days the burst state led."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "y": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "day"]).aggregate([("y", "sum")]),
+            {"y_sum": "y"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["event_type", "day"], as_index=False)
+             .agg(y=("y", "sum")))
+    rows = []
+    for etype, g in daily.groupby("event_type"):
+        y = g.sort_values("day")["y"].to_numpy(np.float64)
+        n = y.size
+        p0 = y.sum() / n
+        p1 = rate_mult * p0
+        c0, c1 = 0.0, gamma
+        burst_led = 0
+        for t in range(n):
+            e0 = p0 - y[t] * np.log(p0)
+            e1 = p1 - y[t] * np.log(p1)
+            n0 = min(c0, c1) + e0
+            n1 = min(c0 + gamma, c1) + e1
+            c0, c1 = n0, n1
+            if c1 < c0:
+                burst_led += 1
+        rows.append({
+            "event_type": etype,
+            "n_days": int(n),
+            "cost_base": round(float(c0), 6),
+            "cost_burst": round(float(c1), 6),
+            "burst_days": int(burst_led),
+        })
+    out = pd.DataFrame(rows)
+    out[["n_days", "burst_days"]] = out[["n_days", "burst_days"]].astype(
+        "int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_zone_map_prune(sf_dir: str, lo: float = 80.0,
+                     hi: float = 120.0) -> pd.DataFrame:
+    """Zone-map (row-group min/max) pruning audit under a VALUE-CLUSTERED
+    layout: partitions are floor(value / 50) buckets (what a sort-key /
+    Z-order rewrite of the table would produce), each reporting its
+    min/max sketch and whether a scan with predicate ``value BETWEEN lo
+    AND hi`` skips it entirely (max < lo or min > hi).  On the raw
+    time-partitioned layout NOTHING is prunable (every day spans the
+    full value range) — this op quantifies exactly what the Z-order
+    layout-profiling key argues for.  One distributed min/max groupby;
+    the audit table is partition-count-sized."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "val_bucket": pa.array(
+                np.floor(v / 50.0).astype(np.int64), pa.int64()),
+            "lo_v": batch["value"],
+            "hi_v": batch["value"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["val_bucket"]).aggregate(
+            [("lo_v", "min"), ("hi_v", "max"), ("n", "sum")])
+        return _rename_agg(g, {"lo_v_min": "lo_v", "hi_v_max": "hi_v",
+                               "n_sum": "n"})
+
+    agg = (_read(sf_dir, "events", ["value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("val_bucket")
+           .aggregate(Min("lo_v", alias_name="min_v"),
+                      Max("hi_v", alias_name="max_v"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["min_v"] = agg["min_v"].round(6)
+    agg["max_v"] = agg["max_v"].round(6)
+    agg["prunable"] = (agg["max_v"] < lo) | (agg["min_v"] > hi)
+    agg["n"] = agg["n"].astype("int64")
+    agg["val_bucket"] = agg["val_bucket"].astype("int64")
+    return (agg[["val_bucket", "n", "min_v", "max_v", "prunable"]]
+            .sort_values("val_bucket").reset_index(drop=True))
