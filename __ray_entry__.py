@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_dod_bits": rel.q_ts_dod_bits,
         "feature_hashing": tq.feature_hashing_stats,
         "kleinberg_burst": rel.q_kleinberg_burst,
+        "term_dict_frontcode": tq.term_dict_frontcode,
         "zone_map_prune": rel.q_zone_map_prune,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
@@ -9297,6 +9298,49 @@ def oracle_sql() -> dict[str, str]:
             FROM sel, st ORDER BY k_docs
         """,
         "pca_power": _pca_sql(),
+        "term_dict_frontcode": f"""
+            WITH v AS (
+                SELECT DISTINCT token AS term
+                FROM (SELECT unnest({tok}) AS token FROM documents)
+                WHERE length(token) >= 2
+            ),
+            s AS (
+                SELECT term, substr(term, 1, 1) AS head,
+                       lag(term) OVER (PARTITION BY substr(term, 1, 1)
+                                       ORDER BY term) AS prev
+                FROM v
+            ),
+            c0 AS (
+                SELECT head, term, prev,
+                       unnest(range(1, least(length(prev),
+                                             length(term)) + 1)) AS k
+                FROM s WHERE prev IS NOT NULL
+            ),
+            cp AS (
+                SELECT head, term,
+                       coalesce(max(CASE WHEN substr(prev, 1, k)
+                                              = substr(term, 1, k)
+                                    THEN k END), 0) AS cpl
+                FROM c0 GROUP BY head, term
+            ),
+            agg AS (
+                SELECT s.head, count(*) AS n_terms,
+                       sum(length(s.term) + 1) AS raw_bytes,
+                       sum(CASE WHEN s.prev IS NULL
+                                THEN length(s.term) + 1
+                                ELSE 2 + length(s.term)
+                                     - coalesce(cp.cpl, 0) END)
+                           AS fc_bytes
+                FROM s LEFT JOIN cp
+                  ON cp.head = s.head AND cp.term = s.term
+                GROUP BY s.head
+            )
+            SELECT head, CAST(n_terms AS BIGINT) AS n_terms,
+                   CAST(raw_bytes AS BIGINT) AS raw_bytes,
+                   CAST(fc_bytes AS BIGINT) AS fc_bytes,
+                   round(CAST(raw_bytes AS DOUBLE) / fc_bytes, 6) AS ratio
+            FROM agg ORDER BY head
+        """,
         "kleinberg_burst": """
             WITH RECURSIVE daily AS (
                 SELECT event_type, date_trunc('day', ts) AS day,

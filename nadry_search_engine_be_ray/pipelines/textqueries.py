@@ -2012,3 +2012,64 @@ def feature_hashing_stats(sf_dir: str, n_buckets: int = 4096,
     agg["n_terms"] = agg["n_terms"].astype("int64")
     agg["total_terms"] = pd.array([total] * len(agg), dtype="int64")
     return agg.reset_index(drop=True)
+
+
+def term_dict_frontcode(sf_dir: str) -> pd.DataFrame:
+    """Front-coded term-dictionary size profile (the classic sorted-
+    dictionary compression of an inverted index, Witten/Moffat/Bell):
+    within each first-letter partition the sorted vocabulary stores its
+    head term raw and every following term as (common-prefix-len byte,
+    suffix-len byte, suffix bytes).  Reports per-partition term count,
+    raw bytes (len byte + term), front-coded bytes and the ratio —
+    extending the posting-codec size family to the dictionary itself.
+    Distributed shape: the distinct-term shuffle, then a per-partition
+    vectorized prefix-length pass (terms are grouped BY the partition
+    key, so the sequential prefix chain never crosses tasks)."""
+    from ray.data.aggregate import Sum
+
+    def fc_partition(group: pa.Table) -> pa.Table:
+        terms = sorted(t.as_py() for t in group["term"])
+        head = terms[0][:1]
+        enc = [t.encode("utf-8") for t in terms]
+        lens = np.array([len(b) for b in enc], np.int64)
+        raw = int((lens + 1).sum())
+        if len(enc) == 1:
+            fc = raw
+        else:
+            L = int(lens.max())
+            m = np.zeros((len(enc), L), dtype=np.uint8)
+            for i, b in enumerate(enc):
+                m[i, :len(b)] = np.frombuffer(b, np.uint8)
+            prev, cur = m[:-1], m[1:]
+            minlen = np.minimum(lens[:-1], lens[1:])
+            pos = np.arange(L)[None, :]
+            mismatch = (prev != cur) | (pos >= minlen[:, None])
+            cpl = np.where(mismatch.any(axis=1),
+                           mismatch.argmax(axis=1), minlen)
+            fc = int(lens[0] + 1
+                     + (2 + lens[1:] - cpl).sum())
+        return pa.table({
+            "head": pa.array([head], pa.string()),
+            "n_terms": pa.array([len(enc)], pa.int64()),
+            "raw_bytes": pa.array([raw], pa.int64()),
+            "fc_bytes": pa.array([int(fc)], pa.int64()),
+        })
+
+    vocab = (_docs(sf_dir)
+             .map_batches(lambda b: _explode(b, distinct_per_doc=True),
+                          batch_format="pyarrow")
+             .groupby("term").count()
+             .map_batches(
+                 lambda b: pa.table({
+                     "term": b["term"],
+                     "head": pc.utf8_slice_codeunits(
+                         b["term"].combine_chunks(), 0, 1),
+                 }),
+                 batch_format="pyarrow"))
+    out = (vocab.groupby("head")
+           .map_groups(fc_partition, batch_format="pyarrow")
+           .to_pandas())
+    out["ratio"] = (out["raw_bytes"] / out["fc_bytes"]).round(6)
+    for c in ("n_terms", "raw_bytes", "fc_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("head").reset_index(drop=True)
