@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kleinberg_burst": rel.q_kleinberg_burst,
         "term_dict_frontcode": tq.term_dict_frontcode,
         "zone_map_prune": rel.q_zone_map_prune,
+        "kmv_distinct": rel.q_kmv_distinct,
+        "orphan_keys": rel.q_orphan_keys,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "adamic_adar": _q_adamic_adar,
@@ -455,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hierarchy_rollup": rel.q_hierarchy_rollup,
         # distributed PCA: dim^2 Gram partials + driver power iteration
         "pca_power": _q_pca_power,
+        "ann_sq_topk": _q_sq_topk,
+        "random_walks": _q_random_walks,
     }
     return out
 
@@ -1263,6 +1267,144 @@ def _q_ann_topk(sf_dir: str):
     # query_id in the oracle is the source vec_id (0,1,2)
     out["query_id"] = head["vec_id"].to_numpy()[out["query_id"].to_numpy()]
     out["cosine"] = out["cosine"].round(6)
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_random_walks(sf_dir: str, n_seeds: int = 20, steps: int = 8):
+    """Deterministic hash-driven random walks (the DeepWalk/node2vec
+    corpus-prep stage, with sha256(node:step) standing in for the RNG so
+    the oracle can replay every hop): walks start at nodes 0..n_seeds-1
+    on the undirected quadratic link graph and advance ``steps`` rounds,
+    each hop picking sorted-neighbor[h % degree].  Distributed shape:
+    the frontier is a dataset advanced in synchronized map_batches
+    rounds against the broadcast adjacency (graph-key-set-sized, the
+    triangle_count probe assumption); a walk with no neighbors halts."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        keep = src != dst
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    edges = (docs.map_batches(mk_edges, batch_format="pyarrow")
+             .groupby(["u", "v"]).count()
+             .select_columns(["u", "v"]).to_pandas())
+    adj: dict[int, np.ndarray] = {}
+    both = pd.concat([
+        edges.rename(columns={"u": "a", "v": "b"}),
+        edges.rename(columns={"v": "a", "u": "b"}),
+    ])
+    for a, g in both.groupby("a"):
+        adj[int(a)] = np.sort(g["b"].to_numpy(np.int64))
+    adj_ref = ray.put(adj)
+
+    frontier = ray.data.from_arrow(pa.table({
+        "walk_id": pa.array(np.arange(n_seeds, dtype=np.int64), pa.int64()),
+        "step": pa.array(np.zeros(n_seeds, np.int64), pa.int64()),
+        "node": pa.array(np.arange(n_seeds, dtype=np.int64), pa.int64()),
+    }))
+    rows = [frontier.to_pandas()]
+    for t in range(1, steps + 1):
+        def hop(batch: pa.Table, step=t) -> pa.Table:
+            a = ray.get(adj_ref)
+            wid = batch["walk_id"].to_numpy(zero_copy_only=False)
+            cur = batch["node"].to_numpy(zero_copy_only=False)
+            out_w, out_n = [], []
+            for w, c in zip(wid, cur):
+                nb = a.get(int(c))
+                if nb is None or nb.size == 0:
+                    continue
+                h = int(hashlib.sha256(
+                    f"{int(c)}:{step}".encode()).hexdigest()[:8], 16)
+                out_w.append(int(w))
+                out_n.append(int(nb[h % nb.size]))
+            return pa.table({
+                "walk_id": pa.array(out_w, pa.int64()),
+                "step": pa.array(
+                    np.full(len(out_w), step, np.int64), pa.int64()),
+                "node": pa.array(out_n, pa.int64()),
+            })
+
+        frontier = frontier.map_batches(hop, batch_format="pyarrow") \
+            .materialize()
+        rows.append(frontier.to_pandas())
+    out = pd.concat(rows).reset_index(drop=True)
+    out[["walk_id", "step", "node"]] = out[
+        ["walk_id", "step", "node"]].astype("int64")
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def _random_walks_sql(n_seeds: int = 20, steps: int = 8) -> str:
+    return f"""
+        WITH RECURSIVE raw AS (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        ),
+        e0 AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),
+        nb AS (
+            SELECT a AS node, list(b ORDER BY b) AS lst
+            FROM (SELECT u AS a, v AS b FROM e0
+                  UNION ALL SELECT v, u FROM e0)
+            GROUP BY a
+        ),
+        walk AS (
+            SELECT i AS walk_id, 0 AS step, i AS node
+            FROM range(0, {n_seeds}) t(i)
+            UNION ALL
+            SELECT w.walk_id, w.step + 1,
+                   nb.lst[1 + (CAST(('0x' || substr(sha256(
+                       CAST(w.node AS VARCHAR) || ':'
+                       || CAST(w.step + 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % len(nb.lst))::INT]
+            FROM walk w JOIN nb ON nb.node = w.node
+            WHERE w.step < {steps}
+        )
+        SELECT CAST(walk_id AS BIGINT) AS walk_id,
+               CAST(step AS BIGINT) AS step,
+               CAST(node AS BIGINT) AS node
+        FROM walk ORDER BY walk_id, step
+    """
+
+
+def _q_sq_topk(sf_dir: str):
+    """Scalar-quantized ANN (stages/similarity.sq_topk): raw queries
+    against 255-level dequantized corpus vectors; query_id maps to the
+    source vec_id like ann_topk."""
+    import numpy as np
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.similarity import sq_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.to_pandas().sort_values("vec_id").head(3)
+    q = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    out = sq_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=5
+    ).to_pandas()
+    out["query_id"] = head["vec_id"].to_numpy()[out["query_id"].to_numpy()]
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -9384,6 +9526,78 @@ def oracle_sql() -> dict[str, str]:
                    round(c1, 6) AS cost_burst,
                    CAST(bd AS BIGINT) AS burst_days
             FROM rec WHERE rn = n ORDER BY event_type
+        """,
+        "random_walks": _random_walks_sql(),
+        "ann_sq_topk": """
+            WITH el AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS i,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            ),
+            mm AS MATERIALIZED (
+                SELECT i, min(x) AS lo,
+                       CASE WHEN (max(x) - min(x)) / 255 = 0 THEN 1.0
+                            ELSE (max(x) - min(x)) / 255 END AS step
+                FROM el GROUP BY i
+            ),
+            deq AS MATERIALIZED (
+                SELECT e.vec_id, e.i,
+                       m.lo + (least(floor((e.x - m.lo) / m.step), 255)
+                               + 0.5) * m.step AS d
+                FROM el e JOIN mm m USING (i)
+            ),
+            q AS MATERIALIZED (
+                SELECT e.vec_id AS query_id, e.i, e.x AS qx
+                FROM el e WHERE e.vec_id IN (
+                    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            sims AS (
+                SELECT q.query_id, d.vec_id,
+                       round(sum(d.d * q.qx), 6) AS score
+                FROM deq d JOIN q ON q.i = d.i GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) - 1 AS rank
+                FROM sims
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+            FROM ranked WHERE rank < 5 ORDER BY query_id, rank
+        """,
+        "kmv_distinct": """
+            WITH d AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+            h AS (
+                SELECT DISTINCT CAST(('0x' || substr(
+                    sha256(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+                FROM d
+            ),
+            top AS (SELECT h FROM h ORDER BY h LIMIT 64),
+            st AS (SELECT count(*) AS kk, max(h) AS hk FROM top),
+            ex AS (SELECT count(*) AS exact FROM d)
+            SELECT CAST(kk AS BIGINT) AS k,
+                   CAST(exact AS BIGINT) AS exact_distinct,
+                   round((kk - 1) / (CAST(hk AS DOUBLE)
+                                     / 281474976710656.0), 4)
+                       AS kmv_estimate,
+                   round(abs((kk - 1) / (CAST(hk AS DOUBLE)
+                                         / 281474976710656.0) - exact)
+                         / exact, 6) AS rel_error
+            FROM st, ex
+        """,
+        "orphan_keys": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+                   round(CAST(sum(CASE WHEN c.c_custkey IS NULL
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS orphan_rate
+            FROM orders o LEFT JOIN (
+                SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+            ) c ON c.c_custkey = o.o_custkey
+            GROUP BY 1 ORDER BY month
         """,
         "zone_map_prune": """
             SELECT CAST(floor(value / 50.0) AS BIGINT) AS val_bucket,

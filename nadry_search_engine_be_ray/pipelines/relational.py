@@ -6271,3 +6271,88 @@ def q_zone_map_prune(sf_dir: str, lo: float = 80.0,
     agg["val_bucket"] = agg["val_bucket"].astype("int64")
     return (agg[["val_bucket", "n", "min_v", "max_v", "prunable"]]
             .sort_values("val_bucket").reset_index(drop=True))
+
+
+def q_kmv_distinct(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over lineitem part
+    keys: h(key) = first-12-hex(sha256(key)) / 16^12 maps keys uniformly
+    to [0,1); the sketch keeps the k smallest hashes and estimates
+    |distinct| = (k-1) / h_(k) (Bar-Yossef et al. 2002) — the third
+    mergeable distinct sketch next to HLL and the bloom stats.  Each
+    batch emits its k smallest hashes (bounded partials), the driver
+    merge is k-sized, and the oracle recomputes the identical sha-based
+    hashes so the estimate is bit-reproducible, alongside the exact
+    count it approximates."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.unique(
+            batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64))
+        h = np.fromiter(
+            (int(hashlib.sha256(str(x).encode()).hexdigest()[:12], 16)
+             for x in keys), np.int64, keys.size)
+        h = np.unique(h)[:k]
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem", ["l_partkey"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    merged = np.unique(parts["h"].to_numpy(np.int64))[:k]
+    hk = float(merged[-1]) / float(16 ** 12)
+    est = (len(merged) - 1) / hk
+    exact = int(_read(sf_dir, "lineitem", ["l_partkey"])
+                .map_batches(
+                    lambda b: pa.table({
+                        "k": pa.array(np.unique(
+                            b["l_partkey"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)), pa.int64())}),
+                    batch_format="pyarrow")
+                .groupby("k").count().count())
+    return pd.DataFrame({
+        "k": pd.array([len(merged)], dtype="int64"),
+        "exact_distinct": pd.array([exact], dtype="int64"),
+        "kmv_estimate": [round(est, 4)],
+        "rel_error": [round(abs(est - exact) / exact, 6)],
+    })
+
+
+def q_orphan_keys(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity (late-arriving dimension) audit: with the
+    customer dimension snapshotted to its non-negative-balance members,
+    each order month reports how many orders reference a key missing
+    from the snapshot — the orphan/quarantine rate an incremental
+    warehouse load monitors before applying fact batches.  The present-
+    key set broadcasts once (dimension-sized); the probe is a sorted
+    searchsorted membership per batch."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    present = np.sort(
+        cust.loc[cust["c_acctbal"] >= 0, "c_custkey"].to_numpy(np.int64))
+    ref = ray.put(present)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        hit, _ = _sorted_lookup(ks, ck)
+        month = pc.cast(pc.floor_temporal(batch["o_orderdate"],
+                                          unit="month"),
+                        pa.timestamp("us"))
+        t = pa.table({
+            "month": month,
+            "n": pa.array(np.ones(len(ck), np.int64), pa.int64()),
+            "orphans": pa.array((~hit).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["month"]).aggregate(
+            [("n", "sum"), ("orphans", "sum")])
+        return _rename_agg(g, {"n_sum": "n", "orphans_sum": "orphans"})
+
+    out = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+           .map_batches(audit, batch_format="pyarrow")
+           .to_pandas().groupby("month", as_index=False)
+           .agg(n=("n", "sum"), orphans=("orphans", "sum")))
+    out["orphan_rate"] = (out["orphans"] / out["n"]).round(6)
+    out[["n", "orphans"]] = out[["n", "orphans"]].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)

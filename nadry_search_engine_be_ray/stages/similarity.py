@@ -459,3 +459,73 @@ def pca_top_component(ds, iters: int = 8, round_cov: int = 6):
         nrm = float(np.sqrt((w * w).sum()))
         v = w / nrm
     return v, nrm
+
+
+def sq_topk(ds, queries: np.ndarray, k: int = 5, levels: int = 255):
+    """Scalar-quantized (int8-style) ANN: pass 1 folds per-dimension
+    min/max partials (dim-sized exchange), every batch then quantizes
+    its vectors to ``levels`` uniform codes and scores queries by dot
+    product against DEQUANTIZED codes — the SQ codec every vector store
+    ships next to PQ, here with the same partial-topk/merge skeleton as
+    brute force.  Quantization q = floor((x - min) / step) (clamped to
+    levels) is one double expression an external engine reproduces
+    bit-identically.  Returns (query_id, rank, vec_id, score) with rank
+    on 6-dp-rounded scores, vec_id-asc ties."""
+    from ray.data.aggregate import Max, Min
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, "embedding")
+        dim = x.shape[1]
+        return pa.table({
+            "i": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+            "lo": pa.array(x.min(axis=0), pa.float64()),
+            "hi": pa.array(x.max(axis=0), pa.float64()),
+        })
+
+    mm = (ds.map_batches(minmax_partial, batch_format="pyarrow")
+          .groupby("i")
+          .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+          .to_pandas().sort_values("i"))
+    lo = mm["lo"].to_numpy(np.float64)
+    hi = mm["hi"].to_numpy(np.float64)
+    step = (hi - lo) / levels
+    step = np.where(step == 0, 1.0, step)  # constant dims -> code 0
+    import ray
+
+    ref = ray.put((lo, step, queries.astype(np.float64)))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        lo_b, step_b, q = ray.get(ref)
+        x = _batch_matrix(batch, "embedding")
+        codes = np.minimum(
+            np.floor((x - lo_b) / step_b), levels).astype(np.int64)
+        deq = lo_b + (codes + 0.5) * step_b
+        sims = np.round(deq @ q.T, 6)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            order = np.lexsort((ids, -s))[:k]
+            out_q.extend([qi] * len(order))
+            out_v.extend(ids[order])
+            out_s.extend(s[order])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+            "score": pa.array(np.asarray(out_s, np.float64), pa.float64()),
+        })
+
+    import pandas as pd
+
+    parts = (ds.map_batches(score_partial, batch_format="pyarrow")
+             .to_pandas())
+    outs = []
+    for qi, g in parts.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        outs.append(g)
+    return pa.Table.from_pandas(
+        pd.concat(outs)[["query_id", "rank", "vec_id", "score"]],
+        preserve_index=False)
