@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_map_prune": rel.q_zone_map_prune,
         "kmv_distinct": rel.q_kmv_distinct,
         "orphan_keys": rel.q_orphan_keys,
+        "cumulative_users": rel.q_cumulative_users,
+        "decayed_counts": rel.q_decayed_counts,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
         "adamic_adar": _q_adamic_adar,
@@ -9585,6 +9587,30 @@ def oracle_sql() -> dict[str, str]:
                                          / 281474976710656.0) - exact)
                          / exact, 6) AS rel_error
             FROM st, ex
+        """,
+        "cumulative_users": """
+            WITH f AS (
+                SELECT user_id, event_type,
+                       min(date_trunc('day', ts)) AS day
+                FROM events GROUP BY 1, 2
+            ),
+            h AS (SELECT day, count(*) AS new_pairs FROM f GROUP BY 1)
+            SELECT day, CAST(new_pairs AS BIGINT) AS new_pairs,
+                   CAST(sum(new_pairs) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+            FROM h ORDER BY day
+        """,
+        "decayed_counts": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            mx AS (SELECT max(day) AS md FROM daily)
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+                   round(sum(pow(0.5, date_diff('day', day, md) / 7.0)
+                             * n), 6) AS decayed
+            FROM daily, mx GROUP BY event_type ORDER BY event_type
         """,
         "orphan_keys": """
             SELECT date_trunc('month', o_orderdate) AS month,

@@ -6356,3 +6356,78 @@ def q_orphan_keys(sf_dir: str) -> pd.DataFrame:
     out["orphan_rate"] = (out["orphans"] / out["n"]).round(6)
     out[["n", "orphans"]] = out[["n", "orphans"]].astype("int64")
     return out.sort_values("month").reset_index(drop=True)
+
+
+def q_cumulative_users(sf_dir: str) -> pd.DataFrame:
+    """Running DISTINCT count (cumulative unique (user, event_type)
+    pairs by day — every user is active on day one, so the PAIR curve is
+    the non-degenerate growth metric) — the growth-accounting scan that
+    naive windowing cannot express without re-scanning every prefix.
+    Distributed shape: one groupby computes each pair's FIRST-SEEN day
+    (pair-keyed shuffle), the day histogram of first-seens folds to the
+    driver (O(days)), and the cumulative sum of that histogram IS the
+    running distinct count — linear, no prefix re-scans, the same trick
+    Heaps-law vocabulary growth uses."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"],
+                      "first_day": day})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("first_day", "min")])
+        return _rename_agg(g, {"first_day_min": "first_day"})
+
+    first = (_read(sf_dir, "events", ["user_id", "event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"])
+             .aggregate(Min("first_day", alias_name="first_day"))
+             .to_pandas())
+    hist = (first.groupby("first_day").size()
+            .reset_index(name="new_pairs").sort_values("first_day"))
+    hist["cum_pairs"] = hist["new_pairs"].cumsum()
+    hist[["new_pairs", "cum_pairs"]] = hist[
+        ["new_pairs", "cum_pairs"]].astype("int64")
+    return (hist.rename(columns={"first_day": "day"})
+            .reset_index(drop=True))
+
+
+def q_decayed_counts(sf_dir: str, half_life_days: float = 7.0) -> pd.DataFrame:
+    """Exponentially time-decayed event counters (the streaming 'hot
+    now' statistic): each event contributes 0.5^(age_days / half_life)
+    as of the stream's max day — a closed-form weighted sum, so the
+    distributed fold is exact and order-free: per-batch (type, age-day)
+    partials, then one weighted driver combine over the (type x day)
+    histogram.  Ages are whole days from integer-µs floors; the weight
+    expression 0.5^(age / half_life) is evaluated identically by the
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "day"]).aggregate([("n", "sum")]),
+            {"n_sum": "n"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    max_day = daily["day"].max()
+    age = (max_day - daily["day"]).dt.days.to_numpy(np.float64)
+    w = np.power(0.5, age / half_life_days)
+    daily["wn"] = w * daily["n"].to_numpy(np.float64)
+    out = (daily.groupby("event_type", as_index=False)
+           .agg(n_total=("n", "sum"), decayed=("wn", "sum")))
+    out["decayed"] = out["decayed"].round(6)
+    out["n_total"] = out["n_total"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
