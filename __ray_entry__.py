@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_ordered": _q_proximity_ordered,
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
+        "search_bm25_plus": _q_search_bm25_plus,
         "search_after_page2": _q_search_after,
         "collapse_by_repo": _q_collapse_by_repo,
         "rocchio_feedback": _q_rocchio,
@@ -2118,6 +2119,28 @@ def _q_search_bm25(sf_dir: str):
     qds = ray.data.from_arrow(pa.table({"query": pa.array(qs, pa.string())}))
     out = batch_search(qds, index_dir, mode="bm25", concurrency=2).to_pandas()
     out["score"] = out["score"].round(9)  # same rounding as the SQL oracle
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_search_bm25_plus(sf_dir: str):
+    """BM25+ (Lv & Zhai CIKM'11): per-matched-term lower-bound delta
+    added inside the idf product — fixes plain BM25's long-document tf
+    underflow; engine path = the same TAAT accumulator with scorer
+    'bm25plus', oracle = the generated BM25 SQL with delta = 1.0."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import batch_search
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(pa.table({"query": pa.array(qs, pa.string())}))
+    out = batch_search(qds, index_dir, mode="bm25plus",
+                       concurrency=2).to_pandas()
+    out["score"] = out["score"].round(9)
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
 
@@ -5046,7 +5069,8 @@ def _search_reference_sql() -> str:
 
 
 def _bm25_score_cte(p: dict, live_pred: str | None = None,
-                    tf_source: tuple[str, str] = ("tok.parquet", "tf")) -> str:
+                    tf_source: tuple[str, str] = ("tok.parquet", "tf"),
+                    delta: float = 0.0) -> str:
     """Per-query-plan CTE pair ``bdf{i}, bsc{i}`` computing every
     candidate's exact Okapi-BM25 score over the dumped token tables
     (global df, engine stats.json n_docs/avgdl verbatim, expression tree
@@ -5078,6 +5102,11 @@ def _bm25_score_cte(p: dict, live_pred: str | None = None,
     denom = (f"({tf_expr} + 1.2 * (1 - 0.75 + 0.75 * "
              f"CAST(ds.total_words AS DOUBLE) / "
              f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+    # BM25+ (delta > 0) adds the Lv&Zhai lower bound INSIDE the idf
+    # product; delta == 0 keeps the exact original expression tree
+    sat = f"({tf_expr} * (1.2 + 1)) / {denom}"
+    if delta:
+        sat = f"({sat} + {delta!r})"
     return f"""
         bdf{i} AS (
             SELECT term, count(*) AS df
@@ -5086,7 +5115,7 @@ def _bm25_score_cte(p: dict, live_pred: str | None = None,
         bsc{i} AS (
             SELECT t.doc_int,
                    SUM((CASE t.term {whens} END) * {idf}
-                       * ({tf_expr} * (1.2 + 1)) / {denom}) AS score
+                       * {sat}) AS score
             FROM read_parquet('{D}/{table}') t
             JOIN bdf{i} d ON d.term = t.term
             JOIN read_parquet('{D}/docstats.parquet') ds
@@ -5101,13 +5130,15 @@ def _bm25_term_plans() -> list[dict]:
 
 
 def _search_bm25_sql(live_pred: str | None = None,
-                     tf_source: tuple[str, str] = ("tok.parquet", "tf")) -> str:
-    """Okapi-BM25 top-10 oracle (see _bm25_score_cte)."""
+                     tf_source: tuple[str, str] = ("tok.parquet", "tf"),
+                     delta: float = 0.0) -> str:
+    """Okapi-BM25 top-10 oracle (see _bm25_score_cte); ``delta`` > 0
+    generates the BM25+ variant."""
     ctes: list[str] = []
     selects: list[str] = []
     for p in _bm25_term_plans():
         i = p["qid"]
-        ctes.append(_bm25_score_cte(p, live_pred, tf_source) + f""",
+        ctes.append(_bm25_score_cte(p, live_pred, tf_source, delta) + f""",
         bpg{i} AS (
             SELECT doc_int, score,
                    row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
@@ -8808,6 +8839,7 @@ def oracle_sql() -> dict[str, str]:
         "posting_codec_sizes_dense": _codec_sizes_sql(dense=True),
         "search_reference": _search_reference_sql(),
         "search_bm25_wand": _search_bm25_sql(),
+        "search_bm25_plus": _search_bm25_sql(delta=1.0),
         "search_after_page2": _search_after_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),

@@ -331,7 +331,12 @@ class SearchEngine:
             tf = pl.weights
         else:
             tf = pl.tfs.astype(np.float64)
-        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        sat = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if scorer == "bm25plus":
+            # BM25+ (Lv & Zhai CIKM'11): a lower-bound delta per matched
+            # term fixes BM25's long-document tf underflow
+            return idf * (sat + 1.0)
+        return idf * sat
 
     def all_scores(self, query: str, scorer: str = "additive"):
         """Exact score of EVERY candidate doc: ``(docs, scores)`` sorted by

@@ -53,7 +53,7 @@ class QueryEvalActor:
                 res = self.engine.search_auto(q, int(p), int(s))
                 rows = [(r["doc_id"], r["score"]) for r in res["results"]]
                 total = res["total_results"]
-            elif self.mode in ("bm25", "bm25f"):
+            elif self.mode in ("bm25", "bm25f", "bm25plus"):
                 # TAAT is the fast path at in-memory posting sizes; WAND wins
                 # when lists are disk-resident/huge (kept for that regime and
                 # verified equal in tests).  bm25f scores the stored
