@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_reference": _q_search_reference,
         "search_bm25_wand": _q_search_bm25,
         "search_bm25_plus": _q_search_bm25_plus,
+        "nb_confusion": _q_nb_confusion,
         "search_after_page2": _q_search_after,
         "collapse_by_repo": _q_collapse_by_repo,
         "rocchio_feedback": _q_rocchio,
@@ -1179,6 +1180,61 @@ def _q_naive_bayes(sf_dir: str):
     model = nb_fit(docs, text_col="text", label_col="lang")
     out = nb_classify(docs, model).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_nb_confusion(sf_dir: str):
+    """Classifier evaluation (confusion + precision/recall/F1 per lang)
+    for the Naive-Bayes self-classification: the truth label rides the
+    scoring batch (nb_classify passthrough), per-batch (true, pred)
+    count partials fold in one label-pair groupby — label-pair-sized,
+    never per-doc, on the driver — and the metrics are exact integer
+    ratios.  The oracle extends the full SQL NB recompute with the same
+    confusion aggregation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.classifier import (
+        nb_classify,
+        nb_fit,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    model = nb_fit(docs, text_col="text", label_col="lang")
+    scored = nb_classify(docs, model, passthrough=("lang",))
+
+    def conf_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "true_lang": batch["lang"],
+            "pred_lang": batch["pred_label"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        g = t.group_by(["true_lang", "pred_lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(
+            [c if c != "n_sum" else "n" for c in g.column_names])
+
+    conf = (scored.map_batches(conf_partial, batch_format="pyarrow")
+            .to_pandas().groupby(["true_lang", "pred_lang"], as_index=False)
+            .agg(n=("n", "sum")))
+    langs = sorted(set(conf["true_lang"]) | set(conf["pred_lang"]))
+    rows = []
+    for lab in langs:
+        tp = int(conf.loc[(conf["true_lang"] == lab)
+                          & (conf["pred_lang"] == lab), "n"].sum())
+        n_true = int(conf.loc[conf["true_lang"] == lab, "n"].sum())
+        n_pred = int(conf.loc[conf["pred_lang"] == lab, "n"].sum())
+        p = tp / n_pred if n_pred else 0.0
+        r = tp / n_true if n_true else 0.0
+        f1 = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+        rows.append({"lang": lab, "n_true": n_true, "n_pred": n_pred,
+                     "tp": tp, "precision": round(p, 6),
+                     "recall": round(r, 6), "f1": round(f1, 6)})
+    out = pd.DataFrame(rows)
+    for c in ("n_true", "n_pred", "tp"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
 
 
 def _q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
@@ -10478,4 +10534,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, vec_id, adc_dist FROM ranked
         WHERE rank < 10 ORDER BY query_id, rank
     """
+    # nb_confusion shares the full NB recompute chain and swaps the final
+    # projection for the confusion/precision/recall/F1 aggregation
+    sqls["nb_confusion"] = sqls["naive_bayes"].replace(
+        """SELECT doc_id, lang AS pred_label, round(sc, 4) AS score
+            FROM best WHERE rb = 1 ORDER BY doc_id""",
+        """, conf AS (
+                SELECT d.lang AS true_lang, b.lang AS pred_lang,
+                       count(*) AS n
+                FROM best b JOIN documents d USING (doc_id)
+                WHERE b.rb = 1 GROUP BY 1, 2
+            ),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            m AS (
+                SELECT l.lang,
+                       coalesce((SELECT sum(n) FROM conf
+                                 WHERE true_lang = l.lang), 0) AS n_true,
+                       coalesce((SELECT sum(n) FROM conf
+                                 WHERE pred_lang = l.lang), 0) AS n_pred,
+                       coalesce((SELECT sum(n) FROM conf
+                                 WHERE true_lang = l.lang
+                                   AND pred_lang = l.lang), 0) AS tp
+                FROM langs l
+            ),
+            pr AS (
+                SELECT lang, n_true, n_pred, tp,
+                       CASE WHEN n_pred > 0
+                            THEN CAST(tp AS DOUBLE) / n_pred
+                            ELSE 0.0 END AS p,
+                       CASE WHEN n_true > 0
+                            THEN CAST(tp AS DOUBLE) / n_true
+                            ELSE 0.0 END AS r
+                FROM m
+            )
+            SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_pred AS BIGINT) AS n_pred,
+                   CAST(tp AS BIGINT) AS tp,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(CASE WHEN p + r > 0
+                              THEN 2 * p * r / (p + r)
+                              ELSE 0.0 END, 6) AS f1
+            FROM pr ORDER BY lang""")
+    assert sqls["nb_confusion"] != sqls["naive_bayes"]
     return sqls

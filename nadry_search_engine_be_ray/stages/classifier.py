@@ -213,7 +213,8 @@ def nb_fit(ds, text_col: str = "text", label_col: str = "lang"):
 
 
 def nb_classify(ds, model, text_col: str = "text",
-                id_col: str = "doc_id") -> "pa.Table":
+                id_col: str = "doc_id",
+                passthrough: tuple = ()) -> "pa.Table":
     """Score every document against the broadcast NB model and emit
     (id, pred_label, score): argmax over labels of
     log prior + Σ_tok log P(tok|label), ties broken by label order.
@@ -238,11 +239,14 @@ def nb_classify(ds, model, text_col: str = "text",
             scores[:, j] += np.bincount(doc_pos, weights=per_tok,
                                         minlength=n) + 0.0
         best = np.argmax(scores, axis=1)  # ties -> lowest label index
-        return pa.table({
+        cols = {
             id_col: batch[id_col],
             "pred_label": pa.array(labels[best]),
             "score": pa.array(
                 np.round(scores[np.arange(n), best], 4), pa.float64()),
-        })
+        }
+        for c in passthrough:  # e.g. the truth label for evaluation
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
