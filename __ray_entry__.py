@@ -273,6 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": rel.q_kmv_distinct,
         "orphan_keys": rel.q_orphan_keys,
         "cumulative_users": rel.q_cumulative_users,
+        "geo_harmonic_means": rel.q_geo_harmonic_means,
+        "weighted_median": rel.q_weighted_median,
+        "kaplan_meier": rel.q_kaplan_meier,
+        "hhi_concentration": rel.q_hhi_concentration,
         "decayed_counts": rel.q_decayed_counts,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
@@ -9675,6 +9679,83 @@ def oracle_sql() -> dict[str, str]:
                                          / 281474976710656.0) - exact)
                          / exact, 6) AS rel_error
             FROM st, ex
+        """,
+        "geo_harmonic_means": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(exp(sum(ln(value)) / count(*)), 4) AS geo_mean,
+                   round(count(*) / sum(1.0 / value), 4) AS harm_mean
+            FROM events GROUP BY 1 ORDER BY event_type
+        """,
+        "weighted_median": """
+            WITH o AS (
+                SELECT c.c_mktsegment AS seg,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey AS k
+                FROM orders JOIN customer c ON c_custkey = o_custkey
+            ),
+            w AS (
+                SELECT seg, cents,
+                       sum(cents) OVER (PARTITION BY seg
+                           ORDER BY cents, k
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cents) OVER (PARTITION BY seg) AS total
+                FROM o
+            )
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   min(CASE WHEN 2 * cum >= total THEN cents END) / 100.0
+                       AS wmedian
+            FROM w GROUP BY seg ORDER BY seg
+        """,
+        "kaplan_meier": """
+            WITH u AS (
+                SELECT user_id, event_type,
+                       min(date_trunc('day', ts)) AS lo,
+                       max(date_trunc('day', ts)) AS hi
+                FROM events GROUP BY 1, 2
+            ),
+            mx AS (SELECT max(hi) AS md FROM u),
+            lt AS (
+                SELECT date_diff('day', lo, hi) AS lifetime,
+                       (hi = md) AS cens
+                FROM u, mx
+            ),
+            km AS (
+                SELECT lifetime,
+                       sum(CASE WHEN cens THEN 0 ELSE 1 END) AS d,
+                       sum(CASE WHEN cens THEN 1 ELSE 0 END) AS c
+                FROM lt GROUP BY 1
+            ),
+            r AS (
+                SELECT lifetime, d, c,
+                       (SELECT count(*) FROM lt)
+                           - coalesce(sum(d + c) OVER (ORDER BY lifetime
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS n_risk
+                FROM km
+            ),
+            s AS (
+                SELECT lifetime, d, c, n_risk,
+                       round(exp(sum(CASE WHEN d > 0
+                           THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                           ELSE 0 END) OVER (ORDER BY lifetime
+                           ROWS UNBOUNDED PRECEDING)), 6) AS surv
+                FROM r
+            )
+            SELECT CAST(lifetime AS BIGINT) AS lifetime,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c, surv
+            FROM s WHERE d > 0 ORDER BY lifetime
+        """,
+        "hhi_concentration": """
+            WITH a AS (
+                SELECT event_type, user_id, sum(value) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT event_type, sum(v) AS tot FROM a GROUP BY 1)
+            SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_users,
+                   round(sum(pow(a.v / t.tot, 2)), 6) AS hhi
+            FROM a JOIN t USING (event_type)
+            GROUP BY a.event_type ORDER BY a.event_type
         """,
         "cumulative_users": """
             WITH f AS (

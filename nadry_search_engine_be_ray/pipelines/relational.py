@@ -6431,3 +6431,172 @@ def q_decayed_counts(sf_dir: str, half_life_days: float = 7.0) -> pd.DataFrame:
     out["decayed"] = out["decayed"].round(6)
     out["n_total"] = out["n_total"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_geo_harmonic_means(sf_dir: str) -> pd.DataFrame:
+    """Geometric and harmonic means per event_type — the two non-
+    arithmetic Pythagorean means as distributed aggregates: both reduce
+    to plain SUMS (of ln(x) and 1/x), so the partial-aggregate shuffle
+    is identical to any sum fold and the nonlinearity happens once per
+    group on the driver.  Values are strictly positive in this stream,
+    the precondition both means require."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(v.size, np.int64), pa.int64()),
+            "sum_ln": pa.array(np.log(v), pa.float64()),
+            "sum_inv": pa.array(1.0 / v, pa.float64()),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_ln", "sum"), ("sum_inv", "sum")])
+        return _rename_agg(g, {"n_sum": "n", "sum_ln_sum": "sum_ln",
+                               "sum_inv_sum": "sum_inv"})
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("event_type", as_index=False)
+           .agg(n=("n", "sum"), sum_ln=("sum_ln", "sum"),
+                sum_inv=("sum_inv", "sum")))
+    agg["geo_mean"] = np.round(np.exp(agg["sum_ln"] / agg["n"]), 4)
+    agg["harm_mean"] = np.round(agg["n"] / agg["sum_inv"], 4)
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["event_type", "n", "geo_mean", "harm_mean"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Weighted (lower) median: per market segment, the order total
+    price at which the running o_totalprice-weighted mass first reaches
+    half the segment's total — i.e. each order votes with its own value.
+    Discrete lower-median definition (first row with cumweight >=
+    total/2 under (price, orderkey) order) so both engines pick an
+    actual data value, no interpolation ambiguity.  Low-cardinality
+    segment partition -> per-segment vectorized sort + cumsum."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    order = np.argsort(cust["c_custkey"].to_numpy(np.int64))
+    keys = cust["c_custkey"].to_numpy(np.int64)[order]
+    segs, seg_codes = np.unique(
+        cust["c_mktsegment"].to_numpy()[order], return_inverse=True)
+    ref = ray.put((keys, seg_codes.astype(np.int64), segs))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ks, codes, sg = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        hit, idx = _sorted_lookup(ks, ck)
+        return pa.table({
+            "seg": pa.array(sg[codes[idx[hit]]]),
+            "price": pc.filter(batch["o_totalprice"], pa.array(hit)),
+            "okey": pc.filter(batch["o_orderkey"], pa.array(hit)),
+        })
+
+    def wmedian(group: pa.Table) -> pa.Table:
+        p = group["price"].to_numpy(zero_copy_only=False)
+        k = group["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(p * 100).astype(np.int64)
+        order = np.lexsort((k, cents))
+        cents = cents[order]
+        cum = np.cumsum(cents)
+        total = cum[-1]
+        # first row where 2*cum >= total (integer comparison, no halves)
+        i = int(np.searchsorted(2 * cum, total))
+        return pa.table({
+            "seg": pa.array([group["seg"][0].as_py()], pa.string()),
+            "n": pa.array([p.size], pa.int64()),
+            "wmedian": pa.array([cents[i] / 100.0], pa.float64()),
+        })
+
+    out = (_read(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_totalprice"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby("seg").map_groups(wmedian, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("seg").reset_index(drop=True)
+
+
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival over (user, event_type) engagement
+    lifetimes: lifetime = whole days between a pair's first and last
+    event; pairs still active on the stream's final day are
+    right-censored (per-user lifetimes are degenerate here — every user
+    spans the whole stream — so the pair panel is the informative
+    cohort).  S(t) = prod over event times
+    <= t of (1 - d_i / n_i), computed as exp(sum(ln ..)) so the product
+    is a plain cumulative-sum window in both engines.  The per-user
+    lifetime fold is one user-keyed groupby; the KM table is
+    O(distinct lifetimes)."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"],
+                      "lo": day, "hi": day})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("lo", "min"), ("hi", "max")])
+        return _rename_agg(g, {"lo_min": "lo", "hi_max": "hi"})
+
+    users = (_read(sf_dir, "events", ["user_id", "event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"])
+             .aggregate(Min("lo", alias_name="lo"),
+                        Max("hi", alias_name="hi"))
+             .to_pandas())
+    max_day = users["hi"].max()
+    users["lifetime"] = (users["hi"] - users["lo"]).dt.days
+    users["censored"] = users["hi"] == max_day
+    km = (users.groupby("lifetime")
+          .agg(d=("censored", lambda s: int((~s).sum())),
+               c=("censored", "sum"))
+          .reset_index().sort_values("lifetime"))
+    n_total = len(users)
+    at_risk = n_total - np.concatenate(
+        ([0], np.cumsum((km["d"] + km["c"]).to_numpy())[:-1]))
+    km["n_risk"] = at_risk
+    keep = km["d"] > 0
+    ln_terms = np.where(keep, np.log(1 - km["d"] / km["n_risk"]), 0.0)
+    km["surv"] = np.round(np.exp(np.cumsum(ln_terms)), 6)
+    km = km[keep]
+    for c in ("lifetime", "d", "c", "n_risk"):
+        km[c] = km[c].astype("int64")
+    return (km[["lifetime", "n_risk", "d", "c", "surv"]]
+            .reset_index(drop=True))
+
+
+def q_hhi_concentration(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration of event value across users,
+    per event_type: HHI = sum over users of (user share of the type's
+    total value)^2 — the market-concentration audit of a traffic
+    stream.  Per-(type,user) sums fold inside the one shuffle; shares
+    square on the driver over the (type x user)-sized table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "v": batch["value"],
+        })
+        g = t.group_by(["event_type", "user_id"]).aggregate([("v", "sum")])
+        return _rename_agg(g, {"v_sum": "v"})
+
+    agg = (_read(sf_dir, "events", ["event_type", "user_id", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["event_type", "user_id"], as_index=False)
+           .agg(v=("v", "sum")))
+    rows = []
+    for etype, g in agg.groupby("event_type"):
+        tot = g["v"].sum()
+        sh = g["v"].to_numpy(np.float64) / tot
+        rows.append({
+            "event_type": etype,
+            "n_users": int(len(g)),
+            "hhi": round(float((sh * sh).sum()), 6),
+        })
+    out = pd.DataFrame(rows)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
