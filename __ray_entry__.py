@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": rel.q_weighted_median,
         "kaplan_meier": rel.q_kaplan_meier,
         "hhi_concentration": rel.q_hhi_concentration,
+        "cross_correlation": rel.q_cross_correlation,
+        "blocking_quality": rel.q_blocking_quality,
+        "fd_discovery": rel.q_fd_discovery,
         "decayed_counts": rel.q_decayed_counts,
         "link_pred_cn": _q_link_pred_cn,
         "link_pred_jaccard": _q_link_pred_jaccard,
@@ -9679,6 +9682,100 @@ def oracle_sql() -> dict[str, str]:
                                          / 281474976710656.0) - exact)
                          / exact, 6) AS rel_error
             FROM st, ex
+        """,
+        "cross_correlation": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            di AS (
+                SELECT day, row_number() OVER (ORDER BY day) - 1 AS i
+                FROM (SELECT DISTINCT day FROM daily)
+            ),
+            a AS (
+                SELECT di.i, coalesce(d.n, 0) AS v
+                FROM di LEFT JOIN daily d
+                  ON d.day = di.day AND d.event_type = 'view'
+            ),
+            b AS (
+                SELECT di.i, coalesce(d.n, 0) AS v
+                FROM di LEFT JOIN daily d
+                  ON d.day = di.day AND d.event_type = 'purchase'
+            ),
+            lags AS (SELECT unnest(range(-5, 6)) AS lag),
+            j AS (
+                SELECT l.lag, a.v AS x, b.v AS y
+                FROM lags l JOIN a ON TRUE JOIN b ON b.i = a.i + l.lag
+            ),
+            agg AS (
+                SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy
+                FROM j GROUP BY lag
+            )
+            SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx)
+                                * (n * syy - sy * sy)), 6) AS r
+            FROM agg ORDER BY lag
+        """,
+        "blocking_quality": """
+            WITH nr AS (SELECT count(*) AS n FROM part),
+            bp AS (SELECT sum(c * (c - 1) // 2) AS p FROM (
+                SELECT count(*) AS c FROM part GROUP BY p_brand)),
+            tp AS (SELECT sum(c * (c - 1) // 2) AS p FROM (
+                SELECT count(*) AS c FROM part GROUP BY p_name)),
+            cp AS (SELECT sum(c * (c - 1) // 2) AS p FROM (
+                SELECT count(*) AS c FROM part GROUP BY p_brand, p_name))
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CAST(n * (n - 1) // 2 AS BIGINT) AS all_pairs,
+                   CAST(bp.p AS BIGINT) AS blocked_pairs,
+                   CAST(tp.p AS BIGINT) AS true_dup_pairs,
+                   CAST(cp.p AS BIGINT) AS caught_dup_pairs,
+                   round(1 - CAST(bp.p AS DOUBLE) / (n * (n - 1) // 2), 6)
+                       AS reduction_ratio,
+                   round(CAST(cp.p AS DOUBLE) / tp.p, 6)
+                       AS pair_completeness
+            FROM nr, bp, tp, cp
+        """,
+        "fd_discovery": """
+            WITH all_c AS (
+                SELECT 'customer.c_custkey->c_mktsegment' AS candidate,
+                       count(*) AS n_lhs,
+                       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v
+                FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS k
+                      FROM customer GROUP BY 1)
+                UNION ALL
+                SELECT 'customer.c_nationkey->c_mktsegment', count(*),
+                       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS k
+                      FROM customer GROUP BY 1)
+                UNION ALL
+                SELECT 'orders.o_custkey->o_orderpriority', count(*),
+                       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT o_custkey, count(DISTINCT o_orderpriority)
+                          AS k
+                      FROM orders GROUP BY 1)
+                UNION ALL
+                SELECT 'part.p_name->p_brand', count(*),
+                       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT p_name, count(DISTINCT p_brand) AS k
+                      FROM part GROUP BY 1)
+                UNION ALL
+                SELECT 'part.p_brand->p_name', count(*),
+                       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT p_brand, count(DISTINCT p_name) AS k
+                      FROM part GROUP BY 1)
+                UNION ALL
+                SELECT 'nation.n_nationkey->n_regionkey', count(*),
+                       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS k
+                      FROM nation GROUP BY 1)
+            )
+            SELECT candidate, CAST(n_lhs AS BIGINT) AS n_lhs,
+                   CAST(v AS BIGINT) AS violations, v = 0 AS holds
+            FROM all_c ORDER BY candidate
         """,
         "geo_harmonic_means": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

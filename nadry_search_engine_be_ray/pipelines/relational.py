@@ -6600,3 +6600,141 @@ def q_hhi_concentration(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_cross_correlation(sf_dir: str, type_a: str = "view",
+                        type_b: str = "purchase",
+                        max_lag: int = 5) -> pd.DataFrame:
+    """Cross-correlation function between two event types' daily-count
+    series at lags -max_lag..max_lag (does 'view' volume lead
+    'purchase' volume?): Pearson r over the overlapping day window at
+    each lag, from exact integer daily counts — the lead-lag diagnostic
+    next to the existing single-series autocorrelation.  Daily
+    histograms fold distributed; the O(days x lags) pass is driver-side
+    arithmetic the oracle replays with a self-join on shifted day
+    indices."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": day,
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "day"]).aggregate([("n", "sum")]),
+            {"n_sum": "n"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["event_type", "day"], as_index=False)
+             .agg(n=("n", "sum")))
+    days = sorted(daily["day"].unique())
+    idx = {d: i for i, d in enumerate(days)}
+    a = np.zeros(len(days))
+    b = np.zeros(len(days))
+    for _, r in daily[daily["event_type"] == type_a].iterrows():
+        a[idx[r["day"]]] = r["n"]
+    for _, r in daily[daily["event_type"] == type_b].iterrows():
+        b[idx[r["day"]]] = r["n"]
+    rows = []
+    for lag in range(-max_lag, max_lag + 1):
+        # correlate a[t] with b[t + lag]
+        if lag >= 0:
+            x, y = a[: len(a) - lag], b[lag:]
+        else:
+            x, y = a[-lag:], b[: len(b) + lag]
+        n = float(x.size)
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        rows.append({"lag": lag, "n_days": int(n),
+                     "r": round(float(num / den), 6)})
+    out = pd.DataFrame(rows)
+    out[["lag", "n_days"]] = out[["lag", "n_days"]].astype("int64")
+    return out.sort_values("lag").reset_index(drop=True)
+
+
+def q_blocking_quality(sf_dir: str) -> pd.DataFrame:
+    """Blocking-strategy evaluation (the standard record-linkage
+    metrics): with true duplicates = exact p_name matches anywhere in
+    the part table, brand blocking is scored by reduction ratio
+    RR = 1 - blocked_pairs / all_pairs and pair completeness
+    PC = true-dup pairs caught inside blocks / all true-dup pairs.
+    Everything reduces to count arithmetic over (name), (brand) and
+    (brand, name) group sizes — three distributed count folds, pair
+    counts via C(c,2) sums, no pair materialization anywhere."""
+    from ray.data.aggregate import Sum
+
+    def counts(cols):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols).append_column(
+                "c", pa.array(np.ones(batch.num_rows, np.int64),
+                              pa.int64()))
+            return _rename_agg(
+                t.group_by(cols).aggregate([("c", "sum")]), {"c_sum": "c"})
+
+        return (_read(sf_dir, "part", ["p_brand", "p_name"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(cols)
+                .aggregate(Sum("c", alias_name="c"))
+                .to_pandas())
+
+    def pairs(series) -> int:
+        c = series.to_numpy(np.int64)
+        return int((c * (c - 1) // 2).sum())
+
+    n_rows = int(_read(sf_dir, "part", ["p_brand"]).count())
+    all_pairs = n_rows * (n_rows - 1) // 2
+    blocked_pairs = pairs(counts(["p_brand"])["c"])
+    true_pairs = pairs(counts(["p_name"])["c"])
+    caught_pairs = pairs(counts(["p_brand", "p_name"])["c"])
+    return pd.DataFrame({
+        "n_rows": pd.array([n_rows], dtype="int64"),
+        "all_pairs": pd.array([all_pairs], dtype="int64"),
+        "blocked_pairs": pd.array([blocked_pairs], dtype="int64"),
+        "true_dup_pairs": pd.array([true_pairs], dtype="int64"),
+        "caught_dup_pairs": pd.array([caught_pairs], dtype="int64"),
+        "reduction_ratio": [round(1 - blocked_pairs / all_pairs, 6)],
+        "pair_completeness": [round(caught_pairs / true_pairs, 6)],
+    })
+
+
+def q_fd_discovery(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery over a fixed candidate list
+    (the schema-profiling pass of a data catalog): for each candidate
+    LHS -> RHS, the violation count = number of LHS values mapping to
+    more than one distinct RHS, plus the support (distinct LHS values).
+    Each candidate is one distinct-pair fold then an LHS-keyed distinct
+    count — no row pairs, scales as the key cardinality."""
+    cands = [
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("part", "p_name", "p_brand"),
+        ("part", "p_brand", "p_name"),
+        ("nation", "n_nationkey", "n_regionkey"),
+    ]
+    rows = []
+    for table, lhs, rhs in cands:
+        def partial(batch: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            return batch.select([lhs, rhs]).group_by(
+                [lhs, rhs]).aggregate([])
+
+        pairs = (_read(sf_dir, table, [lhs, rhs])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby([lhs, rhs]).count()
+                 .to_pandas())
+        per_lhs = pairs.groupby(lhs).size()
+        rows.append({
+            "candidate": f"{table}.{lhs}->{rhs}",
+            "n_lhs": int(len(per_lhs)),
+            "violations": int((per_lhs > 1).sum()),
+            "holds": bool((per_lhs <= 1).all()),
+        })
+    out = pd.DataFrame(rows)
+    out[["n_lhs", "violations"]] = out[["n_lhs", "violations"]].astype(
+        "int64")
+    return out.sort_values("candidate").reset_index(drop=True)
