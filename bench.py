@@ -388,6 +388,27 @@ def main() -> None:
     nb_classify(_docs_ds, _model).materialize()
     extra_timings["naive_bayes"] = time.time() - t0
 
+    # --- session-9 additions (also non-headline): the ordered-scan
+    # primitives over the full event stream, then the ER/robust-stats
+    # family ---------------------------------------------------------------
+    from nadry_search_engine_be_ray.pipelines import scan_ops as _scan
+
+    t0 = time.time()
+    _scan.q_rolling_halo(SF_DIR)
+    _scan.q_stream_dedup(SF_DIR)
+    _scan.q_dense_ids(SF_DIR)
+    rel.q_clamped_balance(SF_DIR)
+    rel.q_ts_dod_bits(SF_DIR)
+    extra_timings["scan_ops_extras"] = time.time() - t0
+
+    t0 = time.time()
+    rel.q_hierarchy_rollup(SF_DIR)
+    rel.q_er_blocking(SF_DIR)
+    rel.q_theil_sen(SF_DIR)
+    rel.q_kaplan_meier(SF_DIR)
+    rel.q_cross_correlation(SF_DIR)
+    extra_timings["session9_extras"] = time.time() - t0
+
     ray.shutdown()
 
     from nadry_search_engine_be_ray.benchconst import (
