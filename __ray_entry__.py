@@ -108,11 +108,21 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from nadry_search_engine_be_ray.pipelines import quant_ops as qo
     from nadry_search_engine_be_ray.pipelines import relational as rel
     from nadry_search_engine_be_ray.pipelines import scan_ops as scan
     from nadry_search_engine_be_ray.pipelines import textqueries as tq
 
     out: dict[str, Callable[[str], Any]] = {
+        # quantitative-analytics family (session 10, SQL-checked)
+        "max_drawdown": qo.q_max_drawdown,
+        "vwap_daily": qo.q_vwap_daily,
+        "anova_f": qo.q_anova_f,
+        "mad_outliers": qo.q_mad_outliers,
+        "percentile_interp": qo.q_percentile_interp,
+        "dict_encoding_profile": qo.q_dict_encoding_profile,
+        "decision_stump": qo.q_decision_stump,
+        "double_billing": qo.q_double_billing,
         # relational operator inventory (SQL-checked)
         "agg_pushdown": rel.q_agg_pushdown,
         "broadcast_join": rel.q_broadcast_join,
@@ -5670,11 +5680,224 @@ _INDEX_MERGE_SQL = """
 """
 
 
+def _dict_encoding_sql() -> str:
+    """Per-column dictionary-encoding size model (pipelines/quant_ops.
+    q_dict_encoding_profile): plain = sum UTF-8 bytes, dict = distinct
+    bytes + ceil(n * bit_length(card-1) / 8).  length(bin(x)) IS
+    bit_length(x) for x > 0 (no leading zeros); card <= 1 -> width 0."""
+    from nadry_search_engine_be_ray.pipelines.quant_ops import _DICT_COLS
+
+    parts = []
+    for tbl, col in _DICT_COLS:
+        parts.append(f"""
+            SELECT '{tbl}' AS tbl, '{col}' AS col,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT {col}) AS BIGINT) AS card,
+                   CAST(sum(strlen({col})) AS BIGINT) AS plain_bytes,
+                   CAST((SELECT sum(strlen(v)) FROM
+                            (SELECT DISTINCT {col} AS v FROM {tbl}))
+                        + (count(*) * (CASE
+                               WHEN count(DISTINCT {col}) <= 1 THEN 0
+                               ELSE length(bin(count(DISTINCT {col}) - 1))
+                           END) + 7) // 8 AS BIGINT) AS dict_bytes
+            FROM {tbl}""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        SELECT tbl, col, n, card, plain_bytes, dict_bytes,
+               round(CAST(dict_bytes AS DOUBLE) / plain_bytes, 6) AS ratio
+        FROM ({union}) ORDER BY tbl, col
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
     ws_tok = "string_split_regex(trim(text), '\\s+')"
     ws_list = f"CASE WHEN trim(text) = '' THEN [] ELSE list_filter({ws_tok}, t -> t <> '') END"
     sqls = {
+        "max_drawdown": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+                FROM orders GROUP BY 1
+            )
+            SELECT day, CAST(v AS BIGINT) AS v_cents,
+                   CAST(max(v) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents,
+                   CAST(max(v) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) - v AS BIGINT) AS dd_cents
+            FROM d ORDER BY day
+        """,
+        "vwap_daily": """
+            WITH d AS (
+                SELECT date_trunc('day', l_shipdate) AS day,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_quantity) AS BIGINT)) AS pv,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS q
+                FROM lineitem GROUP BY 1
+            )
+            SELECT day, CAST(q AS BIGINT) AS q_units,
+                   CAST(pv AS BIGINT) AS pv_cents,
+                   CAST((pv * 10000) // q AS BIGINT) AS vwap_micro
+            FROM d ORDER BY day
+        """,
+        "anova_f": """
+            WITH g AS (
+                SELECT event_type,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)) AS ss
+                FROM events GROUP BY 1
+            ),
+            agg AS (
+                SELECT count(*) AS k, sum(n) AS n, sum(s) AS s_tot,
+                       CAST(sum(ss) AS DOUBLE) AS ss_tot,
+                       sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS a
+                FROM g
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   round(((a - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                               / n) / (k - 1))
+                         / ((ss_tot - a) / (n - k)), 4) AS f_stat
+            FROM agg
+        """,
+        "mad_outliers": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            ),
+            m AS (
+                SELECT event_type, max(n) AS n,
+                       sum(CASE WHEN rn = (n + 1) // 2 THEN cents
+                                ELSE 0 END)
+                       + sum(CASE WHEN rn = n // 2 + 1 THEN cents
+                                  ELSE 0 END) AS med2
+                FROM r GROUP BY event_type
+            ),
+            d AS (
+                SELECT c.event_type, abs(2 * c.cents - m.med2) AS d2
+                FROM c JOIN m USING (event_type)
+            ),
+            r2 AS (
+                SELECT event_type, d2,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY d2) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d
+            ),
+            m2 AS (
+                SELECT event_type,
+                       sum(CASE WHEN rn = (n + 1) // 2 THEN d2 ELSE 0 END)
+                       + sum(CASE WHEN rn = n // 2 + 1 THEN d2
+                             ELSE 0 END) AS mad4
+                FROM r2 GROUP BY event_type
+            ),
+            o AS (
+                SELECT d.event_type, count(*) AS n_out
+                FROM d JOIN m2 USING (event_type)
+                WHERE 4 * d.d2 > 3 * m2.mad4
+                GROUP BY d.event_type
+            )
+            SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+                   CAST(m.med2 AS BIGINT) AS med_x2_cents,
+                   CAST(m2.mad4 AS BIGINT) AS mad_x4_cents,
+                   CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers
+            FROM m JOIN m2 USING (event_type)
+            LEFT JOIN o USING (event_type)
+            ORDER BY m.event_type
+        """,
+        "percentile_interp": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            )
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN rn = (n - 1) * 1 // 4 + 1
+                        THEN (4 - (n - 1) * 1 % 4) * cents ELSE 0 END)
+                   + sum(CASE WHEN rn = least((n - 1) * 1 // 4 + 2, n)
+                        THEN ((n - 1) * 1 % 4) * cents ELSE 0 END)
+                        AS BIGINT) AS p25_x4_cents,
+                   CAST(sum(CASE WHEN rn = (n - 1) * 2 // 4 + 1
+                        THEN (4 - (n - 1) * 2 % 4) * cents ELSE 0 END)
+                   + sum(CASE WHEN rn = least((n - 1) * 2 // 4 + 2, n)
+                        THEN ((n - 1) * 2 % 4) * cents ELSE 0 END)
+                        AS BIGINT) AS p50_x4_cents,
+                   CAST(sum(CASE WHEN rn = (n - 1) * 3 // 4 + 1
+                        THEN (4 - (n - 1) * 3 % 4) * cents ELSE 0 END)
+                   + sum(CASE WHEN rn = least((n - 1) * 3 // 4 + 2, n)
+                        THEN ((n - 1) * 3 % 4) * cents ELSE 0 END)
+                        AS BIGINT) AS p75_x4_cents
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "decision_stump": """
+            WITH h AS (
+                SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS thr,
+                       count(*) AS c,
+                       sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                                ELSE 0 END) AS p
+                FROM orders GROUP BY 1
+            ),
+            t AS (SELECT sum(c) AS n, sum(p) AS pos FROM h),
+            cum AS (
+                SELECT thr,
+                       sum(c) OVER (ORDER BY thr
+                           ROWS UNBOUNDED PRECEDING) AS nl,
+                       sum(p) OVER (ORDER BY thr
+                           ROWS UNBOUNDED PRECEDING) AS pl
+                FROM h
+            ),
+            e AS (
+                SELECT thr, nl, pl,
+                       least(pl, nl - pl)
+                       + least(t.pos - pl,
+                               (t.n - nl) - (t.pos - pl)) AS errors
+                FROM cum, t
+            )
+            SELECT CAST(thr AS BIGINT) AS thr, CAST(nl AS BIGINT) AS n_left,
+                   CAST(pl AS BIGINT) AS pos_left,
+                   CAST(errors AS BIGINT) AS errors,
+                   (errors = (SELECT min(errors) FROM e)
+                    AND thr = (SELECT min(thr) FROM e e2
+                               WHERE e2.errors =
+                                     (SELECT min(errors) FROM e)))
+                       AS is_best
+            FROM e ORDER BY thr
+        """,
+        "dict_encoding_profile": _dict_encoding_sql(),
+        "double_billing": """
+            WITH o AS (
+                SELECT o_custkey, o_orderkey AS k,
+                       date_trunc('day', o_orderdate) AS d,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT a.o_custkey, least(a.k, b.k) AS k1,
+                   greatest(a.k, b.k) AS k2,
+                   CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT)
+                       AS gap_days,
+                   CAST(abs(a.cents - b.cents) AS BIGINT)
+                       AS price_diff_cents
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey AND a.k < b.k
+             AND abs(date_diff('day', a.d, b.d)) <= 7
+            ORDER BY a.o_custkey, k1, k2
+        """,
         "agg_pushdown": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,428 @@
+"""Quantitative-analytics operators (SURVEY §2.9 extensions, session 10).
+
+Eight operators over the TPC-H-ish tables sharing two scale disciplines
+the rest of the repo established:
+
+- **Exact integers through the shuffle.**  Money flows as BIGINT cents,
+  medians/percentiles as doubled (x2 / x4) integers so the interpolation
+  arithmetic never leaves the integer domain, and outlier predicates are
+  cross-multiplied into pure integer comparisons — the cross-engine
+  float-parity lessons from ROUND_NOTES applied from the start.
+- **Driver pulls bounded by DOMAIN, not rows.**  The median/percentile
+  family folds to a (event_type x distinct-cents) histogram first — the
+  value domain is bounded (cents of a bounded metric), so the driver
+  table is O(distinct cents) regardless of corpus size, the same
+  contract weighted_median and kaplan_meier rely on.  Day-keyed series
+  (drawdown, VWAP) are O(calendar days).
+
+The reference engine (nadry) has no analytics operators; these are
+training-corpus/warehouse additions in the spirit the brief asks for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _fused_parts, _read, _rename_agg
+
+_DAY_US = 86_400_000_000
+
+
+def _cents_histogram(sf_dir: str) -> pd.DataFrame:
+    """(event_type, cents) -> count histogram of events.value in integer
+    cents.  Distributed partial-aggregate fold; the driver table is
+    bounded by the value DOMAIN (distinct cents), not the row count."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cents": pa.array(cents, pa.int64()),
+            "cnt": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "cents"]).aggregate([("cnt", "sum")]),
+            {"cnt_sum": "cnt"})
+
+    return (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+
+def _hist_rank_pick(vals: np.ndarray, cum: np.ndarray, rank0: int) -> int:
+    """Value at 0-based rank ``rank0`` of the expanded sorted multiset
+    described by (sorted values, cumulative counts)."""
+    return int(vals[int(np.searchsorted(cum, rank0, side="right"))])
+
+
+def q_max_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Per-day revenue drawdown: daily order totals (BIGINT cents) as the
+    value series ordered by day, running peak = prefix max, drawdown =
+    peak - value.  The distributed fold is one day-keyed partial-sum
+    groupby (O(calendar days) to the driver, the ohlc_daily/ewma_daily
+    contract); the prefix max is a driver scan over that bounded series.
+    All-integer output — no quotient ever rounds."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"day": day, "v": pa.array(cents, pa.int64())})
+        return _rename_agg(t.group_by(["day"]).aggregate([("v", "sum")]),
+                           {"v_sum": "v"})
+
+    daily = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("v", alias_name="v"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    v = daily["v"].to_numpy(np.int64)
+    peak = np.maximum.accumulate(v)
+    return pd.DataFrame({
+        "day": daily["day"],
+        "v_cents": v,
+        "peak_cents": peak,
+        "dd_cents": peak - v,
+    })
+
+
+def q_vwap_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily volume-weighted average price over lineitem (ship-date day):
+    vwap = sum(price x qty) / sum(qty).  Both numerator and denominator
+    are exact BIGINT partial sums (cents x whole units); VWAP itself is
+    reported as FLOOR-divided micro-dollars (pv * 10000 // q) because
+    the rounded quotient lands exactly on the .5e-6 half-rounding
+    boundary whenever q is a power of two — the numpy-half-even vs
+    SQL-half-away trap ROUND_NOTES documents.  (pv * 10000 stays inside
+    int64 up to ~9e14 daily cents; beyond that, promote to object ints
+    on the driver.)"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["l_shipdate"], unit="day"),
+                      pa.timestamp("us"))
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = np.round(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table({
+            "day": day,
+            "pv": pa.array(cents * qty, pa.int64()),
+            "q": pa.array(qty, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["day"]).aggregate([("pv", "sum"), ("q", "sum")]),
+            {"pv_sum": "pv", "q_sum": "q"})
+
+    daily = (_read(sf_dir, "lineitem",
+                   ["l_shipdate", "l_extendedprice", "l_quantity"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Sum("pv", alias_name="pv"), Sum("q", alias_name="q"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    pv = daily["pv"].to_numpy(np.int64)
+    q = daily["q"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "day": daily["day"],
+        "q_units": q,
+        "pv_cents": pv,
+        "vwap_micro": (pv * 10000) // q,
+    })
+
+
+def q_anova_f(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F statistic for events.value (cents) across
+    event_type groups.  The distributed fold ships only per-group
+    (n, sum, sum-of-squares) integer partials — exact through the
+    shuffle; the sums-of-squares decomposition runs once on the driver
+    with the same double op order the oracle writes (CAST(s)*CAST(s)/n,
+    never pow, never HUGEINT-then-cast), so the pre-round doubles agree
+    to the ulp-of-accumulation and round(F, 4) is stable."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            "s": pa.array(cents, pa.int64()),
+            "ss": pa.array(cents * cents, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type"]).aggregate(
+                [("n", "sum"), ("s", "sum"), ("ss", "sum")]),
+            {"n_sum": "n", "s_sum": "s", "ss_sum": "ss"})
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                    Sum("ss", alias_name="ss"))
+         .to_pandas().sort_values("event_type"))
+    n_g = g["n"].to_numpy(np.int64)
+    s_g = g["s"].to_numpy(np.float64)
+    k = len(g)
+    n = int(n_g.sum())
+    s_tot = float(g["s"].to_numpy(np.int64).sum())
+    ss_tot_c = float(g["ss"].to_numpy(np.int64).sum())
+    a = float(np.sum(s_g * s_g / n_g))
+    ssb = a - s_tot * s_tot / n
+    ssw = ss_tot_c - a
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return pd.DataFrame({
+        "k": pd.array([k], dtype="int64"),
+        "n": pd.array([n], dtype="int64"),
+        "f_stat": [round(f, 4)],
+    })
+
+
+def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per event_type with an all-integer
+    outlier rule.  Median and MAD are reported DOUBLED (med_x2_cents =
+    lower+upper middle cents; mad_x4_cents doubles the doubled
+    deviations |2c - med2|), so even-count medians never hit the
+    half-rounding boundary DuckDB and numpy disagree on.  A row is an
+    outlier iff |c - median| > 3 MAD, cross-multiplied to the integer
+    test 4|2c - med2| > 3 mad4.  Everything folds through the bounded
+    (event_type x cents) histogram — the driver never sees rows."""
+    hist = _cents_histogram(sf_dir)
+    rows = []
+    for et, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64)
+        cnt = sub["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        med2 = (_hist_rank_pick(vals, cum, (n - 1) // 2)
+                + _hist_rank_pick(vals, cum, n // 2))
+        d2 = np.abs(2 * vals - med2)
+        order = np.argsort(d2, kind="stable")
+        dvals, dcnt = d2[order], cnt[order]
+        # merge equal deviations (two cents values can fold to one dev)
+        uvals, inv = np.unique(dvals, return_inverse=True)
+        ucnt = np.bincount(inv, weights=dcnt).astype(np.int64)
+        dcum = np.cumsum(ucnt)
+        mad4 = (_hist_rank_pick(uvals, dcum, (n - 1) // 2)
+                + _hist_rank_pick(uvals, dcum, n // 2))
+        n_out = int(cnt[4 * d2 > 3 * mad4].sum())
+        rows.append((et, n, med2, mad4, n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "med_x2_cents",
+                                      "mad_x4_cents", "n_outliers"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_percentile_interp(sf_dir: str) -> pd.DataFrame:
+    """Linearly interpolated quartiles (percentile_cont semantics) per
+    event_type, reported as x4 integers: at q = k/4 the interpolation
+    position h = (n-1)k/4 has a fractional part in {0, 1/4, 1/2, 3/4},
+    so 4x the interpolated value — v_lo(4-r) + v_next r with r = (n-1)k
+    mod 4 — is an exact BIGINT in both engines.  Same bounded histogram
+    fold as the MAD operator."""
+    hist = _cents_histogram(sf_dir)
+    rows = []
+    for et, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64)
+        cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        px4 = []
+        for kq in (1, 2, 3):
+            idx = (n - 1) * kq
+            lo, r = idx // 4, idx % 4
+            v_lo = _hist_rank_pick(vals, cum, lo)
+            v_next = _hist_rank_pick(vals, cum, min(lo + 1, n - 1))
+            px4.append(v_lo * (4 - r) + v_next * r)
+        rows.append((et, n, *px4))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "p25_x4_cents",
+                                      "p50_x4_cents", "p75_x4_cents"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_DICT_COLS = [
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("documents", "lang"),
+    ("documents", "source"),
+]
+
+
+def q_dict_encoding_profile(sf_dir: str) -> pd.DataFrame:
+    """Dictionary-encoding size model per low-cardinality string column
+    (the Parquet/Arrow dict-encode decision, made measurable): plain =
+    sum of UTF-8 byte lengths; dict = distinct-value bytes + ceil(n x
+    bit_width / 8) with bit_width = bit_length(card - 1).  Per column:
+    one partial fold for (n, plain bytes) fused with a distinct-value
+    groupby whose driver table is O(card) — the profile the zone-map /
+    Z-order / front-coding layout family reads before choosing an
+    encoding."""
+    from ray.data.aggregate import Sum
+
+    rows = []
+    for tbl, col in _DICT_COLS:
+        ds = _read(sf_dir, tbl, [col])
+
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            t = pa.table({
+                "v": batch[col],
+                "b": pc.cast(pc.binary_length(batch[col]), pa.int64()),
+                "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            })
+            return _rename_agg(
+                t.group_by(["v"]).aggregate([("b", "sum"), ("c", "sum")]),
+                {"b_sum": "b", "c_sum": "c"})
+
+        d = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("v")
+             .aggregate(Sum("b", alias_name="b"), Sum("c", alias_name="c"))
+             .to_pandas())
+        n = int(d["c"].sum())
+        plain = int(d["b"].sum())
+        card = len(d)
+        dict_data = int(sum(len(v.encode()) for v in d["v"]))
+        w = (card - 1).bit_length() if card > 1 else 0
+        dict_bytes = dict_data + (n * w + 7) // 8
+        rows.append((tbl, col, n, card, plain, dict_bytes,
+                     round(dict_bytes / plain, 6)))
+    out = pd.DataFrame(rows, columns=["tbl", "col", "n", "card",
+                                      "plain_bytes", "dict_bytes", "ratio"])
+    for c in ("n", "card", "plain_bytes", "dict_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["tbl", "col"]).reset_index(drop=True)
+
+
+def q_decision_stump(sf_dir: str) -> pd.DataFrame:
+    """Decision-stump training by exact misclassification count:
+    feature = floor(o_totalprice / 1000), label = (o_orderstatus = 'F');
+    for every threshold t the stump "left if feature <= t" errs
+    min(pos_l, neg_l) + min(pos_r, neg_r) times — an INTEGER criterion,
+    so the argmin (ties to the smallest threshold) is exactly comparable
+    across engines, unlike Gini/entropy doubles.  The distributed part
+    is one (bucket -> pos, cnt) histogram shuffle; the error curve and
+    argmin are O(buckets) driver arithmetic — the split-finding shape of
+    a distributed GBDT layer."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        thr = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) / 1000.0
+        ).astype(np.int64)
+        pos = (batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+               == "F").astype(np.int64)
+        t = pa.table({
+            "thr": pa.array(thr, pa.int64()),
+            "c": pa.array(np.ones(len(thr), np.int64), pa.int64()),
+            "p": pa.array(pos, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["thr"]).aggregate([("c", "sum"), ("p", "sum")]),
+            {"c_sum": "c", "p_sum": "p"})
+
+    h = (_read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("thr")
+         .aggregate(Sum("c", alias_name="c"), Sum("p", alias_name="p"))
+         .to_pandas().sort_values("thr").reset_index(drop=True))
+    nl = np.cumsum(h["c"].to_numpy(np.int64))
+    pl = np.cumsum(h["p"].to_numpy(np.int64))
+    n, pos = int(nl[-1]), int(pl[-1])
+    pr, nr = pos - pl, (n - nl) - (pos - pl)
+    errors = np.minimum(pl, nl - pl) + np.minimum(pr, nr)
+    best = errors.min()
+    best_thr = h["thr"].to_numpy(np.int64)[errors == best].min()
+    return pd.DataFrame({
+        "thr": h["thr"].astype("int64"),
+        "n_left": nl,
+        "pos_left": pl,
+        "errors": errors,
+        "is_best": (errors == best) & (h["thr"].to_numpy(np.int64)
+                                       == best_thr),
+    })
+
+
+def q_double_billing(sf_dir: str, gap_days: int = 7) -> pd.DataFrame:
+    """Duplicate-payment audit: pairs of orders by the same customer
+    placed within ``gap_days`` of each other (amounts here are uniform
+    over a wide range, so the date band is the informative blocking key;
+    a production run would band on amount too — the emitted
+    price_diff_cents column is that refinement's input).  Fused customer
+    partitions; within a partition one composite-key (cust << 24 | day)
+    sort makes the banded self-join a single searchsorted sweep — the
+    er_blocking band contract, quadratic only inside a customer's
+    gap window."""
+    n_parts = _fused_parts(sf_dir, "orders")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return batch.append_column(
+            "part", pa.array(ck % n_parts, pa.int64()))
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
+        ck = group["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        key = group["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        day = (group["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        cents = np.round(
+            group["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day -= day.min()
+        assert int(day.max()) < (1 << 24), "day span exceeds composite key"
+        comp = (ck << 24) | day
+        order = np.lexsort((key, comp))
+        comp, ck, key, day, cents = (comp[order], ck[order], key[order],
+                                     day[order], cents[order])
+        idx = np.arange(len(comp))
+        hi = np.searchsorted(comp, comp + gap_days, side="right")
+        cnt = hi - idx - 1
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "k1": pa.array([], pa.int64()),
+                "k2": pa.array([], pa.int64()),
+                "gap_days": pa.array([], pa.int64()),
+                "price_diff_cents": pa.array([], pa.int64()),
+            })
+        i = np.repeat(idx, cnt)
+        j = i + (np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)) + 1
+        k1 = np.minimum(key[i], key[j])
+        k2 = np.maximum(key[i], key[j])
+        return pa.table({
+            "o_custkey": pa.array(ck[i], pa.int64()),
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+            "gap_days": pa.array(day[j] - day[i], pa.int64()),
+            "price_diff_cents": pa.array(np.abs(cents[i] - cents[j]),
+                                         pa.int64()),
+        })
+
+    out = (_read(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(pairs_partition, batch_format="pyarrow")
+           .to_pandas())
+    return (out.sort_values(["o_custkey", "k1", "k2"])
+            .reset_index(drop=True))

@@ -1,0 +1,200 @@
+"""Brute-force reference tests for the quantitative-analytics family
+(pipelines/quant_ops): drawdown prefix scan, VWAP floor division, ANOVA
+sums-of-squares decomposition, histogram-ranked MAD / interpolated
+percentiles, dictionary-encoding size model, misclassification-count
+decision stump and the banded double-billing self-join.  Each pins the
+distributed implementation against an independent little-python
+recomputation over the raw parquet (the driver's DuckDB oracles
+hash-check the same keys at sf0.01)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def _orders():
+    return pq.read_table(f"{SF}/orders.parquet").to_pandas()
+
+
+def test_max_drawdown_prefix_scan(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_max_drawdown
+
+    out = q_max_drawdown(SF)
+    o = _orders()
+    o["day"] = o["o_orderdate"].dt.floor("D")
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = o.groupby("day")["cents"].sum().sort_index()
+    peak = daily.cummax()
+    assert out["day"].tolist() == list(daily.index)
+    assert out["v_cents"].tolist() == daily.tolist()
+    assert out["peak_cents"].tolist() == peak.tolist()
+    assert (out["dd_cents"] == out["peak_cents"] - out["v_cents"]).all()
+    assert (out["dd_cents"] >= 0).all()
+    # the max drawdown itself is consistent with a brute double loop
+    v = daily.to_numpy()
+    brute = max(int(v[:i + 1].max() - v[i]) for i in range(len(v)))
+    assert int(out["dd_cents"].max()) == brute
+
+
+def test_vwap_floor_division(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_vwap_daily
+
+    out = q_vwap_daily(SF)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_quantity"]).to_pandas()
+    li["day"] = li["l_shipdate"].dt.floor("D")
+    li["pv"] = (np.round(li["l_extendedprice"] * 100).astype(np.int64)
+                * np.round(li["l_quantity"]).astype(np.int64))
+    li["q"] = np.round(li["l_quantity"]).astype(np.int64)
+    g = li.groupby("day")[["pv", "q"]].sum().sort_index()
+    assert out["pv_cents"].tolist() == g["pv"].tolist()
+    assert out["q_units"].tolist() == g["q"].tolist()
+    # exact integer floor of the true rational VWAP in micro-dollars
+    for pv, q, m in zip(g["pv"], g["q"], out["vwap_micro"]):
+        assert int(m) == (int(pv) * 10000) // int(q)
+
+
+def test_anova_f_against_direct_decomposition(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_anova_f
+
+    out = q_anova_f(SF)
+    ev = _events()
+    cents = np.round(ev["value"] * 100).astype(np.int64)
+    groups = [cents[ev["event_type"] == t].to_numpy()
+              for t in sorted(ev["event_type"].unique())]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert int(out["k"][0]) == k and int(out["n"][0]) == n
+    assert float(out["f_stat"][0]) == pytest.approx(round(f_ref, 4),
+                                                    abs=1e-9)
+
+
+def test_mad_doubled_integers_match_numpy(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_mad_outliers
+
+    out = q_mad_outliers(SF).set_index("event_type")
+    ev = _events()
+    for t, sub in ev.groupby("event_type"):
+        c = np.round(sub["value"] * 100).astype(np.int64).to_numpy()
+        med = np.median(c)
+        assert int(out.loc[t, "med_x2_cents"]) == int(round(2 * med))
+        d2 = np.abs(2 * c - int(round(2 * med)))
+        assert int(out.loc[t, "mad_x4_cents"]) == int(round(2 * np.median(d2)))
+        mad4 = int(out.loc[t, "mad_x4_cents"])
+        assert int(out.loc[t, "n_outliers"]) == int((4 * d2 > 3 * mad4).sum())
+        assert int(out.loc[t, "n"]) == len(c)
+
+
+def test_percentile_x4_matches_numpy_linear(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_percentile_interp,
+    )
+
+    out = q_percentile_interp(SF).set_index("event_type")
+    ev = _events()
+    for t, sub in ev.groupby("event_type"):
+        c = np.round(sub["value"] * 100).astype(np.int64).to_numpy()
+        for q, col in [(25, "p25_x4_cents"), (50, "p50_x4_cents"),
+                       (75, "p75_x4_cents")]:
+            ref = np.percentile(c, q, method="linear")
+            assert abs(int(out.loc[t, col]) / 4.0 - ref) < 1e-9, (t, q)
+
+
+def test_dict_encoding_formula(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        _DICT_COLS,
+        q_dict_encoding_profile,
+    )
+
+    out = q_dict_encoding_profile(SF).set_index(["tbl", "col"])
+    for tbl, col in _DICT_COLS:
+        s = pq.read_table(f"{SF}/{tbl}.parquet", columns=[col]).to_pandas()[col]
+        n, card = len(s), s.nunique()
+        plain = int(s.str.len().sum())  # ASCII corpus: chars == bytes
+        w = (card - 1).bit_length() if card > 1 else 0
+        dict_bytes = int(s.drop_duplicates().str.len().sum()) + (n * w + 7) // 8
+        row = out.loc[(tbl, col)]
+        assert (int(row["n"]), int(row["card"])) == (n, card)
+        assert int(row["plain_bytes"]) == plain
+        assert int(row["dict_bytes"]) == dict_bytes
+
+
+def test_decision_stump_brute_force(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_decision_stump
+
+    out = q_decision_stump(SF)
+    o = _orders()
+    thr = np.floor(o["o_totalprice"] / 1000.0).astype(np.int64)
+    pos = (o["o_orderstatus"] == "F").astype(np.int64)
+    n, p_tot = len(o), int(pos.sum())
+    best = None
+    for t in sorted(thr.unique()):
+        left = thr <= t
+        pl, nl = int(pos[left].sum()), int(left.sum())
+        pr, nr = p_tot - pl, (n - nl) - (p_tot - pl)
+        err = min(pl, nl - pl) + min(pr, nr)
+        row = out[out["thr"] == t].iloc[0]
+        assert (int(row["n_left"]), int(row["pos_left"]),
+                int(row["errors"])) == (nl, pl, err)
+        if best is None or err < best[0]:
+            best = (err, t)
+    marked = out[out["is_best"]]
+    assert len(marked) == 1
+    assert (int(marked["errors"].iloc[0]),
+            int(marked["thr"].iloc[0])) == best
+
+
+def test_double_billing_brute_pairs(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_double_billing
+
+    out = q_double_billing(SF)
+    o = _orders()
+    o["day"] = (o["o_orderdate"].to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    ref = set()
+    gaps = {}
+    for _, grp in o.groupby("o_custkey"):
+        rows = grp[["o_orderkey", "day", "cents"]].to_numpy()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if abs(int(rows[i][1] - rows[j][1])) <= 7:
+                    k1, k2 = sorted((int(rows[i][0]), int(rows[j][0])))
+                    ref.add(k1 * 10**9 + k2)
+                    gaps[(k1, k2)] = (
+                        abs(int(rows[i][1] - rows[j][1])),
+                        abs(int(rows[i][2] - rows[j][2])))
+    got = set(out["k1"].to_numpy(np.int64) * 10**9
+              + out["k2"].to_numpy(np.int64))
+    assert got == ref and len(out) == len(ref)
+    for _, r in out.iterrows():
+        g, pdiff = gaps[(int(r["k1"]), int(r["k2"]))]
+        assert (int(r["gap_days"]), int(r["price_diff_cents"])) == (g, pdiff)
+
+
+def test_mad_histogram_path_is_row_free(ray_session):
+    """The MAD/percentile family folds through the bounded cents
+    histogram — its driver table must be <= distinct (type, cents)
+    pairs, never the row count."""
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        _cents_histogram,
+    )
+
+    hist = _cents_histogram(SF)
+    ev = _events()
+    distinct = (ev.assign(c=np.round(ev["value"] * 100).astype(np.int64))
+                .groupby(["event_type", "c"]).size())
+    assert len(hist) == len(distinct)
+    assert int(hist["cnt"].sum()) == len(ev)
