@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": _q_adamic_adar,
         "trigram_substring_search": tq.trigram_substring_search,
         "bfs_depths": _q_bfs_depths,
+        "closeness_centrality": _q_closeness,
+        "reciprocity": _q_reciprocity,
+        "item_cf_topk": qo.q_item_cf_topk,
+        "permuterm_wildcard": _q_permuterm,
         "scc_seeded": _q_scc_seeded,
         "sssp_fixed": _q_sssp_fixed,
         "luby_mis": _q_luby_mis,
@@ -2936,6 +2940,134 @@ def _q_bfs_depths(sf_dir: str):
     return bfs_depths(edges, source=0, n_rounds=4).to_pandas()
 
 
+def _q_closeness(sf_dir: str):
+    """Bounded-radius closeness centrality for 5 fixed seeds
+    ((97*i) % n, i = 0..4) over the quadratic skewed link graph — ONE
+    simultaneous multi-source BFS (pipelines/pagerank.
+    multi_bfs_closeness, 4 rounds, shared edge materialization), exact
+    integer micro-ratio; the oracle unrolls a per-seed frontier/visited
+    CTE chain."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        multi_bfs_closeness,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    seeds = [(97 * i) % n for i in range(5)]
+    return multi_bfs_closeness(edges, seeds, n_rounds=4).to_pandas()
+
+
+def _q_reciprocity(sf_dir: str):
+    """Edge reciprocity of the DIRECTED linear link graph, bucketed by
+    src % 32: per bucket the count of distinct directed edges and of
+    edges whose reverse also exists.  The pure linear rule is a
+    permutation family with NO mutual pairs on this node count, so the
+    graph also plants the REVERSE of every 5th source's k=1 edge —
+    deterministic, reproduced by the oracle — making reciprocity
+    nontrivial.  Distributed shape: distinct-edge
+    groupby -> (lo, hi) pair groupby whose count IS the direction count
+    (rows are distinct) -> mutual pairs emit one row per direction's
+    source bucket; the driver sees only the 32-row histograms."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * 31 + ks * 97) % n
+        # planted reciprocal edges: reverse of the k=1 edge for every
+        # 5th source (the linear rule alone has no mutual pairs here)
+        fifth = ids[ids % 5 == 0]
+        rsrc = (fifth * 31 + 97) % n
+        src = np.concatenate([src, rsrc])
+        dst = np.concatenate([dst, fifth])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep], pa.int64()),
+             "dst": pa.array(dst[keep], pa.int64())}
+        )
+
+    edges = (docs.map_batches(mk_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .select_columns(["src", "dst"])
+             .materialize())
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(s % 32, pa.int64())})
+
+    n_edges = (edges.map_batches(bucket_partial, batch_format="pyarrow")
+               .groupby("bucket").count().to_pandas()
+               .rename(columns={"count()": "n_edges"}))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lo": pa.array(np.minimum(s, d), pa.int64()),
+                         "hi": pa.array(np.maximum(s, d), pa.int64())})
+
+    def mutual_buckets(batch: pa.Table) -> pa.Table:
+        nd = batch["count()"].to_numpy(zero_copy_only=False)
+        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = nd == 2  # rows are distinct directed edges: count == #dirs
+        b = np.concatenate([lo[m] % 32, hi[m] % 32])
+        return pa.table({"bucket": pa.array(b, pa.int64())})
+
+    n_recip = (edges.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["lo", "hi"]).count()
+               .map_batches(mutual_buckets, batch_format="pyarrow")
+               .groupby("bucket").count().to_pandas()
+               .rename(columns={"count()": "n_recip"}))
+    if "bucket" not in n_recip.columns:  # graph with zero mutual pairs
+        n_recip = pd.DataFrame({"bucket": pd.array([], dtype="int64"),
+                                "n_recip": pd.array([], dtype="int64")})
+    out = n_edges.merge(n_recip, on="bucket", how="left")
+    out["n_recip"] = out["n_recip"].fillna(0).astype("int64")
+    out["n_edges"] = out["n_edges"].astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _q_permuterm(sf_dir: str):
+    """Wildcard lookup through the PERMUTERM rotation index (build-time
+    term-rotation explode sorted by rotation; a%b answered by ONE
+    [b$a, b$a+1) prefix range scan with parquet pushdown); oracle is the
+    SAME LIKE recompute as wildcard_terms, so the rotation lookup's
+    soundness is hash-checked against the stream scan."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        wildcard_terms_permuterm,
+    )
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return wildcard_terms_permuterm(index_dir, _WILDCARDS)
+
+
 def _q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient over the quadratic skewed
     link graph (pipelines/pagerank.clustering_coeff — degree-oriented
@@ -3327,6 +3459,61 @@ def _bfs_sql(rounds: int = 4) -> str:
     return "WITH " + ",".join(parts) + f"""
         SELECT node, depth FROM v{rounds} ORDER BY node
     """
+
+
+def _closeness_sql(rounds: int = 4, n_seeds: int = 5) -> str:
+    """Per-seed unrolled BFS chains (the _bfs_sql pattern, one chain per
+    seed (97*i) %% n) folded to bounded-radius closeness; the integer
+    micro-ratio (n_reached-1)*10^6 // sum_depth mirrors
+    multi_bfs_closeness exactly."""
+    parts = ["""
+        raw AS MATERIALIZED (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id * 31 + k * 97) %
+                       (SELECT count(*) FROM documents) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        )""", """
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )""", """
+        adj AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION ALL SELECT v, u FROM e0
+        )"""]
+    for i in range(n_seeds):
+        seed = f"(97 * {i}) % (SELECT count(*) FROM documents)"
+        parts.append(f"""
+        s{i}v0 AS MATERIALIZED (SELECT {seed} AS node, 0 AS depth)""")
+        parts.append(f"""
+        s{i}f0 AS MATERIALIZED (SELECT node FROM s{i}v0)""")
+        for r in range(1, rounds + 1):
+            parts.append(f"""
+        s{i}f{r} AS MATERIALIZED (
+            SELECT DISTINCT adj.b AS node
+            FROM adj JOIN s{i}f{r - 1} f ON adj.a = f.node
+            WHERE adj.b NOT IN (SELECT node FROM s{i}v{r - 1})
+        )""")
+            parts.append(f"""
+        s{i}v{r} AS MATERIALIZED (
+            SELECT node, depth FROM s{i}v{r - 1}
+            UNION ALL SELECT node, {r} AS depth FROM s{i}f{r}
+        )""")
+    selects = []
+    for i in range(n_seeds):
+        seed = f"(97 * {i}) % (SELECT count(*) FROM documents)"
+        selects.append(f"""
+        SELECT CAST({seed} AS BIGINT) AS seed,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(depth) AS BIGINT) AS sum_depth,
+               CAST(CASE WHEN sum(depth) > 0
+                    THEN (count(*) - 1) * 1000000 // sum(depth)
+                    ELSE 0 END AS BIGINT) AS closeness_micro
+        FROM s{i}v{rounds}""")
+    return ("WITH " + ",".join(parts)
+            + " SELECT * FROM (" + " UNION ALL ".join(selects)
+            + ") ORDER BY seed")
 
 
 def _q_ppr_scores(sf_dir: str):
@@ -9141,6 +9328,59 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_nodes": _ktruss_sql(),
         "katz_centrality": _katz_sql(),
         "bfs_depths": _bfs_sql(),
+        "closeness_centrality": _closeness_sql(),
+        "permuterm_wildcard": _wildcard_sql(),
+        "reciprocity": """
+            WITH raw AS MATERIALIZED (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + k * 97) %
+                           (SELECT count(*) FROM documents) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+                UNION ALL
+                SELECT (d.doc_id * 31 + 97) %
+                           (SELECT count(*) FROM documents) AS src,
+                       d.doc_id AS dst
+                FROM documents d WHERE d.doc_id % 5 = 0
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+            ),
+            p AS (
+                SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+                       count(*) AS nd
+                FROM e GROUP BY 1, 2
+            )
+            SELECT CAST(e.src % 32 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN p.nd = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_recip
+            FROM e JOIN p ON least(e.src, e.dst) = p.lo
+                         AND greatest(e.src, e.dst) = p.hi
+            GROUP BY 1 ORDER BY 1
+        """,
+        "item_cf_topk": """
+            WITH ui AS (
+                SELECT DISTINCT user_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS item
+                FROM events
+            ),
+            ic AS (SELECT item, count(*) AS c FROM ui GROUP BY 1),
+            pr AS (
+                SELECT a.item AS a, b.item AS b, count(*) AS cab
+                FROM ui a JOIN ui b
+                  ON a.user_id = b.user_id AND a.item < b.item
+                GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(cab AS BIGINT) AS cab,
+                   round(cab / sqrt(CAST(ca.c * cb.c AS DOUBLE)), 6)
+                       AS cosine
+            FROM pr JOIN ic ca ON ca.item = pr.a
+                    JOIN ic cb ON cb.item = pr.b
+            ORDER BY cab / sqrt(CAST(ca.c * cb.c AS DOUBLE)) DESC, a, b
+            LIMIT 30
+        """,
         "scc_seeded": _scc_sql(),
         "sssp_fixed": _sssp_sql(),
         "luby_mis": _luby_sql(),

@@ -734,3 +734,49 @@ def build_kgram_index(index_dir: str, k: int = 3, *,
     )
     _mark_done(out_dir)
     return out_dir
+
+
+def build_permuterm_index(index_dir: str, *, concurrency: int = 2) -> str:
+    """Build the permuterm index for single-star wildcard queries
+    (IR-textbook §3.2.1, the rotation alternative to the k-gram index of
+    :func:`build_kgram_index`): every dictionary term t explodes into
+    all rotations of ``t + '$'``; a pattern ``a*b`` rotates to the
+    PREFIX ``b$a``, so the lookup is one sorted-range scan instead of a
+    gram intersection.  Rows are deduped per (rot, term) — uncompacted
+    tiers list a term once per segment — and sorted by rotation so the
+    parquet row-group stats give the prefix scan predicate pushdown.
+    The sort is dictionary-sized, not corpus-sized; idempotent via a
+    _DONE marker."""
+    import ray.data
+
+    out_dir = os.path.join(index_dir, "permuterm")
+    if _done(out_dir):
+        return out_dir
+    _fresh(out_dir)
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rs, ts = [], []
+        for t in batch["term"].to_pylist():
+            aug = t + "$"
+            rs.extend(aug[i:] + aug[:i] for i in range(len(aug)))
+            ts.extend([t] * len(aug))
+        return pa.table({"rot": pa.array(rs, pa.string()),
+                         "term": pa.array(ts, pa.string())})
+
+    (
+        ray.data.read_parquet(seg_root, columns=["term"])
+        .map_batches(explode, batch_format="pyarrow",
+                     concurrency=concurrency)
+        .groupby(["rot", "term"]).count()
+        .select_columns(["rot", "term"])
+        .sort("rot")
+        .write_parquet(out_dir)
+    )
+    _mark_done(out_dir)
+    return out_dir

@@ -963,6 +963,118 @@ def bfs_depths(edges_ds, source: int = 0, n_rounds: int = 4, *,
     })
 
 
+def multi_bfs_closeness(edges_ds, seeds: list[int], n_rounds: int = 4, *,
+                        src_col: str = "src", dst_col: str = "dst"):
+    """Bounded-radius closeness centrality for a SEED SET: one
+    simultaneous multi-source BFS (all seeds advance in the same
+    ``n_rounds`` synchronous rounds over ONE deduped undirected edge
+    materialization — not |seeds| separate traversals), then per seed
+    closeness over the radius-``n_rounds`` ball, reported as the exact
+    integer micro-ratio (n_reached - 1) * 10^6 // sum_depth so no
+    quotient ever rounds.
+
+    Distributed shape per round: the per-seed frontiers broadcast as one
+    (seed, node) array via ``ray.put`` (bounded by |seeds| x nodes, the
+    bfs_depths contract); one map_batches over the edge list emits
+    per-batch-deduped (seed, neighbor) partials; a pair-keyed groupby
+    dedups globally.  The driver holds only seed-set-bounded visited
+    arrays.  Returns (seed, n_reached, sum_depth, closeness_micro)
+    sorted by seed.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    seeds_arr = np.array(sorted(set(seeds)), dtype=np.int64)
+    # per-seed visited sets + depth sums, all driver-side and
+    # seed x ball-size bounded
+    visited = {int(s): np.array([s], dtype=np.int64) for s in seeds_arr}
+    sum_depth = {int(s): 0 for s in seeds_arr}
+    frontier = {int(s): np.array([s], dtype=np.int64) for s in seeds_arr}
+
+    for r in range(1, n_rounds + 1):
+        live = [s for s, f in frontier.items() if f.size]
+        if not live:
+            break
+        fs = np.concatenate([np.full(frontier[s].size, s, np.int64)
+                             for s in live])
+        fn = np.concatenate([frontier[s] for s in live])
+        comp = fs * (1 << 40) + fn  # node ids < 2^40 by construction
+        fr_ref = ray.put(np.sort(comp))
+
+        def neigh_partial(batch: pa.Table, ref=fr_ref) -> pa.Table:
+            fr = ray.get(ref)
+            fr_seed = fr >> 40
+            fr_node = fr & ((1 << 40) - 1)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # probe each endpoint against every live seed's frontier:
+            # iterate seeds (tiny), vectorize over the edge batch
+            out_s, out_n = [], []
+            for s in np.unique(fr_seed):
+                nodes = fr_node[fr_seed == s]
+                hit_u = np.isin(u, nodes)
+                hit_v = np.isin(v, nodes)
+                reach = np.unique(np.concatenate([v[hit_u], u[hit_v]]))
+                out_s.append(np.full(reach.size, s, np.int64))
+                out_n.append(reach)
+            return pa.table({
+                "seed": pa.array(np.concatenate(out_s) if out_s
+                                 else np.array([], np.int64), pa.int64()),
+                "node": pa.array(np.concatenate(out_n) if out_n
+                                 else np.array([], np.int64), pa.int64()),
+            })
+
+        parts = ray.get(
+            edges.map_batches(neigh_partial, batch_format="pyarrow")
+            .groupby(["seed", "node"])
+            .count()
+            .to_arrow_refs()
+        )
+        empty = pa.table({"seed": pa.array([], pa.int64()),
+                          "node": pa.array([], pa.int64())})
+        reached = pa.concat_tables(
+            [empty] + [t.select(["seed", "node"]) for t in parts
+                       if "seed" in t.schema.names])
+        rs = reached["seed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rn = reached["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for s in list(frontier):
+            mine = rn[rs == s]
+            fresh = mine[~np.isin(mine, visited[s])]
+            visited[s] = np.concatenate([visited[s], fresh])
+            sum_depth[s] += r * int(fresh.size)
+            frontier[s] = fresh
+
+    rows = []
+    for s in seeds_arr:
+        n_reached = int(visited[int(s)].size)
+        sd = sum_depth[int(s)]
+        cm = ((n_reached - 1) * 10**6 // sd) if sd else 0
+        rows.append((int(s), n_reached, sd, cm))
+    return pa.table({
+        "seed": pa.array([r[0] for r in rows], pa.int64()),
+        "n_reached": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_depth": pa.array([r[2] for r in rows], pa.int64()),
+        "closeness_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def clustering_coeff(edges_ds, k: int = 20, *, src_col: str = "src",
                      dst_col: str = "dst"):
     """Per-node local clustering coefficient (watts-strogatz):

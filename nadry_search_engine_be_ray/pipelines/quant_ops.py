@@ -359,6 +359,107 @@ def q_decision_stump(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_item_cf_topk(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """Item-item collaborative filtering by cosine over binary user
+    vectors: cos(a, b) = |U_a ∩ U_b| / sqrt(|U_a| |U_b|) — covisitation's
+    raw pair counts normalized by item popularity, the classic
+    item-based CF similarity.  Same fused user-partition pair fan-out as
+    q_covisitation (quadratic only in a user's DISTINCT item count);
+    item counts broadcast via ray.put (item universe is catalog-sized);
+    each pair-count block scores cosine and keeps a LOCAL top-k so the
+    driver merge is k-bounded.  The cosine double is computed with the
+    identical op order in both engines (int product -> cast -> sqrt ->
+    divide), so the top-k cutoff is deterministic; ties break (a, b)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def extract_dedupe(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        item = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "item": item,
+        }).group_by(["user_id", "item"]).aggregate([])
+
+    ui = (_read(sf_dir, "events", ["user_id", "props"])
+          .map_batches(extract_dedupe, batch_format="pyarrow")
+          .groupby(["user_id", "item"])
+          .count()
+          .select_columns(["user_id", "item"])
+          .materialize())
+
+    counts = ui.groupby("item").count().to_pandas()
+    items = counts["item"].to_numpy(np.int64)
+    order = np.argsort(items)
+    item_keys = items[order]
+    item_cnt = counts["count()"].to_numpy(np.int64)[order]
+    cnt_ref = ray.put((item_keys, item_cnt))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part",
+                                   pa.array(u % n_parts, pa.int64()))
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group["item"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, u))
+        u, it = u[order], it[order]
+        # per-user combination fan-out (items sorted within user)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, u.size])
+        a_idx, b_idx = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(ln, k=1)
+            a_idx.append(s + ii)
+            b_idx.append(s + jj)
+        if not a_idx:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        a = it[np.concatenate(a_idx)]
+        b = it[np.concatenate(b_idx)]
+        t = pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "n": pa.array(np.ones(a.size, np.int64), pa.int64()),
+        })
+        return _rename_agg(t.group_by(["a", "b"]).aggregate([("n", "sum")]),
+                           {"n_sum": "n"})
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        keys, cnts = ray.get(cnt_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = cnts[np.searchsorted(keys, a)]
+        cb = cnts[np.searchsorted(keys, b)]
+        cos = n / np.sqrt((ca * cb).astype(np.float64))
+        top = np.lexsort((b, a, -cos))[:k]
+        return pa.table({
+            "a": pa.array(a[top], pa.int64()),
+            "b": pa.array(b[top], pa.int64()),
+            "cab": pa.array(n[top], pa.int64()),
+            "cos_raw": pa.array(cos[top], pa.float64()),
+        })
+
+    out = (ui.map_batches(add_part, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(pairs_partition, batch_format="pyarrow")
+           .groupby(["a", "b"])
+           .aggregate(Sum("n", alias_name="n"))
+           .map_batches(score_topk, batch_format="pyarrow")
+           .to_pandas())
+    out = out.sort_values(["cos_raw", "a", "b"],
+                          ascending=[False, True, True]).head(k)
+    out["cosine"] = np.round(out.pop("cos_raw"), 6)
+    return out.reset_index(drop=True)[["a", "b", "cab", "cosine"]]
+
+
 def q_double_billing(sf_dir: str, gap_days: int = 7) -> pd.DataFrame:
     """Duplicate-payment audit: pairs of orders by the same customer
     placed within ``gap_days`` of each other (amounts here are uniform

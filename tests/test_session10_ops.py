@@ -1,0 +1,144 @@
+"""Reference tests for the session-10 second wave: multi-source BFS
+closeness (vs per-seed bfs_depths), planted-edge reciprocity (brute
+adjacency dict), item-item cosine CF (brute pandas recompute) and the
+permuterm rotation index (vs the stream-scan wildcard path, including
+the permuterm-inexpressible fallback pattern)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _quad_edges(sf_dir=SF):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = int(docs.count())
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        ks = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        dst = (src * src * 31 + ks * 97) % n
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return docs.map_batches(mk, batch_format="pyarrow"), n
+
+
+def test_multi_bfs_matches_per_seed_bfs(ray_session):
+    from nadry_search_engine_be_ray.pipelines.pagerank import (
+        bfs_depths,
+        multi_bfs_closeness,
+    )
+
+    edges, n = _quad_edges()
+    seeds = [(97 * i) % n for i in range(5)]
+    out = multi_bfs_closeness(edges, seeds, n_rounds=4).to_pandas()
+    assert out["seed"].tolist() == sorted(set(seeds))
+    for _, row in out.iterrows():
+        single = bfs_depths(edges, source=int(row["seed"]),
+                            n_rounds=4).to_pandas()
+        assert int(row["n_reached"]) == len(single)
+        sd = int(single["depth"].sum())
+        assert int(row["sum_depth"]) == sd
+        want = ((len(single) - 1) * 10**6 // sd) if sd else 0
+        assert int(row["closeness_micro"]) == want
+
+
+def test_reciprocity_brute_adjacency(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    out = E.queries()["reciprocity"](SF)
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    edges = set()
+    for s in ids:
+        for k in (1, 2, 3):
+            d = (s * 31 + k * 97) % n
+            if s != d:
+                edges.add((int(s), int(d)))
+        if s % 5 == 0:
+            d = (s * 31 + 97) % n
+            if d != s:
+                edges.add((int(d), int(s)))
+    ne, nr = {}, {}
+    for s, d in edges:
+        b = s % 32
+        ne[b] = ne.get(b, 0) + 1
+        if (d, s) in edges:
+            nr[b] = nr.get(b, 0) + 1
+    got = {int(r["bucket"]): (int(r["n_edges"]), int(r["n_recip"]))
+           for _, r in out.iterrows()}
+    assert got == {b: (ne[b], nr.get(b, 0)) for b in ne}
+    assert sum(v[1] for v in got.values()) > 0  # planted pairs exist
+
+
+def test_item_cf_brute_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_item_cf_topk
+
+    out = q_item_cf_topk(SF, k=30)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "props"]).to_pandas()
+    ev["item"] = ev["props"].str.extract(r'"k":\s*(\d+)').astype("int64")
+    ui = ev[["user_id", "item"]].drop_duplicates()
+    ic = ui.groupby("item").size()
+    pairs = {}
+    for _, grp in ui.groupby("user_id"):
+        its = sorted(grp["item"].tolist())
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                pairs[(its[i], its[j])] = pairs.get((its[i], its[j]), 0) + 1
+    rows = [(a, b, c, c / np.sqrt(float(ic[a] * ic[b])))
+            for (a, b), c in pairs.items()]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    ref = rows[:30]
+    assert len(out) == min(30, len(rows))
+    for got, exp in zip(out.itertuples(index=False), ref):
+        assert (got.a, got.b, got.cab) == exp[:3]
+        assert got.cosine == pytest.approx(round(exp[3], 6), abs=1e-12)
+
+
+def test_permuterm_equals_stream_scan(ray_session, built_index):
+    from nadry_search_engine_be_ray.pipelines.query import (
+        wildcard_terms,
+        wildcard_terms_permuterm,
+    )
+
+    index_dir = built_index
+    # one rotation-answerable per shape + the fallback (_) pattern
+    pats = ["se%ch", "tok%", "%tion", "q__ri", "zz%qx", "search"]
+    a = wildcard_terms(index_dir, pats).to_pandas()
+    b = wildcard_terms_permuterm(index_dir, pats).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_permuterm_prefix_math(ray_session):
+    """The rotation-prefix transform: a%b -> b$a finds exactly the terms
+    LIKE a%b, on a hand-built dictionary."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        wildcard_terms_permuterm,
+    )
+
+    # exercised through the real index in the test above; here check the
+    # pure prefix arithmetic on rotations of a toy dictionary
+    def rots(t):
+        aug = t + "$"
+        return {aug[i:] + aug[:i] for i in range(len(aug))}
+
+    dictionary = ["search", "speech", "sch", "sech", "torch"]
+    allr = {t: rots(t) for t in dictionary}
+    prefix = "ch$se"  # pattern se%ch
+    hits = {t for t, rs in allr.items()
+            if any(r.startswith(prefix) for r in rs)}
+    assert hits == {"search", "sech"}
