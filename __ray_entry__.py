@@ -430,6 +430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Stupid-Backoff n-gram LM: count-training + CCNet-style
         # perplexity scoring (both fully SQL-expressible — no dump)
         "ngram_lm_top": _q_ngram_lm_top,
+        "dunning_llr": _q_dunning_llr,
+        "rolling_band": scan.q_rolling_band,
+        "isotonic_calibration": qo.q_isotonic_calibration,
         "kn_bigram_top": _q_kn_bigram_top,
         "lm_perplexity": _q_lm_perplexity,
         # DSIR importance resampling (Xie et al. 2023): target = lang='en'
@@ -934,6 +937,20 @@ def _q_kn_bigram_top(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
     return kn_bigram_top(ds, context="hash", k=20)
+
+
+def _q_dunning_llr(sf_dir: str):
+    """Dunning LLR collocations over the corpus bigram table
+    (stages/lm.dunning_llr_top) — 2x2 contingency per bigram with
+    bigram-space margins, bit-parity per-cell k*ln(N*k/(r*c)) algebra;
+    oracle recomputes the full chain from regexp-extracted tokens."""
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.lm import dunning_llr_top
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return dunning_llr_top(ds, k=25, min_pair=5)
 
 
 def _q_ngram_lm_top(sf_dir: str):
@@ -6067,6 +6084,106 @@ def oracle_sql() -> dict[str, str]:
             FROM e ORDER BY thr
         """,
         "dict_encoding_profile": _dict_encoding_sql(),
+        "dunning_llr": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ),
+            pos AS (
+                SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+                FROM toks WHERE len(ts) >= 2
+            ),
+            big AS (
+                SELECT ts[i - 1] AS v, ts[i] AS w, count(*) AS c12
+                FROM pos GROUP BY 1, 2
+            ),
+            cv AS (SELECT v, sum(c12) AS c1 FROM big GROUP BY 1),
+            cw AS (SELECT w, sum(c12) AS c2 FROM big GROUP BY 1),
+            t AS (SELECT sum(c12) AS n FROM big),
+            x AS (
+                SELECT b.v, b.w, b.c12,
+                       b.c12 AS k11, cv.c1 - b.c12 AS k12,
+                       cw.c2 - b.c12 AS k21,
+                       t.n - cv.c1 - cw.c2 + b.c12 AS k22,
+                       cv.c1, cw.c2, t.n
+                FROM big b JOIN cv USING (v) JOIN cw USING (w)
+                CROSS JOIN t
+                WHERE b.c12 >= 5
+            ),
+            s AS (
+                SELECT v, w, CAST(c12 AS BIGINT) AS c12,
+                       round(2 * (
+                           CASE WHEN k11 > 0 THEN k11 *
+                               ln((n * k11) / (c1 * c2)) ELSE 0 END
+                         + CASE WHEN k12 > 0 THEN k12 *
+                               ln((n * k12) / (c1 * (n - c2))) ELSE 0 END
+                         + CASE WHEN k21 > 0 THEN k21 *
+                               ln((n * k21) / ((n - c1) * c2)) ELSE 0 END
+                         + CASE WHEN k22 > 0 THEN k22 *
+                               ln((n * k22) / ((n - c1) * (n - c2)))
+                           ELSE 0 END), 6) AS llr
+                FROM x
+            )
+            SELECT v, w, c12, llr FROM s
+            ORDER BY llr DESC, v, w LIMIT 25
+        """,
+        "rolling_band": """
+            WITH c AS (
+                SELECT event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, cents,
+                       sum(cents) OVER win AS s,
+                       sum(cents * cents) OVER win AS ss,
+                       count(*) OVER win AS nw
+                FROM c WINDOW win AS (ORDER BY ts, event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, CAST(cents AS BIGINT) AS v_cents,
+                   CAST(s AS BIGINT) AS win_sum,
+                   CAST(ss AS BIGINT) AS win_sumsq
+            FROM w
+            WHERE nw = 20
+              AND (20 * cents - s) * (20 * cents - s) * 19
+                  > 4 * 20 * (20 * ss - s * s)
+            ORDER BY event_id
+        """,
+        "isotonic_calibration": """
+            WITH h AS (
+                SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS thr,
+                       count(*) AS c,
+                       sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                                ELSE 0 END) AS p
+                FROM orders GROUP BY 1
+            ),
+            r AS (
+                SELECT thr, c, p,
+                       row_number() OVER (ORDER BY thr) AS rn,
+                       sum(c) OVER (ORDER BY thr
+                           ROWS UNBOUNDED PRECEDING) AS cn,
+                       sum(p) OVER (ORDER BY thr
+                           ROWS UNBOUNDED PRECEDING) AS cp
+                FROM h
+            ),
+            a AS (
+                SELECT j.rn AS j, k.rn AS k,
+                       CAST(k.cp - j.cp + j.p AS DOUBLE)
+                           / (k.cn - j.cn + j.c) AS avg
+                FROM r j JOIN r k ON k.rn >= j.rn
+            ),
+            m AS (
+                SELECT a.j, i.rn AS i, min(a.avg) AS mn
+                FROM a JOIN r i ON a.k >= i.rn AND a.j <= i.rn
+                GROUP BY 1, 2
+            ),
+            f AS (SELECT i, max(mn) AS fit FROM m GROUP BY i)
+            SELECT r.thr, CAST(r.c AS BIGINT) AS n,
+                   CAST(r.p AS BIGINT) AS pos,
+                   round(f.fit, 6) AS fitted
+            FROM r JOIN f ON f.i = r.rn ORDER BY r.thr
+        """,
         "double_billing": """
             WITH o AS (
                 SELECT o_custkey, o_orderkey AS k,

@@ -460,6 +460,62 @@ def q_item_cf_topk(sf_dir: str, k: int = 30) -> pd.DataFrame:
     return out.reset_index(drop=True)[["a", "b", "cab", "cosine"]]
 
 
+def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
+    """Isotonic regression (PAVA) of the 'F'-status rate against the
+    order-price bucket — the monotone score-calibration step of an ML
+    ranking pipeline, computed by the exact minimax characterization
+    fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k]) instead of the
+    sequential pool-adjacent-violators loop, because the minimax form is
+    (a) embarrassingly vectorizable from the bucket histogram's two
+    cumulative sums and (b) directly expressible in SQL (a bounded
+    O(buckets³) join), so the oracle replays the identical arithmetic.
+    The distributed part is one (bucket -> n, pos) histogram shuffle;
+    the O(b²) driver matrix is bucket-bounded (~100), never row-bounded.
+    Every mean is the same int/int double in both engines, so min / max
+    pick identical values and round(.,6) agrees."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        thr = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) / 5000.0
+        ).astype(np.int64)
+        pos = (batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+               == "F").astype(np.int64)
+        t = pa.table({
+            "thr": pa.array(thr, pa.int64()),
+            "c": pa.array(np.ones(len(thr), np.int64), pa.int64()),
+            "p": pa.array(pos, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["thr"]).aggregate([("c", "sum"), ("p", "sum")]),
+            {"c_sum": "c", "p_sum": "p"})
+
+    h = (_read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("thr")
+         .aggregate(Sum("c", alias_name="c"), Sum("p", alias_name="p"))
+         .to_pandas().sort_values("thr").reset_index(drop=True))
+    c = h["c"].to_numpy(np.int64)
+    p = h["p"].to_numpy(np.int64)
+    b = len(h)
+    cn = np.concatenate(([0], np.cumsum(c)))
+    cp = np.concatenate(([0], np.cumsum(p)))
+    # A[j, k] = mean(y[j..k]); invalid (k < j) cells +inf for the min
+    num = (cp[None, 1:] - cp[:-1, None]).astype(np.float64)
+    den = (cn[None, 1:] - cn[:-1, None]).astype(np.float64)
+    jj, kk = np.indices((b, b))
+    a = np.where(kk >= jj, num / np.where(den > 0, den, 1.0), np.inf)
+    m = np.minimum.accumulate(a[:, ::-1], axis=1)[:, ::-1]  # min over k>=i
+    f = np.maximum.accumulate(m, axis=0)                    # max over j<=i
+    fitted = f[np.arange(b), np.arange(b)]
+    return pd.DataFrame({
+        "thr": h["thr"].astype("int64"),
+        "n": pd.array(c, dtype="int64"),
+        "pos": pd.array(p, dtype="int64"),
+        "fitted": np.round(fitted, 6),
+    })
+
+
 def q_double_billing(sf_dir: str, gap_days: int = 7) -> pd.DataFrame:
     """Duplicate-payment audit: pairs of orders by the same customer
     placed within ``gap_days`` of each other (amounts here are uniform

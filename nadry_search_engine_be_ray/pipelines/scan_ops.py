@@ -142,6 +142,95 @@ def q_rolling_halo(sf_dir: str, window: int = 5,
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_rolling_band(sf_dir: str, window: int = 20) -> pd.DataFrame:
+    """Bollinger-band breakout scan over the GLOBAL event stream ordered
+    by (ts, event_id): a row is a breakout when its value leaves the
+    trailing ``window``-row mean ± 2σ band.  Same exact two-pass halo
+    exchange as q_rolling_halo, but the windowed state is (sum, sum of
+    squares) in INTEGER cents, and the 2σ test is cross-multiplied into
+    the pure integer comparison
+
+        (w·v − s)² · (w−1)  >  4 · w · (w·ss − s²)
+
+    so no variance ever reaches floating point — the float-parity trap
+    of comparing sqrt-based z-scores across engines never arises.  Only
+    FULL frames test (the stream's first window-1 rows are skipped,
+    matching the SQL count(*)-over-frame filter); emits the breakout
+    rows with their window sums."""
+    halo_n = window - 1
+    cols = ["ts", "event_id", "value"]
+
+    def order_of(t: pa.Table):
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ts, eid, np.lexsort((eid, ts))
+
+    def tail_rows(group: pa.Table) -> pa.Table:
+        _, _, order = order_of(group)
+        return group.take(order[-halo_n:] if len(order) > halo_n else order)
+
+    ds = _read(sf_dir, "events", cols).map_batches(
+        lambda b: _ts_part(b, "ts", 3), batch_format="pyarrow")
+
+    tails = (ds.groupby("part").map_groups(tail_rows, batch_format="pyarrow")
+             .to_pandas())
+    tails = tails.sort_values(["part", "ts", "event_id"])
+    parts = sorted(tails["part"].unique())
+    halos: dict[int, pa.Table] = {}
+    prev = tails.iloc[0:0]
+    for p in parts:
+        if len(prev):
+            h = prev.tail(halo_n)
+            halos[int(p)] = pa.table({
+                "ts": pa.array(
+                    h["ts"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us")),
+                "event_id": pa.array(
+                    h["event_id"].to_numpy(np.int64), pa.int64()),
+                "value": pa.array(
+                    h["value"].to_numpy(np.float64), pa.float64()),
+            })
+        prev = pd.concat([prev, tails[tails["part"] == p]])
+    halo_ref = ray.put(halos)
+
+    def band_partition(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        halo = ray.get(halo_ref).get(part)
+        n_halo = halo.num_rows if halo is not None else 0
+        body = group.select(cols)
+        t = pa.concat_tables([halo, body]) if n_halo else body
+        _, eid, order = order_of(t)
+        v = np.round(t["value"].to_numpy(zero_copy_only=False)[order]
+                     * 100).astype(np.int64)
+        eid = eid[order]
+        cs = np.concatenate(([0], np.cumsum(v)))
+        cs2 = np.concatenate(([0], np.cumsum(v * v)))
+        n = v.size
+        idx = np.arange(n)
+        # full frames only (the first stream partition's ragged head is
+        # skipped here exactly like the oracle's count(*)-filter)
+        full = idx >= window - 1
+        full[:n_halo] = False  # halo rows belong to earlier partitions
+        s = cs[idx + 1] - cs[np.maximum(idx - window + 1, 0)]
+        ss = cs2[idx + 1] - cs2[np.maximum(idx - window + 1, 0)]
+        w = np.int64(window)
+        dev = w * v - s
+        hit = full & (dev * dev * (w - 1) > 4 * w * (w * ss - s * s))
+        return pa.table({
+            "event_id": pa.array(eid[hit], pa.int64()),
+            "v_cents": pa.array(v[hit], pa.int64()),
+            "win_sum": pa.array(s[hit], pa.int64()),
+            "win_sumsq": pa.array(ss[hit], pa.int64()),
+        })
+
+    out = (ds.groupby("part").map_groups(
+        band_partition, batch_format="pyarrow").to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_dense_ids(sf_dir: str, every: int = 500, head: int = 10) -> pd.DataFrame:
     """Distributed ``row_number() OVER (ORDER BY o_orderdate, o_orderkey)``
     without a global sort: contiguous date-range partitions count their

@@ -178,6 +178,71 @@ def ngram_count_table(ds, text_col: str = "text") -> pa.Table:
     return tbl.rename_columns(["gram", "count"])
 
 
+def dunning_llr_top(ds, k: int = 25, min_pair: int = 5,
+                    text_col: str = "text"):
+    """Dunning log-likelihood-ratio collocations (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and Coincidence")
+    over the corpus bigram table: per bigram (v, w) a 2x2 contingency
+    with margins taken WITHIN the bigram event space (N = total bigram
+    tokens, c1 = prefix count of v, c2 = suffix count of w), so every
+    cell k11..k22 is an exact integer and the table is self-consistent.
+    Counts come from the same distributed ``ngram_count_table`` shuffle
+    the Stupid-Backoff trainer uses (model-sized driver table); the LLR
+    algebra is one vectorized pass written with the IDENTICAL op order
+    the SQL oracle uses — per cell k * ln((N*k) / (r*c)), zero cells
+    contribute 0, cells summed left-to-right — so the doubles are
+    bit-parity and the (rounded llr desc, v, w) top-k cutoff is
+    deterministic.  Pairs need c12 >= ``min_pair`` (LLR's low-count
+    cells are exact, but rare pairs are uninteresting collocations)."""
+    import pandas as pd
+
+    tbl = ngram_count_table(ds, text_col)
+    df = pd.DataFrame({"gram": tbl["gram"].to_pandas(),
+                       "c": tbl["count"].to_pandas().astype("int64")})
+    bi = df[df["gram"].str.contains(" ")].copy()
+    empty = pd.DataFrame({"v": pd.Series([], dtype=object),
+                          "w": pd.Series([], dtype=object),
+                          "c12": pd.Series([], dtype="int64"),
+                          "llr": pd.Series([], dtype="float64")})
+    if bi.empty:
+        return empty
+    vw = bi["gram"].str.split(" ", n=1, expand=True)
+    bi["v"], bi["w"] = vw[0].to_numpy(), vw[1].to_numpy()
+    c1 = bi.groupby("v")["c"].sum()
+    c2 = bi.groupby("w")["c"].sum()
+    n = int(bi["c"].sum())
+    sub = bi[bi["c"] >= min_pair]
+    if sub.empty:
+        return empty
+    k11 = sub["c"].to_numpy(np.int64)
+    r1 = c1[sub["v"]].to_numpy(np.int64)
+    cc1 = c2[sub["w"]].to_numpy(np.int64)
+    k12 = r1 - k11
+    k21 = cc1 - k11
+    k22 = n - r1 - cc1 + k11
+
+    def cell(kk: np.ndarray, r: np.ndarray, c: np.ndarray) -> np.ndarray:
+        out = np.zeros(kk.size, np.float64)
+        pos = kk > 0
+        out[pos] = kk[pos] * np.log(
+            (n * kk[pos]).astype(np.float64)
+            / (r[pos] * c[pos]).astype(np.float64))
+        return out
+
+    nn = np.full(k11.size, n, np.int64)
+    llr_raw = 2.0 * (cell(k11, r1, cc1)
+                     + cell(k12, r1, nn - cc1)
+                     + cell(k21, nn - r1, cc1)
+                     + cell(k22, nn - r1, nn - cc1))
+    out = pd.DataFrame({"v": sub["v"].to_numpy(),
+                        "w": sub["w"].to_numpy(),
+                        "c12": k11,
+                        "llr": np.round(llr_raw, 6)})
+    out = out.sort_values(["llr", "v", "w"],
+                          ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True)
+
+
 def train_lm(ds, text_col: str = "text", min_count: int = 1,
              max_vocab: int | None = None, alpha: float = 0.4) -> LMModel:
     """Count-train the model with ``min_count``/``max_vocab`` pruning.

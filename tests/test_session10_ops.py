@@ -123,6 +123,115 @@ def test_permuterm_equals_stream_scan(ray_session, built_index):
         a.reset_index(drop=True), b.reset_index(drop=True))
 
 
+def test_dunning_llr_brute(ray_session):
+    """Little-python Dunning recompute from raw text (regexp tokens,
+    bigram-space margins) vs the distributed op's top-25."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    out = E.queries()["dunning_llr"](SF)
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    big = {}
+    for t in texts:
+        ts = re.findall(r"[a-z0-9_]+", t.lower())
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(big.values())
+    c1, c2 = {}, {}
+    for (a, b), c in big.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+
+    def cell(k, r, c):
+        return k * np.log((n * k) / (r * c)) if k > 0 else 0.0
+
+    rows = []
+    for (a, b), c12 in big.items():
+        if c12 < 5:
+            continue
+        r1, cc = c1[a], c2[b]
+        llr = 2.0 * (cell(c12, r1, cc)
+                     + cell(r1 - c12, r1, n - cc)
+                     + cell(cc - c12, n - r1, cc)
+                     + cell(n - r1 - cc + c12, n - r1, n - cc))
+        rows.append((a, b, c12, round(llr, 6)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    ref = rows[:25]
+    assert len(out) == min(25, len(rows))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == ref
+
+
+def test_rolling_band_brute(ray_session):
+    """Brute pandas rolling window over the fully sorted stream; the
+    distributed halo path must emit exactly the same breakout rows."""
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.scan_ops import q_rolling_band
+
+    w = 20
+    out = q_rolling_band(SF, window=w)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_id", "value"]).to_pandas()
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    v = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    eid = ev["event_id"].to_numpy(np.int64)
+    rows = []
+    for i in range(w - 1, len(v)):
+        s = int(v[i - w + 1:i + 1].sum())
+        ss = int((v[i - w + 1:i + 1] ** 2).sum())
+        dev = w * int(v[i]) - s
+        if dev * dev * (w - 1) > 4 * w * (w * ss - s * s):
+            rows.append((int(eid[i]), int(v[i]), s, ss))
+    rows.sort()
+    got = [tuple(map(int, r)) for r in
+           out[["event_id", "v_cents", "win_sum", "win_sumsq"]]
+           .to_numpy()]
+    assert got == rows
+    assert len(rows) > 0  # non-degenerate on this stream
+
+
+def _pava_ref(c, p):
+    """Sequential pool-adjacent-violators over (count, positives)."""
+    blocks = [[ci, pi] for ci, pi in zip(c, p)]
+    i = 0
+    while i < len(blocks) - 1:
+        a, b = blocks[i], blocks[i + 1]
+        if a[1] * b[0] > b[1] * a[0]:  # rate_a > rate_b: pool
+            blocks[i] = [a[0] + b[0], a[1] + b[1]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand by original counts per pooled block
+    out = []
+    idx = 0
+    for ci, pi in blocks:
+        take = 0
+        while take < ci:
+            take += c[idx]
+            out.append(pi / ci)
+            idx += 1
+    return out
+
+
+def test_isotonic_minimax_equals_pava(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_isotonic_calibration,
+    )
+
+    out = q_isotonic_calibration(SF)
+    fit = out["fitted"].to_numpy()
+    assert (np.diff(fit) >= -1e-12).all()  # monotone non-decreasing
+    ref = _pava_ref(out["n"].tolist(), out["pos"].tolist())
+    assert np.allclose(fit, np.round(ref, 6), atol=1e-9)
+    assert out["fitted"].nunique() < len(out)  # pooling actually happened
+
+
 def test_permuterm_prefix_math(ray_session):
     """The rotation-prefix transform: a%b -> b$a finds exactly the terms
     LIKE a%b, on a hand-built dictionary."""
