@@ -7,15 +7,15 @@ a new calm-host best; each constant cites the BASELINE.md table it mirrors.
 """
 
 # Best recorded calm-host index-build throughput, 8 CPUs, 1M synthetic docs
-# (BASELINE.md, round-3 scaling tables — the probe's reference point).
-CALM_BEST_DOCS_PER_SEC_8CPU_1M = 20407.0
+# (BASELINE.md, round-4 session-10 calm battery: 38.104 s -> 26,243.7
+# docs/s at spin 0.862; supersedes round-3's 20,407).
+CALM_BEST_DOCS_PER_SEC_8CPU_1M = 26243.7
 
 # Best recorded calm-host index-build throughput for the DEFAULT bench shape
 # (32 CPUs, sf0.1 -> 20k docs, index on disk).  BASELINE.md round-4
-# session-4 calm windows: 23:4x 4.376 s -> 4 571 docs/s (10.737 s e2e,
-# 0.849x baseline), then 01:3x 3.771 s -> 5 304 docs/s (9.357 s e2e,
-# 0.74x baseline); supersedes round-1's 2 956.
-CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 5304.0
+# session-10 calm battery: 3.062 s -> 6 531.8 docs/s (7.898 s e2e,
+# 0.625x baseline); supersedes session-4's 5 304 and round-1's 2 956.
+CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 6531.8
 
 # Pure-compute spin throughput ratio (32-wide vs 8-wide per-core) measured on
 # a calm window of this sandbox — the hypervisor's core-sharing ceiling any
