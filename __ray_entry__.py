@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_encoding_profile": qo.q_dict_encoding_profile,
         "decision_stump": qo.q_decision_stump,
         "double_billing": qo.q_double_billing,
+        "quantile_normalize": qo.q_quantile_normalize,
+        "cusum_drift": qo.q_cusum_drift,
+        "attribution_linear": qo.q_attribution_linear,
         # relational operator inventory (SQL-checked)
         "agg_pushdown": rel.q_agg_pushdown,
         "broadcast_join": rel.q_broadcast_join,
@@ -6084,6 +6087,97 @@ def oracle_sql() -> dict[str, str]:
             FROM e ORDER BY thr
         """,
         "dict_encoding_profile": _dict_encoding_sql(),
+        "quantile_normalize": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            ),
+            rp AS (
+                SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                       count(*) OVER () AS n
+                FROM c
+            ),
+            d AS (SELECT unnest(range(1, 10)) AS k),
+            src AS (
+                SELECT event_type, d.k, max(n) AS n,
+                       sum(CASE WHEN rn = ((n - 1) * d.k) // 10 + 1
+                                THEN cents ELSE 0 END) AS src_cents
+                FROM r CROSS JOIN d GROUP BY 1, 2
+            ),
+            tgt AS (
+                SELECT d.k,
+                       sum(CASE WHEN rn = ((n - 1) * d.k) // 10 + 1
+                                THEN cents ELSE 0 END) AS target_cents
+                FROM rp CROSS JOIN d GROUP BY 1
+            )
+            SELECT src.event_type, CAST(src.k AS BIGINT) AS decile,
+                   CAST(src.n AS BIGINT) AS n,
+                   CAST(src.src_cents AS BIGINT) AS src_cents,
+                   CAST(tgt.target_cents AS BIGINT) AS target_cents
+            FROM src JOIN tgt ON tgt.k = src.k
+            ORDER BY event_type, decile
+        """,
+        "cusum_drift": """
+            WITH daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+                FROM orders GROUP BY 1
+            ),
+            p AS (SELECT count(*) AS n, sum(v) AS tot FROM daily),
+            x AS (
+                SELECT day, v,
+                       p.n * v - p.tot - p.n * (p.tot // (2 * p.n)) AS xs,
+                       p.n * (p.tot // p.n) AS h
+                FROM daily, p
+            ),
+            s AS (
+                SELECT day, v, h,
+                       sum(xs) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cs
+                FROM x
+            ),
+            g AS (
+                SELECT day, v, h, cs,
+                       least(min(cs) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING), 0) AS runmin
+                FROM s
+            )
+            SELECT day, CAST(v AS BIGINT) AS v_cents,
+                   CAST(cs - runmin AS BIGINT) AS g_scaled,
+                   (cs - runmin > h) AS alarm
+            FROM g ORDER BY day
+        """,
+        "attribution_linear": """
+            WITH p AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            ),
+            w AS (
+                SELECT p.event_id AS pid, t.event_type, count(*) AS cnt
+                FROM p JOIN events t
+                  ON t.user_id = p.user_id
+                 AND t.ts >= p.ts - INTERVAL 7 DAY
+                 AND (t.ts < p.ts OR (t.ts = p.ts
+                                      AND t.event_id < p.event_id))
+                 AND t.event_type <> 'purchase'
+                GROUP BY 1, 2
+            ),
+            k AS (SELECT pid, sum(cnt) AS k FROM w GROUP BY 1)
+            SELECT w.event_type,
+                   CAST(sum(w.cnt) AS BIGINT) AS n_touches,
+                   CAST(sum(w.cnt * (1000000 // k.k)) AS BIGINT)
+                       AS credit_micro
+            FROM w JOIN k USING (pid)
+            GROUP BY 1 ORDER BY 1
+        """,
         "dunning_llr": """
             WITH toks AS (
                 SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts

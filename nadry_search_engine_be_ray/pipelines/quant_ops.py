@@ -460,6 +460,163 @@ def q_item_cf_topk(sf_dir: str, k: int = 30) -> pd.DataFrame:
     return out.reset_index(drop=True)[["a", "b", "cab", "cosine"]]
 
 
+def q_quantile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Quantile-normalization mapping table per event_type (the ML
+    feature-preprocessing step that aligns each group's value
+    distribution onto the pooled one): for each decile k/10 the group's
+    boundary value and the pooled distribution's value at the SAME
+    relative rank, both as exact lower-rank picks (0-based rank
+    floor((n-1)k/10)) from the bounded cents histogram — no
+    interpolation, no floats.  One histogram shuffle serves every group
+    AND the pooled ranks."""
+    hist = _cents_histogram(sf_dir)
+    pooled = (hist.groupby("cents", as_index=False)["cnt"].sum()
+              .sort_values("cents"))
+    pv = pooled["cents"].to_numpy(np.int64)
+    pcum = np.cumsum(pooled["cnt"].to_numpy(np.int64))
+    n_all = int(pcum[-1])
+    rows = []
+    for et, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64)
+        cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for kq in range(1, 10):
+            src = _hist_rank_pick(vals, cum, (n - 1) * kq // 10)
+            tgt = _hist_rank_pick(pv, pcum, (n_all - 1) * kq // 10)
+            rows.append((et, kq, n, src, tgt))
+    out = pd.DataFrame(rows, columns=["event_type", "decile", "n",
+                                      "src_cents", "target_cents"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "decile"])
+            .reset_index(drop=True))
+
+
+def q_cusum_drift(sf_dir: str) -> pd.DataFrame:
+    """One-sided CUSUM drift detector over the daily-revenue series
+    (Page 1954): g_t = max(0, g_{t-1} + v_t - mean - delta) with drift
+    allowance delta = mean/2 and alarm threshold h = mean, all
+    SCALE-FREE (derived from the series' own total) and computed in the
+    closed prefix-scan form g = cumsum(x) - runningmin(cumsum(x), 0) the
+    clamped_balance operator established — order-safe because every term
+    is multiplied through by n_days into exact integers (x'_t = n*v_t -
+    total - n*(total // (2n))).  O(calendar days) driver series; the
+    alarm column can be legitimately all-false on a drift-free stream
+    while g itself stays hash-rich."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"day": day, "v": pa.array(cents, pa.int64())})
+        return _rename_agg(t.group_by(["day"]).aggregate([("v", "sum")]),
+                           {"v_sum": "v"})
+
+    daily = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("v", alias_name="v"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    v = daily["v"].to_numpy(np.int64)
+    n = len(v)
+    tot = int(v.sum())
+    delta = tot // (2 * n)
+    x = n * v - tot - n * delta
+    s = np.cumsum(x)
+    g = s - np.minimum.accumulate(np.minimum(s, 0))
+    h_scaled = n * (tot // n)
+    return pd.DataFrame({
+        "day": daily["day"],
+        "v_cents": v,
+        "g_scaled": g,
+        "alarm": g > h_scaled,
+    })
+
+
+def q_attribution_linear(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally (floor micro-units, 10^6 // k) across the k
+    non-purchase events of the same user in the trailing
+    ``window_days``, credited to the touch's event_type — the
+    multi-touch generalization of attribution_first_touch.  Fused user
+    partitions; within a partition one (dense-user x ts) composite sort
+    makes every purchase's window a searchsorted range, and per-type
+    window counts come from cumulative per-type indicator sums — no
+    per-purchase Python loop.  Credits are exact integers (floor), so
+    the per-type aggregate is order-free."""
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part",
+                                   pa.array(u % n_parts, pa.int64()))
+
+    w_us = window_days * _DAY_US
+
+    def credit_partition(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (group["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, et = u[order], ts[order], eid[order], et[order]
+        # dense user index x time-span stride composite: window compares
+        # never cross users because the stride exceeds the span + window
+        _, uidx = np.unique(u, return_inverse=True)
+        rel = ts - ts.min()
+        stride = int(rel.max()) + w_us + 1
+        comp = uidx.astype(np.int64) * stride + rel
+        types, tcode = np.unique(et, return_inverse=True)
+        is_p = et == "purchase"
+        # cumulative per-type counts (rows x types is types-bounded)
+        onehot = np.zeros((len(u), len(types)), np.int64)
+        onehot[np.arange(len(u)), tcode] = 1
+        ccnt = np.vstack([np.zeros(len(types), np.int64),
+                          np.cumsum(onehot, axis=0)])
+        p_idx = np.flatnonzero(is_p)
+        if p_idx.size == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_touches": pa.array([], pa.int64()),
+                "credit_micro": pa.array([], pa.int64()),
+            })
+        lo = np.searchsorted(comp, comp[p_idx] - w_us, side="left")
+        win = ccnt[p_idx] - ccnt[lo]          # per-type window counts
+        p_col = int(np.flatnonzero(types == "purchase")[0])
+        k = win.sum(axis=1) - win[:, p_col]   # touches exclude purchases
+        ok = k > 0
+        per_touch = np.zeros(k.shape, np.int64)
+        per_touch[ok] = 10**6 // k[ok]
+        win[:, p_col] = 0
+        n_touch = win.sum(axis=0)
+        credit = (win * per_touch[:, None]).sum(axis=0)
+        keep = np.arange(len(types)) != p_col
+        return pa.table({
+            "event_type": pa.array(types[keep], pa.string()),
+            "n_touches": pa.array(n_touch[keep], pa.int64()),
+            "credit_micro": pa.array(credit[keep], pa.int64()),
+        })
+
+    out = (_read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                    "event_type"])
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(credit_partition, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("event_type", as_index=False)
+           .agg(n_touches=("n_touches", "sum"),
+                credit_micro=("credit_micro", "sum")))
+    out = out[out["n_touches"] > 0]
+    for c in ("n_touches", "credit_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
     """Isotonic regression (PAVA) of the 'F'-status rate against the
     order-price bucket — the monotone score-calibration step of an ML

@@ -232,6 +232,83 @@ def test_isotonic_minimax_equals_pava(ray_session):
     assert out["fitted"].nunique() < len(out)  # pooling actually happened
 
 
+def test_quantile_normalize_rank_picks(ray_session):
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_quantile_normalize,
+    )
+
+    out = q_quantile_normalize(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    cents = np.round(ev["value"] * 100).astype(np.int64)
+    pooled = np.sort(cents.to_numpy())
+    n_all = len(pooled)
+    for t, sub in ev.groupby("event_type"):
+        c = np.sort(np.round(sub["value"] * 100).astype(np.int64).to_numpy())
+        n = len(c)
+        for kq in range(1, 10):
+            row = out[(out["event_type"] == t) & (out["decile"] == kq)]
+            assert int(row["src_cents"].iloc[0]) == int(c[(n - 1) * kq // 10])
+            assert int(row["target_cents"].iloc[0]) == int(
+                pooled[(n_all - 1) * kq // 10])
+
+
+def test_cusum_recurrence_equals_closed_form(ray_session):
+    """The closed prefix-scan form must equal the sequential CUSUM
+    recurrence g_t = max(0, g_{t-1} + x_t) on the scaled series."""
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_cusum_drift
+
+    out = q_cusum_drift(SF)
+    v = out["v_cents"].to_numpy(np.int64)
+    n = len(v)
+    tot = int(v.sum())
+    x = n * v - tot - n * (tot // (2 * n))
+    g, ref = 0, []
+    for xi in x:
+        g = max(0, g + int(xi))
+        ref.append(g)
+    assert out["g_scaled"].tolist() == ref
+    assert out["alarm"].tolist() == [gi > n * (tot // n) for gi in ref]
+
+
+def test_attribution_linear_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_attribution_linear,
+    )
+
+    out = q_attribution_linear(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    w = 7 * 86_400_000_000
+    touches, credit = {}, {}
+    for _, grp in ev.groupby("user_id"):
+        rows = grp.sort_values(["us", "event_id"]).to_numpy()
+        # columns: user_id, ts, event_id, event_type, us
+        for i, r in enumerate(rows):
+            if r[3] != "purchase":
+                continue
+            win = [q for j, q in enumerate(rows)
+                   if j != i and q[3] != "purchase"
+                   and q[4] >= r[4] - w
+                   and (q[4] < r[4] or (q[4] == r[4] and q[2] < r[2]))]
+            k = len(win)
+            if k == 0:
+                continue
+            per = 10**6 // k
+            for q in win:
+                touches[q[3]] = touches.get(q[3], 0) + 1
+                credit[q[3]] = credit.get(q[3], 0) + per
+    got = {r["event_type"]: (int(r["n_touches"]), int(r["credit_micro"]))
+           for _, r in out.iterrows()}
+    assert got == {t: (touches[t], credit[t]) for t in touches}
+
+
 def test_permuterm_prefix_math(ray_session):
     """The rotation-prefix transform: a%b -> b$a finds exactly the terms
     LIKE a%b, on a hand-built dictionary."""
