@@ -436,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dunning_llr": _q_dunning_llr,
         "rolling_band": scan.q_rolling_band,
         "isotonic_calibration": qo.q_isotonic_calibration,
+        "static_prune": _q_static_prune,
+        "textrank_keywords": tq.textrank_keywords,
+        "rle_profile": qo.q_rle_profile,
         "kn_bigram_top": _q_kn_bigram_top,
         "lm_perplexity": _q_lm_perplexity,
         # DSIR importance resampling (Xie et al. 2023): target = lang='en'
@@ -940,6 +943,137 @@ def _q_kn_bigram_top(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
     return kn_bigram_top(ds, context="hash", k=20)
+
+
+def _q_static_prune(sf_dir: str):
+    """Static index-pruning footprint per term (pipelines/build.
+    static_prune_profile, keep=10, ties by ascending doc key) from the
+    REAL segments via the stateful actor-pool scan; the oracle
+    recomputes kept-set aggregates with row_number over the dumped
+    token table, so the compare covers the decode + prune rule."""
+    from nadry_search_engine_be_ray.pipelines.build import (
+        static_prune_profile,
+    )
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return static_prune_profile(index_dir, keep=10).to_pandas()
+
+
+_STATIC_PRUNE_SQL_TMPL = """
+    WITH r AS (
+        SELECT term, tf,
+               row_number() OVER (PARTITION BY term
+                   ORDER BY tf DESC, doc_int) AS rn,
+               count(*) OVER (PARTITION BY term) AS cnt
+        FROM read_parquet('{dump}/tok.parquet')
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_kept,
+           CAST(sum(tf) AS BIGINT) AS sum_tf_total,
+           CAST(sum(CASE WHEN rn <= 10 THEN tf ELSE 0 END) AS BIGINT)
+               AS sum_tf_kept,
+           CAST(sum(CASE WHEN rn = least(10, cnt) THEN tf ELSE 0 END)
+               AS BIGINT) AS cutoff_tf
+    FROM r GROUP BY term ORDER BY term
+"""
+
+
+def _textrank_sql(n_iter: int = 5, damping: float = 0.85, df_lo: int = 10,
+                  df_hi: int = 400, k: int = 20) -> str:
+    """Unrolled TextRank oracle: the _pagerank_power_sql recurrence over
+    the band-vocabulary word graph, term strings as node keys."""
+    iters = []
+    prev = "r0"
+    for it in range(1, n_iter + 1):
+        iters.append(f"""
+        r{it} AS MATERIALIZED (
+            SELECT n.term AS node,
+                   (1 - {damping}) / (SELECT cnt FROM nv)
+                   + {damping} * coalesce(sum(rp.rank / outd.od), 0)
+                       AS rank
+            FROM band n
+            LEFT JOIN e ON e.dst = n.term
+            LEFT JOIN outd ON outd.src = e.src
+            LEFT JOIN {prev} rp ON rp.node = e.src
+            GROUP BY n.term
+        )""")
+        prev = f"r{it}"
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+            FROM documents
+        ),
+        tok2 AS MATERIALIZED (
+            SELECT doc_id, unnest(ts) AS term FROM toks
+        ),
+        dfv AS MATERIALIZED (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+            WHERE length(term) >= 2 GROUP BY 1
+        ),
+        band AS MATERIALIZED (
+            SELECT term FROM dfv WHERE df BETWEEN {df_lo} AND {df_hi}
+        ),
+        nv AS (SELECT count(*) AS cnt FROM band),
+        posx AS (
+            SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+            FROM toks WHERE len(ts) >= 2
+        ),
+        adjraw AS (
+            SELECT ts[i - 1] AS a, ts[i] AS b FROM posx
+            WHERE length(ts[i - 1]) >= 2 AND length(ts[i]) >= 2
+        ),
+        adjb AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM adjraw
+            JOIN band ba ON ba.term = a
+            JOIN band bb ON bb.term = b
+            WHERE a <> b
+        ),
+        e AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM adjb
+            UNION SELECT b, a FROM adjb
+        ),
+        outd AS MATERIALIZED (
+            SELECT src, count(*) AS od FROM e GROUP BY 1
+        ),
+        r0 AS MATERIALIZED (
+            SELECT term AS node, 1.0 / (SELECT cnt FROM nv) AS rank
+            FROM band
+        ),
+        {','.join(iters)}
+        SELECT node AS term, round(rank, 9) AS rank FROM {prev}
+        ORDER BY round(rank, 9) DESC, node LIMIT {k}
+    """
+
+
+def _rle_profile_sql() -> str:
+    """Per-column RLE layout arithmetic (quant_ops.q_rle_profile): runs
+    and bytes in natural key order via lag(), value-clustered layout =
+    distinct values."""
+    from nadry_search_engine_be_ray.pipelines.quant_ops import _RLE_COLS
+
+    parts = []
+    for tbl, col, key in _RLE_COLS:
+        parts.append(f"""
+            SELECT '{tbl}' AS tbl, '{col}' AS col,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pv IS NULL OR v <> pv
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs_key,
+                   CAST(sum(CASE WHEN pv IS NULL OR v <> pv
+                            THEN strlen(v) + 4 ELSE 0 END) AS BIGINT)
+                       AS rle_bytes_key,
+                   (SELECT CAST(count(*) AS BIGINT) FROM
+                        (SELECT DISTINCT {col} FROM {tbl})) AS card,
+                   (SELECT CAST(sum(strlen(x) + 4) AS BIGINT) FROM
+                        (SELECT DISTINCT {col} AS x FROM {tbl}))
+                       AS rle_bytes_sorted
+            FROM (SELECT {col} AS v,
+                         lag({col}) OVER (ORDER BY {key}) AS pv
+                  FROM {tbl})""")
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) ORDER BY tbl, col"
 
 
 def _q_dunning_llr(sf_dir: str):
@@ -6087,6 +6221,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e ORDER BY thr
         """,
         "dict_encoding_profile": _dict_encoding_sql(),
+        "static_prune": _STATIC_PRUNE_SQL_TMPL.format(dump=_MAIN_DUMP_DIR),
+        "textrank_keywords": _textrank_sql(),
+        "rle_profile": _rle_profile_sql(),
         "quantile_normalize": """
             WITH c AS (
                 SELECT event_type,

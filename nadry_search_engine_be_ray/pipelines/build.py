@@ -736,6 +736,67 @@ def build_kgram_index(index_dir: str, k: int = 3, *,
     return out_dir
 
 
+def static_prune_profile(index_dir: str, keep: int = 10, *,
+                         concurrency: int = 2, batch_size: int = 512):
+    """Static index-pruning profile (Carmel et al. 2001, top-k-by-tf
+    term pruning): for every dictionary term, the footprint the posting
+    list would keep under "retain only the ``keep`` highest-tf postings"
+    — kept df, kept tf mass, total tf mass and the tf value at the
+    pruning cutoff (ties broken by ascending doc key, so the kept SET is
+    deterministic and the SQL oracle's row_number reproduces it
+    exactly).  Same stateful actor-pool segment scan as
+    posting_codec_sizes: one SegmentReader per worker, term batches
+    fan out, the per-term work is one lexsort over the decoded list.
+
+    Returns (term, df, df_kept, sum_tf_total, sum_tf_kept, cutoff_tf)
+    sorted by term."""
+    import ray.data
+
+    from ..state.segments import SegmentReader
+
+    terms = sorted(SegmentReader(index_dir).terms())
+    seed = ray.data.from_arrow(
+        pa.table({"term": pa.array(terms, pa.string())})
+    ).repartition(max(1, -(-len(terms) // batch_size)))
+
+    class _Prune:
+        def __init__(self):
+            self.reader = SegmentReader(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = batch["term"].to_pylist()
+            df = np.empty(len(ts), dtype=np.int64)
+            dfk = np.empty(len(ts), dtype=np.int64)
+            tot = np.empty(len(ts), dtype=np.int64)
+            kept = np.empty(len(ts), dtype=np.int64)
+            cut = np.empty(len(ts), dtype=np.int64)
+            for i, t in enumerate(ts):
+                pl = self.reader.postings(t)
+                order = np.lexsort((pl.docs, -pl.tfs))[:keep]
+                df[i] = pl.docs.size
+                dfk[i] = order.size
+                tot[i] = int(pl.tfs.sum())
+                kept[i] = int(pl.tfs[order].sum())
+                cut[i] = int(pl.tfs[order[-1]]) if order.size else 0
+            return pa.table({
+                "term": batch["term"],
+                "df": pa.array(df, pa.int64()),
+                "df_kept": pa.array(dfk, pa.int64()),
+                "sum_tf_total": pa.array(tot, pa.int64()),
+                "sum_tf_kept": pa.array(kept, pa.int64()),
+                "cutoff_tf": pa.array(cut, pa.int64()),
+            })
+
+    out = seed.map_batches(
+        _Prune, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables(_ray.get(out))
+    return tbl.sort_by([("term", "ascending")])
+
+
 def build_permuterm_index(index_dir: str, *, concurrency: int = 2) -> str:
     """Build the permuterm index for single-star wildcard queries
     (IR-textbook §3.2.1, the rotation alternative to the k-gram index of

@@ -265,6 +265,86 @@ _DICT_COLS = [
     ("documents", "source"),
 ]
 
+# (table, value column, natural-order key) for the RLE layout profile
+_RLE_COLS = [
+    ("events", "event_type", "event_id"),
+    ("orders", "o_orderpriority", "o_orderkey"),
+    ("orders", "o_orderstatus", "o_orderkey"),
+    ("customer", "c_mktsegment", "c_custkey"),
+    ("documents", "lang", "doc_id"),
+    ("documents", "source", "doc_id"),
+]
+
+
+def q_rle_profile(sf_dir: str) -> pd.DataFrame:
+    """Run-length-encoding layout profile per low-cardinality column —
+    the companion measurement to dict_encoding_profile and
+    zone_map_prune: run count and RLE bytes (run-start value bytes + a
+    4-byte length each) in the table's NATURAL key order versus the
+    value-clustered layout (where runs = cardinality).  Distributed run
+    counting without a global sort: contiguous key-range partitions
+    count runs locally and ship only (first, last) boundary values; the
+    driver stitches partitions in key order, merging the run that spans
+    a boundary — the partition_checksums/rolling-halo ordered-scan
+    contract, O(partitions) driver state."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from .relational import _fused_parts
+
+    rows = []
+    for tbl, col, key in _RLE_COLS:
+        ds = _read(sf_dir, tbl, [key, col])
+        rng = ds.aggregate(Min(key), Max(key))
+        kmin, kmax = int(rng[f"min({key})"]), int(rng[f"max({key})"])
+        n_parts = _fused_parts(sf_dir, tbl)
+        span = max(1, -(-(kmax - kmin + 1) // n_parts))
+
+        def add_part(batch: pa.Table, key=key, kmin=kmin,
+                     span=span) -> pa.Table:
+            kk = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column(
+                "part", pa.array((kk - kmin) // span, pa.int64()))
+
+        def part_runs(group: pa.Table, key=key, col=col) -> pa.Table:
+            kk = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = group[col].to_numpy(zero_copy_only=False)
+            order = np.argsort(kk, kind="stable")
+            v = v[order]
+            starts = np.r_[True, v[1:] != v[:-1]]
+            blen = np.array([len(s.encode()) for s in v[starts]], np.int64)
+            return pa.table({
+                "part": pa.array([int(group["part"][0].as_py())],
+                                 pa.int64()),
+                "n": pa.array([len(v)], pa.int64()),
+                "runs": pa.array([int(starts.sum())], pa.int64()),
+                "rle_bytes": pa.array([int((blen + 4).sum())], pa.int64()),
+                "first_v": pa.array([str(v[0])], pa.string()),
+                "last_v": pa.array([str(v[-1])], pa.string()),
+            })
+
+        parts = (ds.map_batches(add_part, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(part_runs, batch_format="pyarrow")
+                 .to_pandas().sort_values("part").reset_index(drop=True))
+        n = int(parts["n"].sum())
+        runs = int(parts["runs"].sum())
+        rle_bytes = int(parts["rle_bytes"].sum())
+        for i in range(1, len(parts)):
+            if parts["first_v"][i] == parts["last_v"][i - 1]:
+                runs -= 1
+                rle_bytes -= len(parts["first_v"][i].encode()) + 4
+        distinct = (ds.groupby(col).count().to_pandas())
+        card = len(distinct)
+        sorted_bytes = int(sum(len(s.encode()) + 4 for s in distinct[col]))
+        rows.append((tbl, col, n, runs, rle_bytes, card, sorted_bytes))
+    out = pd.DataFrame(rows, columns=["tbl", "col", "n", "runs_key",
+                                      "rle_bytes_key", "card",
+                                      "rle_bytes_sorted"])
+    for c in out.columns[2:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["tbl", "col"]).reset_index(drop=True)
+
 
 def q_dict_encoding_profile(sf_dir: str) -> pd.DataFrame:
     """Dictionary-encoding size model per low-cardinality string column

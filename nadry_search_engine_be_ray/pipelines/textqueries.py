@@ -791,6 +791,80 @@ def pmi_pairs(sf_dir: str, df_lo: int = 10, df_hi: int = 400, k: int = 20,
     return out.reset_index(drop=True)
 
 
+def textrank_keywords(sf_dir: str, df_lo: int = 10, df_hi: int = 400,
+                      n_iter: int = 5, k: int = 20) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — nodes are the mid-band vocabulary
+    (same df banding as term_cooccur/pmi_pairs, which bounds the graph),
+    edges are STRICT raw-stream adjacencies whose both endpoints are
+    valid band terms, undirected (both directions materialized, deduped).
+    The ranking itself REUSES pipelines/pagerank.pagerank_power_int —
+    band terms map to dense ids by sorted rank, the fixed-iteration
+    recurrence is the one the pagerank_power oracle already unrolls, and
+    the oracle here unrolls the identical chain with the term strings as
+    node keys (no id mapping needed in SQL).  Top-k by (rounded rank
+    desc, term)."""
+    import ray
+
+    from .pagerank import pagerank_power_int
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: _explode(b, True), batch_format="pyarrow"
+    )
+    df = ds.groupby("term").aggregate(Count(alias_name="df"))
+    band = df.filter(
+        expr=f"df >= {df_lo} and df <= {df_hi}"
+    ).select_columns(["term"]).to_pandas()
+    vocab = np.array(sorted(band["term"].tolist()), dtype=object)
+    n_v = len(vocab)
+    empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "rank": pd.Series([], dtype="float64")})
+    if n_v == 0:
+        return empty
+    vocab_ref = ray.put(vocab)
+
+    def adj(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        doc_pos, flat, _, ok = _exploded(batch)
+        f = flat.to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        both = ok[1:] & ok[:-1] & (doc_pos[1:] == doc_pos[:-1])
+        a, b = f[:-1][both], f[1:][both]
+        ia = np.searchsorted(v, a)
+        ib = np.searchsorted(v, b)
+        ia[ia == n_v] = 0
+        ib[ib == n_v] = 0
+        hit = (v[ia] == a) & (v[ib] == b) & (ia != ib)
+        return pa.table({"src": pa.array(ia[hit].astype(np.int64)),
+                         "dst": pa.array(ib[hit].astype(np.int64))})
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    edges = (
+        _docs(sf_dir)
+        .map_batches(adj, batch_format="pyarrow")
+        .groupby(["src", "dst"]).count()
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["src", "dst"]).count()
+        .select_columns(["src", "dst"])
+    )
+    ranks = pagerank_power_int(edges, n_v, damping=0.85,
+                               n_iter=n_iter).to_pandas()
+    out = pd.DataFrame({"term": vocab[ranks["node"].to_numpy(np.int64)],
+                        "rank": np.round(ranks["rank"].to_numpy(), 9)})
+    out = out.sort_values(["rank", "term"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
 def data_card(sf_dir: str) -> pd.DataFrame:
     """Dataset-card statistics: per (lang, source) doc counts, token
     totals and mean doc length — the summary table a training-data release

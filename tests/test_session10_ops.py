@@ -309,6 +309,106 @@ def test_attribution_linear_brute(ray_session):
     assert got == {t: (touches[t], credit[t]) for t in touches}
 
 
+def test_static_prune_rule_per_term(ray_session, built_index):
+    """Independent python recompute of the keep-10 (tf desc, doc asc)
+    rule per term from the same SegmentReader."""
+    from nadry_search_engine_be_ray.pipelines.build import (
+        static_prune_profile,
+    )
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    out = static_prune_profile(built_index, keep=10).to_pandas()
+    r = SegmentReader(built_index)
+    assert len(out) == len(list(r.terms()))
+    for _, row in out.head(60).iterrows():
+        pl = r.postings(row["term"])
+        pairs = sorted(zip(pl.tfs.tolist(), pl.docs.tolist()),
+                       key=lambda p: (-p[0], p[1]))
+        kept = pairs[:10]
+        assert int(row["df"]) == len(pairs)
+        assert int(row["df_kept"]) == len(kept)
+        assert int(row["sum_tf_total"]) == sum(t for t, _ in pairs)
+        assert int(row["sum_tf_kept"]) == sum(t for t, _ in kept)
+        assert int(row["cutoff_tf"]) == kept[-1][0]
+
+
+def test_textrank_matches_driver_power_iteration(ray_session):
+    """Pure-python band + adjacency + 5 power iterations from the raw
+    parquet vs the distributed composition."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.textqueries import (
+        textrank_keywords,
+    )
+
+    out = textrank_keywords(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    df = {}
+    streams = []
+    for _, row in docs.iterrows():
+        toks = re.split(r"[^a-z0-9]+", row["text"].lower())
+        ok = [t for t in toks if len(t) >= 2]
+        streams.append(toks)
+        for t in set(ok):
+            df[t] = df.get(t, 0) + 1
+    band = sorted(t for t, d in df.items() if 10 <= d <= 400)
+    vid = {t: i for i, t in enumerate(band)}
+    edges = set()
+    for toks in streams:
+        for a, b in zip(toks, toks[1:]):
+            if (len(a) >= 2 and len(b) >= 2 and a != b
+                    and a in vid and b in vid):
+                edges.add((vid[a], vid[b]))
+                edges.add((vid[b], vid[a]))
+    v = len(band)
+    outdeg = np.zeros(v, np.int64)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = np.full(v, 1.0 / v)
+    for _ in range(5):
+        nxt = np.full(v, 0.15 / v)
+        contrib = rank / np.maximum(outdeg, 1)
+        for s, d in edges:
+            nxt[d] += 0.85 * contrib[s]
+        rank = nxt
+    ref = sorted(((round(r, 9), t) for t, r in zip(band, rank)),
+                 key=lambda p: (-p[0], p[1]))[:20]
+    got = list(zip(out["rank"], out["term"]))
+    for (rr, rt), (gr, gt) in zip(ref, got):
+        assert rt == gt
+        assert gr == pytest.approx(rr, abs=1e-7)
+
+
+def test_rle_profile_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        _RLE_COLS,
+        q_rle_profile,
+    )
+
+    out = q_rle_profile(SF).set_index(["tbl", "col"])
+    for tbl, col, key in _RLE_COLS:
+        t = pq.read_table(f"{SF}/{tbl}.parquet",
+                          columns=[key, col]).to_pandas()
+        t = t.sort_values(key)
+        v = t[col].to_numpy()
+        starts = np.r_[True, v[1:] != v[:-1]]
+        runs = int(starts.sum())
+        rle_bytes = int(sum(len(s.encode()) + 4 for s in v[starts]))
+        row = out.loc[(tbl, col)]
+        assert int(row["n"]) == len(v)
+        assert int(row["runs_key"]) == runs
+        assert int(row["rle_bytes_key"]) == rle_bytes
+        uniq = sorted(set(v))
+        assert int(row["card"]) == len(uniq)
+        assert int(row["rle_bytes_sorted"]) == sum(
+            len(s.encode()) + 4 for s in uniq)
+
+
 def test_permuterm_prefix_math(ray_session):
     """The rotation-prefix transform: a%b -> b$a finds exactly the terms
     LIKE a%b, on a hand-built dictionary."""
