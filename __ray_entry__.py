@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": qo.q_quantile_normalize,
         "cusum_drift": qo.q_cusum_drift,
         "attribution_linear": qo.q_attribution_linear,
+        "sprt_decision": qo.q_sprt_decision,
+        "cohort_ltv": qo.q_cohort_ltv,
+        "lorenz_curve": qo.q_lorenz_curve,
         # relational operator inventory (SQL-checked)
         "agg_pushdown": rel.q_agg_pushdown,
         "broadcast_join": rel.q_broadcast_join,
@@ -6291,6 +6294,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cs - runmin AS BIGINT) AS g_scaled,
                    (cs - runmin > h) AS alarm
             FROM g ORDER BY day
+        """,
+        "sprt_decision": """
+            WITH d AS (
+                SELECT date_trunc('day', ts) AS day, count(*) AS n,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS k
+                FROM events GROUP BY 1
+            ),
+            c AS (
+                SELECT day,
+                       sum(n) OVER w AS n_cum, sum(k) OVER w AS k_cum
+                FROM d WINDOW w AS (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING)
+            ),
+            l AS (
+                SELECT day, n_cum, k_cum,
+                       k_cum * ln(0.25 / 0.15)
+                       + (n_cum - k_cum) * ln((1 - 0.25) / (1 - 0.15))
+                           AS llr
+                FROM c
+            ),
+            x AS (
+                SELECT day, n_cum, k_cum, llr,
+                       CASE WHEN llr >= ln(19.0) OR llr <= -ln(19.0)
+                            THEN 1 ELSE 0 END AS cr
+                FROM l
+            )
+            SELECT day, CAST(n_cum AS BIGINT) AS n_cum,
+                   CAST(k_cum AS BIGINT) AS k_cum,
+                   round(llr, 6) AS llr,
+                   (max(cr) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) > 0) AS decided
+            FROM x ORDER BY day
+        """,
+        "cohort_ltv": """
+            WITH f AS (
+                SELECT o_custkey,
+                       min(date_trunc('month', o_orderdate)) AS m
+                FROM orders GROUP BY 1
+            ),
+            sz AS (SELECT m AS cohort, count(*) AS nc FROM f GROUP BY 1),
+            r AS (
+                SELECT f.m AS cohort,
+                       (date_part('year', o_orderdate) * 12
+                        + date_part('month', o_orderdate))
+                       - (date_part('year', f.m) * 12
+                          + date_part('month', f.m)) AS age,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders JOIN f USING (o_custkey)
+            ),
+            g AS (SELECT cohort, age, sum(cents) AS rev FROM r
+                  GROUP BY 1, 2)
+            SELECT g.cohort, CAST(g.age AS BIGINT) AS age,
+                   CAST(sz.nc AS BIGINT) AS n_customers,
+                   CAST(g.rev AS BIGINT) AS rev,
+                   CAST(sum(g.rev) OVER (PARTITION BY g.cohort
+                        ORDER BY g.age ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_rev
+            FROM g JOIN sz ON sz.cohort = g.cohort
+            ORDER BY g.cohort, g.age
+        """,
+        "lorenz_curve": """
+            WITH per AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+                FROM orders GROUP BY 1
+            ),
+            c AS (
+                SELECT row_number() OVER (ORDER BY v, o_custkey) AS rn,
+                       count(*) OVER () AS n,
+                       sum(v) OVER () AS total,
+                       sum(v) OVER (ORDER BY v, o_custkey
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM per
+            ),
+            d AS (SELECT unnest(range(1, 11)) AS k)
+            SELECT CAST(d.k AS BIGINT) AS decile,
+                   CAST(c.rn AS BIGINT) AS cum_users,
+                   CAST(c.cum AS BIGINT) AS cum_cents,
+                   CAST(c.cum * 1000000 // c.total AS BIGINT)
+                       AS share_micro
+            FROM d JOIN c
+              ON c.rn = (SELECT max(n) FROM c) * d.k // 10
+            ORDER BY d.k
         """,
         "attribution_linear": """
             WITH p AS (

@@ -409,6 +409,24 @@ def main() -> None:
     rel.q_cross_correlation(SF_DIR)
     extra_timings["session9_extras"] = time.time() - t0
 
+    # --- session-10 additions (non-headline): the quant-analytics and
+    # text/graph families --------------------------------------------------
+    from nadry_search_engine_be_ray.pipelines import quant_ops as _qo
+    from nadry_search_engine_be_ray.pipelines import textqueries as _tq10
+
+    t0 = time.time()
+    _qo.q_mad_outliers(SF_DIR)
+    _qo.q_isotonic_calibration(SF_DIR)
+    _qo.q_item_cf_topk(SF_DIR)
+    _qo.q_attribution_linear(SF_DIR)
+    _qo.q_rle_profile(SF_DIR)
+    extra_timings["quant_extras"] = time.time() - t0
+
+    t0 = time.time()
+    _tq10.textrank_keywords(SF_DIR)
+    _scan.q_rolling_band(SF_DIR)
+    extra_timings["session10_text_extras"] = time.time() - t0
+
     ray.shutdown()
 
     from nadry_search_engine_be_ray.benchconst import (

@@ -697,6 +697,169 @@ def q_attribution_linear(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_sprt_decision(sf_dir: str, p0: float = 0.15, p1: float = 0.25,
+                    alpha_inv: int = 19) -> pd.DataFrame:
+    """Wald's sequential probability ratio test on the purchase-share
+    stream (H0: share = p0 vs H1: share = p1, thresholds ±ln(alpha_inv)):
+    per day the cumulative (n, k) counts, the log-likelihood ratio
+    llr = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)), and the latched
+    decision state (first threshold crossing wins, a prefix-max of the
+    crossing indicator — sequential state in closed window form, the
+    cusum_drift discipline).  The llr is two exact-integer-scaled ln
+    constants times cumulative counts — identical doubles in both
+    engines.  O(calendar days) driver series from one daily histogram
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        k = (batch["event_type"].to_numpy(zero_copy_only=False)
+             == "purchase").astype(np.int64)
+        t = pa.table({
+            "day": day,
+            "n": pa.array(np.ones(len(k), np.int64), pa.int64()),
+            "k": pa.array(k, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["day"]).aggregate([("n", "sum"), ("k", "sum")]),
+            {"n_sum": "n", "k_sum": "k"})
+
+    daily = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    n = np.cumsum(daily["n"].to_numpy(np.int64))
+    k = np.cumsum(daily["k"].to_numpy(np.int64))
+    w_pos = np.log(p1 / p0)
+    w_neg = np.log((1 - p1) / (1 - p0))
+    llr = k * w_pos + (n - k) * w_neg
+    lim = np.log(float(alpha_inv))
+    crossed = (llr >= lim) | (llr <= -lim)
+    decided = np.maximum.accumulate(crossed.astype(np.int64)) > 0
+    return pd.DataFrame({
+        "day": daily["day"],
+        "n_cum": n,
+        "k_cum": k,
+        "llr": np.round(llr, 6),
+        "decided": decided,
+    })
+
+
+def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort lifetime-value curves: customers cohort by first-order
+    month, revenue accumulated by months-since-cohort age — the
+    retention_cohorts companion that tracks MONEY instead of presence.
+    Two passes: a (custkey -> first month) aggregate whose result
+    broadcasts as a sorted lookup (the weighted_median tag contract;
+    at 10^9 customers this becomes the documented anti-join fallback),
+    then a (cohort, age) integer-cents partial-sum shuffle.  The
+    cumulative column is a per-cohort prefix sum over the
+    months-bounded driver table."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        m = pc.cast(pc.floor_temporal(batch["o_orderdate"], unit="month"),
+                    pa.timestamp("us"))
+        t = pa.table({"o_custkey": batch["o_custkey"], "m": m})
+        return _rename_agg(t.group_by(["o_custkey"]).aggregate(
+            [("m", "min")]), {"m_min": "m"})
+
+    first = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+             .map_batches(first_partial, batch_format="pyarrow")
+             .groupby("o_custkey").aggregate(Min("m", alias_name="m"))
+             .to_pandas())
+    keys = first["o_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    cohort_us = (first["m"].to_numpy()[order]
+                 .astype("datetime64[us]").astype(np.int64))
+    cohort_size = first.groupby("m").size()
+    ref = ray.put((keys, cohort_us))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ks, cu = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        idx = np.searchsorted(ks, ck)  # every order's customer is known
+        coh = cu[idx]
+        m = (pc.cast(pc.floor_temporal(batch["o_orderdate"], unit="month"),
+                     pa.timestamp("us"))
+             .to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        cd = coh.astype("datetime64[us]").astype("datetime64[M]")
+        md = m.astype("datetime64[us]").astype("datetime64[M]")
+        age = (md.astype(np.int64) - cd.astype(np.int64))
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "cohort": pa.array(coh.astype("datetime64[us]"),
+                               pa.timestamp("us")),
+            "age": pa.array(age, pa.int64()),
+            "rev": pa.array(cents, pa.int64()),
+        })
+        return _rename_agg(t.group_by(["cohort", "age"]).aggregate(
+            [("rev", "sum")]), {"rev_sum": "rev"})
+
+    g = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+         .map_batches(tag, batch_format="pyarrow")
+         .groupby(["cohort", "age"])
+         .aggregate(Sum("rev", alias_name="rev"))
+         .to_pandas().sort_values(["cohort", "age"])
+         .reset_index(drop=True))
+    g["cum_rev"] = g.groupby("cohort")["rev"].cumsum()
+    g["n_customers"] = g["cohort"].map(cohort_size).astype("int64")
+    for c in ("rev", "cum_rev"):
+        g[c] = g[c].astype("int64")
+    g["age"] = g["age"].astype("int64")
+    return g[["cohort", "age", "n_customers", "rev", "cum_rev"]]
+
+
+def q_lorenz_curve(sf_dir: str) -> pd.DataFrame:
+    """Lorenz-curve decile points of customer spend concentration (the
+    gini_by_source companion that emits the CURVE): users sorted by
+    total spend ascending (custkey tiebreak), at each decile the exact
+    rank cutoff floor(n·k/10), the cumulative cents below it and the
+    floor-integer share cum·10^6 // total — no quotient ever rounds.
+    The per-customer aggregate is customer-dimension-bounded (the
+    eb_smoothed_rates contract)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "v": pa.array(cents, pa.int64())})
+        return _rename_agg(t.group_by(["o_custkey"]).aggregate(
+            [("v", "sum")]), {"v_sum": "v"})
+
+    per = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("v", alias_name="v"))
+           .to_pandas())
+    order = np.lexsort((per["o_custkey"].to_numpy(np.int64),
+                        per["v"].to_numpy(np.int64)))
+    v = per["v"].to_numpy(np.int64)[order]
+    cum = np.concatenate(([0], np.cumsum(v)))
+    n = len(v)
+    total = int(cum[-1])
+    rows = []
+    for kq in range(1, 11):
+        r = n * kq // 10
+        c = int(cum[r])
+        rows.append((kq, r, c, c * 10**6 // total))
+    out = pd.DataFrame(rows, columns=["decile", "cum_users", "cum_cents",
+                                      "share_micro"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
     """Isotonic regression (PAVA) of the 'F'-status rate against the
     order-price bucket — the monotone score-calibration step of an ML

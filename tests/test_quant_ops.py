@@ -184,6 +184,73 @@ def test_double_billing_brute_pairs(ray_session):
         assert (int(r["gap_days"]), int(r["price_diff_cents"])) == (g, pdiff)
 
 
+def test_sprt_latch_and_llr(ray_session):
+    """The decided column must be the latched prefix-OR of threshold
+    crossings, and the llr the Wald statistic of the cumulative
+    counts."""
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_sprt_decision,
+    )
+
+    out = q_sprt_decision(SF)
+    n = out["n_cum"].to_numpy(np.int64)
+    k = out["k_cum"].to_numpy(np.int64)
+    assert (np.diff(n) > 0).all()
+    llr = k * np.log(0.25 / 0.15) + (n - k) * np.log(0.75 / 0.85)
+    assert np.allclose(out["llr"], np.round(llr, 6), atol=1e-9)
+    crossed = (llr >= np.log(19.0)) | (llr <= -np.log(19.0))
+    assert out["decided"].tolist() == list(
+        np.maximum.accumulate(crossed.astype(int)) > 0)
+
+
+def test_cohort_ltv_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_cohort_ltv
+
+    out = q_cohort_ltv(SF)
+    o = _orders()
+    o["m"] = o["o_orderdate"].dt.to_period("M")
+    first = o.groupby("o_custkey")["m"].min()
+    o["cohort"] = o["o_custkey"].map(first)
+    o["age"] = (o["m"] - o["cohort"]).apply(lambda d: d.n)
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    ref = (o.groupby(["cohort", "age"])["cents"].sum().reset_index()
+           .sort_values(["cohort", "age"]))
+    assert len(out) == len(ref)
+    assert out["rev"].tolist() == ref["cents"].tolist()
+    assert out["age"].tolist() == ref["age"].tolist()
+    # cum is the per-cohort prefix sum; cohort size matches first-order
+    sizes = first.value_counts()
+    got_sizes = out.drop_duplicates("cohort").set_index("cohort")
+    for coh, row in got_sizes.iterrows():
+        assert int(row["n_customers"]) == int(
+            sizes[pd.Period(coh, freq="M")])
+    cum = out.groupby("cohort")["rev"].cumsum()
+    assert out["cum_rev"].tolist() == cum.tolist()
+
+
+def test_lorenz_exact_deciles(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_lorenz_curve
+
+    out = q_lorenz_curve(SF)
+    o = _orders()
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    per = (o.groupby("o_custkey")["cents"].sum()
+           .reset_index().sort_values(["cents", "o_custkey"]))
+    v = per["cents"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(v)))
+    n, total = len(v), int(v.sum())
+    for _, row in out.iterrows():
+        r = n * int(row["decile"]) // 10
+        assert int(row["cum_users"]) == r
+        assert int(row["cum_cents"]) == int(cum[r])
+        assert int(row["share_micro"]) == int(cum[r]) * 10**6 // total
+    assert int(out["share_micro"].iloc[-1]) == 10**6
+    # Lorenz curve is convex: shares grow at most as fast as user share
+    assert (np.diff(out["share_micro"].to_numpy()) >= 0).all()
+
+
 def test_mad_histogram_path_is_row_free(ray_session):
     """The MAD/percentile family folds through the bounded cents
     histogram — its driver table must be <= distinct (type, cents)
