@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sprt_decision": qo.q_sprt_decision,
         "cohort_ltv": qo.q_cohort_ltv,
         "lorenz_curve": qo.q_lorenz_curve,
+        "revenue_proration": qo.q_revenue_proration,
+        "skew_audit": qo.q_skew_audit,
+        "window_ratios": qo.q_window_ratios,
         # relational operator inventory (SQL-checked)
         "agg_pushdown": rel.q_agg_pushdown,
         "broadcast_join": rel.q_broadcast_join,
@@ -6294,6 +6297,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cs - runmin AS BIGINT) AS g_scaled,
                    (cs - runmin > h) AS alarm
             FROM g ORDER BY day
+        """,
+        "revenue_proration": """
+            WITH o AS (
+                SELECT date_trunc('day', o_orderdate) AS d0,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CASE o_orderpriority
+                           WHEN '1-URGENT' THEN 7
+                           WHEN '2-HIGH' THEN 14
+                           WHEN '3-MEDIUM' THEN 21
+                           WHEN '4-NOT SPECIFIED' THEN 28
+                           ELSE 35 END AS span
+                FROM orders
+            ),
+            x AS (
+                SELECT d0 + to_days(CAST(off AS INTEGER)) AS day,
+                       cents // span
+                       + CASE WHEN off = 0 THEN cents % span
+                              ELSE 0 END AS rec
+                FROM o, unnest(range(o.span)) AS u(off)
+            )
+            SELECT day, CAST(sum(rec) AS BIGINT) AS rec_cents
+            FROM x GROUP BY 1 ORDER BY day
+        """,
+        "skew_audit": """
+            WITH b AS (
+                SELECT 'o_custkey' AS key, o_custkey % 64 AS bucket
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderkey', o_orderkey % 64 FROM orders
+                UNION ALL
+                SELECT 'day', CAST(epoch(o_orderdate) AS BIGINT)
+                              // 86400 % 64
+                FROM orders
+                UNION ALL
+                SELECT 'priority_code',
+                       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) % 64
+                FROM orders
+            ),
+            h AS (SELECT key, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+            SELECT key, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS nonempty,
+                   CAST(min(c) AS BIGINT) AS min_rows,
+                   CAST(max(c) AS BIGINT) AS max_rows,
+                   CAST(max(c) * 64 * 1000000 // sum(c) AS BIGINT)
+                       AS imbalance_micro
+            FROM h GROUP BY key ORDER BY key
+        """,
+        "window_ratios": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS v
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, CAST(v AS BIGINT) AS v_cents,
+                   CAST(count(*) OVER (PARTITION BY event_type
+                            ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) * 1000000
+                        // count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS cd_micro,
+                   CAST(v * 1000000
+                        // sum(v) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS pct_micro
+            FROM daily ORDER BY event_type, day
         """,
         "sprt_decision": """
             WITH d AS (

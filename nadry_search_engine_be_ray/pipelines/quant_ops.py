@@ -697,6 +697,162 @@ def q_attribution_linear(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_PRORATION_SPAN = {"1-URGENT": 7, "2-HIGH": 14, "3-MEDIUM": 21,
+                   "4-NOT SPECIFIED": 28, "5-LOW": 35}
+
+
+def q_revenue_proration(sf_dir: str) -> pd.DataFrame:
+    """Revenue-recognition proration (calendar spreading): each order's
+    total spreads over a priority-keyed recognition span starting at the
+    order date — cents // span per day with the integer remainder
+    recognized on day one, so the spread sums EXACTLY to the original
+    cents and the daily fold is order-free.  The explode is a bounded
+    per-row fan-out (≤ 35 days) done vectorized with repeat/offset
+    arithmetic inside map_batches; the recognized-revenue-by-day
+    aggregate is the usual day-keyed partial-sum shuffle."""
+    from ray.data.aggregate import Sum
+
+    spans = _PRORATION_SPAN
+
+    def prorate(batch: pa.Table) -> pa.Table:
+        day0 = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        span = np.array([spans[p] for p in pr], np.int64)
+        per = cents // span
+        rem = cents - per * span
+        n = int(span.sum())
+        row = np.repeat(np.arange(len(span)), span)
+        off = np.arange(n) - np.repeat(np.cumsum(span) - span, span)
+        rec = per[row] + np.where(off == 0, rem[row], 0)
+        days = (day0[row] + off) * _DAY_US
+        t = pa.table({
+            "day": pa.array(days.astype("datetime64[us]"),
+                            pa.timestamp("us")),
+            "rec": pa.array(rec, pa.int64()),
+        })
+        return _rename_agg(t.group_by(["day"]).aggregate([("rec", "sum")]),
+                           {"rec_sum": "rec"})
+
+    out = (_read(sf_dir, "orders",
+                 ["o_orderdate", "o_totalprice", "o_orderpriority"])
+           .map_batches(prorate, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("rec", alias_name="rec"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    out["rec"] = out["rec"].astype("int64")
+    return out.rename(columns={"rec": "rec_cents"})
+
+
+_SKEW_KEYS = ["o_custkey", "o_orderkey", "day", "priority_code"]
+
+
+def q_skew_audit(sf_dir: str, buckets: int = 64) -> pd.DataFrame:
+    """Partition-skew audit for candidate shuffle keys: bucket orders by
+    key % 64 (dense code for the categorical) and report per key choice
+    the nonempty-bucket count, min/max bucket rows and the imbalance
+    factor max·buckets·10^6 // n (floor micro, exact) — the
+    pre-shuffle measurement this repo's salted-shuffle docs say to take
+    before picking a partition key.  One histogram partial per key, all
+    four keys folded in a single pass over the table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        day = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        prc = np.array(
+            [int(p[0]) for p in
+             batch["o_orderpriority"].to_numpy(zero_copy_only=False)],
+            np.int64)
+        ks, bs = [], []
+        for name, arr in (("o_custkey", ck), ("o_orderkey", ok),
+                          ("day", day), ("priority_code", prc)):
+            ks.extend([name] * len(arr))
+            bs.append(arr % buckets)
+        t = pa.table({
+            "key": pa.array(ks, pa.string()),
+            "bucket": pa.array(np.concatenate(bs), pa.int64()),
+            "c": pa.array(np.ones(len(ks), np.int64), pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["key", "bucket"]).aggregate([("c", "sum")]),
+            {"c_sum": "c"})
+
+    h = (_read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate",
+                "o_orderpriority"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["key", "bucket"])
+         .aggregate(Sum("c", alias_name="c"))
+         .to_pandas())
+    rows = []
+    for key, sub in h.groupby("key"):
+        c = sub["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        rows.append((key, n, len(sub), int(c.min()), int(c.max()),
+                     int(c.max()) * buckets * 10**6 // n))
+    out = pd.DataFrame(rows, columns=["key", "n", "nonempty", "min_rows",
+                                      "max_rows", "imbalance_micro"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def q_window_ratios(sf_dir: str) -> pd.DataFrame:
+    """Peer-inclusive cumulative distribution (cume_dist) and
+    ratio-to-report per event_type over the DAILY value series, both as
+    exact floor-micro integers: cd_micro = (rows with v' <= v) * 10^6
+    // n (the RANGE-frame peer rule), pct_micro = v * 10^6 // total.
+    The daily series comes from one partial-sum shuffle; the window
+    arithmetic is per-type vectorized searchsorted over the
+    days-bounded driver table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                      pa.timestamp("us"))
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "day": day,
+                      "v": pa.array(cents, pa.int64())})
+        return _rename_agg(
+            t.group_by(["event_type", "day"]).aggregate([("v", "sum")]),
+            {"v_sum": "v"})
+
+    daily = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("v", alias_name="v"))
+             .to_pandas())
+    outs = []
+    for et, sub in daily.groupby("event_type"):
+        sub = sub.sort_values("day").reset_index(drop=True)
+        v = sub["v"].to_numpy(np.int64)
+        n = len(v)
+        total = int(v.sum())
+        sv = np.sort(v)
+        cnt_le = np.searchsorted(sv, v, side="right")
+        outs.append(pd.DataFrame({
+            "event_type": et,
+            "day": sub["day"],
+            "v_cents": v,
+            "cd_micro": cnt_le.astype(np.int64) * 10**6 // n,
+            "pct_micro": v * 10**6 // total,
+        }))
+    out = pd.concat(outs, ignore_index=True)
+    for c in ("v_cents", "cd_micro", "pct_micro"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
 def q_sprt_decision(sf_dir: str, p0: float = 0.15, p1: float = 0.25,
                     alpha_inv: int = 19) -> pd.DataFrame:
     """Wald's sequential probability ratio test on the purchase-share

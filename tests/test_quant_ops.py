@@ -251,6 +251,77 @@ def test_lorenz_exact_deciles(ray_session):
     assert (np.diff(out["share_micro"].to_numpy()) >= 0).all()
 
 
+def test_proration_conserves_and_matches_brute(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        _PRORATION_SPAN,
+        q_revenue_proration,
+    )
+
+    out = q_revenue_proration(SF)
+    o = _orders()
+    cents = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    assert int(out["rec_cents"].sum()) == int(cents.sum())  # conservation
+    ref = {}
+    for d0, c, p in zip(o["o_orderdate"].dt.floor("D"), cents,
+                        o["o_orderpriority"]):
+        span = _PRORATION_SPAN[p]
+        per, rem = int(c) // span, int(c) % span
+        for off in range(span):
+            day = d0 + pd.Timedelta(days=off)
+            ref[day] = ref.get(day, 0) + per + (rem if off == 0 else 0)
+    got = dict(zip(out["day"], out["rec_cents"].astype(int)))
+    assert got == ref
+
+
+def test_skew_audit_brute(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_skew_audit
+
+    out = q_skew_audit(SF).set_index("key")
+    o = _orders()
+    keys = {
+        "o_custkey": o["o_custkey"].to_numpy(np.int64) % 64,
+        "o_orderkey": o["o_orderkey"].to_numpy(np.int64) % 64,
+        "day": (o["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64)) % 64,
+        "priority_code": o["o_orderpriority"].str[0].astype(np.int64) % 64,
+    }
+    for name, b in keys.items():
+        c = np.bincount(b)
+        c = c[c > 0]
+        row = out.loc[name]
+        assert int(row["n"]) == len(b)
+        assert int(row["nonempty"]) == len(c)
+        assert (int(row["min_rows"]), int(row["max_rows"])) == (
+            int(c.min()), int(c.max()))
+        assert int(row["imbalance_micro"]) == int(c.max()) * 64 * 10**6 \
+            // len(b)
+    # the categorical key must read as the skew case it exists to show
+    assert (out.loc["priority_code", "imbalance_micro"]
+            > 5 * out.loc["o_orderkey", "imbalance_micro"])
+
+
+def test_window_ratios_peer_rule(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_window_ratios
+
+    out = q_window_ratios(SF)
+    ev = _events()
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+    daily = (ev.groupby(["event_type", "day"])["cents"].sum()
+             .reset_index())
+    for (et, day), sub in out.groupby(["event_type", "day"]):
+        grp = daily[daily["event_type"] == et]
+        v = int(daily[(daily["event_type"] == et)
+                      & (daily["day"] == day)]["cents"].iloc[0])
+        n = len(grp)
+        le = int((grp["cents"] <= v).sum())
+        row = sub.iloc[0]
+        assert int(row["v_cents"]) == v
+        assert int(row["cd_micro"]) == le * 10**6 // n
+        assert int(row["pct_micro"]) == v * 10**6 // int(
+            grp["cents"].sum())
+
+
 def test_mad_histogram_path_is_row_free(ray_session):
     """The MAD/percentile family folds through the bounded cents
     histogram — its driver table must be <= distinct (type, cents)
