@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_proration": qo.q_revenue_proration,
         "skew_audit": qo.q_skew_audit,
         "window_ratios": qo.q_window_ratios,
+        "interarrival_stats": qo.q_interarrival_stats,
+        "grouping_sets": qo.q_grouping_sets,
+        "tree_depth2": qo.q_tree_depth2,
         # relational operator inventory (SQL-checked)
         "agg_pushdown": rel.q_agg_pushdown,
         "broadcast_join": rel.q_broadcast_join,
@@ -6297,6 +6300,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cs - runmin AS BIGINT) AS g_scaled,
                    (cs - runmin > h) AS alarm
             FROM g ORDER BY day
+        """,
+        "interarrival_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       date_diff('microsecond', lag(ts) OVER w, ts)
+                           // 60000000 AS gmin,
+                       lag(ts) OVER w AS prev
+                FROM events
+                WINDOW w AS (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id)
+            ),
+            v AS (SELECT event_type, CAST(gmin AS BIGINT) AS gmin
+                  FROM g WHERE prev IS NOT NULL),
+            r AS (
+                SELECT event_type, gmin,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY gmin) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            )
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+                   CAST(sum(gmin) AS BIGINT) AS sum_min,
+                   CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN gmin
+                                 ELSE 0 END)
+                        + sum(CASE WHEN rn = n // 2 + 1 THEN gmin
+                                   ELSE 0 END) AS BIGINT) AS med_x2_min,
+                   CAST(sum(CASE WHEN rn = (n - 1) * 9 // 10 + 1
+                                 THEN gmin ELSE 0 END) AS BIGINT)
+                       AS p90_min,
+                   CAST(max(gmin) AS BIGINT) AS max_min
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "grouping_sets": """
+            WITH e AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 % 7 AS dow,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT CAST(CASE WHEN grouping(event_type) = 0
+                                  AND grouping(dow) = 0 THEN 3
+                             WHEN grouping(dow) = 1
+                                  AND grouping(event_type) = 0 THEN 1
+                             WHEN grouping(event_type) = 1
+                                  AND grouping(dow) = 0 THEN 2
+                             ELSE 0 END AS BIGINT) AS set_id,
+                   coalesce(event_type, '') AS event_type,
+                   CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS v
+            FROM e
+            GROUP BY GROUPING SETS ((event_type, dow), (event_type),
+                                    (dow), ())
+            ORDER BY set_id, event_type, dow
+        """,
+        "tree_depth2": """
+            WITH src AS (
+                SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS thr,
+                       epoch_us(o_orderdate) // 86400000000 % 7 AS dow,
+                       CASE WHEN o_orderstatus = 'F' THEN 1
+                            ELSE 0 END AS lab
+                FROM orders
+            ),
+            b AS (SELECT thr, dow, count(*) AS c, sum(lab) AS p
+                  FROM src GROUP BY 1, 2),
+            tt AS (SELECT DISTINCT thr FROM b),
+            dd AS (SELECT unnest(range(7)) AS dow),
+            gr AS (
+                SELECT tt.thr, dd.dow, coalesce(b.c, 0) AS c,
+                       coalesce(b.p, 0) AS p
+                FROM tt CROSS JOIN dd LEFT JOIN b USING (thr, dow)
+            ),
+            cum AS (
+                SELECT thr, dow,
+                       sum(c) OVER (PARTITION BY dow ORDER BY thr
+                           ROWS UNBOUNDED PRECEDING) AS lc,
+                       sum(p) OVER (PARTITION BY dow ORDER BY thr
+                           ROWS UNBOUNDED PRECEDING) AS lp
+                FROM gr
+            ),
+            tot AS (SELECT dow, max(lc) AS tc, max(lp) AS tp
+                    FROM cum GROUP BY dow),
+            sides AS (
+                SELECT c.thr, c.dow, c.lc AS lcd, c.lp AS lpd,
+                       t.tc - c.lc AS rcd, t.tp - c.lp AS rpd
+                FROM cum c JOIN tot t USING (dow)
+            ),
+            cumd AS (
+                SELECT thr, dow,
+                       sum(lcd) OVER wd AS llc, sum(lpd) OVER wd AS llp,
+                       sum(rcd) OVER wd AS rlc, sum(rpd) OVER wd AS rlp,
+                       sum(lcd) OVER wt AS ltc, sum(lpd) OVER wt AS ltp,
+                       sum(rcd) OVER wt AS rtc, sum(rpd) OVER wt AS rtp
+                FROM sides
+                WINDOW wd AS (PARTITION BY thr ORDER BY dow
+                              ROWS UNBOUNDED PRECEDING),
+                       wt AS (PARTITION BY thr)
+            ),
+            errs AS (
+                SELECT thr, dow,
+                       least(llp, llc - llp)
+                       + least(ltp - llp, (ltc - llc) - (ltp - llp))
+                           AS errl,
+                       least(rlp, rlc - rlp)
+                       + least(rtp - rlp, (rtc - rlc) - (rtp - rlp))
+                           AS errr
+                FROM cumd
+            ),
+            bl AS (SELECT thr, min(errl) AS bel FROM errs GROUP BY thr),
+            bld AS (
+                SELECT e.thr, min(e.dow) AS d2l
+                FROM errs e JOIN bl USING (thr)
+                WHERE e.errl = bl.bel GROUP BY e.thr
+            ),
+            br AS (SELECT thr, min(errr) AS ber FROM errs GROUP BY thr),
+            brd AS (
+                SELECT e.thr, min(e.dow) AS d2r
+                FROM errs e JOIN br USING (thr)
+                WHERE e.errr = br.ber GROUP BY e.thr
+            ),
+            tt2 AS (SELECT bl.thr, bl.bel + br.ber AS total
+                    FROM bl JOIN br USING (thr)),
+            best AS (SELECT min(thr) AS t1 FROM tt2
+                     WHERE total = (SELECT min(total) FROM tt2)),
+            st AS (
+                SELECT min(least(ltp, ltc - ltp)
+                           + least(rtp, rtc - rtp)) AS es
+                FROM (SELECT DISTINCT thr, ltc, ltp, rtc, rtp FROM cumd)
+            )
+            SELECT CAST(best.t1 AS BIGINT) AS t1,
+                   CAST(bld.d2l AS BIGINT) AS d2_left,
+                   CAST(brd.d2r AS BIGINT) AS d2_right,
+                   CAST((SELECT min(total) FROM tt2) AS BIGINT)
+                       AS errors,
+                   CAST(st.es AS BIGINT) AS errors_stump,
+                   CAST((SELECT count(*) FROM src) AS BIGINT) AS n
+            FROM best
+            JOIN bld ON bld.thr = best.t1
+            JOIN brd ON brd.thr = best.t1
+            CROSS JOIN st
         """,
         "revenue_proration": """
             WITH o AS (

@@ -701,6 +701,203 @@ _PRORATION_SPAN = {"1-URGENT": 7, "2-HIGH": 14, "3-MEDIUM": 21,
                    "4-NOT SPECIFIED": 28, "5-LOW": 35}
 
 
+def q_interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival-time distribution per event_type: gaps between a
+    user's consecutive events of that type, floored to whole MINUTES so
+    the (type x minutes) histogram is time-domain-bounded and the
+    median/percentile picks are exact integers (median doubled, p90 as
+    the lower 0-based rank floor((n-1)*9/10)).  Fused user partitions
+    compute gaps with one lexsort + diff; everything after is the
+    bounded-histogram rank machinery the MAD family established."""
+    from ray.data.aggregate import Sum
+
+    n_parts = _fused_parts(sf_dir, "events")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part",
+                                   pa.array(u % n_parts, pa.int64()))
+
+    def gaps_partition(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = (group["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tcode = pd.factorize(et)[0].astype(np.int64)
+        order = np.lexsort((eid, ts, tcode, u))
+        u, et, ts, tcode = u[order], et[order], ts[order], tcode[order]
+        same = (u[1:] == u[:-1]) & (tcode[1:] == tcode[:-1])
+        gap_min = (ts[1:] - ts[:-1]) // 60_000_000
+        t = pa.table({
+            "event_type": pa.array(et[1:][same]),
+            "gmin": pa.array(gap_min[same], pa.int64()),
+            "cnt": pa.array(np.ones(int(same.sum()), np.int64),
+                            pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "gmin"]).aggregate([("cnt", "sum")]),
+            {"cnt_sum": "cnt"})
+
+    hist = (_read(sf_dir, "events",
+                  ["user_id", "event_type", "ts", "event_id"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(gaps_partition, batch_format="pyarrow")
+            .groupby(["event_type", "gmin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    rows = []
+    for et, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("gmin")
+        vals = sub["gmin"].to_numpy(np.int64)
+        cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        med2 = (_hist_rank_pick(vals, cum, (n - 1) // 2)
+                + _hist_rank_pick(vals, cum, n // 2))
+        p90 = _hist_rank_pick(vals, cum, (n - 1) * 9 // 10)
+        s = int((sub["gmin"] * sub["cnt"]).sum())
+        rows.append((et, n, s, med2, p90, int(vals.max())))
+    out = pd.DataFrame(rows, columns=["event_type", "n_gaps", "sum_min",
+                                      "med_x2_min", "p90_min", "max_min"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS {(), (type), (dow), (type, dow)} over event value
+    cents in ONE pass: the finest (type x dow) histogram is the only
+    shuffle; the three coarser sets are driver folds of that
+    35-row table (the rollup_agg/cube_agg discipline generalized to an
+    arbitrary set list).  ALL markers: event_type '', dow -1 — matching
+    the oracle's coalesce spelling.  dow = epoch-days % 7 (numbering
+    shared with the SQL, no locale weekday names)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(day % 7, pa.int64()),
+            "n": pa.array(np.ones(len(day), np.int64), pa.int64()),
+            "v": pa.array(cents, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["event_type", "dow"]).aggregate(
+                [("n", "sum"), ("v", "sum")]),
+            {"n_sum": "n", "v_sum": "v"})
+
+    fine = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+            .to_pandas())
+    sets = [fine.assign(set_id=3)]
+    by_t = (fine.groupby("event_type", as_index=False)[["n", "v"]].sum()
+            .assign(dow=-1, set_id=1))
+    by_d = (fine.groupby("dow", as_index=False)[["n", "v"]].sum()
+            .assign(event_type="", set_id=2))
+    allr = pd.DataFrame({"event_type": [""], "dow": [-1],
+                         "n": [fine["n"].sum()], "v": [fine["v"].sum()],
+                         "set_id": [0]})
+    out = pd.concat(sets + [by_t, by_d, allr], ignore_index=True)
+    for c in ("dow", "n", "v", "set_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["set_id", "event_type", "dow", "n", "v"]]
+            .sort_values(["set_id", "event_type", "dow"])
+            .reset_index(drop=True))
+
+
+def q_tree_depth2(sf_dir: str) -> pd.DataFrame:
+    """Depth-2 decision-tree training by exact misclassification count
+    (the decision_stump's boosting-flavored successor): root split on
+    the price bucket (feature 1), each side optionally re-split on
+    day-of-week <= d2 (feature 2; d2 = 6 keeps the side a leaf).  The
+    INTEGER error criterion makes every argmin exactly comparable across
+    engines — ties resolve (smallest t1, then smallest d2_left, then
+    d2_right).  The distributed part is ONE (price-bucket x dow ->
+    count, positives) joint-histogram shuffle; the (t1 x d2) error
+    surface is a ~500 x 7 numpy fold on the driver, and the oracle
+    replays it with dense-grid window cumsums."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        thr = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) / 1000.0
+        ).astype(np.int64)
+        day = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        pos = (batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+               == "F").astype(np.int64)
+        t = pa.table({
+            "thr": pa.array(thr, pa.int64()),
+            "dow": pa.array(day % 7, pa.int64()),
+            "c": pa.array(np.ones(len(thr), np.int64), pa.int64()),
+            "p": pa.array(pos, pa.int64()),
+        })
+        return _rename_agg(
+            t.group_by(["thr", "dow"]).aggregate(
+                [("c", "sum"), ("p", "sum")]),
+            {"c_sum": "c", "p_sum": "p"})
+
+    h = (_read(sf_dir, "orders",
+               ["o_totalprice", "o_orderdate", "o_orderstatus"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["thr", "dow"])
+         .aggregate(Sum("c", alias_name="c"), Sum("p", alias_name="p"))
+         .to_pandas())
+    thrs = np.sort(h["thr"].unique())
+    t_idx = {t: i for i, t in enumerate(thrs)}
+    nt = len(thrs)
+    grid_c = np.zeros((nt, 7), np.int64)
+    grid_p = np.zeros((nt, 7), np.int64)
+    for _, r in h.iterrows():
+        grid_c[t_idx[r["thr"]], int(r["dow"])] = r["c"]
+        grid_p[t_idx[r["thr"]], int(r["dow"])] = r["p"]
+    cum_c = np.cumsum(grid_c, axis=0)   # left-side per-dow counts at t1
+    cum_p = np.cumsum(grid_p, axis=0)
+    tot_c, tot_p = cum_c[-1], cum_p[-1]
+
+    def best_dow_split(side_c, side_p):
+        """side_* : (nt, 7) per-dow counts of one side; returns per-t1
+        (best errors, best d2) under the dow <= d2 split, d2 = 6 = leaf."""
+        lc = np.cumsum(side_c, axis=1)
+        lp = np.cumsum(side_p, axis=1)
+        tc = lc[:, -1:]
+        tp = lp[:, -1:]
+        err = (np.minimum(lp, lc - lp)
+               + np.minimum(tp - lp, (tc - lc) - (tp - lp)))
+        d2 = np.argmin(err, axis=1)      # first minimum = smallest d2
+        return err[np.arange(nt), d2], d2
+
+    err_l, d2_l = best_dow_split(cum_c, cum_p)
+    err_r, d2_r = best_dow_split(tot_c[None, :] - cum_c,
+                                 tot_p[None, :] - cum_p)
+    total = err_l + err_r
+    i = int(np.argmin(total))            # first minimum = smallest t1
+    n = int(tot_c.sum())
+    # depth-1 comparison: the stump's best error on the same feature
+    pl = cum_p.sum(axis=1)
+    nl = cum_c.sum(axis=1)
+    p_all, n_all = int(tot_p.sum()), n
+    stump = (np.minimum(pl, nl - pl)
+             + np.minimum(p_all - pl, (n_all - nl) - (p_all - pl)))
+    return pd.DataFrame({
+        "t1": pd.array([int(thrs[i])], dtype="int64"),
+        "d2_left": pd.array([int(d2_l[i])], dtype="int64"),
+        "d2_right": pd.array([int(d2_r[i])], dtype="int64"),
+        "errors": pd.array([int(total[i])], dtype="int64"),
+        "errors_stump": pd.array([int(stump.min())], dtype="int64"),
+        "n": pd.array([n], dtype="int64"),
+    })
+
+
 def q_revenue_proration(sf_dir: str) -> pd.DataFrame:
     """Revenue-recognition proration (calendar spreading): each order's
     total spreads over a priority-keyed recognition span starting at the

@@ -322,6 +322,87 @@ def test_window_ratios_peer_rule(ray_session):
             grp["cents"].sum())
 
 
+def test_interarrival_brute(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_interarrival_stats,
+    )
+
+    out = q_interarrival_stats(SF).set_index("event_type")
+    ev = _events().sort_values(["user_id", "event_type", "ts", "event_id"])
+    us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    gaps = {}
+    prev_key, prev_us = None, None
+    for (u, t), usv in zip(zip(ev["user_id"], ev["event_type"]), us):
+        if (u, t) == prev_key:
+            gaps.setdefault(t, []).append((usv - prev_us) // 60_000_000)
+        prev_key, prev_us = (u, t), usv
+    for t, g in gaps.items():
+        g = np.sort(np.array(g, np.int64))
+        n = len(g)
+        row = out.loc[t]
+        assert int(row["n_gaps"]) == n
+        assert int(row["sum_min"]) == int(g.sum())
+        assert int(row["med_x2_min"]) == int(g[(n - 1) // 2] + g[n // 2])
+        assert int(row["p90_min"]) == int(g[(n - 1) * 9 // 10])
+        assert int(row["max_min"]) == int(g.max())
+
+
+def test_grouping_sets_fold_consistency(ray_session):
+    from nadry_search_engine_be_ray.pipelines.quant_ops import (
+        q_grouping_sets,
+    )
+
+    out = q_grouping_sets(SF)
+    fine = out[out["set_id"] == 3]
+    by_t = out[out["set_id"] == 1].set_index("event_type")
+    by_d = out[out["set_id"] == 2].set_index("dow")
+    allr = out[out["set_id"] == 0].iloc[0]
+    assert int(allr["n"]) == int(fine["n"].sum())
+    assert int(allr["v"]) == int(fine["v"].sum())
+    for t, sub in fine.groupby("event_type"):
+        assert int(by_t.loc[t, "n"]) == int(sub["n"].sum())
+        assert int(by_t.loc[t, "v"]) == int(sub["v"].sum())
+    for d, sub in fine.groupby("dow"):
+        assert int(by_d.loc[d, "n"]) == int(sub["n"].sum())
+        assert int(by_d.loc[d, "v"]) == int(sub["v"].sum())
+    ev = _events()
+    assert int(allr["n"]) == len(ev)
+
+
+def test_tree_depth2_brute(ray_session):
+    """Exhaustive little-python search over (t1, d2_left, d2_right)."""
+    from nadry_search_engine_be_ray.pipelines.quant_ops import q_tree_depth2
+
+    out = q_tree_depth2(SF).iloc[0]
+    o = _orders()
+    thr = np.floor(o["o_totalprice"] / 1000.0).astype(np.int64).to_numpy()
+    dow = (o["o_orderdate"].to_numpy().astype("datetime64[D]")
+           .astype(np.int64)) % 7
+    lab = (o["o_orderstatus"] == "F").to_numpy()
+
+    def side_err(mask):
+        best, bd = None, None
+        for d2 in range(7):
+            left = mask & (dow <= d2)
+            right = mask & ~(dow <= d2)
+            e = (min(int(lab[left].sum()), int((~lab[left]).sum()))
+                 + min(int(lab[right].sum()), int((~lab[right]).sum())))
+            if best is None or e < best:
+                best, bd = e, d2
+        return best, bd
+
+    best = None
+    for t1 in sorted(set(thr.tolist())):
+        l_err, l_d2 = side_err(thr <= t1)
+        r_err, r_d2 = side_err(thr > t1)
+        tot = l_err + r_err
+        if best is None or tot < best[0]:
+            best = (tot, t1, l_d2, r_d2)
+    assert (int(out["errors"]), int(out["t1"]), int(out["d2_left"]),
+            int(out["d2_right"])) == best
+    assert int(out["errors"]) <= int(out["errors_stump"])
+
+
 def test_mad_histogram_path_is_row_free(ray_session):
     """The MAD/percentile family folds through the bounded cents
     histogram — its driver table must be <= distinct (type, cents)
