@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "facet_counts_all": _q_facet_counts_all,
         "spell_correct": _q_spell_correct,
+        "spell_correct_kgram": _q_spell_correct_kgram,
         "prefix_suggest": _q_prefix_suggest,
         "boolean_search": _q_boolean_search,
         "wildcard_terms": _q_wildcard_terms,
@@ -1964,6 +1965,24 @@ def _q_spell_correct(sf_dir: str):
     _, index_dir = _built_index(sf_dir)
     _main_dump(sf_dir)
     return spell_correct(index_dir, _SPELL_WORDS, max_distance=2)
+
+
+def _q_spell_correct_kgram(sf_dir: str):
+    """Gram-pruned spell correction (the 100 TB-dictionary path): the
+    k-gram index (sorted by gram, row-group pushdown) yields candidates
+    sharing >= |set(G(w))| - k*d distinct grams with the query word —
+    a sound count filter since one edit rewrites at most k windows —
+    then the exact DP verify + (distance, df desc, term) ranking of
+    spell_correct; too-short words fall back to the stream scan.  Oracle
+    is the SAME levenshtein recompute as spell_correct, so the pruning's
+    soundness is hash-checked, not assumed."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        spell_correct_kgram,
+    )
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return spell_correct_kgram(index_dir, _SPELL_WORDS, max_distance=2)
 
 
 def _spell_sql() -> str:
@@ -4926,18 +4945,28 @@ def _q_multimodal_audio(sf_dir: str):
 
 
 def _q_search_api_page(sf_dir: str):
-    """Full API response path (pagination K2 + snippet M11 + cache T4) for
-    the reference query set; rows = flattened page entries."""
+    """Full API response ENVELOPE (pagination K2 + cache T4 +
+    SearchController.java:87-109 response shape) for the reference query
+    set; rows = flattened page entries with the envelope fields
+    (totalResults / totalPages 1-based currentPage / tokenizer tokens).
+    The snippet text (M11) is exercised on the same call path but is not
+    SQL-expressible, so it is excluded here and stays golden-tested
+    (tests/test_snippets.py) — this key is hash-checked against the
+    reference-scorer CTE chain + docmap url + ceil-division page math
+    (VERDICT r4 #5; was rows-only)."""
     import pandas as pd
 
     from nadry_search_engine_be_ray.pipelines.api import SearchAPI
     from nadry_search_engine_be_ray.sources.corpus import reference_queries
 
     _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
     api = SearchAPI(index_dir)
     rows = []
     for q in reference_queries():
         resp = api.search(q["query"], page=q["page"] + 1, limit=q["page_size"])
+        assert "description" in (resp["data"][0] if resp["data"] else
+                                 {"description": None})  # snippet path ran
         for rank, item in enumerate(resp["data"]):
             rows.append(
                 {
@@ -4945,12 +4974,15 @@ def _q_search_api_page(sf_dir: str):
                     "rank": rank,
                     "doc_id": item["doc_id"],
                     "url": item["url"],
-                    "score": item["score"],
-                    "snippet": item["description"],
+                    "score": round(float(item["score"]), 9),
+                    "tokens": " ".join(resp["tokens"]),
                     "total_results": resp["totalResults"],
+                    "total_pages": resp["totalPages"],
+                    "current_page": resp["currentPage"],
                 }
             )
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
 
 
 def _q_index_merge(sf_dir: str):
@@ -5375,24 +5407,21 @@ def _sql_str(s: str) -> str:
     return "'" + _sqlq(s) + "'"
 
 
-def _search_reference_sql() -> str:
-    """Generated oracle for the EXACT reference scorer (Ranker.java:25-162)
-    over the dumped token tables: one CTE chain per reference query (term
-    union or positional phrase adjacency), candidate-relative df/N, the two
-    max-normalizations with Java IEEE semantics (x/0 -> ±inf, 0/0 -> NaN —
-    DuckDB's NULL-on-zero-division is CASE-guarded), 0.7/0.3 blend,
-    NaN-first (score DESC, doc ASC) ranking and pagination.  Scores rounded
-    to 9 dp on both sides (SUM order differs)."""
+def _reference_plan_ctes(p: dict) -> str:
+    """The per-plan CTE chain of the EXACT reference scorer
+    (Ranker.java:25-162) over the dumped token tables: candidate set
+    (term union or positional phrase adjacency), candidate-relative df/N,
+    the two max-normalizations with Java IEEE semantics (x/0 -> ±inf,
+    0/0 -> NaN — DuckDB's NULL-on-zero-division is CASE-guarded), 0.7/0.3
+    blend, NaN-first (score DESC, doc ASC) rank in ``pg{qid}`` — shared by
+    the search_reference and search_api_page oracles."""
     from collections import Counter
 
     D = _MAIN_DUMP_DIR
     ctes: list[str] = []
-    selects: list[str] = []
-    for p in _query_plans():
-        if p["kind"] == "empty":
-            continue
+    if True:  # single-plan body kept at the original loop indentation so
+        #       the generated SQL text stays byte-identical to round 4's
         i = p["qid"]
-        start = p["page"] * p["size"]
         bag = Counter(p["tokens"])
         qlen = sum(bag.values())
         if p["kind"] == "term":
@@ -5477,12 +5506,71 @@ def _search_reference_sql() -> str:
                    row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
                        AS rn
             FROM sc{i})""")
+    return ",".join(ctes)
+
+
+def _search_reference_sql() -> str:
+    """Generated oracle for the reference scorer: the shared per-plan CTE
+    chain (:func:`_reference_plan_ctes`) + the paginated rank-window
+    select.  Scores rounded to 9 dp on both sides (SUM order differs)."""
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _query_plans():
+        if p["kind"] == "empty":
+            continue
+        i = p["qid"]
+        start = p["page"] * p["size"]
+        ctes.append(_reference_plan_ctes(p))
         selects.append(f"""
         SELECT '{_sqlq(p["query"])}' AS query,
                CAST(rn - {start} AS INTEGER) AS rank,
                dm.doc_id AS doc_id,
                round(score, 9) AS score,
                (SELECT count(*) FROM sc{i}) AS total_results
+        FROM pg{i} g
+        JOIN read_parquet('{D}/docmap.parquet') dm ON dm.doc_int = g.doc_int
+        WHERE rn >= {start} AND rn < {start + p["size"]}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
+def _search_api_page_sql() -> str:
+    """Oracle for the FULL API response envelope (minus the snippet text,
+    which is not SQL-expressible and stays golden-tested in
+    tests/test_snippets.py): the same per-plan reference-scorer CTE chain
+    as search_reference, plus url (docmap dump v5), 1-based currentPage,
+    ceil-division totalPages and the shared-tokenizer token string — so
+    the pagination/envelope arithmetic of SearchController.java:87-109 is
+    hash-checked, not just row-counted (VERDICT r4 #5)."""
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _query_plans():
+        if p["kind"] == "empty":
+            continue
+        i = p["qid"]
+        start = p["page"] * p["size"]
+        # the envelope's token list is tokenize(QUOTED.sub(" ", raw)) —
+        # SearchAPI.search strips the quoted span before tokenizing (the
+        # snippet-term list), which differs from the PLAN tokens for
+        # phrase queries; replicate with the shared tokenizer
+        from nadry_search_engine_be_ray.pipelines.query import QUOTED
+
+        toks = " ".join(_tokenizer().tokenize(QUOTED.sub(" ", p["query"])))
+        ctes.append(_reference_plan_ctes(p))
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn - {start} AS INTEGER) AS rank,
+               dm.doc_id AS doc_id,
+               dm.url AS url,
+               round(score, 9) AS score,
+               '{_sqlq(toks)}' AS tokens,
+               (SELECT count(*) FROM sc{i}) AS total_results,
+               CAST(((SELECT count(*) FROM sc{i}) + {p["size"]} - 1)
+                    // {p["size"]} AS BIGINT) AS total_pages,
+               CAST({p["page"] + 1} AS BIGINT) AS current_page
         FROM pg{i} g
         JOIN read_parquet('{D}/docmap.parquet') dm ON dm.doc_int = g.doc_int
         WHERE rn >= {start} AND rn < {start + p["size"]}""")
@@ -6579,12 +6667,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM per
             ),
             d AS (SELECT unnest(range(1, 11)) AS k)
+            -- LEFT JOIN + coalesce: with under 10 customers the k=1
+            -- cutoff rank n*k//10 is 0 and no rn=0 row exists; the Ray
+            -- side emits that decile with cum 0 (ADVICE r4)
             SELECT CAST(d.k AS BIGINT) AS decile,
-                   CAST(c.rn AS BIGINT) AS cum_users,
-                   CAST(c.cum AS BIGINT) AS cum_cents,
-                   CAST(c.cum * 1000000 // c.total AS BIGINT)
+                   COALESCE(CAST(c.rn AS BIGINT), 0) AS cum_users,
+                   COALESCE(CAST(c.cum AS BIGINT), 0) AS cum_cents,
+                   COALESCE(CAST(c.cum * 1000000 // c.total AS BIGINT), 0)
                        AS share_micro
-            FROM d JOIN c
+            FROM d LEFT JOIN c
               ON c.rn = (SELECT max(n) FROM c) * d.k // 10
             ORDER BY d.k
         """,
@@ -9912,6 +10003,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY m.lang ORDER BY m.lang
         """,
         "spell_correct": _spell_sql(),
+        "spell_correct_kgram": _spell_sql(),
         "prefix_suggest": _prefix_sql(),
         "boolean_search": _bool_sql(),
         "wildcard_terms": _wildcard_sql(),
@@ -9958,6 +10050,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _search_bm25_sql(),
         "search_bm25_plus": _search_bm25_sql(delta=1.0),
         "search_after_page2": _search_after_sql(),
+        "search_api_page": _search_api_page_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),
         "search_bm25f": _search_bm25_sql(

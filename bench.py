@@ -244,6 +244,50 @@ def main() -> None:
     extra_timings["ranked_variants"] = time.time() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
 
+    # --- codec tiers (non-headline, VERDICT r4 #6): build + full decode
+    # scan + query p50 for each posting codec at the bench corpus scale, so
+    # the "bitpack for cold, varint for hot" claim in BASELINE.md carries
+    # measured query-path numbers, not just size accounting -----------------
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    codec_tiers: dict[str, dict] = {}
+    t_tiers = time.time()
+    for tier in ("varint", "bitpack", "ef"):
+        tdir = tempfile.mkdtemp(
+            prefix=f"nadry_bench_codec_{tier}_",
+            dir=os.environ.get("GRAFT_TMP"),
+        )
+        t0 = time.time()
+        build_index(
+            corpus_dir, tdir,
+            BuildConfig(num_shards=n_shards, salt_bits=2,
+                        postings_write_blocks=max(16, NUM_CPUS),
+                        docs_codec=tier),
+        )
+        build_sec = time.time() - t0
+        rd = SegmentReader(tdir)
+        t0 = time.time()
+        n_postings = 0
+        for tm in rd.terms():      # decode EVERY posting list once
+            n_postings += int(rd.postings(tm).docs.size)
+        scan_sec = time.time() - t0
+        eng = SearchEngine(tdir)
+        lat = []
+        for rep in range(3):       # rep suffix dodges the query cache
+            for q in plain:
+                t0q = time.time()
+                eng.bm25_search(q + ("" if rep == 0 else f" {rep}"),
+                                k=10, use_wand=True)
+                lat.append(time.time() - t0q)
+        codec_tiers[tier] = {
+            "build_sec": round(build_sec, 3),
+            "full_scan_sec": round(scan_sec, 3),
+            "n_postings": n_postings,
+            "query_p50_ms": round(statistics.median(lat) * 1000, 3),
+        }
+        shutil.rmtree(tdir, ignore_errors=True)
+    extra_timings["codec_tiers_total"] = time.time() - t_tiers
+
     # --- per-user window/session ops (partition-fused; non-headline) -------
     t0 = time.time()
     rel.q_cumulative_sum(SF_DIR)
@@ -453,6 +497,8 @@ def main() -> None:
                 # or vs_calm_best << 1 marks a degraded measurement window
                 "headline_runs": n_runs,
                 "headline_totals_raw": headline_totals,
+                # per-codec build / full-decode / query-p50 (non-headline)
+                "codec_tiers": codec_tiers,
                 "host_spin_ceiling": round(host_spin_ceiling, 3),
                 "host_spin_ceiling_calm_ref": SPIN_CEILING_CALM,
                 # only comparable at the default bench shape the constant

@@ -607,7 +607,7 @@ def posting_codec_sizes(index_dir: str, *, concurrency: int = 2,
              ("ef_bytes", pa.int64()),
              ("tfs_varint_bytes", pa.int64()),
              ("tfs_bitpack_bytes", pa.int64())]))]
-        + list(ray.get(mapped.to_arrow_refs()))
+        + [t for t in ray.get(mapped.to_arrow_refs()) if t.num_rows]
     )
     return out.sort_by("term")
 
@@ -676,7 +676,8 @@ def champion_lists(index_dir: str, m: int, *, concurrency: int = 2,
         mapped.write_parquet(out_path)
         return None
     out = pa.concat_tables(
-        [out_schema.empty_table()] + list(ray.get(mapped.to_arrow_refs()))
+        [out_schema.empty_table()]
+        + [t for t in ray.get(mapped.to_arrow_refs()) if t.num_rows]
     )
     return out.sort_by([("term", "ascending"), ("w_rank", "ascending")])
 
@@ -793,7 +794,15 @@ def static_prune_profile(index_dir: str, keep: int = 10, *,
     ).to_arrow_refs()
     import ray as _ray
 
-    tbl = pa.concat_tables(_ray.get(out))
+    prune_schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("df_kept", pa.int64()),
+        ("sum_tf_total", pa.int64()), ("sum_tf_kept", pa.int64()),
+        ("cutoff_tf", pa.int64()),
+    ])
+    tbl = pa.concat_tables(
+        [prune_schema.empty_table()]
+        + [t for t in _ray.get(out) if t.num_rows]
+    )
     return tbl.sort_by([("term", "ascending")])
 
 

@@ -19,7 +19,7 @@ Tables written to ``dump_dir`` (single parquet file each, overwritten):
                  requested ``phrase_terms`` only (phrase adjacency oracle)
 * ``docstats``  (doc_int, total_words)
 * ``pop``       (doc_int, popularity)          — zeros when no pagerank ran
-* ``docmap``    (doc_int, doc_id)              — the API's doc_id hex string
+* ``docmap``    (doc_int, doc_id, url)         — the API's doc_id hex + url
 * ``docmeta``   (doc_int, repo, lang)          — facet columns (faceted search)
 * ``tokw``      (term, doc_int, weight)        — accumulated field weight
                  (tf x boost, the additive scorer's quantity)
@@ -63,7 +63,7 @@ def dump_index_tables(index_dir: str, dump_dir: str,
     pop_dir = os.path.join(index_dir, "popularity")
     key = json.dumps(
         {
-            "fmt": 4,  # v2: + docmeta; v3: + tokw; v4: + tokf
+            "fmt": 5,  # v2: + docmeta; v3: + tokw; v4: + tokf; v5: docmap + url
             "index_dir": index_dir,
             "stats_mtime": os.path.getmtime(stats_path),
             "pop_mtime": os.path.getmtime(os.path.join(pop_dir, "popularity.parquet"))
@@ -214,6 +214,7 @@ def dump_index_tables(index_dir: str, dump_dir: str,
             {
                 "doc_int": prepped["doc_int"].cast(pa.int64()),
                 "doc_id": pa.array([doc_id_of(u) for u in urls], pa.string()),
+                "url": pa.array(list(urls), pa.string()),
             }
         ),
         os.path.join(dump_dir, "docmap.parquet"),

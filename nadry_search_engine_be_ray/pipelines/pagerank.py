@@ -31,13 +31,21 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import PageRankConfig
+from ..stages.blocks import block_ok, nonempty_refs
 
 
 def url_doc_int_batch(batch: pa.Table) -> pa.Table:
     """Map src/dst urls to doc_ints (same derivation as prep_batch)."""
+    if batch.num_rows == 0 or "src" not in batch.column_names:
+        # zero-row blocks can arrive with an EMPTY schema — emit typed empty
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "src_int": pa.array([], pa.int64()),
+                         "dst_int": pa.array([], pa.int64())})
     out = {}
     for col in ("src", "dst"):
         urls = batch[col].to_pylist()
@@ -179,13 +187,20 @@ def compute_pagerank_distributed(
         .map_batches(semi_join, batch_format="pyarrow")
         .select_columns(["src", "dst"])
     )
-    block_refs = mapped.to_arrow_refs()
+    block_refs = nonempty_refs(mapped, ["src", "dst"])
 
     @ray.remote
     def node_partial(tbl: pa.Table):
+        if not block_ok(tbl, "src", "dst"):   # empty-schema block guard
+            e = np.array([], dtype=object)
+            return e, e
+        # hash-based Arrow unique (C++), then only the per-block unique set
+        # materializes as Python strings — never the full column
         return (
-            np.unique(np.asarray(tbl["dst"].to_pylist())),
-            np.unique(np.asarray(tbl["src"].to_pylist())),
+            pc.unique(tbl["dst"].combine_chunks()).to_numpy(
+                zero_copy_only=False),
+            pc.unique(tbl["src"].combine_chunks()).to_numpy(
+                zero_copy_only=False),
         )
 
     parts = ray.get([node_partial.remote(r) for r in block_refs])
@@ -205,15 +220,27 @@ def compute_pagerank_distributed(
         only edges whose src is itself a graph key (PageRank.java:63-66).
         Also emit in-degree AND node-out-degree partials so both divisor
         modes (quirk / textbook) work without another pass."""
-        dst = np.asarray(tbl["dst"].to_pylist())
-        src = np.asarray(tbl["src"].to_pylist())
-        dst_idx = np.searchsorted(nodes, dst)
-        src_pos = np.searchsorted(nodes, src)
-        src_pos_c = np.minimum(src_pos, nodes.size - 1)
-        in_graph = nodes[src_pos_c] == src
+        if not block_ok(tbl, "src", "dst"):   # empty-schema block guard
+            e = np.array([], dtype=np.int64)
+            z = np.zeros(nodes.size, dtype=np.int64)
+            return e, e, z, z
+        # pc.index_in = Arrow hash lookup against the broadcast node list —
+        # the factorization runs entirely in C++; every dst is in `nodes` by
+        # construction (nodes = union of per-block dst uniques), a null src
+        # index means the src is not itself a graph key (PageRank.java:63-66)
+        nodes_pa = pa.array(nodes)
+        dst_idx = pc.fill_null(
+            pc.index_in(tbl["dst"].combine_chunks(), value_set=nodes_pa), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        if dst_idx.size and dst_idx.min() < 0:
+            raise ValueError("edge_arrays: dst outside the global node list")
+        src_raw = pc.fill_null(
+            pc.index_in(tbl["src"].combine_chunks(), value_set=nodes_pa), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        in_graph = src_raw >= 0
         indeg_part = np.bincount(dst_idx, minlength=nodes.size)
-        outdeg_part = np.bincount(src_pos_c[in_graph], minlength=nodes.size)
-        return dst_idx[in_graph], src_pos_c[in_graph], indeg_part, outdeg_part
+        outdeg_part = np.bincount(src_raw[in_graph], minlength=nodes.size)
+        return dst_idx[in_graph], src_raw[in_graph], indeg_part, outdeg_part
 
     fact = ray.get(
         [edge_arrays.remote(r, nodes_ref) for r in block_refs]
@@ -331,10 +358,15 @@ def pagerank_power_int(
     """
     import ray
 
-    block_refs = edges_ds.select_columns(["src", "dst"]).to_arrow_refs()
+    block_refs = nonempty_refs(
+        edges_ds.select_columns(["src", "dst"]), ["src", "dst"]
+    )
 
     @ray.remote
     def factorize(tbl: pa.Table):
+        if not block_ok(tbl, "src", "dst"):   # empty-schema block guard
+            e = np.array([], dtype=np.int64)
+            return e, e, np.zeros(n_nodes, dtype=np.int64)
         src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         # the 0..n-1 contiguity precondition, enforced (an out-of-range src
@@ -415,10 +447,15 @@ def pagerank_quirk_int(
     once, per-iteration sparse partial sums, O(n) driver state."""
     import ray
 
-    block_refs = edges_ds.select_columns(["src", "dst"]).to_arrow_refs()
+    block_refs = nonempty_refs(
+        edges_ds.select_columns(["src", "dst"]), ["src", "dst"]
+    )
 
     @ray.remote
     def factorize(tbl: pa.Table):
+        if not block_ok(tbl, "src", "dst"):   # empty-schema block guard
+            e = np.array([], dtype=np.int64)
+            return e, e, np.zeros(n_nodes, dtype=np.int64)
         src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         for name, arr in (("src", src), ("dst", dst)):
@@ -499,10 +536,15 @@ def hits_int(
     """
     import ray
 
-    block_refs = edges_ds.select_columns(["src", "dst"]).to_arrow_refs()
+    block_refs = nonempty_refs(
+        edges_ds.select_columns(["src", "dst"]), ["src", "dst"]
+    )
 
     @ray.remote
     def factorize(tbl: pa.Table):
+        if not block_ok(tbl, "src", "dst"):   # empty-schema block guard
+            e = np.array([], dtype=np.int64)
+            return e, e
         src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         for name, arr in (("src", src), ("dst", dst)):
@@ -1015,13 +1057,23 @@ def multi_bfs_closeness(edges_ds, seeds: list[int], n_rounds: int = 4, *,
         fs = np.concatenate([np.full(frontier[s].size, s, np.int64)
                              for s in live])
         fn = np.concatenate([frontier[s] for s in live])
-        comp = fs * (1 << 40) + fn  # node ids < 2^40 by construction
+        # symmetric 31-bit packing (31+31 = 62 bits, fits int64 for BOTH
+        # components; the previous 40-bit node shift silently overflowed
+        # for any seed id >= 2^23), with the bound enforced loudly
+        if fs.size and (min(fs.min(), fn.min()) < 0
+                        or max(fs.max(), fn.max()) >= (1 << 31)):
+            raise ValueError(
+                "multi_bfs_closeness: seed/node ids must be in [0, 2^31) "
+                f"for pair packing; got seed range [{fs.min()}, {fs.max()}], "
+                f"node range [{fn.min()}, {fn.max()}]"
+            )
+        comp = fs * (1 << 31) + fn
         fr_ref = ray.put(np.sort(comp))
 
         def neigh_partial(batch: pa.Table, ref=fr_ref) -> pa.Table:
             fr = ray.get(ref)
-            fr_seed = fr >> 40
-            fr_node = fr & ((1 << 40) - 1)
+            fr_seed = fr >> 31
+            fr_node = fr & ((1 << 31) - 1)
             u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
             v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
             # probe each endpoint against every live seed's frontier:
@@ -1196,10 +1248,15 @@ def label_propagation_min(edges_ds, n_nodes: int, n_rounds: int = 5,
     """
     import ray
 
-    block_refs = edges_ds.select_columns([src_col, dst_col]).to_arrow_refs()
+    block_refs = nonempty_refs(
+        edges_ds.select_columns([src_col, dst_col]), [src_col, dst_col]
+    )
 
     @ray.remote
     def undirect(tbl: pa.Table):
+        if not block_ok(tbl, src_col, dst_col):  # empty-schema block guard
+            e = np.array([], dtype=np.int64)
+            return e, e
         s = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
         d = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d

@@ -149,7 +149,17 @@ def q_anova_f(sf_dir: str) -> pd.DataFrame:
     shuffle; the sums-of-squares decomposition runs once on the driver
     with the same double op order the oracle writes (CAST(s)*CAST(s)/n,
     never pow, never HUGEINT-then-cast), so the pre-round doubles agree
-    to the ulp-of-accumulation and round(F, 4) is stable."""
+    to the ulp-of-accumulation and round(F, 4) is stable.
+
+    Exactness bound (the q_vwap_daily contract, ADVICE r4): the ``ss``
+    partial is Σ cents² in int64, exact while Σ cents² < 2⁶³ ≈ 9.2·10¹⁸
+    — e.g. ~9·10⁸ rows at |value| ≤ $1 000 (cents² ≈ 10¹⁰).  DuckDB sums
+    BIGINT into HUGEINT, so past that bound numpy would wrap SILENTLY
+    while the oracle stays exact; the post-aggregate negativity check
+    below turns the common wrap (cents² ≥ 0 summed negative) into a loud
+    OverflowError instead of a wrong F statistic.  Past the bound, ship
+    the ss partial as float64 (and accept ulp-level oracle divergence) or
+    split ss into (hi, lo) int64 limbs."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -173,6 +183,11 @@ def q_anova_f(sf_dir: str) -> pd.DataFrame:
          .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                     Sum("ss", alias_name="ss"))
          .to_pandas().sort_values("event_type"))
+    if (g["ss"].to_numpy(np.int64) < 0).any():
+        raise OverflowError(
+            "q_anova_f: int64 sum-of-squares wrapped (Σ cents² ≥ 2^63) — "
+            "see the exactness bound in the docstring"
+        )
     n_g = g["n"].to_numpy(np.int64)
     s_g = g["s"].to_numpy(np.float64)
     k = len(g)

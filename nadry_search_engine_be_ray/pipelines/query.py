@@ -1269,6 +1269,123 @@ def spell_correct(index_dir: str, words: list[str], *,
     )
 
 
+def spell_correct_kgram(index_dir: str, words: list[str], *,
+                        max_distance: int = 2, k: int = 3,
+                        concurrency: int = 2):
+    """Gram-pruned spell correction — the 100 TB-dictionary path
+    :func:`spell_correct` needs (VERDICT r4 #7): instead of streaming the
+    WHOLE term dictionary past every query word, candidates come from the
+    k-gram index (built once, sorted by gram → parquet row-group
+    predicate pushdown reads only the query words' grams).
+
+    Pruning bound (sound, IR-textbook §3.3.4 / Gravano et al. q-gram
+    filters, adapted to DISTINCT grams): one edit changes the content of
+    at most ``k`` length-``k`` windows of the boundary-marked word, so a
+    distinct gram of ``w`` is absent from ``t`` only if ALL its
+    occurrences were destroyed — ``ed(w, t) <= d`` implies
+    ``|set(G(w)) ∩ set(G(t))| >= |set(G(w))| - k*d``.  Words whose
+    threshold is <= 0 (too short to prune) fall back to the stream-scan
+    :func:`spell_correct` for exactly those words, so answers are DEFINED
+    to be identical to the stream path — the driver oracle for this key
+    is the same levenshtein recompute, so the pruning's soundness is
+    hash-checked, not assumed.
+
+    A candidate surviving the gram filter still gets the exact
+    byte-level DP verify and the (distance asc, df desc, term asc)
+    ranking of :func:`spell_correct`; df is the authoritative on-disk
+    dictionary count (``df_stale``, the wildcard_terms_kgram contract).
+
+    Returns an Arrow table (query, suggestion, distance, df) sorted by
+    query — one row per word that has a candidate.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc_mod
+    import pyarrow.dataset as pads_mod
+
+    from ..pipelines.build import build_kgram_index, kgram_of
+    from ..state.segments import SegmentReader
+
+    out_schema = pa.schema(
+        [("query", pa.string()), ("suggestion", pa.string()),
+         ("distance", pa.int64()), ("df", pa.int64())]
+    )
+    qs = sorted(set(words))
+    if not qs:
+        return out_schema.empty_table()
+
+    grams_of = {w: sorted(set(kgram_of(w, k))) for w in qs}
+    thresh = {w: len(grams_of[w]) - k * max_distance for w in qs}
+    pruned_words = [w for w in qs if thresh[w] > 0]
+    fallback_words = [w for w in qs if thresh[w] <= 0]
+
+    pieces = []
+    if fallback_words:   # too short to gram-prune: the stream-scan path
+        pieces.append(spell_correct(index_dir, fallback_words,
+                                    max_distance=max_distance,
+                                    concurrency=concurrency))
+
+    if pruned_words:
+        gram_dir = build_kgram_index(index_dir, k)
+        reader = SegmentReader(index_dir)
+        all_grams = sorted({g for w in pruned_words for g in grams_of[w]})
+        idx = pads_mod.dataset(gram_dir, format="parquet").to_table(
+            columns=["gram", "term"],
+            filter=pc_mod.field("gram").isin(
+                pa.array(all_grams, pa.string())),
+        )
+        # DISTINCT (gram, term) matches (the index duplicates rows per
+        # salt run and per repeated gram occurrence)
+        by_gram: dict[str, set] = {}
+        for g, t in zip(idx["gram"].to_pylist(), idx["term"].to_pylist()):
+            by_gram.setdefault(g, set()).add(t)
+
+        rq, rs, rd, rf = [], [], [], []
+        for w in pruned_words:
+            counts: dict[str, int] = {}
+            for g in grams_of[w]:
+                for t in by_gram.get(g, ()):
+                    counts[t] = counts.get(t, 0) + 1
+            wb = w.encode("utf-8")
+            cand = sorted(
+                t for t, c in counts.items()
+                if c >= thresh[w]
+                and abs(len(t.encode("utf-8")) - len(wb)) <= max_distance
+            )
+            if not cand:
+                continue
+            cb = [t.encode("utf-8") for t in cand]
+            lens = np.array([len(b) for b in cb], dtype=np.int64)
+            mat = np.zeros((len(cb), int(lens.max())), dtype=np.uint8)
+            for r, b in enumerate(cb):
+                mat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            dist = _levenshtein_vec(wb, mat, lens)
+            ok = np.flatnonzero(dist <= max_distance)
+            if ok.size == 0:
+                continue
+            dfs = {t: int(reader.postings(t).df_stale)
+                   for t in (cand[i] for i in ok.tolist())}
+            best_i = min(
+                ok.tolist(),
+                key=lambda i: (int(dist[i]), -dfs[cand[i]], cand[i]),
+            )
+            rq.append(w)
+            rs.append(cand[best_i])
+            rd.append(int(dist[best_i]))
+            rf.append(dfs[cand[best_i]])
+        pieces.append(pa.table(
+            {"query": pa.array(rq, pa.string()),
+             "suggestion": pa.array(rs, pa.string()),
+             "distance": pa.array(rd, pa.int64()),
+             "df": pa.array(rf, pa.int64())},
+            schema=out_schema,
+        ))
+
+    out = pa.concat_tables([out_schema.empty_table()] + pieces)
+    return out.sort_by("query")
+
+
 def prefix_suggest(index_dir: str, prefixes: list[str], *, k: int = 5,
                    concurrency: int = 2):
     """Autocomplete: per prefix, the top-k dictionary terms by document

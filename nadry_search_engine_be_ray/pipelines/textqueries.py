@@ -841,6 +841,11 @@ def textrank_keywords(sf_dir: str, df_lo: int = 10, df_hi: int = 400,
                          "dst": pa.array(ib[hit].astype(np.int64))})
 
     def both_dirs(batch: pa.Table) -> pa.Table:
+        # a groupby at scale can emit a zero-row block with an EMPTY
+        # schema (the BENCH_r04 crash class) — emit the typed empty
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
         s = batch["src"].to_numpy(zero_copy_only=False)
         d = batch["dst"].to_numpy(zero_copy_only=False)
         return pa.table({

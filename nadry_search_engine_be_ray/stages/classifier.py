@@ -57,7 +57,8 @@ def lr_fit(ds, label_col: str = "y", vec_col: str = "embedding",
     # ONCE per worker, not once per iteration).  A worker still emits one
     # partial PER BLOCK, so the combined multiset (and the float sum) is
     # independent of how blocks are sharded over workers.
-    block_refs = feats.to_arrow_refs()
+    from .blocks import nonempty_refs
+    block_refs = nonempty_refs(feats, [label_col, vec_col])
     n_workers = max(
         1,
         min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))),
@@ -70,9 +71,8 @@ def lr_fit(ds, label_col: str = "y", vec_col: str = "embedding",
             for tbl in ray.get(refs):
                 x = _matrix(tbl, vec_col)
                 xa = np.hstack([x, np.ones((x.shape[0], 1))])
-                y = np.asarray(
-                    tbl[label_col].to_pylist(), dtype=np.float64
-                )
+                y = tbl[label_col].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
                 self.blocks.append((xa, y))
 
         def grad(self, cur) -> list:

@@ -88,7 +88,8 @@ def kmeans_fit(ds, k: int = 16, n_iters: int = 10,
     # fetches + decodes its blocks ONCE; an iteration exchanges only the
     # k × dim centroid matrix out and ≤ k thin partial rows per block
     # back — no per-iteration pipeline launch or block fetch)
-    block_refs = normed.to_arrow_refs()
+    from .blocks import nonempty_refs
+    block_refs = nonempty_refs(normed, [vec_col])
     n_workers = max(
         1,
         min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))),

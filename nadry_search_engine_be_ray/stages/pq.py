@@ -72,7 +72,8 @@ def pq_train(ds, m: int = 8, k: int = 16, n_iters: int = 8,
     # pinned-shard worker pool (the lr_fit / kmeans_fit shape): workers
     # decode their subvector views once; an iteration exchanges only the
     # (m, k, dsub) codebook out and ≤ m × k thin partials per block back
-    block_refs = normed.to_arrow_refs()
+    from .blocks import nonempty_refs
+    block_refs = nonempty_refs(normed, [vec_col])
     n_workers = max(
         1,
         min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))),

@@ -874,3 +874,24 @@ def test_evaluate_bm25_known_values(built_index):
     row = out.loc["search engine"]
     assert 0 <= row["mrr"] <= 1 and 0 <= row["ndcg"] <= 1
     assert abs(NDCG_DISCOUNTS[0] - 1.0) < 1e-12
+
+
+def test_spell_correct_kgram_equals_stream_path(built_index):
+    """The gram-pruned spell path is DEFINED to answer identically to the
+    stream scan (VERDICT r4 #7): same words, same (query, suggestion,
+    distance, df) rows — including short words that fall back and words
+    with no in-range candidate."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        spell_correct, spell_correct_kgram,
+    )
+
+    words = ["serch", "documnt", "nosuchwordatall", "engin",
+             "ab",          # |set(G(w))| - k*d <= 0 -> stream fallback
+             "tokken", "indx"]
+    stream = spell_correct(built_index, words, max_distance=2)
+    pruned = spell_correct_kgram(built_index, words, max_distance=2)
+    assert pruned.to_pylist() == stream.to_pylist()
+    # distance-1 budget exercises a different threshold
+    s1 = spell_correct(built_index, words, max_distance=1)
+    p1 = spell_correct_kgram(built_index, words, max_distance=1)
+    assert p1.to_pylist() == s1.to_pylist()

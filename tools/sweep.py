@@ -12,6 +12,13 @@ recipe is not visible): columns sorted by name, float columns rounded to
 columns.  Keys with no oracle entry are recorded rows-only.
 
 Usage: PYTHONPATH=/root/repo python tools/sweep.py [out.json] [sf_dir]
+                [--exec-only]
+
+``--exec-only`` skips the DuckDB oracles entirely and only EXECUTES every
+Ray query, recording row counts and errors — the crash sweep (VERDICT r4
+#3): green-at-sf0.01 does not imply runs-at-sf0.1 (the round-4 textrank
+empty-schema-block crash was exactly this class), so each round runs this
+at 10x the oracle scale where full oracles would be too slow.
 """
 
 from __future__ import annotations
@@ -58,8 +65,10 @@ def canon_hash(df, sort_rows: bool = True) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_full.json"
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    exec_only = "--exec-only" in sys.argv
+    argv = [a for a in sys.argv if a != "--exec-only"]
+    out_path = argv[1] if len(argv) > 1 else "CORRECTNESS_full.json"
+    sf = argv[2] if len(argv) > 2 else "/root/testdata/sf0.01"
 
     import ray
 
@@ -93,7 +102,9 @@ def main() -> None:
             if hasattr(r, "to_pandas") and not isinstance(r, pd.DataFrame):
                 r = r.to_pandas()
             r = pd.DataFrame(r)
-            if name in oracles:
+            if exec_only:
+                rec = {"exec_only": True, "spark_rows": len(r), "err": None}
+            elif name in oracles:
                 o = con.execute(oracles[name]).df()
                 rec = {
                     "rows_match": len(r) == len(o),
@@ -121,8 +132,8 @@ def main() -> None:
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = rec
         status = (
-            "rows-only"
-            if rec.get("rows_only")
+            "exec-ok" if rec.get("exec_only") and not rec.get("err")
+            else "rows-only" if rec.get("rows_only")
             else ("OK" if rec.get("hash_match") else "FAIL")
         )
         print(f"[{i + 1}/{len(qs)}] {name}: {status} ({rec['sec']}s)",
@@ -134,6 +145,7 @@ def main() -> None:
     n_err = sum(1 for v in results.values() if v.get("err"))
     summary = {
         "total": len(results),
+        "exec_only_mode": exec_only,
         "sql_checked": n_sql,
         "sql_green": n_green,
         "rows_only": n_rows_only,
