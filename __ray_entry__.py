@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": _q_spell_correct,
         "spell_correct_kgram": _q_spell_correct_kgram,
         "prefix_suggest": _q_prefix_suggest,
+        "prefix_suggest_kgram": _q_prefix_suggest_kgram,
         "boolean_search": _q_boolean_search,
         "wildcard_terms": _q_wildcard_terms,
         "champion_lists": _q_champion_lists,
@@ -2021,6 +2022,21 @@ def _q_prefix_suggest(sf_dir: str):
     _, index_dir = _built_index(sf_dir)
     _main_dump(sf_dir)
     return prefix_suggest(index_dir, _PREFIXES, k=5)
+
+
+def _q_prefix_suggest_kgram(sf_dir: str):
+    """Gram-pruned autocomplete (the 100 TB-dictionary path): prefix ->
+    wildcard prefix% through the k-gram index (anchored $prefix grams,
+    row-group pushdown, match_like verify), then the same (df desc, term
+    asc) top-5; oracle is the SAME LIKE recompute as prefix_suggest, so
+    the pruning's soundness is hash-checked."""
+    from nadry_search_engine_be_ray.pipelines.query import (
+        prefix_suggest_kgram,
+    )
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return prefix_suggest_kgram(index_dir, _PREFIXES, k=5)
 
 
 def _prefix_sql() -> str:
@@ -10005,6 +10021,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": _spell_sql(),
         "spell_correct_kgram": _spell_sql(),
         "prefix_suggest": _prefix_sql(),
+        "prefix_suggest_kgram": _prefix_sql(),
         "boolean_search": _bool_sql(),
         "wildcard_terms": _wildcard_sql(),
         "champion_lists": _CHAMPION_SQL_TMPL.format(dump=_MAIN_DUMP_DIR),

@@ -1575,6 +1575,9 @@ def luby_mis(edges_ds, n_nodes: int, n_rounds: int = 4, *,
         und_ref = ray.put(undecided)
 
         def max_nbr(batch: pa.Table, ref=und_ref) -> pa.Table:
+            if not block_ok(batch, "u", "v"):  # empty-schema block guard
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "mx": pa.array([], pa.int64())})
             und = ray.get(ref)
             u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
             v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1596,14 +1599,19 @@ def luby_mis(edges_ds, n_nodes: int, n_rounds: int = 4, *,
                .groupby("node").aggregate(Max("mx", alias_name="mx"))
                .to_pandas())
         mx_map = np.full(undecided.size, -1, dtype=np.int64)
-        nn = nbr["node"].to_numpy(np.int64)
-        pos = np.searchsorted(undecided, nn)
-        mx_map[pos] = nbr["mx"].to_numpy(np.int64)
+        # an all-empty round (no undecided-undecided edge left) collapses
+        # to a COLUMN-LESS empty frame — every undecided node then joins
+        if "node" in nbr.columns and len(nbr):
+            nn = nbr["node"].to_numpy(np.int64)
+            pos = np.searchsorted(undecided, nn)
+            mx_map[pos] = nbr["mx"].to_numpy(np.int64)
         join = prio(undecided) > mx_map  # no undecided nbr -> mx -1 -> join
         mis = undecided[join]
         mis_ref = ray.put(mis)
 
         def excl_partial(batch: pa.Table, ref=mis_ref) -> pa.Table:
+            if not block_ok(batch, "u", "v"):  # empty-schema block guard
+                return pa.table({"node": pa.array([], pa.int64())})
             ms = ray.get(ref)
             u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
             v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1618,8 +1626,9 @@ def luby_mis(edges_ds, n_nodes: int, n_rounds: int = 4, *,
         if mis.size:
             exn = (edges.map_batches(excl_partial, batch_format="pyarrow")
                    .groupby("node").count().to_pandas())
-            excluded = exn["node"].to_numpy(np.int64) if len(exn) \
-                else np.array([], np.int64)
+            excluded = (exn["node"].to_numpy(np.int64)
+                        if len(exn) and "node" in exn.columns
+                        else np.array([], np.int64))
         else:
             excluded = np.array([], np.int64)
         excluded = np.setdiff1d(

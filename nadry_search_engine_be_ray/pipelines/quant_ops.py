@@ -527,6 +527,11 @@ def q_item_cf_topk(sf_dir: str, k: int = 30) -> pd.DataFrame:
                            {"n_sum": "n"})
 
     def score_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cab": pa.array([], pa.int64()),
+                             "cos_raw": pa.array([], pa.float64())})
         keys, cnts = ray.get(cnt_ref)
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1473,6 +1473,60 @@ def prefix_suggest(index_dir: str, prefixes: list[str], *, k: int = 5,
     )
 
 
+def prefix_suggest_kgram(index_dir: str, prefixes: list[str], *, k: int = 5,
+                         gram_k: int = 3, concurrency: int = 2):
+    """Gram-pruned autocomplete — the 100 TB-dictionary path for
+    :func:`prefix_suggest` (the spell_correct_kgram companion): a prefix
+    query IS the wildcard ``prefix%``, so candidates come from the k-gram
+    index through :func:`wildcard_terms_kgram` (boundary-marked grams of
+    ``$prefix``, parquet row-group pushdown, exact ``match_like`` verify;
+    prefixes shorter than ``gram_k - 1`` chars yield no anchored gram and
+    take that function's declared dictionary-scan fallback).  Ranking is
+    then the same (df desc, term asc) top-``k`` as the stream path, so
+    answers are DEFINED identical — the driver oracle for this key is
+    the same LIKE recompute as prefix_suggest.
+
+    Returns an Arrow table (prefix, term, df, rank) sorted by
+    (prefix, rank).
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("prefix", pa.string()), ("term", pa.string()),
+         ("df", pa.int64()), ("rank", pa.int64())]
+    )
+    ps = sorted(set(prefixes))
+    if not ps or k <= 0:
+        return out_schema.empty_table()
+    # '%'/'_' in a prefix would be LIKE metacharacters; the stream path
+    # treats them literally, so refuse rather than silently diverge
+    for p in ps:
+        if "%" in p or "_" in p:
+            raise ValueError(f"prefix_suggest_kgram: literal %/_ in {p!r}")
+
+    wc = wildcard_terms_kgram(index_dir, [p + "%" for p in ps], k=gram_k,
+                              concurrency=concurrency)
+    by_prefix: dict[str, list] = {}
+    for pat, t, d in zip(wc["pattern"].to_pylist(),
+                         wc["term"].to_pylist(),
+                         wc["df"].to_pylist()):
+        by_prefix.setdefault(pat[:-1], []).append((-int(d), t))
+    rp, rt, rf, rr = [], [], [], []
+    for p in sorted(by_prefix):
+        for rank, (nd, t) in enumerate(sorted(by_prefix[p])[:k], start=1):
+            rp.append(p)
+            rt.append(t)
+            rf.append(-nd)
+            rr.append(rank)
+    return pa.table(
+        {"prefix": pa.array(rp, pa.string()),
+         "term": pa.array(rt, pa.string()),
+         "df": pa.array(rf, pa.int64()),
+         "rank": pa.array(rr, pa.int64())},
+        schema=out_schema,
+    )
+
+
 def _bool_eval(node, reader: SegmentReader,
                universe: np.ndarray) -> np.ndarray:
     """Recursively evaluate a boolean expression tree to a sorted doc_int

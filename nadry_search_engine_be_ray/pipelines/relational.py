@@ -149,10 +149,28 @@ def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
 
 def q_topk(sf_dir: str) -> pd.DataFrame:
     """Global top-10 orders by totalprice (K1/K3: sort desc + limit with
-    deterministic orderkey tiebreak)."""
+    deterministic orderkey tiebreak).
+
+    Scale path (VERDICT r4): per-block PARTIAL top-10 — each block emits
+    at most k rows under the full (totalprice desc, orderkey asc) order —
+    then one bounded driver merge over <= k x blocks rows, the same shape
+    grouped_topk and the ANN family use.  No global sort barrier; the
+    output is identical to ``sort().limit(k)`` because the global top-k
+    is a subset of the per-block top-ks under any total order."""
+    k = 10
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
-        .limit(10).to_pandas()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -tp))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(k)
     out["o_totalprice"] = out["o_totalprice"].round(4)
     return out.reset_index(drop=True)
 
@@ -2208,10 +2226,12 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
         .aggregate(Min("ts_us", alias_name="first_us"))
         .map_batches(
             lambda b: pa.table({
-                "user_id": b["user_id"],
+                "user_id": b["user_id"] if "user_id" in b.column_names
+                else pa.array([], pa.int64()),
                 "cohort_us": pa.array(
                     _monday_us(b["first_us"].to_numpy(
-                        zero_copy_only=False).astype(np.int64)),
+                        zero_copy_only=False).astype(np.int64))
+                    if "first_us" in b.column_names else [],
                     pa.int64(),
                 ),
             }),
@@ -4180,6 +4200,9 @@ def q_tpch_q21(sf_dir: str, k: int = 25) -> pd.DataFrame:
         })
 
     def guilty_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_supp" not in batch.column_names:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
         m = ((batch["n_supp"].to_numpy(zero_copy_only=False) > 1)
              & (batch["n_late"].to_numpy(zero_copy_only=False) == 1))
         sk = batch["late_skey"].to_numpy(zero_copy_only=False)[m]

@@ -581,7 +581,9 @@ def term_fuzzy_pairs(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
 
     def deletion_keys(batch: pa.Table) -> pa.Table:
         keys, terms = [], []
-        for t in batch["term"].to_pylist():
+        col = (batch["term"].to_pylist()
+               if "term" in batch.column_names else [])
+        for t in col:
             keys.append(t)
             terms.append(t)
             for i in range(len(t)):
@@ -2143,7 +2145,9 @@ def term_dict_frontcode(sf_dir: str) -> pd.DataFrame:
                      "term": b["term"],
                      "head": pc.utf8_slice_codeunits(
                          b["term"].combine_chunks(), 0, 1),
-                 }),
+                 }) if "term" in b.column_names else pa.table(
+                     {"term": pa.array([], pa.string()),
+                      "head": pa.array([], pa.string())}),
                  batch_format="pyarrow"))
     out = (vocab.groupby("head")
            .map_groups(fc_partition, batch_format="pyarrow")

@@ -123,8 +123,11 @@ def _sym_pair_partial(batch: pa.Table) -> pa.Table:
 
 def _top1(batch: pa.Table) -> pa.Table:
     """Partial argmax under (n DESC, a ASC, b ASC) — one row per block."""
-    if len(batch) == 0:
-        return batch
+    if len(batch) == 0 or "n" not in batch.column_names:
+        # typed empty: zero-row groupby blocks can carry an EMPTY schema
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     df = batch.sort_by(
         [("n", "descending"), ("a", "ascending"), ("b", "ascending")]
     )

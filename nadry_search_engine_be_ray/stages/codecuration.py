@@ -456,6 +456,11 @@ def clone_pairs(
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "commit_a" not in batch.column_names:
+            return pa.table(
+                {"commit_a": pa.array([], pa.string()),
+                 "commit_b": pa.array([], pa.string()),
+                 "h_count_distinct": pa.array([], pa.int64())})
         return batch.group_by(["commit_a", "commit_b"]).aggregate(
             [("h", "count_distinct")]
         )

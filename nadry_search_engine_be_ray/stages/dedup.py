@@ -1255,7 +1255,10 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                 t.schema.get_field_index("hamming"),
                 "hamming",
                 t["hamming"].cast(pa.int32()),
-            ),
+            ) if "hamming" in t.column_names else pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int32())}),
             batch_format="pyarrow",
         )
         .sort(["a", "b"])
@@ -1604,6 +1607,11 @@ def _clusters_pointer_doubling(pairs_ds, max_iter: int = 10_000):
     edge_msgs = pairs_m.map_batches(to_msgs, batch_format="pyarrow").materialize()
 
     def label_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "node": pa.array([], pa.int64()),
+                             "dest": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
         node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {

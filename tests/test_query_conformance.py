@@ -895,3 +895,24 @@ def test_spell_correct_kgram_equals_stream_path(built_index):
     s1 = spell_correct(built_index, words, max_distance=1)
     p1 = spell_correct_kgram(built_index, words, max_distance=1)
     assert p1.to_pylist() == s1.to_pylist()
+
+
+def test_prefix_suggest_kgram_equals_stream_path(built_index):
+    """The gram-pruned autocomplete answers identically to the stream
+    scan, including sub-gram-length prefixes (dictionary fallback) and
+    no-match prefixes."""
+    import pytest
+
+    from nadry_search_engine_be_ray.pipelines.query import (
+        prefix_suggest, prefix_suggest_kgram,
+    )
+
+    prefixes = ["se", "ind", "tok", "i", "zzqx"]
+    stream = prefix_suggest(built_index, prefixes, k=5)
+    pruned = prefix_suggest_kgram(built_index, prefixes, k=5)
+    assert pruned.to_pylist() == stream.to_pylist()
+    s3 = prefix_suggest(built_index, prefixes, k=3)
+    p3 = prefix_suggest_kgram(built_index, prefixes, k=3)
+    assert p3.to_pylist() == s3.to_pylist()
+    with pytest.raises(ValueError, match="literal"):
+        prefix_suggest_kgram(built_index, ["se%"], k=3)
