@@ -150,3 +150,52 @@ def test_multi_bfs_large_but_valid_seed(ray_session):
     assert row["n_reached"] == 4
     assert row["sum_depth"] == 6
     assert row["closeness_micro"] == 3 * 10**6 // 6
+
+
+def _vec_tables(n=40, dim=8):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(n, dim)).astype(np.float64)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        "y": pa.array((np.arange(n) % 2).astype(np.int64), pa.int64()),
+    })
+
+
+def test_lr_fit_survives_empty_schema_block(ray_session):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.classifier import lr_fit
+
+    tbl = _vec_tables()
+    dirty = ray.data.from_arrow([tbl, pa.table({})])
+    clean = ray.data.from_arrow(tbl)
+    w_d = lr_fit(dirty, label_col="y", n_iters=5, lr=0.5)
+    w_c = lr_fit(clean, label_col="y", n_iters=5, lr=0.5)
+    np.testing.assert_array_equal(w_d, w_c)
+
+
+def test_kmeans_fit_survives_empty_schema_block(ray_session):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.clustering import kmeans_fit
+
+    tbl = _vec_tables()
+    dirty = ray.data.from_arrow([tbl, pa.table({})])
+    clean = ray.data.from_arrow(tbl)
+    c_d, _ = kmeans_fit(dirty, k=4, n_iters=3)
+    c_c, _ = kmeans_fit(clean, k=4, n_iters=3)
+    np.testing.assert_array_equal(c_d, c_c)
+
+
+def test_pq_train_survives_empty_schema_block(ray_session):
+    import ray.data
+
+    from nadry_search_engine_be_ray.stages.pq import pq_train
+
+    tbl = _vec_tables()
+    dirty = ray.data.from_arrow([tbl, pa.table({})])
+    clean = ray.data.from_arrow(tbl)
+    cb_d, _ = pq_train(dirty, m=2, k=4, n_iters=3)
+    cb_c, _ = pq_train(clean, m=2, k=4, n_iters=3)
+    np.testing.assert_array_equal(cb_d, cb_c)
