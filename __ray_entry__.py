@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search engine proper (reference-semantics; oracle = pytest
         # transcription, driver records rows-only)
         "index_term_df_real": _q_index_term_df_real,
+        "index_lineage": _q_index_lineage,
         # posting-codec size comparison (varint delta-gap vs FOR bit
         # packing); the oracle recomputes BOTH framings analytically
         "posting_codec_sizes": _q_posting_codec_sizes,
@@ -1836,6 +1837,23 @@ def _q_index_term_df_real(sf_dir: str):
     rows = [(t, int(r.postings(t).df)) for t in sorted(r.terms())]
     return pd.DataFrame({"term": [t for t, _ in rows],
                          "df": pd.array([d for _, d in rows], dtype="int64")})
+
+
+def _q_index_lineage(sf_dir: str):
+    """Per-partition (shard) lineage + metrics over the final segment
+    tier (pipelines/build.index_lineage — the queryable face of the
+    north-rule's per-partition checkpoints with lineage + metrics):
+    per-shard term/posting counts + payload byte footprints, one
+    distributed pruned read + shard groupby, plus a shard=-1 total row.
+    The oracle aggregates the dumped per-row segment facts in SQL and
+    recomputes the TOTAL row's n_terms/n_postings INDEPENDENTLY from the
+    pre-shuffle token dump (distinct terms / (term, doc) pairs), tying
+    the segment tier's df accounting back to the map-side stream."""
+    from nadry_search_engine_be_ray.pipelines.build import index_lineage
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    return index_lineage(index_dir)
 
 
 def _q_index_df_bitpack(sf_dir: str):
@@ -9982,6 +10000,40 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "
             f"GROUP BY term ORDER BY term"
         ),
+        "index_lineage": f"""
+            WITH per AS (
+                SELECT * FROM read_parquet('{_MAIN_DUMP_DIR}/seg.parquet')),
+            s AS (
+                SELECT CAST(shard AS BIGINT) AS shard,
+                       count(*) AS n_terms, sum(df) AS n_postings,
+                       sum(docs_bytes) AS docs_bytes,
+                       sum(tfs_bytes) AS tfs_bytes,
+                       sum(weights_bytes) AS weights_bytes,
+                       sum(positions_bytes) AS positions_bytes
+                FROM per GROUP BY shard),
+            tot AS (
+                SELECT CAST(-1 AS BIGINT) AS shard,
+                       (SELECT count(DISTINCT term) FROM
+                        read_parquet('{_MAIN_DUMP_DIR}/tok.parquet'))
+                           AS n_terms,
+                       (SELECT count(*) FROM
+                        read_parquet('{_MAIN_DUMP_DIR}/tok.parquet'))
+                           AS n_postings,
+                       (SELECT sum(docs_bytes) FROM per) AS docs_bytes,
+                       (SELECT sum(tfs_bytes) FROM per) AS tfs_bytes,
+                       (SELECT sum(weights_bytes) FROM per)
+                           AS weights_bytes,
+                       (SELECT sum(positions_bytes) FROM per)
+                           AS positions_bytes)
+            SELECT shard, CAST(n_terms AS BIGINT) AS n_terms,
+                   CAST(n_postings AS BIGINT) AS n_postings,
+                   CAST(docs_bytes AS BIGINT) AS docs_bytes,
+                   CAST(tfs_bytes AS BIGINT) AS tfs_bytes,
+                   CAST(weights_bytes AS BIGINT) AS weights_bytes,
+                   CAST(positions_bytes AS BIGINT) AS positions_bytes
+            FROM (SELECT * FROM tot UNION ALL SELECT * FROM s)
+            ORDER BY shard
+        """,
         "index_df_bitpack": (
             f"SELECT term, count(*) AS df "
             f"FROM read_parquet('{_MAIN_DUMP_DIR}/tok.parquet') "

@@ -850,3 +850,92 @@ def build_permuterm_index(index_dir: str, *, concurrency: int = 2) -> str:
     )
     _mark_done(out_dir)
     return out_dir
+
+
+def index_lineage(index_dir: str, *, concurrency: int = 2):
+    """Per-PARTITION lineage + metrics over the final segment tier — the
+    queryable surface of the north-rule's "resumable from per-partition
+    checkpoints with lineage + build metrics" (manifest.json holds the
+    per-phase wall times; this holds the per-shard accounting a 10^12-doc
+    operator needs to audit or selectively rebuild a partition): per
+    shard, the term count, posting count (Σ df) and the byte footprint of
+    each payload stream, plus a ``shard = -1`` grand-total row.
+
+    Distributed shape: one pruned columnar read of the segment parquet
+    (term/df + octet lengths only — payloads are never decoded), per-batch
+    Arrow partials, one shard groupby (bounded by shard count).  The
+    driver oracle aggregates the dumped per-row segment facts in SQL and
+    recomputes the TOTAL row's n_terms / n_postings INDEPENDENTLY from
+    the pre-shuffle token dump (distinct terms / (term, doc) pairs), so
+    the segment tier's df accounting is tied back to the map-side stream
+    (compacted tier: one row per term after the salt-run merge).
+
+    Returns (shard, n_terms, n_postings, docs_bytes, tfs_bytes,
+    weights_bytes, positions_bytes) sorted by shard, total row first
+    (shard -1).
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if compacted else "segments"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return pa.table({
+                "shard": pa.array([], pa.int32()),
+                "n_terms": pa.array([], pa.int64()),
+                "n_postings": pa.array([], pa.int64()),
+                "docs_bytes": pa.array([], pa.int64()),
+                "tfs_bytes": pa.array([], pa.int64()),
+                "weights_bytes": pa.array([], pa.int64()),
+                "positions_bytes": pa.array([], pa.int64()),
+            })
+        t = pa.table({
+            "shard": batch["shard"].cast(pa.int32()),
+            "n_terms": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_postings": batch["df"].cast(pa.int64()),
+            "docs_bytes": pc.binary_length(
+                batch["docs"].combine_chunks()).cast(pa.int64()),
+            "tfs_bytes": pc.binary_length(
+                batch["tfs"].combine_chunks()).cast(pa.int64()),
+            "weights_bytes": pc.binary_length(
+                batch["weights"].combine_chunks()).cast(pa.int64()),
+            "positions_bytes": pc.binary_length(
+                batch["positions"].combine_chunks()).cast(pa.int64()),
+        })
+        mcols = [c for c in t.column_names if c != "shard"]
+        agg = t.group_by(["shard"]).aggregate([(c, "sum") for c in mcols])
+        return pa.table({
+            "shard": agg["shard"].cast(pa.int32()),
+            **{c: agg[f"{c}_sum"].cast(pa.int64()) for c in mcols},
+        })
+
+    cols = ["shard", "term", "df", "docs", "tfs", "weights", "positions"]
+    out = (
+        ray.data.read_parquet(seg_root, columns=cols,
+                              file_extensions=["parquet"])
+        .map_batches(partial, batch_format="pyarrow",
+                     concurrency=concurrency)
+        .groupby("shard")
+        .aggregate(*[Sum(c, alias_name=c) for c in
+                     ["n_terms", "n_postings", "docs_bytes", "tfs_bytes",
+                      "weights_bytes", "positions_bytes"]])
+        .to_pandas()
+    )
+    import pandas as pd
+
+    metric_cols = ["n_terms", "n_postings", "docs_bytes", "tfs_bytes",
+                   "weights_bytes", "positions_bytes"]
+    if "shard" not in out.columns or not len(out):
+        out = pd.DataFrame(columns=["shard"] + metric_cols)
+    total = {"shard": -1, **{c: int(out[c].sum()) for c in metric_cols}}
+    out = pd.concat([pd.DataFrame([total]), out.sort_values("shard")],
+                    ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -21,6 +21,8 @@ Tables written to ``dump_dir`` (single parquet file each, overwritten):
 * ``pop``       (doc_int, popularity)          — zeros when no pagerank ran
 * ``docmap``    (doc_int, doc_id, url)         — the API's doc_id hex + url
 * ``docmeta``   (doc_int, repo, lang)          — facet columns (faceted search)
+* ``seg``       (shard, term, df, *_bytes)     — per-row segment-tier
+                 facts (payload octet lengths) for the lineage oracle
 * ``tokw``      (term, doc_int, weight)        — accumulated field weight
                  (tf x boost, the additive scorer's quantity)
 * ``stats``     (n_docs, avgdl)                — the engine's stats.json
@@ -63,7 +65,7 @@ def dump_index_tables(index_dir: str, dump_dir: str,
     pop_dir = os.path.join(index_dir, "popularity")
     key = json.dumps(
         {
-            "fmt": 5,  # v2: + docmeta; v3: + tokw; v4: + tokf; v5: docmap + url
+            "fmt": 6,  # v2 docmeta; v3 tokw; v4 tokf; v5 docmap+url; v6 seg
             "index_dir": index_dir,
             "stats_mtime": os.path.getmtime(stats_path),
             "pop_mtime": os.path.getmtime(os.path.join(pop_dir, "popularity.parquet"))
@@ -233,6 +235,37 @@ def dump_index_tables(index_dir: str, dump_dir: str,
             }
         ),
         os.path.join(dump_dir, "docmeta.parquet"),
+    )
+
+    # seg: per-row segment-tier facts (shard, term, df, payload octet
+    # lengths — payloads themselves never leave the index) for the
+    # index_lineage oracle's SQL aggregation
+    with open(stats_path) as f:
+        _compacted = json.load(f)["compacted"]
+    seg_root = os.path.join(
+        index_dir, "segments_merged" if _compacted else "segments"
+    )
+    import pyarrow.compute as _pc
+
+    seg = pads.dataset(seg_root, format="parquet", partitioning="hive")         .to_table(columns=["shard", "term", "df", "docs", "tfs",
+                           "weights", "positions"])
+    pq.write_table(
+        pa.table(
+            {
+                "shard": seg["shard"].cast(pa.int32()),
+                "term": seg["term"],
+                "df": seg["df"].cast(pa.int64()),
+                "docs_bytes": _pc.binary_length(
+                    seg["docs"].combine_chunks()).cast(pa.int64()),
+                "tfs_bytes": _pc.binary_length(
+                    seg["tfs"].combine_chunks()).cast(pa.int64()),
+                "weights_bytes": _pc.binary_length(
+                    seg["weights"].combine_chunks()).cast(pa.int64()),
+                "positions_bytes": _pc.binary_length(
+                    seg["positions"].combine_chunks()).cast(pa.int64()),
+            }
+        ),
+        os.path.join(dump_dir, "seg.parquet"),
     )
 
     # stats (engine values verbatim, incl. the `or 1.0` avgdl fallback)

@@ -441,3 +441,39 @@ def test_champion_lists_matches_full_sort(built_index):
             worst_champion = min(w for _, _, w in got[t])
             best_rest = float(np.max(pl.weights[order[m:]]))
             assert worst_champion >= np.round(best_rest, 9), t
+
+
+def test_index_lineage_per_shard_accounting(built_index):
+    """index_lineage's per-shard counts must tie out: shard rows sum to
+    the total row, n_terms == dictionary size, n_postings == sum of df
+    over terms, and byte footprints equal the raw payload octet lengths
+    read directly from the segment parquet."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from nadry_search_engine_be_ray.pipelines.build import index_lineage
+    from nadry_search_engine_be_ray.state.segments import SegmentReader
+
+    out = index_lineage(built_index).to_pandas()
+    assert list(out["shard"])[0] == -1
+    total = out.iloc[0]
+    shards = out.iloc[1:]
+    for c in ["n_terms", "n_postings", "docs_bytes", "tfs_bytes",
+              "weights_bytes", "positions_bytes"]:
+        assert int(shards[c].sum()) == int(total[c]), c
+
+    r = SegmentReader(built_index)
+    terms = list(r.terms())
+    assert int(total["n_terms"]) == len(terms)
+    assert int(total["n_postings"]) == sum(
+        int(r.postings(t).df) for t in terms
+    )
+
+    seg_root = os.path.join(built_index, "segments_merged")
+    if not os.path.isdir(seg_root):
+        seg_root = os.path.join(built_index, "segments")
+    seg = pads.dataset(seg_root, format="parquet",
+                       partitioning="hive").to_table(columns=["docs"])
+    raw_docs_bytes = sum(len(b) for b in seg["docs"].to_pylist())
+    assert int(total["docs_bytes"]) == raw_docs_bytes
