@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         "wildcard_terms": _q_wildcard_terms,
         "champion_lists": _q_champion_lists,
+        "champion_topk": _q_champion_topk,
         "wildcard_kgram": _q_wildcard_kgram,
         "numeric_range": _q_numeric_range,
         "more_like_this": _q_more_like_this,
@@ -2335,6 +2336,103 @@ def _q_champion_lists(sf_dir: str):
     _, index_dir = _built_index(sf_dir)
     _main_dump(sf_dir)
     return champion_lists(index_dir, m=3)
+
+
+def _q_champion_topk(sf_dir: str):
+    """Champion-list early-termination retrieval (IR-book §7.1.3 inexact
+    top-k / Persin impact ordering): each term contributes only its top-3
+    postings by accumulated field weight, scored with the exact bm25f
+    expression — per-query candidate work is bounded by tokens x m
+    regardless of posting length (serve.ChampionEvalActor reads the
+    sorted champion parquet with a term-pruned row-group read and never
+    decodes a posting payload).  The oracle replays the identical
+    semantics (row_number <= m over the dumped tokw table + the shared
+    BM25 expression tree), so the approximation contract is hash-checked,
+    not hand-waved."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        ChampionEvalActor, ensure_champion_tier,
+    )
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    ensure_champion_tier(index_dir, m=3)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        ChampionEvalActor, fn_constructor_args=(index_dir, 3, 10),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _champion_topk_sql(m: int = 3, k: int = 10) -> str:
+    """Champion-retrieval oracle: per plan, top-m rows per term by
+    (weight DESC, doc_int) from the tokw dump, full per-term df for the
+    idf, the shared BM25 saturation over the WEIGHT, top-k by
+    (score DESC, doc_int)."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    idf = (f"ln((CAST((SELECT n_docs FROM "
+           f"read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        whens = " ".join(
+            f"WHEN '{_sqlq(t)}' THEN {float(mn)!r}"
+            for t, mn in sorted(mult.items())
+        )
+        sat = (f"(t.weight * (1.2 + 1)) / (t.weight + 1.2 * (1 - 0.75 + "
+               f"0.75 * CAST(ds.total_words AS DOUBLE) / "
+               f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+        ctes.append(f"""
+        chdf{i} AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tokw.parquet')
+            WHERE term IN ({terms_sql}) GROUP BY term),
+        chtop{i} AS (
+            SELECT term, doc_int, weight FROM (
+                SELECT term, doc_int, weight,
+                       row_number() OVER (PARTITION BY term
+                           ORDER BY weight DESC, doc_int) AS rn
+                FROM read_parquet('{D}/tokw.parquet')
+                WHERE term IN ({terms_sql}))
+            WHERE rn <= {m}),
+        chsc{i} AS (
+            SELECT t.doc_int,
+                   SUM((CASE t.term {whens} END) * {idf} * {sat}) AS score
+            FROM chtop{i} t
+            JOIN chdf{i} d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            GROUP BY t.doc_int),
+        chpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM chsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score
+        FROM chpg{i}
+        WHERE rn < {k}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
 
 
 _CHAMPION_SQL_TMPL = """
@@ -10119,6 +10217,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_wand": _search_bm25_sql(),
         "search_bm25_plus": _search_bm25_sql(delta=1.0),
         "search_after_page2": _search_after_sql(),
+        "champion_topk": _champion_topk_sql(),
         "search_api_page": _search_api_page_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),

@@ -23,6 +23,7 @@ reexpressed Ray-Data-first, two layers:
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -607,3 +608,121 @@ class ShardedSearchEngine(SearchEngine):
     def additive_search(self, query: str, k: int = 10, **kw):
         self._prefetch_query(query)
         return super().additive_search(query, k=k, **kw)
+
+
+def ensure_champion_tier(index_dir: str, m: int = 3) -> str:
+    """Build (once, `_DONE`-checkpointed) the champion-list parquet tier
+    for ``index_dir`` — per term, the top-``m`` postings by accumulated
+    field weight (pipelines/build.champion_lists), written sorted so a
+    query's pruned read touches only its terms' row groups.  Called from
+    the DRIVER before spawning ChampionEvalActor pools so concurrent
+    actors never race the build."""
+    import os
+    import shutil
+
+    from .build import champion_lists
+
+    champ_dir = os.path.join(index_dir, f"champions_{m}")
+    done = os.path.join(champ_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(champ_dir, ignore_errors=True)
+        tbl = champion_lists(index_dir, m=m)
+        import pyarrow.parquet as pq
+
+        os.makedirs(champ_dir, exist_ok=True)
+        pq.write_table(
+            tbl.sort_by([("term", "ascending"), ("w_rank", "ascending")]),
+            os.path.join(champ_dir, "champions.parquet"),
+            row_group_size=4096,
+        )
+        with open(done, "w") as f:
+            f.write("champion tier")
+    return champ_dir
+
+
+class ChampionEvalActor:
+    """Champion-list early-termination retrieval (Manning/Raghavan/
+    Schütze IR §7.1.3; Persin-style impact ordering): each query term
+    contributes ONLY its top-``m`` postings by accumulated field weight —
+    the build-side champion tier — so a query's candidate work is bounded
+    by ``len(tokens) × m`` REGARDLESS of posting-list length.  The score
+    of a surviving entry is the exact bm25f expression (weight-saturated,
+    stale-df idf), i.e. at m → ∞ the ranking equals the engine's bm25f
+    mode; at finite m it is the declared inexact-top-k semantics, which
+    the driver oracle replays exactly (row_number ≤ m over the dumped
+    tokw table), so the approximation is hash-checked, not hand-waved.
+
+    100 TB note: the query path reads the champion parquet with a
+    term-pruned row-group read (the tier is sorted by term) and never
+    decodes a posting payload; df comes from the dictionary.  Production
+    would store df beside the champion rows to avoid the dictionary
+    lookup per term."""
+
+    def __init__(self, index_dir: str, m: int = 3, k: int = 10):
+        import os
+
+        self.engine = SearchEngine(index_dir)
+        self.m = m
+        self.k = k
+        self.champ_dir = os.path.join(index_dir, f"champions_{m}")
+        if not os.path.exists(os.path.join(self.champ_dir, "_DONE")):
+            raise RuntimeError(
+                "champion tier missing — call ensure_champion_tier() "
+                "from the driver first"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        eng = self.engine
+        n = eng.stats["n_docs"]
+        avgdl = eng.stats["avgdl"] or 1.0
+        out_q, out_rank, out_doc, out_score = [], [], [], []
+        for q in batch["query"].to_pylist():
+            tokens = eng.tokenizer.tokenize(q)
+            if not tokens:
+                continue
+            mult = Counter(tokens)
+            tbl = pads.dataset(self.champ_dir, format="parquet").to_table(
+                columns=["term", "doc_int", "weight"],
+                filter=pc.field("term").isin(
+                    pa.array(sorted(mult), pa.string())),
+            )
+            if tbl.num_rows == 0:
+                continue
+            terms_col = np.asarray(tbl["term"].to_pylist(), dtype=object)
+            docs_col = tbl["doc_int"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            w_col = tbl["weight"].to_numpy(zero_copy_only=False)
+            cand = np.unique(docs_col)
+            tws, _ = eng.docs.lookup(cand)
+            dl = tws.astype(np.float64)
+            acc = np.zeros(cand.size, dtype=np.float64)
+            for t in sorted(mult):   # fixed term order -> deterministic
+                sel = terms_col == t
+                if not sel.any():
+                    continue
+                pl = eng.reader.postings(t)
+                df = pl.df_stale if pl is not None else 0
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                idx = np.searchsorted(cand, docs_col[sel])
+                w = w_col[sel]
+                sat = (w * (1.2 + 1)) / (
+                    w + 1.2 * (1 - 0.75 + 0.75 * dl[idx] / avgdl)
+                )
+                np.add.at(acc, idx, mult[t] * idf * sat)
+            order = np.lexsort((cand, -acc))[: self.k]
+            for i, j in enumerate(order):
+                out_q.append(q)
+                out_rank.append(i)
+                out_doc.append(f"{int(cand[j]):015x}")
+                out_score.append(float(acc[j]))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "score": pa.array(out_score, pa.float64())}
+        )

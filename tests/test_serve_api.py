@@ -62,3 +62,46 @@ def test_api_response_shape(ray_session, built_index):
     # quoted phrase path
     res2 = api.search('"item order"', page=1, limit=5)
     assert res2["totalResults"] >= 1
+
+
+def test_champion_topk_converges_to_bm25f(built_index):
+    """At m >= max df the champion tier holds every posting, so the
+    champion ranking must equal the engine's full bm25f ranking; at small
+    m it is a subset-scored ranking whose entries never exceed their full
+    scores."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        ChampionEvalActor, ensure_champion_tier,
+    )
+
+    eng = SearchEngine(built_index)
+    queries = ["search engine", "item order", "university running"]
+    batch = pa.table({"query": pa.array(queries, pa.string())})
+
+    big_m = 1_000_000
+    ensure_champion_tier(built_index, m=big_m)
+    full = ChampionEvalActor(built_index, m=big_m, k=10)(batch)
+
+    for q in queries:
+        docs, acc = eng.all_scores(q, "bm25f")
+        order = np.lexsort((docs, -acc))[:10]
+        want = [(f"{int(docs[j]):015x}", round(float(acc[j]), 9))
+                for j in order]
+        got = [(d, round(s, 9))
+               for qq, d, s in zip(full["query"].to_pylist(),
+                                   full["doc_id"].to_pylist(),
+                                   full["score"].to_pylist()) if qq == q]
+        assert got == want, q
+
+    ensure_champion_tier(built_index, m=2)
+    small = ChampionEvalActor(built_index, m=2, k=10)(batch)
+    full_scores = {(q, d): s for q, d, s in zip(
+        full["query"].to_pylist(), full["doc_id"].to_pylist(),
+        full["score"].to_pylist())}
+    for q, d, s in zip(small["query"].to_pylist(),
+                       small["doc_id"].to_pylist(),
+                       small["score"].to_pylist()):
+        assert s <= full_scores.get((q, d), float("inf")) + 1e-9
