@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_terms": _q_wildcard_terms,
         "champion_lists": _q_champion_lists,
         "champion_topk": _q_champion_topk,
+        "highlight_spans": _q_highlight_spans,
         "wildcard_kgram": _q_wildcard_kgram,
         "numeric_range": _q_numeric_range,
         "more_like_this": _q_more_like_this,
@@ -1787,9 +1788,14 @@ def _query_plans() -> list[dict]:
 
 
 def _phrase_terms() -> list[str]:
+    """Terms whose POSITIONS are materialized in the pos dump: every
+    reference-query token (phrase adjacency oracles need the phrase
+    tokens; the highlight-span oracle needs the term-query tokens too).
+    The dump cache key includes this list, so extending it just triggers
+    one rebuild."""
     out: set[str] = set()
     for p in _query_plans():
-        if p["kind"] == "phrase":
+        if p["kind"] != "empty":
             out.update(p["tokens"])
     return sorted(out)
 
@@ -2371,6 +2377,68 @@ def _q_champion_topk(sf_dir: str):
     ).to_pandas()
     out["score"] = out["score"].round(9)
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_highlight_spans(sf_dir: str):
+    """Match-offset extraction for highlighting (serve.HighlightEvalActor,
+    the UnifiedHighlighter analog the reference's snippet marker consumes):
+    BM25 top-3 docs per query, then every (term, field, position)
+    occurrence of each query term in each top doc, decoded from the
+    positions payload of just the query terms' lists.  Oracle = the shared
+    BM25 CTE rank window joined to the exploded pos dump, so the positions
+    codec's decode path is hash-checked against the map-side stream."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import HighlightEvalActor
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        HighlightEvalActor, fn_constructor_args=(index_dir, 3),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    return out.sort_values(
+        ["query", "rank", "term", "field", "pos"]
+    ).reset_index(drop=True)
+
+
+def _highlight_sql(k: int = 3) -> str:
+    """Highlight oracle: per plan, the BM25 rank window [0, k) from the
+    shared score CTE, joined to the exploded positions dump restricted to
+    the plan's terms."""
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(set(p["tokens"])))
+        ctes.append(_bm25_score_cte(p) + f""",
+        hpg{i} AS (
+            SELECT doc_int,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM bsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(g.rn AS INTEGER) AS rank,
+               printf('%015x', g.doc_int) AS doc_id,
+               pp.term AS term,
+               CAST(pp.field AS INTEGER) AS field,
+               CAST(pp.pos AS BIGINT) AS pos
+        FROM hpg{i} g
+        JOIN read_parquet('{D}/pos.parquet') pp
+             ON pp.doc_int = g.doc_int AND pp.term IN ({terms_sql})
+        WHERE g.rn < {k}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
 
 
 def _champion_topk_sql(m: int = 3, k: int = 10) -> str:
@@ -10218,6 +10286,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_plus": _search_bm25_sql(delta=1.0),
         "search_after_page2": _search_after_sql(),
         "champion_topk": _champion_topk_sql(),
+        "highlight_spans": _highlight_sql(),
         "search_api_page": _search_api_page_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),

@@ -726,3 +726,58 @@ class ChampionEvalActor:
              "doc_id": pa.array(out_doc, pa.string()),
              "score": pa.array(out_score, pa.float64())}
         )
+
+
+class HighlightEvalActor:
+    """Match-offset extraction for result highlighting (the Lucene
+    UnifiedHighlighter analog; the reference's snippet marker consumes
+    exactly this data, SearchWrapper.java:566-638): for each query, the
+    engine's BM25 top-``k`` docs, then every (term, field, position)
+    occurrence of each query term in each top doc, decoded from the
+    positions payload of just the query terms' posting lists — per-query
+    work is bounded by tokens × k docs × occurrences, never corpus size.
+
+    Output (query, rank, doc_id, term, field, pos); a top doc missing a
+    term (multi-term queries) simply contributes no rows for it."""
+
+    def __init__(self, index_dir: str, k: int = 3):
+        self.engine = SearchEngine(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eng = self.engine
+        out = {"query": [], "rank": [], "doc_id": [], "term": [],
+               "field": [], "pos": []}
+        for q in batch["query"].to_pylist():
+            docs, acc = eng.all_scores(q, "bm25")
+            if not docs.size:
+                continue
+            order = np.lexsort((docs, -acc))[: self.k]
+            top_docs = docs[order]
+            for t in sorted(set(eng.tokenizer.tokenize(q))):
+                pl = eng.reader.postings(t)
+                if pl is None:
+                    continue
+                idx = np.searchsorted(pl.docs, top_docs)
+                idx_c = np.minimum(idx, pl.docs.size - 1)
+                hit = pl.docs[idx_c] == top_docs
+                for rank in np.flatnonzero(hit):
+                    d = int(top_docs[rank])
+                    for field, poss in sorted(
+                        pl.positions_for(int(idx_c[rank])).items()
+                    ):
+                        for p_ in poss.tolist():
+                            out["query"].append(q)
+                            out["rank"].append(int(rank))
+                            out["doc_id"].append(f"{d:015x}")
+                            out["term"].append(t)
+                            out["field"].append(int(field))
+                            out["pos"].append(int(p_))
+        return pa.table(
+            {"query": pa.array(out["query"], pa.string()),
+             "rank": pa.array(out["rank"], pa.int32()),
+             "doc_id": pa.array(out["doc_id"], pa.string()),
+             "term": pa.array(out["term"], pa.string()),
+             "field": pa.array(out["field"], pa.int32()),
+             "pos": pa.array(out["pos"], pa.int64())}
+        )
