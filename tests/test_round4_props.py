@@ -217,3 +217,33 @@ def test_bool_eval_matches_set_algebra(postings, expr):
     got = _bool_eval(expr, _FakeReader(), universe)
     assert set(got.tolist()) == pyeval(expr)
     assert np.all(np.diff(got) > 0)  # sorted unique output invariant
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=1, max_size=10),
+    st.text(alphabet="abcdef", min_size=1, max_size=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_kgram_count_filter_is_sound(w, t):
+    """The spell_correct_kgram pruning bound on arbitrary strings: if
+    ed(w, t) <= d then the DISTINCT boundary-marked k-gram overlap is at
+    least |set(G(w))| - k*d — one edit rewrites the content of at most k
+    windows, so at most k distinct grams of w can lose their last
+    occurrence per edit.  A violation would mean the gram filter can
+    prune a true candidate."""
+    from nadry_search_engine_be_ray.pipelines.build import kgram_of
+
+    def _lev_ref(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    k = 3
+    d = _lev_ref(w.encode(), t.encode())
+    gw, gt = set(kgram_of(w, k)), set(kgram_of(t, k))
+    assert len(gw & gt) >= len(gw) - k * d
