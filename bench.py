@@ -219,6 +219,25 @@ def main() -> None:
         "b2": ("and", "search", ("not", "engin")),
     })
     proximity_pairs(index_dir, ["search", "engin", "index"], window=3)
+    # round-5 additions: gram-pruned suggesters + champion/highlight paths
+    from nadry_search_engine_be_ray.pipelines.query import (
+        prefix_suggest_kgram, spell_correct_kgram,
+    )
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        ChampionEvalActor, HighlightEvalActor, ensure_champion_tier,
+    )
+
+    spell_correct_kgram(index_dir, ["serch", "documnt", "indx", "tokken"])
+    prefix_suggest_kgram(index_dir, ["se", "ind", "tok"], k=5)
+    ensure_champion_tier(index_dir, m=3)
+    _hl_q = pa.table({"query": pa.array(
+        ["search engine", "index merge", "national community"], pa.string())})
+    ray.data.from_arrow(_hl_q).map_batches(
+        ChampionEvalActor, fn_constructor_args=(index_dir, 3, 10),
+        batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
+    ray.data.from_arrow(_hl_q).map_batches(
+        HighlightEvalActor, fn_constructor_args=(index_dir, 3),
+        batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
     extra_timings["search_features"] = time.time() - t0
 
     # --- ranked-retrieval variants over the live index (non-headline) ------
