@@ -15,7 +15,7 @@ CALM_BEST_DOCS_PER_SEC_8CPU_1M = 26243.7
 # (32 CPUs, sf0.1 -> 20k docs, index on disk).  BASELINE.md round-4
 # session-10 calm battery: 3.062 s -> 6 531.8 docs/s (7.898 s e2e,
 # 0.625x baseline); supersedes session-4's 5 304 and round-1's 2 956.
-CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 6531.8
+CALM_BEST_DOCS_PER_SEC_32CPU_SF01 = 6947.3  # round-5 record (spin 0.803)
 
 # Pure-compute spin throughput ratio (32-wide vs 8-wide per-core) measured on
 # a calm window of this sandbox — the hypervisor's core-sharing ceiling any
