@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "champion_lists": _q_champion_lists,
         "champion_topk": _q_champion_topk,
         "highlight_spans": _q_highlight_spans,
+        "tiered_topk": _q_tiered_topk,
         "wildcard_kgram": _q_wildcard_kgram,
         "numeric_range": _q_numeric_range,
         "more_like_this": _q_more_like_this,
@@ -2498,6 +2499,117 @@ def _champion_topk_sql(m: int = 3, k: int = 10) -> str:
                round(score, 9) AS score
         FROM chpg{i}
         WHERE rn < {k}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
+
+
+def _q_tiered_topk(sf_dir: str):
+    """Tiered retrieval (IR-book §7.2.1): tier 1 = champion lists (top-3
+    by field weight per term); a query with >= 10 distinct tier-1
+    candidates is answered from tier 1 alone (champion scoring, bounded
+    work), else full bm25f evaluation — serve.TieredEvalActor, with the
+    fired tier emitted per row so the oracle hash-checks the LADDER
+    decision, not just the ranking."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        TieredEvalActor, ensure_champion_tier,
+    )
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    # m=8: single-term queries (<= 8 distinct tier-1 candidates) fall
+    # back while multi-term queries fill tier 1 — BOTH ladder branches
+    # fire on the reference query set, so the oracle checks each
+    ensure_champion_tier(index_dir, m=8)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        TieredEvalActor, fn_constructor_args=(index_dir, 8, 10),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _tiered_topk_sql(m: int = 8, k: int = 10) -> str:
+    """Tiered-retrieval oracle: the champion CTE chain (tier 1) plus the
+    full bm25f chain (the shared BM25 CTE over the tokw weight source);
+    the fired tier is the count-distinct gate replayed in SQL."""
+    from collections import Counter
+
+    D = _MAIN_DUMP_DIR
+    idf = (f"ln((CAST((SELECT n_docs FROM "
+           f"read_parquet('{D}/stats.parquet')) AS DOUBLE)"
+           f" - d.df + 0.5) / (d.df + 0.5) + 1.0)")
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        mult = Counter(p["tokens"])
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in sorted(mult))
+        whens = " ".join(
+            f"WHEN '{_sqlq(t)}' THEN {float(mn)!r}"
+            for t, mn in sorted(mult.items())
+        )
+        sat = (f"(t.weight * (1.2 + 1)) / (t.weight + 1.2 * (1 - 0.75 + "
+               f"0.75 * CAST(ds.total_words AS DOUBLE) / "
+               f"(SELECT avgdl FROM read_parquet('{D}/stats.parquet'))))")
+        ctes.append(_bm25_score_cte(
+            p, tf_source=("tokw.parquet", "weight")) + f""",
+        tddf{i} AS (
+            SELECT term, count(*) AS df
+            FROM read_parquet('{D}/tokw.parquet')
+            WHERE term IN ({terms_sql}) GROUP BY term),
+        tdtop{i} AS (
+            SELECT term, doc_int, weight FROM (
+                SELECT term, doc_int, weight,
+                       row_number() OVER (PARTITION BY term
+                           ORDER BY weight DESC, doc_int) AS rn
+                FROM read_parquet('{D}/tokw.parquet')
+                WHERE term IN ({terms_sql}))
+            WHERE rn <= {m}),
+        tdn{i} AS (SELECT count(DISTINCT doc_int) AS n FROM tdtop{i}),
+        tdsc{i} AS (
+            SELECT t.doc_int,
+                   SUM((CASE t.term {whens} END) * {idf} * {sat}) AS score
+            FROM tdtop{i} t
+            JOIN tddf{i} d ON d.term = t.term
+            JOIN read_parquet('{D}/docstats.parquet') ds
+                 ON ds.doc_int = t.doc_int
+            GROUP BY t.doc_int),
+        tdpg{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM tdsc{i}),
+        tdfull{i} AS (
+            SELECT doc_int, score,
+                   row_number() OVER (ORDER BY score DESC, doc_int ASC) - 1
+                       AS rn
+            FROM bsc{i})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score,
+               CAST(1 AS INTEGER) AS tier
+        FROM tdpg{i}
+        WHERE rn < {k} AND (SELECT n FROM tdn{i}) >= {k}
+        UNION ALL
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score,
+               CAST(2 AS INTEGER) AS tier
+        FROM tdfull{i}
+        WHERE rn < {k} AND (SELECT n FROM tdn{i}) < {k}""")
     return "WITH " + ",".join(ctes) + " ".join(
         [""] + [" UNION ALL ".join(selects)]
     )
@@ -10287,6 +10399,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_page2": _search_after_sql(),
         "champion_topk": _champion_topk_sql(),
         "highlight_spans": _highlight_sql(),
+        "tiered_topk": _tiered_topk_sql(),
         "search_api_page": _search_api_page_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),

@@ -781,3 +781,66 @@ class HighlightEvalActor:
              "field": pa.array(out["field"], pa.int32()),
              "pos": pa.array(out["pos"], pa.int64())}
         )
+
+
+class TieredEvalActor:
+    """Tiered retrieval (IR-book §7.2.1 tiered indexes): tier 1 is the
+    champion parquet (per term, top-``m`` postings by field weight); if
+    tier 1 yields at least ``k`` DISTINCT candidate docs the query is
+    answered from tier 1 alone with the champion scoring (bounded work),
+    otherwise it falls back to full bm25f evaluation over the complete
+    posting lists — the classic accuracy/latency ladder, with the tier
+    choice emitted per row so the oracle hash-checks WHICH tier fired,
+    not just the ranking."""
+
+    def __init__(self, index_dir: str, m: int = 3, k: int = 10):
+        self.champ = ChampionEvalActor(index_dir, m=m, k=k)
+        self.engine = self.champ.engine
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        eng = self.engine
+        out = {"query": [], "rank": [], "doc_id": [], "score": [],
+               "tier": []}
+        for q in batch["query"].to_pylist():
+            tokens = eng.tokenizer.tokenize(q)
+            if not tokens:
+                continue
+            terms = sorted(set(tokens))
+            t1 = pads.dataset(
+                self.champ.champ_dir, format="parquet"
+            ).to_table(
+                columns=["doc_int"],
+                filter=pc.field("term").isin(pa.array(terms, pa.string())),
+            )
+            n_cand = len(pc.unique(t1["doc_int"].combine_chunks()))
+            if n_cand >= self.k:
+                one = self.champ(pa.table(
+                    {"query": pa.array([q], pa.string())}))
+                for r in range(one.num_rows):
+                    out["query"].append(q)
+                    out["rank"].append(int(one["rank"][r].as_py()))
+                    out["doc_id"].append(one["doc_id"][r].as_py())
+                    out["score"].append(float(one["score"][r].as_py()))
+                    out["tier"].append(1)
+            else:   # tier-1 under-filled: full evaluation
+                docs, acc = eng.all_scores(q, "bm25f")
+                if not docs.size:
+                    continue
+                order = np.lexsort((docs, -acc))[: self.k]
+                for i, j in enumerate(order):
+                    out["query"].append(q)
+                    out["rank"].append(i)
+                    out["doc_id"].append(f"{int(docs[j]):015x}")
+                    out["score"].append(float(acc[j]))
+                    out["tier"].append(2)
+        return pa.table(
+            {"query": pa.array(out["query"], pa.string()),
+             "rank": pa.array(out["rank"], pa.int32()),
+             "doc_id": pa.array(out["doc_id"], pa.string()),
+             "score": pa.array(out["score"], pa.float64()),
+             "tier": pa.array(out["tier"], pa.int32())}
+        )
