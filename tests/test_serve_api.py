@@ -105,3 +105,48 @@ def test_champion_topk_converges_to_bm25f(built_index):
                        small["doc_id"].to_pylist(),
                        small["score"].to_pylist()):
         assert s <= full_scores.get((q, d), float("inf")) + 1e-9
+
+
+def test_tiered_topk_matches_declared_ladder(built_index):
+    """Tier-1-full queries must equal the champion ranking; under-filled
+    queries must equal the full bm25f ranking — the ladder is exactly its
+    two declared branches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        ChampionEvalActor, TieredEvalActor, ensure_champion_tier,
+    )
+
+    eng = SearchEngine(built_index)
+    queries = ["search engine", "item order arrived", "zzzznope",
+               "university"]
+    batch = pa.table({"query": pa.array(queries, pa.string())})
+    ensure_champion_tier(built_index, m=8)
+    tiered = TieredEvalActor(built_index, m=8, k=10)(batch)
+    champ = ChampionEvalActor(built_index, m=8, k=10)(batch)
+    champ_rows = {
+        (q, r): (d, round(s, 9))
+        for q, r, d, s in zip(champ["query"].to_pylist(),
+                              champ["rank"].to_pylist(),
+                              champ["doc_id"].to_pylist(),
+                              champ["score"].to_pylist())
+    }
+    seen_t1 = seen_t2 = 0
+    for q, r, d, s, tier in zip(tiered["query"].to_pylist(),
+                                tiered["rank"].to_pylist(),
+                                tiered["doc_id"].to_pylist(),
+                                tiered["score"].to_pylist(),
+                                tiered["tier"].to_pylist()):
+        if tier == 1:
+            seen_t1 += 1
+            assert champ_rows[(q, r)] == (d, round(s, 9))
+        else:
+            seen_t2 += 1
+            docs, acc = eng.all_scores(q, "bm25f")
+            order = np.lexsort((docs, -acc))[:10]
+            j = order[r]
+            assert (f"{int(docs[j]):015x}", round(float(acc[j]), 9)) \
+                == (d, round(s, 9))
+    assert seen_t1 > 0 and seen_t2 > 0   # both branches exercised
