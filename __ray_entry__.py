@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "champion_topk": _q_champion_topk,
         "highlight_spans": _q_highlight_spans,
         "tiered_topk": _q_tiered_topk,
+        "min_should_match": _q_min_should_match,
         "wildcard_kgram": _q_wildcard_kgram,
         "numeric_range": _q_numeric_range,
         "more_like_this": _q_more_like_this,
@@ -2536,6 +2537,73 @@ def _q_tiered_topk(sf_dir: str):
     ).to_pandas()
     out["score"] = out["score"].round(9)
     return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _q_min_should_match(sf_dir: str):
+    """Minimum-should-match retrieval (Lucene/ES minimum_should_match):
+    candidates must match >= ceil(0.5 x n_distinct_query_terms) DISTINCT
+    query terms; survivors get the full BM25 score over all their matched
+    terms (serve.MinShouldMatchEvalActor).  Oracle = the shared BM25 CTE
+    + a per-doc distinct-term-count gate, both replayed in SQL with the
+    per-plan constant threshold."""
+    import pyarrow as pa
+    import ray.data
+
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        MinShouldMatchEvalActor,
+    )
+    from nadry_search_engine_be_ray.sources.corpus import reference_queries
+
+    _, index_dir = _built_index(sf_dir)
+    _main_dump(sf_dir)
+    qs = [q["query"] for q in reference_queries()
+          if not q["query"].startswith('"')]
+    qds = ray.data.from_arrow(
+        pa.table({"query": pa.array(qs, pa.string())})
+    )
+    out = qds.map_batches(
+        MinShouldMatchEvalActor, fn_constructor_args=(index_dir, 0.5, 10),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["score"] = out["score"].round(9)
+    return out.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _min_should_match_sql(ratio: float = 0.5, k: int = 10) -> str:
+    """mm oracle: the shared BM25 CTE gated by a per-doc distinct-term
+    count (threshold precomputed per plan)."""
+    import math as _math
+
+    D = _MAIN_DUMP_DIR
+    ctes: list[str] = []
+    selects: list[str] = []
+    for p in _bm25_term_plans():
+        i = p["qid"]
+        distinct = sorted(set(p["tokens"]))
+        required = max(1, _math.ceil(ratio * len(distinct)))
+        terms_sql = ", ".join(f"'{_sqlq(t)}'" for t in distinct)
+        ctes.append(_bm25_score_cte(p) + f""",
+        mmn{i} AS (
+            SELECT doc_int, count(DISTINCT term) AS nm
+            FROM read_parquet('{D}/tok.parquet')
+            WHERE term IN ({terms_sql}) GROUP BY doc_int),
+        mmpg{i} AS (
+            SELECT b.doc_int, b.score, n.nm,
+                   row_number() OVER (ORDER BY b.score DESC,
+                                      b.doc_int ASC) - 1 AS rn
+            FROM bsc{i} b JOIN mmn{i} n ON n.doc_int = b.doc_int
+            WHERE n.nm >= {required})""")
+        selects.append(f"""
+        SELECT '{_sqlq(p["query"])}' AS query,
+               CAST(rn AS INTEGER) AS rank,
+               printf('%015x', doc_int) AS doc_id,
+               round(score, 9) AS score,
+               CAST(nm AS BIGINT) AS n_matched
+        FROM mmpg{i}
+        WHERE rn < {k}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        [""] + [" UNION ALL ".join(selects)]
+    )
 
 
 def _tiered_topk_sql(m: int = 8, k: int = 10) -> str:
@@ -10400,6 +10468,7 @@ def oracle_sql() -> dict[str, str]:
         "champion_topk": _champion_topk_sql(),
         "highlight_spans": _highlight_sql(),
         "tiered_topk": _tiered_topk_sql(),
+        "min_should_match": _min_should_match_sql(),
         "search_api_page": _search_api_page_sql(),
         "collapse_by_repo": _collapse_sql("repo"),
         "rocchio_feedback": _rocchio_sql(),

@@ -844,3 +844,60 @@ class TieredEvalActor:
              "score": pa.array(out["score"], pa.float64()),
              "tier": pa.array(out["tier"], pa.int32())}
         )
+
+
+class MinShouldMatchEvalActor:
+    """Minimum-should-match retrieval (the Lucene/ES ``minimum_should_
+    match`` parameter): a candidate must match at least ``ceil(ratio ×
+    n_distinct_query_terms)`` DISTINCT query terms to be scored; the
+    survivors get the full BM25 score over all their matched terms, top-k
+    by (score DESC, doc_int ASC).  Kills the low-precision single-term
+    tail of OR semantics without AND's recall cliff.
+
+    Per query the distinct-match count is one searchsorted membership
+    accumulation over the candidate array (no re-decode: the per-term
+    posting arrays are already in hand from scoring)."""
+
+    def __init__(self, index_dir: str, ratio: float = 0.5, k: int = 10):
+        self.engine = SearchEngine(index_dir)
+        self.ratio = ratio
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eng = self.engine
+        out_q, out_rank, out_doc, out_score, out_nm = [], [], [], [], []
+        for q in batch["query"].to_pylist():
+            tokens = eng.tokenizer.tokenize(q)
+            if not tokens:
+                continue
+            distinct = sorted(set(tokens))
+            required = max(1, math.ceil(self.ratio * len(distinct)))
+            docs, acc = eng.all_scores(q, "bm25")
+            if not docs.size:
+                continue
+            nmatch = np.zeros(docs.size, dtype=np.int64)
+            for t in distinct:
+                pl = eng.reader.postings(t)
+                if pl is None:
+                    continue
+                idx = np.searchsorted(docs, pl.docs)
+                idx_c = np.minimum(idx, docs.size - 1)
+                hit = docs[idx_c] == pl.docs
+                nmatch[idx_c[hit]] += 1
+            keep = np.flatnonzero(nmatch >= required)
+            if keep.size == 0:
+                continue
+            order = keep[np.lexsort((docs[keep], -acc[keep]))][: self.k]
+            for i, j in enumerate(order):
+                out_q.append(q)
+                out_rank.append(i)
+                out_doc.append(f"{int(docs[j]):015x}")
+                out_score.append(float(acc[j]))
+                out_nm.append(int(nmatch[j]))
+        return pa.table(
+            {"query": pa.array(out_q, pa.string()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "doc_id": pa.array(out_doc, pa.string()),
+             "score": pa.array(out_score, pa.float64()),
+             "n_matched": pa.array(out_nm, pa.int64())}
+        )

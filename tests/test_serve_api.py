@@ -150,3 +150,48 @@ def test_tiered_topk_matches_declared_ladder(built_index):
             assert (f"{int(docs[j]):015x}", round(float(acc[j]), 9)) \
                 == (d, round(s, 9))
     assert seen_t1 > 0 and seen_t2 > 0   # both branches exercised
+
+
+def test_min_should_match_gate(built_index):
+    """mm filtering: survivors hold >= ceil(ratio*n) distinct query
+    terms, scores equal the plain BM25 scores of the same docs, and
+    ratio=1.0 degenerates to conjunctive (AND) BM25."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from nadry_search_engine_be_ray.pipelines.query import SearchEngine
+    from nadry_search_engine_be_ray.pipelines.serve import (
+        MinShouldMatchEvalActor,
+    )
+
+    eng = SearchEngine(built_index)
+    q = "item order arrived"
+    batch = pa.table({"query": pa.array([q], pa.string())})
+
+    def brute(ratio):
+        toks = eng.tokenizer.tokenize(q)
+        distinct = sorted(set(toks))
+        req = max(1, math.ceil(ratio * len(distinct)))
+        docs, acc = eng.all_scores(q, "bm25")
+        nm = np.zeros(docs.size, dtype=np.int64)
+        for t in distinct:
+            pl = eng.reader.postings(t)
+            if pl is None:
+                continue
+            nm += np.isin(docs, pl.docs)
+        keep = np.flatnonzero(nm >= req)
+        order = keep[np.lexsort((docs[keep], -acc[keep]))][:10]
+        return [(f"{int(docs[j]):015x}", round(float(acc[j]), 9),
+                 int(nm[j])) for j in order]
+
+    for ratio in (0.5, 1.0):
+        got = MinShouldMatchEvalActor(built_index, ratio, 10)(batch)
+        rows = [(d, round(s, 9), n) for d, s, n in
+                zip(got["doc_id"].to_pylist(), got["score"].to_pylist(),
+                    got["n_matched"].to_pylist())]
+        assert rows == brute(ratio), ratio
+    full = MinShouldMatchEvalActor(built_index, 1.0, 10)(batch)
+    n_terms = len(set(eng.tokenizer.tokenize(q)))
+    assert all(n == n_terms for n in full["n_matched"].to_pylist())
